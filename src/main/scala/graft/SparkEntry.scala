@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator (SURVEY.md §2 inventory +
+  * the training-data extensions) to a DataFrame program over the testdata
+  * tables; `oracleSql` gives the DuckDB-runnable ANSI-SQL equivalent
+  * (omitted only for ops whose semantics aren't SQL-expressible — those
+  * get a rows-only check plus ScalaTest coverage).
+  */
 object SparkEntry {
+
+  private val registry: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (ops.CoreOps.queries, ops.CoreOps.oracleSql),
+    (ops.SynapseId.queries, ops.SynapseId.oracleSql),
+    (ops.Offsets.queries, ops.Offsets.oracleSql)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.CoreOps.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = registry.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = registry.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core scan / projection / scalar / aggregation surface.
+  *
+  * Re-expresses (Spark-first, not a port) the reference operators:
+  *  - S3 `scan_parquet_dir`  (src/circuit/parquet_reader.cpp:60-130)
+  *  - P1 `project_rename_flatten` (src/touches/parquet_writer.cpp:189-296)
+  *  - P2 `bit_unpack_branch_type` (src/touches/parquet_writer.h:63-69)
+  *  - P3 `cast_narrow` (src/touches/parquet_writer.cpp:34-53)
+  *  - P4 `validate_range` (src/touches/parquet_writer.cpp:207-219)
+  *  - P6 `drop_columns` (src/circuit/sonata_writer.cpp:29,76-78)
+  *  - A1-A4 counts / global sums / max / per-key histogram
+  *    (src/circuit/parquet_reader.cpp:30-34, src/parquet2hdf5.cpp:89-95,
+  *     src/index/index.cpp:208-218)
+  *
+  * Every query is a narrow scan→project chain or a single hash aggregate;
+  * filters and column selections reach the parquet scan (PushedFilters /
+  * ReadSchema), so at 100 TB each of these is an embarrassingly parallel
+  * single stage (plus one shuffle for the groupBys).
+  */
+object CoreOps {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship TPC-H-Q1-style aggregate: map-side partial agg + 1 shuffle
+    // on a tiny key space; sums rounded (both sides) to absorb fp
+    // association order.
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S3: multi-file parquet scan with predicate + projection pushdown.
+    "scan_parquet_dir" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // P1: projection with rename + array flattening (float[3] -> 3 columns),
+    // the efferent/afferent rename shape of parquet_writer.cpp:302-374.
+    "project_rename_flatten" -> ((s, dir) => {
+      Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        col("label").as("cls"),
+        element_at(col("embedding"), 1).as("e0"),
+        element_at(col("embedding"), 2).as("e1"),
+        element_at(col("embedding"), 3).as("e2"))
+    }),
+
+    // P2: one packed byte -> two int8 nibbles, +1 offset (soma convention).
+    "bit_unpack_branch_type" -> ((s, dir) => {
+      val packed = col("l_linenumber")
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (shiftright(packed, 4).bitwiseAND(15) + 1).cast("tinyint").as("pre_branch_type"),
+        (packed.bitwiseAND(15) + 1).cast("tinyint").as("post_branch_type"))
+    }),
+
+    // P3: logical narrowing casts (int32->int16, double->int32 via floor —
+    // floor on both sides because Spark truncates and DuckDB rounds).
+    "cast_narrow" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("smallint").as("ln16"),
+        floor(col("l_quantity")).cast("int").as("qty32"))
+    }),
+
+    // P4: range validation as a flag column (the raise_error trip path is
+    // unit-tested; a verify query must not abort the whole dump).
+    "validate_range" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") <= 32767).cast("int").as("in_range"))
+    }),
+
+    // P6: column pruning by skip-set.
+    "drop_columns" -> ((s, dir) => {
+      Tables.lineitem(s, dir).drop("l_tax", "l_discount", "l_comment", "l_shipdate")
+    }),
+
+    // A1: total record count (answered from parquet footers, zero data read).
+    "count_records" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // A2: cluster-wide sum — partial+final agg replaces MPI_Allreduce(SUM).
+    "global_sum" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n"))
+    }),
+
+    // A3: max node id + 1 — replaces MPI_Allreduce(MAX) (index.cpp:208-213).
+    "global_max" -> ((s, dir) => {
+      Tables.orders(s, dir).agg((max(col("o_custkey")) + 1).as("node_count"))
+    }),
+
+    // A4: per-key histogram — hash aggregate with map-side combine.
+    "histogram_by_key" -> ((s, dir) => {
+      Tables.orders(s, dir).groupBy(col("o_custkey").as("node_id"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // L1/top-k: deterministic limit = global sort + limit (TakeOrdered —
+    // per-partition top-k then merge on the driver, no full sort at scale).
+    "topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "scan_parquet_dir" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 10 = 0",
+    "project_rename_flatten" ->
+      """SELECT vec_id AS id, label AS cls,
+        |  embedding[1] AS e0, embedding[2] AS e1, embedding[3] AS e2
+        |FROM embeddings""".stripMargin,
+    "bit_unpack_branch_type" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(((l_linenumber >> 4) & 15) + 1 AS TINYINT) AS pre_branch_type,
+        |  CAST((l_linenumber & 15) + 1 AS TINYINT) AS post_branch_type
+        |FROM lineitem""".stripMargin,
+    "cast_narrow" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_linenumber AS SMALLINT) AS ln16,
+        |  CAST(floor(l_quantity) AS INTEGER) AS qty32
+        |FROM lineitem""".stripMargin,
+    "validate_range" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_partkey <= 32767 AS INTEGER) AS in_range
+        |FROM lineitem""".stripMargin,
+    "drop_columns" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_returnflag, l_linestatus
+        |FROM lineitem""".stripMargin,
+    "count_records" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "global_sum" ->
+      "SELECT round(sum(l_quantity), 2) AS total_qty, count(*) AS n FROM lineitem",
+    "global_max" -> "SELECT max(o_custkey) + 1 AS node_count FROM orders",
+    "histogram_by_key" ->
+      "SELECT o_custkey AS node_id, count(*) AS n FROM orders GROUP BY o_custkey",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+}

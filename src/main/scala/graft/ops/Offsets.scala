@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** O5 `exclusive_prefix_sum` — the reference's signature distributed-scan
+  * pattern: exclusive prefix sum of per-partition counts to assign global
+  * write offsets (MPI Gather → serial scan → Scatter,
+  * src/parquet2hdf5.cpp:97-110; src/index/index.cpp:272-280).
+  *
+  * Spark-first: the scan runs over the (tiny) per-key count table, so the
+  * unpartitioned window is bounded by the number of groups, not the number
+  * of rows — at 100 TB the big table is only touched by the map-side
+  * partial count. This is the deterministic replacement for
+  * `monotonically_increasing_id` everywhere row order is load-bearing
+  * (SURVEY.md §7.5.2).
+  */
+object Offsets {
+
+  /** (key, cnt, write_offset) with write_offset = exclusive prefix sum of
+    * cnt in `orderCol` order.
+    */
+  def exclusivePrefixSum(counts: DataFrame, orderCol: String, cntCol: String = "cnt"): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn("write_offset",
+      coalesce(sum(col(cntCol)).over(w), lit(0L)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "exclusive_prefix_sum" -> ((s, dir) => {
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("part_id"))
+        .agg(count(lit(1)).as("cnt"))
+      exclusivePrefixSum(counts, "part_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "exclusive_prefix_sum" ->
+      """SELECT part_id, cnt,
+        |  COALESCE(SUM(cnt) OVER (ORDER BY part_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS write_offset
+        |FROM (SELECT o_custkey AS part_id, count(*) AS cnt
+        |      FROM orders GROUP BY o_custkey) t""".stripMargin
+  )
+}
