@@ -15,7 +15,10 @@ object SparkEntry {
   private val registry: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (ops.CoreOps.queries, ops.CoreOps.oracleSql),
     (ops.SynapseId.queries, ops.SynapseId.oracleSql),
-    (ops.Offsets.queries, ops.Offsets.oracleSql)
+    (ops.Offsets.queries, ops.Offsets.oracleSql),
+    (ops.Rle.queries, ops.Rle.oracleSql),
+    (ops.Intervals.queries, ops.Intervals.oracleSql),
+    (ops.CsrIndex.queries, ops.CsrIndex.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 /** O5 `exclusive_prefix_sum` — the reference's signature distributed-scan
   * pattern: exclusive prefix sum of per-partition counts to assign global
@@ -29,7 +30,26 @@ object Offsets {
       coalesce(sum(col(cntCol)).over(w), lit(0L)))
   }
 
+  /** Deterministic global row position in `ord` order (the reference's
+    * "global row = rank offset + local row", src/parquet2hdf5.cpp:97-110,
+    * re-expressed as the two-pass zipWithIndex idiom):
+    * range-shuffle + local sort gives a total order across partitions, then
+    * `zipWithIndex` runs one extra tiny job to count per-partition rows and
+    * assigns offsets — no single-partition window anywhere, so this scales
+    * to arbitrary row counts. `ord` must be a total order (include a
+    * tiebreaker key) or positions are ambiguous.
+    */
+  def globalPosition(df: DataFrame, ord: Seq[Column], posCol: String = "pos"): DataFrame = {
+    val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(rdd, sorted.schema.add(posCol, LongType, nullable = false))
+  }
+
   val queries: Map[String, Q] = Map(
+    "global_position" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))
+      globalPosition(li, Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
     "exclusive_prefix_sum" -> ((s, dir) => {
       val counts = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("part_id"))
@@ -39,6 +59,10 @@ object Offsets {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "global_position" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+        |FROM lineitem""".stripMargin,
     "exclusive_prefix_sum" ->
       """SELECT part_id, cnt,
         |  COALESCE(SUM(cnt) OVER (ORDER BY part_id

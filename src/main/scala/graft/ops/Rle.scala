@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** I2 `rle_group_ranges` — run-length-encode consecutive equal keys in a
+  * globally ordered sequence into half-open `(key, range_start, range_end)`
+  * ranges (reference `_groupNodeRanges`, src/index/index.cpp:114-137).
+  *
+  * Spark-first formulation is the gaps-and-islands identity
+  * `island = pos - row_number() over (partition by key order by pos)`:
+  * consecutive positions of the same key share an island id. This shuffles
+  * once on `key` (hash partition per key, NO global window / single
+  * partition), and the follow-up groupBy reuses the same partitioning —
+  * Catalyst plans it as one exchange. The reference's per-rank-RLE +
+  * boundary-merge design is recovered exactly by composing this with
+  * `Intervals.merge` (I5), which is what `CsrIndex` does.
+  */
+object Rle {
+
+  /** df must contain an integer position column `posCol` forming a gap-free
+    * global order (build one with `Offsets.globalPosition`).
+    */
+  def ranges(df: DataFrame, keyCol: String, posCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(posCol))
+    df.withColumn("_island", col(posCol) - row_number().over(w))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(posCol)).as("range_start"), (max(col(posCol)) + 1).as("range_end"))
+      .drop("_island")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // RLE over the sequence of return-flags in shipdate order: real runs
+    // with real splits (unlike orderkey order, where runs are trivially
+    // one-per-key).
+    "rle_group_ranges" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("node_key"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"))
+      val withPos = Offsets.globalPosition(li,
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+      ranges(withPos, "node_key", "pos")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rle_group_ranges" ->
+      """WITH pos AS (
+        |  SELECT l_returnflag AS node_key,
+        |         ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS pos
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT node_key, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY node_key ORDER BY pos) AS grp
+        |  FROM pos)
+        |SELECT node_key, min(pos) AS range_start, max(pos) + 1 AS range_end
+        |FROM g GROUP BY node_key, grp""".stripMargin
+  )
+}
