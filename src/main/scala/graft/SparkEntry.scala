@@ -18,7 +18,9 @@ object SparkEntry {
     (ops.Offsets.queries, ops.Offsets.oracleSql),
     (ops.Rle.queries, ops.Rle.oracleSql),
     (ops.Intervals.queries, ops.Intervals.oracleSql),
-    (ops.CsrIndex.queries, ops.CsrIndex.oracleSql)
+    (ops.CsrIndex.queries, ops.CsrIndex.oracleSql),
+    (ops.JoinOps.queries, ops.JoinOps.oracleSql),
+    (ops.SetWindowOps.queries, ops.SetWindowOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -32,9 +32,14 @@ object CoreOps {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          // quantities are integral doubles (< 2^53): their sum is exact in
+          // any order; money columns go through exact integer cents / 1e-4
+          // units so the result is bit-identical to the oracle regardless
+          // of aggregation order (no half-cent rounding flips).
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            * round((lit(1) - col("l_discount")) * 100).cast("long")) / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -123,9 +128,10 @@ object CoreOps {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "scan_parquet_dir" ->

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join surface (SURVEY.md §2.7). The reference only has two degenerate
+  * joins (broadcast shifts-lookup, dense sequence left join); a complete
+  * engine needs the full family, each planned the way it should be at
+  * 100 TB:
+  *  - dimension joins: explicit `broadcast()` — zero shuffle of the fact
+  *    side (replaces the reference's replicated `shifts[]` array,
+  *    src/touches/touch_reader.cpp:277);
+  *  - fact-fact equi-join: shuffle hash / sort-merge on the key, AQE picks;
+  *  - semi/anti: `left_semi`/`left_anti` — no payload duplication;
+  *  - as-of join: NOT a per-row subquery — the union-and-window trick:
+  *    tag both streams, union (no shuffle of either side alone), one
+  *    window per (user) partition carries the last seen right-side row
+  *    forward. One shuffle total, skew-bounded by user cardinality.
+  */
+object JoinOps {
+
+  /** As-of join: for each left row, the most recent right row with
+    * `rightTs <= leftTs`, matched on `keyCols`. Both inputs must share the
+    * key + ts column names; right payload columns are carried forward.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftTagged = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val leftOnly = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val rightTagged = leftOnly.foldLeft(right.withColumn("_side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = leftTagged.unionByName(rightTagged.select(leftTagged.columns.map(col): _*))
+    // order by (ts, side): right rows at the same ts sort before left rows,
+    // so a left row at ts==t sees a right row at ts==t (inclusive as-of)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_side")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Broadcast dimension chain: customer ⋈ nation ⋈ region, fact side
+    // never shuffles.
+    "join_broadcast" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+          col("r_name").as("region"))
+    }),
+
+    // Fact-fact shuffle join + aggregate: revenue per order.
+    "join_shuffle" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      // revenue in exact integer 1e-4 units (price has 2 decimals, discount
+      // 2 decimals) — order-independent and bit-identical to the oracle,
+      // unlike a rounded float sum, which flips at half-cent boundaries.
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long")
+            * round((lit(1) - col("l_discount")) * 100).cast("long")) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // EXISTS: customers that placed at least one order.
+    "join_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // NOT EXISTS: customers with no orders.
+    "join_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Theta (non-equi) join: ordered pairs — broadcast nested loop on the
+    // tiny side; at scale a banded/bucketed rewrite would bound the blowup.
+    "join_theta" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("a"), col("n_regionkey").as("ra"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("b"), col("n_regionkey").as("rb"))
+      n1.join(broadcast(n2), col("a") < col("b") && col("ra") === col("rb"))
+        .select(col("a"), col("b"), col("ra").as("regionkey"))
+    }),
+
+    // As-of: each purchase joined to the user's most recent click at-or-
+    // before it. Compared in epoch MICROS on both sides — DuckDB's parquet
+    // reader truncates TIMESTAMP(NANOS) to its micro-precision TIMESTAMP,
+    // so nanos are not oracle-comparable.
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_event_id"), col("ts_us").as("click_ts_us"))
+      asofJoin(purchases, clicks, Seq("user_id"), "ts_us",
+        Seq("click_event_id", "click_ts_us"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+          col("click_event_id"), col("click_ts_us"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_theta" ->
+      """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, n1.n_regionkey AS regionkey
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey""".stripMargin,
+    "asof_join" ->
+      """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, p.value,
+        |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+  )
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Set operations (SURVEY.md §2.9 — the reference's ordered multi-file
+  * union, plus the absent intersect/except/distinct family) and the general
+  * window-function surface beyond W1/O5.
+  *
+  * Scale notes: union is metadata-only (no shuffle); distinct/intersect/
+  * except are keyed hash aggregates (partial+final); every window here is
+  * keyed (`partitionBy`) — no single-partition windows. Running sums are
+  * over integral doubles (< 2^53), so Spark's sequential frame evaluation
+  * and DuckDB's segment-tree evaluation agree bit-for-bit.
+  */
+object SetWindowOps {
+
+  val queries: Map[String, Q] = Map(
+    // Ordered UNION ALL of two scans (the reference's multi-file concat).
+    "union_all" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), lit("l").as("src"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"), lit("o").as("src"))
+      l.unionAll(o)
+    }),
+
+    "distinct_rows" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_returnflag")).distinct()),
+
+    "intersect_keys" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      o.intersect(l)
+    }),
+
+    "except_keys" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      o.except(l)
+    }),
+
+    // Hierarchical totals; null-filled super-aggregate rows match ANSI.
+    "rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))),
+
+    "cube_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // Pivot = conditional aggregation (what it compiles to anyway).
+    "pivot_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))),
+
+    // Keyed running sum (integral doubles ⇒ exact).
+    "window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("running_qty"))
+    }),
+
+    // lag/lead value-copy windows.
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"))
+    }),
+
+    // rank/dense_rank with real ties (integer quantity within supplier).
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "union_all" ->
+      """SELECT l_orderkey AS k, 'l' AS src FROM lineitem
+        |UNION ALL SELECT o_orderkey AS k, 'o' AS src FROM orders""".stripMargin,
+    "distinct_rows" -> "SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem",
+    "intersect_keys" ->
+      "SELECT o_orderkey AS k FROM orders INTERSECT SELECT l_orderkey AS k FROM lineitem",
+    "except_keys" ->
+      "SELECT o_orderkey AS k FROM orders EXCEPT SELECT l_orderkey AS k FROM lineitem",
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "pivot_agg" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+    "window_rank" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""".stripMargin
+  )
+}
