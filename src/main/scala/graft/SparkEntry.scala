@@ -20,7 +20,8 @@ object SparkEntry {
     (ops.Intervals.queries, ops.Intervals.oracleSql),
     (ops.CsrIndex.queries, ops.CsrIndex.oracleSql),
     (ops.JoinOps.queries, ops.JoinOps.oracleSql),
-    (ops.SetWindowOps.queries, ops.SetWindowOps.oracleSql)
+    (ops.SetWindowOps.queries, ops.SetWindowOps.oracleSql),
+    (pipelines.TouchToParquet.queries, pipelines.TouchToParquet.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -115,6 +115,23 @@ object CoreOps {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // S4: parquet sink round-trip with the reference writer's physical
+    // knobs (SNAPPY, dictionary off, ~20 MB row groups,
+    // src/touches/parquet_writer.cpp:105-163) — identity on values, so
+    // fully oracle-checkable.
+    "sink_parquet" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("sink_parquet").toString
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.block.size", (20 * 1024 * 1024).toString)
+        .parquet(out)
+      s.read.parquet(out)
+    }),
+
     // L1/top-k: deterministic limit = global sort + limit (TakeOrdered —
     // per-partition top-k then merge on the driver, no full sort at scale).
     "topk_orders" -> ((s, dir) => {
@@ -159,6 +176,8 @@ object CoreOps {
         |  l_extendedprice, l_returnflag, l_linestatus
         |FROM lineitem""".stripMargin,
     "count_records" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "sink_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "global_sum" ->
       "SELECT round(sum(l_quantity), 2) AS total_qty, count(*) AS n FROM lineitem",
     "global_max" -> "SELECT max(o_custkey) + 1 AS node_count FROM orders",
