@@ -21,7 +21,13 @@ object SparkEntry {
     (ops.CsrIndex.queries, ops.CsrIndex.oracleSql),
     (ops.JoinOps.queries, ops.JoinOps.oracleSql),
     (ops.SetWindowOps.queries, ops.SetWindowOps.oracleSql),
-    (pipelines.TouchToParquet.queries, pipelines.TouchToParquet.oracleSql)
+    (pipelines.TouchToParquet.queries, pipelines.TouchToParquet.oracleSql),
+    (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracleSql),
+    (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
+    (ext.Dedup.queries, ext.Dedup.oracleSql),
+    (ext.SimSearch.queries, ext.SimSearch.oracleSql),
+    (ext.Sessionize.queries, ext.Sessionize.oracleSql),
+    (ext.Multimodal.queries, ext.Multimodal.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,186 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation over `documents`
+  * (+ `embeddings` for semantic near-dups):
+  *
+  *  - exact:        content-hash groupBy — one shuffle on the hash, never
+  *                  on the raw text;
+  *  - n-gram Jaccard: inverted shingle index self-join (exact, but
+  *                  candidate-bounded) — the verification tier;
+  *  - MinHash+LSH:  shingle→minhash→band→bucket join — the 100 TB tier:
+  *                  candidate generation cost is bounded by band-bucket
+  *                  collisions, not n²;
+  *  - SimHash:      64-bit fingerprint + hamming-band bucketing;
+  *  - embedding cosine: quantized-integer dot product over unit vectors.
+  *
+  * MinHash/SimHash use Spark's `xxhash64` — not reproducible in DuckDB, so
+  * those two are rows-only checked here and property-tested in ScalaTest
+  * (planted near-duplicates must collide).
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per doc (empty below 3 tokens; note
+    * Spark `sequence(1, n)` with n < 1 generates a DESCENDING sequence
+    * rather than an empty one, hence the guard).
+    */
+  def shingles(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** (doc_id, shingle) inverted index. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+
+  /** Exact Jaccard over candidate pairs that share ≥1 shingle.
+    * |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val idx = shingleIndex(docs)
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: k universal-hash permutations of xxhash64 shingle
+    * hashes, `h_i(s) = (a_i * h(s) + b_i) mod p`, min per permutation.
+    * One narrow pass; signature size k·8 bytes per doc.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val p = 2147483647L // 2^31-1, Mersenne
+    val hashes = docs.select(col("doc_id"),
+      transform(shingles(col("text")), s => pmod(xxhash64(s), lit(p))).as("hs"))
+    val sig = array((0 until k).map { i =>
+      val a = 2L * i + 1; val b = 31L * i + 7
+      when(size(col("hs")) > 0,
+        array_min(transform(col("hs"), h => pmod(h * a + b, lit(p)))))
+        .otherwise(lit(p))
+    }: _*)
+    hashes.select(col("doc_id"), sig.as("signature"))
+  }
+
+  /** LSH over minhash signatures: split k into bands of `rows`, bucket on
+    * (band, band-slice hash), emit candidate pairs sharing a bucket, then
+    * estimate similarity as matching-minhash fraction. The shuffle key is
+    * the band bucket — collision-bounded, never n².
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 32, rows: Int = 4,
+                      estThreshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, k)
+    val nBands = k / rows
+    val bands = sigs.select(col("doc_id"), col("signature"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(concat_ws("_", b.cast("string"),
+          slice(col("signature"), b * lit(rows) + 1, lit(rows)).cast("array<string>")))))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          / lit(k.toDouble))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhash64s: per bit, +1/−1 vote by hash bit,
+    * sign of the vote sum sets the fingerprint bit.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup on a content hash: representative = min doc_id.
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(Tables.documents(s, dir), 0.12)),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashLshPairs(Tables.documents(s, dir), k = 32, rows = 4, estThreshold = 0.3)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))),
+
+    // Semantic near-dup: quantized-integer cosine on unit vectors — the
+    // dot product is exact int64 arithmetic, identical in the oracle.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val dotQ = aggregate(
+        zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => round(x.cast("double") * 1000).cast("long")
+            * round(y.cast("double") * 1000).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), dotQ.as("dot_q"))
+        .filter(col("dot_q") >= (0.4 * 1e6).toLong) // cos ≈ dot_q / 1e6 on unit vectors
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+        |  round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |       * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS dot_q
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |       * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) >= 400000""".stripMargin
+  )
+}

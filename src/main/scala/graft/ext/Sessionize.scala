@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over `events`: gap-based sessionization (the
+  * same gaps-and-islands shape as the reference's RLE, I2 — a timestamp
+  * gap instead of a key change breaks the island), fixed time-window
+  * aggregation, and JSON property extraction.
+  *
+  * All timestamps are epoch-micro longs (`Tables.events`), so every
+  * boundary comparison is integer-exact against the oracle. Windows are
+  * keyed by `user_id` — one hash shuffle, no global sort; the follow-up
+  * groupBy reuses the partitioning.
+  */
+object Sessionize {
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Per-session rollup: (user_id, session_id, start/end, counts, value). */
+  def sessions(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("_new", when(
+        col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs || lag(col("ts_us"), 1).over(byUser).isNull, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sessionize" -> ((s, dir) => sessions(Tables.events(s, dir))),
+
+    // Fixed 1-hour tumbling windows by event type (integer bucket index —
+    // `div` keeps it exact).
+    "event_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))),
+
+    // JSON property extraction (events.props = {"k": N}).
+    "json_extract_props" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |           OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "event_window_agg" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY event_type, epoch_us(ts) // 3600000000""".stripMargin,
+    "json_extract_props" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+  )
+}

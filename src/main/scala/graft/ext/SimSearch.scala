@@ -1,0 +1,102 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, unit-normalized, dim 64).
+  *
+  *  - Brute-force cosine top-k: the exactness baseline. Scores are
+  *    computed as QUANTIZED INTEGER dot products (`round(x*1000)` per
+  *    component) so ranking is total-ordered integer arithmetic — no
+  *    float-associativity ambiguity against the oracle, and SIMD-friendly.
+  *    Cost is |queries|·|corpus|·d: fine for a bounded query set; the plan
+  *    broadcasts the small query side so the corpus never shuffles.
+  *  - Sign-LSH (random hyperplane) bucketing: the 100 TB path. Vectors
+  *    bucket by the sign pattern of d′ pseudo-random projections; search
+  *    touches only same-bucket candidates. Hyperplanes derive
+  *    deterministically from `xxhash64` (no RNG, reproducible across runs
+  *    and executors).
+  */
+object SimSearch {
+
+  /** Exact int64 dot product of two quantized float vectors. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * 1000).cast("long") * round(y.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k neighbors for `queries` against `corpus`
+    * (both (id, embedding)); self-pairs excluded; ranked by
+    * (dot_q desc, candidate id).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("dot_q", quantizedDot(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("c_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for
+    * (plane, dimension) — derived from xxhash64, no RNG state.
+    */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, 1L).otherwise(-1L)
+
+  /** Sign-LSH bucket id: nPlanes sign bits of ±1-hyperplane projections. */
+  def lshBucket(emb: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(63)), (x, i) =>
+          x.cast("double") * planeSign(p, i).cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+
+  /** Bucketed ANN: candidates restricted to same-bucket vectors. */
+  def lshTopK(vectors: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+    val bucketed = vectors.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val pairs = bucketed.as("q").join(bucketed.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
+        quantizedDot(col("q.embedding"), col("c.embedding")).as("dot_q"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("c_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    "ann_lsh_bucketed" -> ((s, dir) =>
+      lshTopK(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        nPlanes = 8, k = 5))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS dot_q
+        |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
+        |  c_id, dot_q
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin
+  )
+}

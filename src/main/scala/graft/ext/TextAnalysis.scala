@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token stats, quality scoring, heuristic language ID,
+  * and position-weighted document fingerprinting.
+  *
+  * All four are pure per-row projections (narrow, zero shuffle, fully
+  * inside WholeStageCodegen) — at 100 TB they run at scan speed. No UDFs:
+  * everything is built-in expressions / SQL higher-order functions, so the
+  * DuckDB oracle can execute the identical integer-exact computation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (matches DuckDB
+    * `list_filter(string_split_regex(text, '\s+'), t -> t != '')`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Literal-substring occurrence count over the `_padded` column via
+    * length arithmetic — integer exact, identical in any engine with
+    * `replace`.
+    */
+  private def occurrences(kw: String): Column =
+    (length(col("_padded")) - length(expr(s"replace(_padded, '$kw', '')"))) / kw.length
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_uniq_tokens"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val stop = filter(t, x => x.isin("the", "a", "and", "of", "to"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        nTok.as("n_tokens"),
+        size(stop).as("n_stopwords"),
+        // whitespace-run count (length minus de-spaced length)
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
+        // mean token length ×100, floored — integer exact
+        floor(expr(
+          "aggregate(filter(split(text, '\\\\s+'), t -> t != ''), bigint(0), (a, x) -> a + length(x)) * 100") /
+          nTok).cast("long").as("avg_token_len_x100"))
+    }),
+
+    // Heuristic language ID from function-word hits, fixed priority on
+    // ties (en > de > fr > es). The testdata text is synthetic
+    // English-ish word salad, so this classifies most rows 'en' — the
+    // oracle checks cross-engine agreement, not label ground truth.
+    "lang_id_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("_padded", concat(lit(" "), col("text"), lit(" ")))
+      def score(kws: Seq[String]): Column =
+        kws.map(occurrences).reduce(_ + _)
+      val en = score(Seq(" the ", " and ", " of "))
+      val de = score(Seq(" der ", " und ", " die "))
+      val fr = score(Seq(" le ", " et ", " la "))
+      val es = score(Seq(" el ", " y ", " los "))
+      docs.select(
+        col("doc_id"),
+        en.cast("long").as("s_en"), de.cast("long").as("s_de"),
+        fr.cast("long").as("s_fr"), es.cast("long").as("s_es"),
+        when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("lang_guess"))
+    }),
+
+    // Position-weighted checksum: sum(codepoint(c_i) * i) mod p — order-
+    // sensitive, integer-exact, O(n) per row.
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        (expr("aggregate(transform(sequence(1, length(text)), " +
+          "i -> cast(ascii(substr(text, i, 1)) * i AS BIGINT)), bigint(0), (a, x) -> a + x)")
+          % 1000000007L).as("fingerprint")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars2,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,
+        |  len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS n_uniq_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars2,
+        |  len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stopwords,
+        |  length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        |  CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 100 / len(toks)) AS BIGINT)
+        |    AS avg_token_len_x100
+        |FROM t""".stripMargin,
+    "lang_id_ngram" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pad FROM documents),
+        |s AS (SELECT doc_id,
+        |  (length(pad) - length(replace(pad, ' the ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' and ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' of ', ''))) / 4 AS s_en,
+        |  (length(pad) - length(replace(pad, ' der ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' und ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' die ', ''))) / 5 AS s_de,
+        |  (length(pad) - length(replace(pad, ' le ', ''))) / 4
+        |    + (length(pad) - length(replace(pad, ' et ', ''))) / 4
+        |    + (length(pad) - length(replace(pad, ' la ', ''))) / 4 AS s_fr,
+        |  (length(pad) - length(replace(pad, ' el ', ''))) / 4
+        |    + (length(pad) - length(replace(pad, ' y ', ''))) / 3
+        |    + (length(pad) - length(replace(pad, ' los ', ''))) / 5 AS s_es
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+        |  CAST(s_fr AS BIGINT) AS s_fr, CAST(s_es AS BIGINT) AS s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_guess
+        |FROM s""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS fingerprint
+        |FROM documents""".stripMargin
+  )
+}

