@@ -27,7 +27,9 @@ object SparkEntry {
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
-    (ext.Multimodal.queries, ext.Multimodal.oracleSql)
+    (ext.Multimodal.queries, ext.Multimodal.oracleSql),
+    (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
+    (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

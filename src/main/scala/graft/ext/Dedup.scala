@@ -61,19 +61,24 @@ object Dedup {
 
   /** MinHash signatures: k universal-hash permutations of xxhash64 shingle
     * hashes, `h_i(s) = (a_i * h(s) + b_i) mod p`, min per permutation.
-    * One narrow pass; signature size k·8 bytes per doc.
+    *
+    * Formulated as explode → k codegen'd min-aggregates → array, NOT as
+    * nested higher-order functions: the per-permutation affine transform
+    * and the mins all run inside WholeStageCodegen, and the groupBy is a
+    * map-side-combining hash aggregate on `doc_id`. Signature size is
+    * k·8 bytes per doc regardless of document length.
     */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
     val p = 2147483647L // 2^31-1, Mersenne
-    val hashes = docs.select(col("doc_id"),
-      transform(shingles(col("text")), s => pmod(xxhash64(s), lit(p))).as("hs"))
-    val sig = array((0 until k).map { i =>
+    val exploded = docs
+      .select(col("doc_id"), explode_outer(shingles(col("text"))).as("shingle"))
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val mins = (0 until k).map { i =>
       val a = 2L * i + 1; val b = 31L * i + 7
-      when(size(col("hs")) > 0,
-        array_min(transform(col("hs"), h => pmod(h * a + b, lit(p)))))
-        .otherwise(lit(p))
-    }: _*)
-    hashes.select(col("doc_id"), sig.as("signature"))
+      coalesce(min(pmod(col("h") * a + b, lit(p))), lit(p)).as(s"_m$i")
+    }
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("signature"))
   }
 
   /** LSH over minhash signatures: split k into bands of `rows`, bucket on
@@ -134,16 +139,17 @@ object Dedup {
 
     // Semantic near-dup: quantized-integer cosine on unit vectors — the
     // dot product is exact int64 arithmetic, identical in the oracle.
+    // Vectors are quantized ONCE per row before the pair join, and the
+    // per-pair dot runs through the codegen'd QuantizedDot expression —
+    // the all-pairs loop is the hot path, not a place for interpreted
+    // higher-order functions.
     "dedup_embedding_cosine" -> ((s, dir) => {
+      import graft.functions.QuantizedDot.{quantize, quantizedDot}
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-      val dotQ = aggregate(
-        zip_with(col("a.embedding"), col("b.embedding"),
-          (x, y) => round(x.cast("double") * 1000).cast("long")
-            * round(y.cast("double") * 1000).cast("long")),
-        lit(0L), (acc, v) => acc + v)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), dotQ.as("dot_q"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          quantizedDot(col("a.qv"), col("b.qv")).as("dot_q"))
         .filter(col("dot_q") >= (0.4 * 1e6).toLong) // cos ≈ dot_q / 1e6 on unit vectors
     })
   )

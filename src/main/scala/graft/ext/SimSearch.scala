@@ -22,21 +22,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimSearch {
 
-  /** Exact int64 dot product of two quantized float vectors. */
-  def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000).cast("long") * round(y.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+  import graft.functions.QuantizedDot.{quantize, quantizedDot}
 
   /** Brute-force top-k neighbors for `queries` against `corpus`
     * (both (id, embedding)); self-pairs excluded; ranked by
-    * (dot_q desc, candidate id).
+    * (dot_q desc, candidate id). Vectors quantized once per row; the
+    * per-pair dot is the codegen'd QuantizedDot expression.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val joined = broadcast(
-        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("q_emb")))
+      .join(corpus.select(col("vec_id").as("c_id"), quantize(col("embedding")).as("c_emb")),
         col("q_id") =!= col("c_id"))
       .withColumn("dot_q", quantizedDot(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("c_id"))
@@ -63,11 +59,13 @@ object SimSearch {
 
   /** Bucketed ANN: candidates restricted to same-bucket vectors. */
   def lshTopK(vectors: DataFrame, nPlanes: Int, k: Int): DataFrame = {
-    val bucketed = vectors.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val bucketed = vectors.select(col("vec_id"),
+      quantize(col("embedding")).as("qv"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
     val pairs = bucketed.as("q").join(bucketed.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
-        quantizedDot(col("q.embedding"), col("c.embedding")).as("dot_q"))
+        quantizedDot(col("q.qv"), col("c.qv")).as("dot_q"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("c_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

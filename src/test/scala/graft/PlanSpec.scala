@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the optimizations the engine is
+  * designed around must actually appear in the executed plan — pushdown,
+  * column pruning, broadcast joins, whole-stage codegen, range-partitioned
+  * exchanges. Guards against silent plan regressions.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("equality filters push down to the parquet scan") {
+    val plan = planOf(Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === 42).select(col("l_linenumber")))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), plan)
+  }
+
+  test("column pruning reaches the scan ReadSchema") {
+    val plan = planOf(SparkEntry.queries("scan_parquet_dir")(spark, sf))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), plan)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = planOf(SparkEntry.queries("join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q1 aggregate is partial+final inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // finalize THIS plan's AQE (count() would plan separately)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("*(1)"), plan) // whole-stage codegen span
+    assert("partial_sum".r.findAllIn(plan).nonEmpty, plan) // map-side combine
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial + final
+  }
+
+  test("range shuffle uses RangePartitioning (the MPI_Alltoallv analogue)") {
+    val plan = planOf(SparkEntry.queries("shuffle_by_key_range")(spark, sf))
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("semi/anti joins do not materialize payload columns") {
+    val plan = planOf(SparkEntry.queries("join_semi")(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("top-k compiles to TakeOrdered, not a global sort") {
+    val plan = planOf(SparkEntry.queries("topk_orders")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
