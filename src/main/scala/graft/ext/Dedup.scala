@@ -42,12 +42,22 @@ object Dedup {
 
   /** Exact Jaccard over candidate pairs that share ≥1 shingle.
     * |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * The index is persisted before reuse — it feeds both self-join sides
+    * plus the per-doc sizes, and recomputing the (interpreted) shingle
+    * HOFs three times dominates the query otherwise. The self-join keys on
+    * `xxhash64(shingle)` (8-byte comparisons in the shuffle/join) with the
+    * string equality kept alongside, so hash collisions cannot alter the
+    * result.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val idx = shingleIndex(docs)
+      .withColumn("h", xxhash64(col("shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -90,11 +100,14 @@ object Dedup {
                       estThreshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(docs, k)
     val nBands = k / rows
+    // persisted: both sides of the candidate join read it, and the
+    // signature aggregation is the expensive part
     val bands = sigs.select(col("doc_id"), col("signature"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(concat_ws("_", b.cast("string"),
           slice(col("signature"), b * lit(rows) + 1, lit(rows)).cast("array<string>")))))
         .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -132,6 +132,32 @@ object CoreOps {
       s.read.parquet(out)
     }),
 
+    // L1 `limit_n`: deterministic cap — ordered by a unique key so the
+    // kept row set is well-defined (a bare limit is partitioning-dependent
+    // and could never hash-match an oracle).
+    "limit_n" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // A5/sketches: exact distinct (expand + two-phase hash agg)…
+    "count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // …and the HLL++ sketch variant (rows-only: approximate results can't
+    // hash-match an exact oracle; bounds are asserted in ScalaTest).
+    "approx_distinct_hll" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+    }),
+
     // L1/top-k: deterministic limit = global sort + limit (TakeOrdered —
     // per-partition top-k then merge on the driver, no full sort at scale).
     "topk_orders" -> ((s, dir) => {
@@ -185,6 +211,13 @@ object CoreOps {
       "SELECT o_custkey AS node_id, count(*) AS n FROM orders GROUP BY o_custkey",
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "limit_n" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -76,6 +76,16 @@ object CsrIndex {
       build(edges, "node_id", "pos", nodeCount)._2
     }),
 
+    // I3 `sort_ranges`: ordered range list (global sort — at scale this is
+    // the same RangePartitioning exchange + per-partition sort as I4; the
+    // separate entry mirrors the reference's standalone sort step,
+    // index.cpp:206).
+    "sort_ranges" -> ((s, dir) => {
+      val edges = lineitemEdges(s, dir)
+      Rle.ranges(edges, "node_id", "pos")
+        .orderBy(col("node_id"), col("range_start"))
+    }),
+
     // I3 `sort_ranges` + I4 `shuffle_by_key_range`: the range-partitioned
     // exchange + in-partition sort, surfaced as its own query (values are
     // order-insensitively compared; the point is the plan shape —
@@ -138,6 +148,11 @@ object CsrIndex {
     "shuffle_by_key_range" -> (rleRangesSql +
       """
         |SELECT node_id, range_start, range_end FROM ranges""".stripMargin),
+
+    "sort_ranges" -> (rleRangesSql +
+      """
+        |SELECT node_id, range_start, range_end FROM ranges
+        |ORDER BY node_id, range_start""".stripMargin),
 
     "dense_left_join_sequence" ->
       """SELECT ids.node_id, COALESCE(h.n, 0) AS n
