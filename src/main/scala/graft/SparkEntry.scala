@@ -23,6 +23,7 @@ object SparkEntry {
     (ops.SetWindowOps.queries, ops.SetWindowOps.oracleSql),
     (pipelines.TouchToParquet.queries, pipelines.TouchToParquet.oracleSql),
     (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracleSql),
+    (ops.Salting.queries, ops.Salting.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),

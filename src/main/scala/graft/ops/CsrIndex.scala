@@ -65,13 +65,16 @@ object CsrIndex {
 
   val queries: Map[String, Q] = Map(
     "csr_primary_index" -> ((s, dir) => {
+      // persisted: the nodeCount scalar and the build both read it
       val edges = lineitemEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nodeCount = edges.agg(max(col("node_id"))).first().getLong(0) + 1
       build(edges, "node_id", "pos", nodeCount)._1
     }),
 
     "csr_secondary_index" -> ((s, dir) => {
       val edges = lineitemEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nodeCount = edges.agg(max(col("node_id"))).first().getLong(0) + 1
       build(edges, "node_id", "pos", nodeCount)._2
     }),

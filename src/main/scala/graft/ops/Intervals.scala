@@ -34,6 +34,48 @@ object Intervals {
       .drop("_island")
   }
 
+  /** Alternative formulation for heavy skew: streaming merge over
+    * per-key SORTED groups (`flatMapSortedGroups`) — O(1) state per key
+    * regardless of interval count, no window operator, no array
+    * materialization. Same results as `merge` (property-tested); the
+    * window form wins when keys are small, this one when a single key
+    * holds millions of intervals (the reference's `_regroupNodeRanges`
+    * is this exact streaming merge, index.cpp:142-153).
+    */
+  def mergeSorted(df: DataFrame, keyCol: String,
+                  startCol: String = "range_start", endCol: String = "range_end"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(col(keyCol).cast("long"), col(startCol).cast("long"), col(endCol).cast("long"))
+    projected.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col(startCol), col(endCol)) { (key, it) =>
+        new Iterator[(Long, Long, Long)] {
+          private var cur: Option[(Long, Long)] = None
+          private var out: Option[(Long, Long, Long)] = None
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (_, s, e) = it.next()
+              cur match {
+                case None => cur = Some((s, e))
+                case Some((cs, ce)) if s <= ce => cur = Some((cs, math.max(ce, e)))
+                case Some((cs, ce)) => out = Some((key, cs, ce)); cur = Some((s, e))
+              }
+            }
+            if (out.isEmpty && !it.hasNext && cur.isDefined) {
+              out = Some((key, cur.get._1, cur.get._2)); cur = None
+            }
+          }
+          def hasNext: Boolean = { if (out.isEmpty) advance(); out.isDefined }
+          def next(): (Long, Long, Long) = {
+            if (out.isEmpty) advance()
+            val r = out.get; out = None; r
+          }
+        }
+      }
+      .toDF(keyCol, startCol, endCol)
+  }
+
   val queries: Map[String, Q] = Map(
     // Synthetic sparse intervals over lineitem: start = 5×orderkey leaves
     // gaps; end = start + quantity (1..50) produces a genuine mix of

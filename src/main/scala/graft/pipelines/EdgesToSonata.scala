@@ -33,22 +33,27 @@ object EdgesToSonata {
               sourceCol: String, targetCol: String, outDir: String,
               tiebreak: Seq[String] = Seq.empty): DataFrame = {
     val pruned = edges.drop(SkipColumns: _*)
+    // persisted: the edge sink, both index builds, and the returned frame
+    // all read it — recomputing the position-stamping shuffle four times
+    // would dominate the pipeline
     val ordered = Offsets.globalPosition(
         pruned, (Seq(sourceCol, targetCol) ++ tiebreak).map(col), "edge_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ordered.write.mode("overwrite").parquet(s"$outDir/edges")
 
-    val written = spark.read.parquet(s"$outDir/edges")
-    def writeIndex(nodeCol: String, dir: String): Unit = {
-      val nodeCount = written.agg(max(col(nodeCol))).first().getLong(0) + 1
+    // one pass for both population sizes (MPI_Allreduce(MAX) analogue)
+    val bounds = ordered.agg(
+      max(col(sourceCol)).as("ms"), max(col(targetCol)).as("mt")).first()
+    def writeIndex(nodeCol: String, nodeCount: Long, dir: String): Unit = {
       val (primary, secondary) = CsrIndex.build(
-        written.select(col(nodeCol).as("node_id"), col("edge_id").as("pos")),
+        ordered.select(col(nodeCol).as("node_id"), col("edge_id").as("pos")),
         "node_id", "pos", nodeCount)
       primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")
       secondary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/secondary")
     }
-    writeIndex(sourceCol, "source_to_target")
-    writeIndex(targetCol, "target_to_source")
-    written
+    writeIndex(sourceCol, bounds.getLong(0) + 1, "source_to_target")
+    writeIndex(targetCol, bounds.getLong(1) + 1, "target_to_source")
+    ordered
   }
 
   val queries: Map[String, Q] = Map(

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{Intervals, Offsets, Rle}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the index-dataflow kernels (SURVEY.md §5: property
+  * tests for RLE / merge round-trips). Raw ScalaCheck generators with a
+  * fixed seed (scalatestplus is not on the offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def forAll[T](g: Gen[T], n: Int = 25)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val keySeqGen: Gen[List[Int]] =
+    Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 5)))
+
+  test("RLE ranges partition the position space and reconstruct the sequence") {
+    forAll(keySeqGen) { keys =>
+      import spark.implicits._
+      val df = keys.zipWithIndex.map { case (k, i) => (k.toLong, i.toLong) }
+        .toDF("node_key", "pos")
+      val ranges = Rle.ranges(df, "node_key", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._2)
+      // ranges tile [0, n) exactly
+      assert(ranges.head._2 == 0 && ranges.last._3 == keys.length)
+      ranges.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 == s2)
+        case _ =>
+      }
+      // adjacent ranges always switch keys (maximality)
+      ranges.sliding(2).foreach {
+        case Array((k1, _, _), (k2, _, _)) => assert(k1 != k2)
+        case _ =>
+      }
+      // reconstruction: expanding each range reproduces the input keys
+      val rebuilt = new Array[Long](keys.length)
+      ranges.foreach { case (k, s, e) => (s until e).foreach(i => rebuilt(i.toInt) = k) }
+      assert(rebuilt.toSeq == keys.map(_.toLong))
+    }
+  }
+
+  private val intervalsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.chooseNum(1, 80).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 3L)
+        s <- Gen.chooseNum(0L, 100L)
+        len <- Gen.chooseNum(0L, 15L)
+      } yield (k, s, s + len))
+    }
+
+  test("interval merge: output disjoint with gaps, same coverage; window == sorted-stream formulation") {
+    forAll(intervalsGen) { ivs =>
+      import spark.implicits._
+      val df = ivs.toDF("k", "range_start", "range_end")
+      val viaWindow = Intervals.merge(df, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val viaStream = Intervals.mergeSorted(df, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(viaWindow.toSeq == viaStream.toSeq)
+      // disjoint with strict gaps per key (adjacent would have merged)
+      viaWindow.groupBy(_._1).values.foreach { group =>
+        group.sortBy(_._2).sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) => assert(s2 > e1)
+          case _ =>
+        }
+      }
+      // coverage: every input point is covered, and merged bounds exist in input
+      val covered = viaWindow.map { case (k, s, e) => (k, s, e) }
+      ivs.foreach { case (k, s, e) =>
+        assert(covered.exists { case (ck, cs, ce) => ck == k && cs <= s && e <= ce })
+      }
+    }
+  }
+
+  test("globalPosition assigns a gap-free permutation consistent with the sort key") {
+    forAll(Gen.chooseNum(1, 200)) { n =>
+      import spark.implicits._
+      val df = (0 until n).map(i => ((i * 7919) % 1000, i)).toDF("a", "b")
+      val pos = Offsets.globalPosition(df.repartition(5), Seq(col("a"), col("b")))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      assert(pos.map(_._3).sorted.toSeq == (0L until n).toSeq)
+      assert(pos.sortBy(p => (p._1, p._2)).map(_._3).toSeq == (0L until n).toSeq)
+    }
+  }
+}
