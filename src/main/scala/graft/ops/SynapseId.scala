@@ -23,12 +23,13 @@ object SynapseId {
     * as a `raise_error` branch (constant-folded away when Catalyst can prove
     * it dead; otherwise evaluated per-row but vectorized).
     */
-  def withSynapseId(df: DataFrame, gid: Column, ord: Column, guard: Boolean = true): DataFrame = {
+  def withSynapseId(df: DataFrame, gid: Column, ord: Column, guard: Boolean = true,
+                    guardLimit: Long = 1L << 24): DataFrame = {
     val w = Window.partitionBy(gid).orderBy(ord)
     val k = row_number().over(w).cast("long") - 1
     val kChecked =
       if (guard)
-        when(k >= (1L << 24),
+        when(k >= guardLimit,
           raise_error(concat(lit("synapse id overflow: group "), gid.cast("string"),
             lit(" has >= 2^24 rows")))).otherwise(k)
       else k

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.11 — absent in the strictly
@@ -57,8 +58,79 @@ object StreamingOps {
     spark.table(name)
   }
 
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class Session(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long)
+
+  /** Stateful streaming sessionization: custom per-user state via
+    * `flatMapGroupsWithState` (the engine's §2.12 stateful extension
+    * point). A session closes when the user's event-time gap exceeds
+    * `gapUs` OR the state times out on the event-time clock (watermark) —
+    * so state is bounded even for users that go silent.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "1 hour")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = evs.map(_._2).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { ts =>
+              cur match {
+                case Some(s) if ts - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = ts, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start_us, s.last_us, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   val queries: Map[String, Q] = Map(
-    "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir))
+    "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    // Stateful sessionization (rows-only: append mode emits only closed
+    // sessions — the open tail per user stays in state, so the result is
+    // a strict subset of the batch sessions; subset equality is asserted
+    // in StreamingSpec).
+    "streaming_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = s.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        .as[Ev]
+      val name = s"sessions_${System.nanoTime()}"
+      val q = sessionizeStream(src, graft.ext.Sessionize.SessionGapUs)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(

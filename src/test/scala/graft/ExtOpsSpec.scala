@@ -84,6 +84,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(q != null)
   }
 
+  test("synapse-id overflow guard: silent under the limit, raises over it") {
+    import spark.implicits._
+    import graft.ops.SynapseId
+    val df = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)).toDF("gid", "ord")
+    // non-trip: all groups under the limit
+    val ok = SynapseId.withSynapseId(df, col("gid"), col("ord"), guard = true, guardLimit = 4)
+    assert(ok.collect().length == 4)
+    // trip: group 1 has 3 rows >= limit 2
+    val bad = SynapseId.withSynapseId(df, col("gid"), col("ord"), guard = true, guardLimit = 2)
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("synapse id overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("synapse id overflow")), e.getMessage)
+  }
+
   test("every registered query returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
