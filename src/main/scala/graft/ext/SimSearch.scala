@@ -35,9 +35,11 @@ object SimSearch {
       .join(corpus.select(col("vec_id").as("c_id"), quantize(col("embedding")).as("c_emb")),
         col("q_id") =!= col("c_id"))
       .withColumn("dot_q", quantizedDot(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("c_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // top-k via the custom partial+final heap operator: only ≤ k rows per
+    // (partition, query) reach the shuffle, vs every scored pair under a
+    // window formulation
+    graft.plans.TopKPerKey.topKPerKey(joined, Seq("q_id"),
+        Seq(("dot_q", true), ("c_id", false)), k)
       .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
   }
 
@@ -66,9 +68,8 @@ object SimSearch {
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
         quantizedDot(col("q.qv"), col("c.qv")).as("dot_q"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("c_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerKey.topKPerKey(pairs, Seq("q_id"),
+        Seq(("dot_q", true), ("c_id", false)), k)
       .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
   }
 
