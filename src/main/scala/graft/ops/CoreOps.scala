@@ -137,7 +137,8 @@ object CoreOps {
     // and could never hash-match an oracle).
     "limit_n" -> ((s, dir) => {
       Tables.lineitem(s, dir)
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")) // (ok, ln) not unique at sf>=0.1
         .limit(1000)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
@@ -214,7 +215,8 @@ object CoreOps {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "limit_n" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 1000""".stripMargin,
     "count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps

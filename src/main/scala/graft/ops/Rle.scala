@@ -39,8 +39,12 @@ object Rle {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("node_key"), col("l_shipdate"),
           col("l_orderkey"), col("l_linenumber"))
+      // (shipdate, orderkey, linenumber) is not total at sf>=0.1 — the
+      // key and quantity complete it (ties beyond that share the key, so
+      // position swaps cannot change the ranges)
       val withPos = Offsets.globalPosition(li,
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("node_key"), col("l_quantity")))
       ranges(withPos, "node_key", "pos")
     })
   )
@@ -49,7 +53,8 @@ object Rle {
     "rle_group_ranges" ->
       """WITH pos AS (
         |  SELECT l_returnflag AS node_key,
-        |         ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS pos
+        |         ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |           l_returnflag, l_quantity) - 1 AS pos
         |  FROM lineitem),
         |g AS (
         |  SELECT node_key, pos,

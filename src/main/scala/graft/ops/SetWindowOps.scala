@@ -59,8 +59,11 @@ object SetWindowOps {
 
     // Keyed running sum (integral doubles ⇒ exact).
     "window_running_sum" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique at larger SFs — quantity
+      // + extendedprice complete the total order (full rows are unique)
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.lineitem(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -70,7 +73,8 @@ object SetWindowOps {
     // lag/lead value-copy windows.
     "window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       Tables.lineitem(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         lag(col("l_quantity"), 1).over(w).as("prev_qty"),
@@ -110,7 +114,7 @@ object SetWindowOps {
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
     "window_lag_lead" ->
@@ -118,7 +122,8 @@ object SetWindowOps {
         |  lag(l_quantity, 1) OVER w AS prev_qty,
         |  lead(l_quantity, 1) OVER w AS next_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice)""".stripMargin,
     "window_rank" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk

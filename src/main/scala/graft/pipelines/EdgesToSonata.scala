@@ -70,7 +70,7 @@ object EdgesToSonata {
       // tiebreaker, rows sharing (source, target) could swap positions and
       // their payload columns would disagree with the oracle
       convert(s, edges, "source_node_id", "target_node_id", out,
-        tiebreak = Seq("edge_type_id"))
+        tiebreak = Seq("edge_type_id", "my_attribute"))
     })
   )
 
@@ -78,7 +78,7 @@ object EdgesToSonata {
     "edges_to_sonata" ->
       """SELECT l_orderkey AS source_node_id, l_suppkey AS target_node_id,
         |  l_linenumber AS edge_type_id, l_quantity AS my_attribute,
-        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber) - 1 AS edge_id
+        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity) - 1 AS edge_id
         |FROM lineitem""".stripMargin
   )
 }
