@@ -63,9 +63,56 @@ object Multimodal {
       .as[Blob]
   }
 
+  final case class Thumb(doc_id: Long, thumb: Array[Byte])
+  final case class FrameStats(doc_id: Long, n_frames: Int, frame_sums: Array[Long])
+
+  /** STUB resize — stands in for image thumbnailing: deterministic strided
+    * byte sampling down to `size` bytes (a real codec would decode +
+    * bilinear-resample; partitioning/batching identical).
+    */
+  def resizeStub(blobs: Dataset[Blob], size: Int): Dataset[Thumb] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val n = b.payload.length
+        val out = new Array[Byte](math.min(size, math.max(n, 0)))
+        val stride = math.max(1, n / math.max(1, out.length))
+        var i = 0
+        while (i < out.length && i * stride < n) { out(i) = b.payload(i * stride); i += 1 }
+        Thumb(b.doc_id, out)
+      }
+    }
+  }
+
+  /** STUB frame sampling — stands in for video keyframe extraction: split
+    * the payload into `nFrames` chunks and checksum each (a real
+    * implementation would demux + decode keyframes per chunk).
+    */
+  def frameSampleStub(blobs: Dataset[Blob], nFrames: Int): Dataset[FrameStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val n = b.payload.length
+        val per = math.max(1, n / nFrames)
+        val sums = (0 until nFrames).map { f =>
+          var s = 0L
+          var i = f * per
+          val end = if (f == nFrames - 1) n else math.min(n, (f + 1) * per)
+          while (i < end) { s += b.payload(i) & 0xff; i += 1 }
+          s
+        }.toArray
+        FrameStats(b.doc_id, nFrames, sums)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> ((s, dir) =>
-      extractFeatures(blobTable(s, dir)).toDF())
+      extractFeatures(blobTable(s, dir)).toDF()),
+    // rows-only: the stub transforms' plumbing (batch shape, schema,
+    // binary column isolation); determinism asserted in ScalaTest.
+    "multimodal_frame_sample" -> ((s, dir) =>
+      frameSampleStub(blobTable(s, dir), nFrames = 4).toDF())
   )
 
   // Oracle (text is pure ASCII in the testdata, so char codepoints ==

@@ -84,6 +84,23 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(q != null)
   }
 
+  test("multimodal stubs: frame sums partition the byte sum; resize is deterministic") {
+    import graft.ext.Multimodal
+    val blobs = Multimodal.blobTable(spark, sf)
+    val feats = Multimodal.extractFeatures(blobs).collect()
+      .map(f => f.doc_id -> f.byte_sum).toMap
+    val frames = Multimodal.frameSampleStub(blobs, 4).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fs =>
+      assert(fs.n_frames == 4)
+      assert(fs.frame_sums.sum == feats(fs.doc_id)) // chunks tile the payload
+    }
+    val t1 = Multimodal.resizeStub(blobs, 16).collect().map(t => t.doc_id -> t.thumb.toSeq).toMap
+    val t2 = Multimodal.resizeStub(blobs, 16).collect().map(t => t.doc_id -> t.thumb.toSeq).toMap
+    assert(t1 == t2)
+    assert(t1.values.forall(_.length <= 16))
+  }
+
   test("synapse-id overflow guard: silent under the limit, raises over it") {
     import spark.implicits._
     import graft.ops.SynapseId
