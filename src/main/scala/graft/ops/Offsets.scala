@@ -31,18 +31,38 @@ object Offsets {
   }
 
   /** Deterministic global row position in `ord` order (the reference's
-    * "global row = rank offset + local row", src/parquet2hdf5.cpp:97-110,
-    * re-expressed as the two-pass zipWithIndex idiom):
-    * range-shuffle + local sort gives a total order across partitions, then
-    * `zipWithIndex` runs one extra tiny job to count per-partition rows and
-    * assigns offsets — no single-partition window anywhere, so this scales
-    * to arbitrary row counts. `ord` must be a total order (include a
+    * "global row = rank offset + local row", src/parquet2hdf5.cpp:97-110).
+    *
+    * Pure-DataFrame two-phase plan, no single-partition stage anywhere:
+    * range-shuffle + local sort gives a total order across partitions;
+    * `monotonically_increasing_id` (= partitionId << 33 | localIndex, by
+    * contract) yields the local index inside codegen; per-partition counts
+    * go through the exclusive prefix sum and come back as a BROADCAST join
+    * on partition id. Catalyst's ReuseExchange evaluates the range shuffle
+    * once for both branches — total cost is one shuffle of the data plus a
+    * partition-count-sized side plan. (An RDD `zipWithIndex` formulation
+    * computes the same thing but pays a full externalize/re-encode round
+    * trip and an extra pass.) `ord` must be a total order (include a
     * tiebreaker key) or positions are ambiguous.
     */
   def globalPosition(df: DataFrame, ord: Seq[Column], posCol: String = "pos"): DataFrame = {
     val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(rdd, sorted.schema.add(posCol, LongType, nullable = false))
+    // single expression instance: two separate monotonically_increasing_id
+    // calls are independent nondeterministic expressions and need not agree.
+    // PERSISTED before branching — AQE may coalesce the exchange
+    // differently in the counts branch vs the main branch, which would
+    // assign different partition ids to the same rows; materializing the
+    // id-stamped data once pins the layout for both readers.
+    val withMid = sorted.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_local", col("_mid").bitwiseAND((1L << 33) - 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = withMid.groupBy(col("_pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = exclusivePrefixSum(counts, "_pid")
+    withMid
+      .join(broadcast(offsets.select(col("_pid"), col("write_offset"))), "_pid")
+      .withColumn(posCol, col("_local") + col("write_offset"))
+      .select(df.columns.map(col) :+ col(posCol): _*)
   }
 
   val queries: Map[String, Q] = Map(
