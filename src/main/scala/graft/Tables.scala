@@ -29,6 +29,12 @@ object Tables {
     * both the long (`ts_ns`, exact — what oracles compare on via DuckDB
     * `epoch_ns`) and a micros-truncated TimestampType `ts` for
     * window/streaming operators.
+    *
+    * Deliberately session-global: `nanosAsLong` must still be set when the
+    * lazy DataFrame EXECUTES, so it cannot be set-and-restored around the
+    * `read` call. All nanos-parquet in this engine flows through this
+    * loader, so the long-typed reading is uniform rather than
+    * order-dependent.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -80,15 +80,19 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
     val p = 2147483647L // 2^31-1, Mersenne
+    // NULL shingles (docs under 3 tokens) must hash to NULL — xxhash64(NULL)
+    // returns the seed, which would give every shingle-less doc an identical
+    // signature and report unrelated tiny docs as perfect duplicates.
     val exploded = docs
       .select(col("doc_id"), explode_outer(shingles(col("text"))).as("shingle"))
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+      .withColumn("h", when(col("shingle").isNotNull, pmod(xxhash64(col("shingle")), lit(p))))
     val mins = (0 until k).map { i =>
       val a = 2L * i + 1; val b = 31L * i + 7
       coalesce(min(pmod(col("h") * a + b, lit(p))), lit(p)).as(s"_m$i")
-    }
+    } :+ count(col("shingle")).as("n_shingles")
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("signature"))
+      .select(col("doc_id"), col("n_shingles"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("signature"))
   }
 
   /** LSH over minhash signatures: split k into bands of `rows`, bucket on
@@ -98,7 +102,11 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, rows: Int = 4,
                       estThreshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, k)
+    require(k % rows == 0, s"signature size $k must divide into bands of $rows")
+    // shingle-less docs carry no similarity evidence — exclude them from
+    // candidate generation instead of letting their sentinel signatures
+    // collide with each other
+    val sigs = minhashSignatures(docs, k).filter(col("n_shingles") > 0)
     val nBands = k / rows
     // persisted: both sides of the candidate join read it, and the
     // signature aggregation is the expensive part

@@ -32,7 +32,7 @@ object Multimodal {
     * container format here; nothing else in the pipeline changes.
     */
   def decodeStub(payload: Array[Byte]): Int =
-    if (payload.isEmpty) 0 else (payload(0) % 3) + 1
+    if (payload.isEmpty) 0 else ((payload(0) & 0xff) % 3) + 1
 
   /** Partition-local feature extraction over blob batches. */
   def extractFeatures(blobs: Dataset[Blob]): Dataset[BlobFeatures] = {

@@ -49,11 +49,15 @@ object SimSearch {
   private def planeSign(plane: Int, dim: Column): Column =
     when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, 1L).otherwise(-1L)
 
-  /** Sign-LSH bucket id: nPlanes sign bits of ±1-hyperplane projections. */
+  /** Sign-LSH bucket id: nPlanes sign bits of ±1-hyperplane projections.
+    * Dimension indices derive from the vector's own size — a hardcoded
+    * length would NULL-poison the aggregate for any other dimensionality
+    * (zip_with pads the shorter side with nulls).
+    */
   def lshBucket(emb: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)), (x, i) =>
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
           x.cast("double") * planeSign(p, i).cast("double")),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(0L)

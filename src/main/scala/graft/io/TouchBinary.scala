@@ -93,6 +93,8 @@ object TouchBinary {
       Rec(buf.getInt(base), buf.getInt(base + 4).toLong & 0xffffffffL, buf.getLong(base + 8))
     } ++ (if (zeroPad) Seq(Rec(0, 0L, 0L)) else Seq.empty)
 
+    if (recs.isEmpty) // header may legitimately declare zero neurons
+      return TouchIndex(order == ByteOrder.LITTLE_ENDIAN, versionString, version, 0, Array.empty)
     val firstGid = recs.map(_.id).min
     val maxGid = recs.map(_.id).max
     val shifts = new Array[Long](maxGid - firstGid + 1)

@@ -63,20 +63,24 @@ object CsrIndex {
       .withColumnRenamed("l_orderkey", "node_id")
   }
 
+  /** max(col)+1 with empty-input → 0 (agg of empty yields a null row). */
+  private def nodeCountOf(df: DataFrame, c: String): Long = {
+    val r = df.agg(max(col(c))).first()
+    (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1
+  }
+
   val queries: Map[String, Q] = Map(
     "csr_primary_index" -> ((s, dir) => {
       // persisted: the nodeCount scalar and the build both read it
       val edges = lineitemEdges(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nodeCount = edges.agg(max(col("node_id"))).first().getLong(0) + 1
-      build(edges, "node_id", "pos", nodeCount)._1
+      build(edges, "node_id", "pos", nodeCountOf(edges, "node_id"))._1
     }),
 
     "csr_secondary_index" -> ((s, dir) => {
       val edges = lineitemEdges(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nodeCount = edges.agg(max(col("node_id"))).first().getLong(0) + 1
-      build(edges, "node_id", "pos", nodeCount)._2
+      build(edges, "node_id", "pos", nodeCountOf(edges, "node_id"))._2
     }),
 
     // I3 `sort_ranges`: ordered range list (global sort — at scale this is
@@ -104,7 +108,7 @@ object CsrIndex {
     // materialized, edge-less ids get 0.
     "dense_left_join_sequence" -> ((s, dir) => {
       val orders = Tables.orders(s, dir)
-      val nodeCount = orders.agg(max(col("o_custkey"))).first().getLong(0) + 1
+      val nodeCount = nodeCountOf(orders, "o_custkey")
       val hist = orders.groupBy(col("o_custkey").as("node_id")).agg(count(lit(1)).as("n"))
       s.range(0, nodeCount).toDF("node_id")
         .join(hist, Seq("node_id"), "left_outer")

@@ -35,10 +35,12 @@ object JoinOps {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = leftTagged.unionByName(rightTagged.select(leftTagged.columns.map(col): _*))
-    // order by (ts, side): right rows at the same ts sort before left rows,
-    // so a left row at ts==t sees a right row at ts==t (inclusive as-of)
+    // order by (ts, side, payload): right rows at the same ts sort before
+    // left rows, so a left row at ts==t sees a right row at ts==t
+    // (inclusive as-of); payload columns break ties among right rows
+    // sharing (key, ts) so the carried row is deterministic
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(col(tsCol) +: col("_side") +: payloadCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = payloadCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -41,9 +41,11 @@ object EdgesToSonata {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ordered.write.mode("overwrite").parquet(s"$outDir/edges")
 
-    // one pass for both population sizes (MPI_Allreduce(MAX) analogue)
+    // one pass for both population sizes (MPI_Allreduce(MAX) analogue);
+    // an empty edge table aggregates to nulls → zero-sized populations
     val bounds = ordered.agg(
       max(col(sourceCol)).as("ms"), max(col(targetCol)).as("mt")).first()
+    def maxOr(i: Int): Long = if (bounds.isNullAt(i)) -1L else bounds.getLong(i)
     def writeIndex(nodeCol: String, nodeCount: Long, dir: String): Unit = {
       val (primary, secondary) = CsrIndex.build(
         ordered.select(col(nodeCol).as("node_id"), col("edge_id").as("pos")),
@@ -51,8 +53,8 @@ object EdgesToSonata {
       primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")
       secondary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/secondary")
     }
-    writeIndex(sourceCol, bounds.getLong(0) + 1, "source_to_target")
-    writeIndex(targetCol, bounds.getLong(1) + 1, "target_to_source")
+    writeIndex(sourceCol, maxOr(0) + 1, "source_to_target")
+    writeIndex(targetCol, maxOr(1) + 1, "target_to_source")
     ordered
   }
 

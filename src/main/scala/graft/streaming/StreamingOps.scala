@@ -101,7 +101,12 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000)
+              // Spark rejects timeout timestamps at or before the current
+              // watermark — a late-but-admissible event (event time older
+              // than watermark minus gap) would otherwise crash the query
+              state.setTimeoutTimestamp(
+                math.max(s.last_us / 1000 + gapUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
