@@ -24,6 +24,7 @@ object SparkEntry {
     (pipelines.TouchToParquet.queries, pipelines.TouchToParquet.oracleSql),
     (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracleSql),
     (ops.Salting.queries, ops.Salting.oracleSql),
+    (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracleSql),
     (plans.TopKPerKey.queries, plans.TopKPerKey.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
