@@ -19,7 +19,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional comma-separated filter for local iteration; the driver
+    // leaves it unset (full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup pass (untimed); clearCache between queries — several operators
     // persist() intermediates, and letting those accumulate would make the
     // timed pass measure cache eviction instead of the operators

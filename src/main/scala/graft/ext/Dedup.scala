@@ -200,11 +200,12 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin,
+    // CAST dot_q back to BIGINT: DuckDB list_sum over BIGINT is HUGEINT
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
         |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-        |       * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS dot_q
+        |       * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
         |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT)

@@ -109,10 +109,13 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> ((s, dir) =>
       extractFeatures(blobTable(s, dir)).toDF()),
-    // rows-only: the stub transforms' plumbing (batch shape, schema,
-    // binary column isolation); determinism asserted in ScalaTest.
+    // frame_sums projected to one scalar column per frame (nFrames is a
+    // constant 4): the driver's pandas compare can't sort ndarray columns,
+    // and scalar columns give it a full hash check instead of rows-only.
     "multimodal_frame_sample" -> ((s, dir) =>
-      frameSampleStub(blobTable(s, dir), nFrames = 4).toDF())
+      frameSampleStub(blobTable(s, dir), nFrames = 4).toDF()
+        .select(Seq(col("doc_id"), col("n_frames")) ++
+          (0 until 4).map(f => element_at(col("frame_sums"), f + 1).as(s"frame_sum_$f")): _*))
   )
 
   // Oracle (text is pure ASCII in the testdata, so char codepoints ==
@@ -126,6 +129,21 @@ object Multimodal {
         |  CAST(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
         |  CAST(ascii(text[1]) % 3 + 1 AS INTEGER) AS stub_channels
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // mirrors frameSampleStub: per = max(1, n/4); frames 0..2 cover
+    // [f*per, min(n,(f+1)*per)); frame 3 covers [3*per, n). 1-indexed here.
+    "multimodal_frame_sample" ->
+      """WITH p AS (SELECT doc_id, length(text) AS n,
+        |  greatest(1, length(text) // 4) AS per, text FROM documents)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(1, least(n, per)),
+        |    i -> ascii(text[i]))), 0) AS BIGINT) AS frame_sum_0,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(per + 1, least(n, 2 * per)),
+        |    i -> ascii(text[i]))), 0) AS BIGINT) AS frame_sum_1,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(2 * per + 1, least(n, 3 * per)),
+        |    i -> ascii(text[i]))), 0) AS BIGINT) AS frame_sum_2,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(3 * per + 1, n),
+        |    i -> ascii(text[i]))), 0) AS BIGINT) AS frame_sum_3
+        |FROM p""".stripMargin
   )
 }

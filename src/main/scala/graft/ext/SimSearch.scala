@@ -92,9 +92,9 @@ object SimSearch {
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |d AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
         |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS dot_q
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
         |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id)
         |SELECT q_id,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,

@@ -131,10 +131,12 @@ object TextAnalysis {
         |       WHEN s_es > 0 THEN 'es'
         |       ELSE 'und' END AS lang_guess
         |FROM s""".stripMargin,
+    // list_sum(BIGINT) yields HUGEINT in DuckDB — cast the final value
+    // back to BIGINT so the dtype matches Spark's int64
     "doc_fingerprint" ->
       """SELECT doc_id,
-        |  COALESCE(list_sum(list_transform(generate_series(1, length(text)),
-        |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS fingerprint
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin
   )
 }

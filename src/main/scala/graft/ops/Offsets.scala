@@ -45,7 +45,16 @@ object Offsets {
     * trip and an extra pass.) `ord` must be a total order (include a
     * tiebreaker key) or positions are ambiguous.
     */
-  def globalPosition(df: DataFrame, ord: Seq[Column], posCol: String = "pos"): DataFrame = {
+  def globalPosition(df: DataFrame, ord: Seq[Column], posCol: String = "pos"): DataFrame =
+    globalPositionStamped(df, ord, posCol)._1
+
+  /** `globalPosition` plus the persisted internal frame, so composing
+    * pipelines can unpersist it once their actions complete (the plain
+    * `globalPosition` leaves the cache entry alive — callers that don't
+    * clear the session cache between queries should prefer this form).
+    */
+  def globalPositionStamped(df: DataFrame, ord: Seq[Column],
+                            posCol: String = "pos"): (DataFrame, DataFrame) = {
     val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
     // single expression instance: two separate monotonically_increasing_id
     // calls are independent nondeterministic expressions and need not agree.
@@ -59,10 +68,11 @@ object Offsets {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = withMid.groupBy(col("_pid")).agg(count(lit(1)).as("cnt"))
     val offsets = exclusivePrefixSum(counts, "_pid")
-    withMid
+    val result = withMid
       .join(broadcast(offsets.select(col("_pid"), col("write_offset"))), "_pid")
       .withColumn(posCol, col("_local") + col("write_offset"))
       .select(df.columns.map(col) :+ col(posCol): _*)
+    (result, withMid)
   }
 
   val queries: Map[String, Q] = Map(
@@ -83,10 +93,12 @@ object Offsets {
       """SELECT l_orderkey, l_linenumber,
         |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
         |FROM lineitem""".stripMargin,
+    // DuckDB windowed SUM(BIGINT) yields HUGEINT — cast back or the
+    // driver's dtype-aware hash mismatches Spark's int64
     "exclusive_prefix_sum" ->
       """SELECT part_id, cnt,
-        |  COALESCE(SUM(cnt) OVER (ORDER BY part_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS write_offset
+        |  CAST(COALESCE(SUM(cnt) OVER (ORDER BY part_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS write_offset
         |FROM (SELECT o_custkey AS part_id, count(*) AS cnt
         |      FROM orders GROUP BY o_custkey) t""".stripMargin
   )

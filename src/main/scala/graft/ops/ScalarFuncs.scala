@@ -36,7 +36,11 @@ object ScalarFuncs {
         element_at(col("embedding"), -1).as("last_c"),
         array_max(col("embedding")).as("max_c"),
         array_min(col("embedding")).as("min_c"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        // head of the array projected to scalar columns (not array<float>):
+        // the driver's pandas compare can't sort ndarray-valued columns
+        element_at(col("embedding"), 1).as("h1"),
+        element_at(col("embedding"), 2).as("h2"),
+        element_at(col("embedding"), 3).as("h3"),
         size(filter(col("embedding"), x => x > 0)).as("n_positive")))
   )
 
@@ -62,7 +66,9 @@ object ScalarFuncs {
         |  embedding[-1] AS last_c,
         |  list_max(embedding) AS max_c,
         |  list_min(embedding) AS min_c,
-        |  embedding[1:3] AS head3,
+        |  embedding[1] AS h1,
+        |  embedding[2] AS h2,
+        |  embedding[3] AS h3,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
         |FROM embeddings""".stripMargin
   )

@@ -28,34 +28,57 @@ object EdgesToSonata {
 
   private val SkipColumns = Seq("synapse_id", "__index_level_0__")
 
-  /** Run the full pipeline; returns the ordered edge DataFrame. */
+  /** Run the full pipeline; returns the written edge table (read back from
+    * the sink — the pipeline's caches are all released before returning).
+    *
+    * Orchestration, not dataflow, dominated the first cut of this pipeline
+    * (6 serial actions × per-job overhead), so the structure is:
+    * positions stamped ONCE (materialized by the edge write, then every
+    * internal cache released as soon as its successor is materialized),
+    * population bounds from the cached frame, and the two index directions
+    * submitted as CONCURRENT Spark jobs — they are independent DAGs over
+    * the same cached input, exactly the reference's two MPI communicator
+    * passes (src/index/index.cpp:309-324) minus the serialization.
+    * The source-side index uses the `contiguous` fast path: the edge table
+    * is sorted by (source, target, …), so per-source positions are one run.
+    */
   def convert(spark: SparkSession, edges: DataFrame,
               sourceCol: String, targetCol: String, outDir: String,
               tiebreak: Seq[String] = Seq.empty): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val pruned = edges.drop(SkipColumns: _*)
-    // persisted: the edge sink, both index builds, and the returned frame
-    // all read it — recomputing the position-stamping shuffle four times
-    // would dominate the pipeline
-    val ordered = Offsets.globalPosition(
-        pruned, (Seq(sourceCol, targetCol) ++ tiebreak).map(col), "edge_id")
+    val (ordered0, stamped) = Offsets.globalPositionStamped(
+      pruned, (Seq(sourceCol, targetCol) ++ tiebreak).map(col), "edge_id")
+    // persisted: both index builds and the bounds agg read it
+    val ordered = ordered0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ordered.write.mode("overwrite").parquet(s"$outDir/edges")
+    stamped.unpersist() // ordered's cache is built; the internal one is dead
 
     // one pass for both population sizes (MPI_Allreduce(MAX) analogue);
-    // an empty edge table aggregates to nulls → zero-sized populations
+    // an empty edge table aggregates to nulls → zero-sized populations.
+    // cast("long"): node-id columns may arrive as any integer width
     val bounds = ordered.agg(
-      max(col(sourceCol)).as("ms"), max(col(targetCol)).as("mt")).first()
+      max(col(sourceCol)).cast("long").as("ms"),
+      max(col(targetCol)).cast("long").as("mt")).first()
     def maxOr(i: Int): Long = if (bounds.isNullAt(i)) -1L else bounds.getLong(i)
-    def writeIndex(nodeCol: String, nodeCount: Long, dir: String): Unit = {
-      val (primary, secondary) = CsrIndex.build(
+    def writeIndex(nodeCol: String, nodeCount: Long, dir: String,
+                   contiguous: Boolean): Unit = {
+      val (primary, secondary, done) = CsrIndex.buildStamped(
         ordered.select(col(nodeCol).as("node_id"), col("edge_id").as("pos")),
-        "node_id", "pos", nodeCount)
-      primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")
+        "node_id", "pos", nodeCount, contiguous)
       secondary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/secondary")
+      primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")
+      done()
     }
-    writeIndex(sourceCol, maxOr(0) + 1, "source_to_target")
-    writeIndex(targetCol, maxOr(1) + 1, "target_to_source")
-    ordered
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(Seq(
+      Future(writeIndex(sourceCol, maxOr(0) + 1, "source_to_target", contiguous = true)),
+      Future(writeIndex(targetCol, maxOr(1) + 1, "target_to_source", contiguous = false)))),
+      Duration.Inf)
+    ordered.unpersist()
+    spark.read.parquet(s"$outDir/edges")
   }
 
   val queries: Map[String, Q] = Map(

@@ -140,9 +140,22 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
+    // resolve like Spark does — honoring spark.sql.caseSensitive — and
+    // refuse ambiguity (duplicate names after a self-join would otherwise
+    // silently rank by whichever side happened to come first)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(n: String): Attribute = {
+      val hits = analyzed.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${analyzed.output.map(_.name).mkString(",")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.mkString(", ")}")
+      }
+    }
     val keyExprs = keys.map(attr(_): Expression)
     val orderExprs = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)

@@ -62,6 +62,29 @@ def main():
         dc, dr = norm(duck_t)
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}"); n_fail += 1; continue
+        # dtype-family drift (e.g. DuckDB HUGEINT/DECIMAL vs Spark int64)
+        # passes a Python value compare but fails the driver's hash — flag
+        # it. Width-only drift (int32 vs int64, timestamp units) hashed
+        # equal for the driver in round 1 and is allowed.
+        def family(t):
+            s = str(t)
+            if s.startswith(("int", "uint")):
+                return "int"
+            if s.startswith(("float", "double", "halffloat")):
+                return "float"
+            if s.startswith("timestamp"):
+                return "timestamp"
+            return s
+        tdiff = []
+        for c in sc:
+            st = spark_t.schema.field(c).type
+            dt = duck_t.schema.field(c).type
+            if family(st) != family(dt):
+                tdiff.append(f"{c}: spark={st} duck={dt}")
+        if tdiff:
+            print(f"FAIL {name}: arrow dtype-family drift (driver hash will fail): {'; '.join(tdiff)}")
+            n_fail += 1
+            continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}"); n_fail += 1; continue
         bad = None
