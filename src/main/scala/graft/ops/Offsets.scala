@@ -75,6 +75,43 @@ object Offsets {
     (result, withMid)
   }
 
+  /** `globalPositionStamped` with a leading GROUP dimension: `ord` must
+    * lead with ascending `groupCol`, so groups are contiguous in the
+    * total order. Emits each row's position WITHIN its group
+    * (`groupPosCol`) — the per-group bases ride the same tiny broadcast
+    * as the per-partition offsets (counts keyed (partition, group)
+    * instead of partition alone), so numbering G groups independently
+    * costs exactly the same jobs as numbering one. This is the
+    * reference's per-communicator offset exchange
+    * (src/index/index.cpp:272-280) run ONCE for all communicators.
+    */
+  def globalPositionGroupedStamped(df: DataFrame, groupCol: String, ord: Seq[Column],
+                                   groupPosCol: String): (DataFrame, DataFrame) = {
+    val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
+    val withMid = sorted.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_local", col("_mid").bitwiseAND((1L << 33) - 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = withMid.groupBy(col("_pid"), col(groupCol).as("_grp"))
+      .agg(count(lit(1)).as("cnt"))
+    // (pid, grp) bucket order IS the global row order: partitions are
+    // range-ordered and ord leads with groupCol inside each partition.
+    // All three windows run over the bucket table (|partitions|·|groups|
+    // rows), never the data.
+    val wAll = Window.orderBy(col("_pid"), col("_grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_boff", coalesce(sum(col("cnt")).over(wAll), lit(0L)))
+      .withColumn("_pbase", min(col("_boff")).over(Window.partitionBy(col("_pid"))))
+      .withColumn("_gbase", min(col("_boff")).over(Window.partitionBy(col("_grp"))))
+    val result = withMid
+      .join(broadcast(offsets.select(col("_pid"), col("_grp").as(groupCol),
+        col("_pbase"), col("_gbase"))), Seq("_pid", groupCol))
+      .withColumn(groupPosCol, col("_pbase") + col("_local") - col("_gbase"))
+      .select(df.columns.map(col) :+ col(groupPosCol): _*)
+    (result, withMid)
+  }
+
   val queries: Map[String, Q] = Map(
     "global_position" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.{Q, Tables}
-import graft.ops.{CsrIndex, Offsets}
+import graft.ops.Offsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,19 +28,27 @@ object EdgesToSonata {
 
   private val SkipColumns = Seq("synapse_id", "__index_level_0__")
 
-  /** Run the full pipeline; returns the written edge table (read back from
-    * the sink — the pipeline's caches are all released before returning).
+  /** Run the full pipeline; returns the ordered edge frame (STILL
+    * PERSISTED — the caller's next action reads the cache instead of
+    * re-deriving the sort; release with `unpersist()` or the session's
+    * `clearCache`, which the Verify/Bench harnesses do per query).
     *
-    * Orchestration, not dataflow, dominated the first cut of this pipeline
-    * (6 serial actions × per-job overhead), so the structure is:
-    * positions stamped ONCE (materialized by the edge write, then every
-    * internal cache released as soon as its successor is materialized),
-    * population bounds from the cached frame, and the two index directions
-    * submitted as CONCURRENT Spark jobs — they are independent DAGs over
-    * the same cached input, exactly the reference's two MPI communicator
-    * passes (src/index/index.cpp:309-324) minus the serialization.
-    * The source-side index uses the `contiguous` fast path: the edge table
-    * is sorted by (source, target, …), so per-source positions are one run.
+    * Orchestration, not dataflow, dominated the first cut of this
+    * pipeline (6+ serial actions × per-job overhead), so the structure
+    * minimizes the serial job chain:
+    *
+    *  1. edge positions stamped once; the edge WRITE both materializes
+    *     the cache and carries the population bounds as `observe()`
+    *     metrics (MPI_Allreduce(MAX) analogue,
+    *     src/parquet2hdf5.cpp:171-185) — no separate bounds action;
+    *  2. BOTH index directions' range lists are RLE'd AND globally
+    *     numbered by `RangeRle.numberedRanges` in ONE fused range
+    *     shuffle (per-partition imperative RLE + driver-side boundary
+    *     merge + prefix-sum numbering — the reference's exact MPI
+    *     design, index.cpp:114-153/272-280) — vs a hash-shuffle window
+    *     RLE plus a range-shuffle position stamp per direction;
+    *  3. the stamped range table is materialized once, then the four
+    *     index files write CONCURRENTLY from the cache.
     */
   def convert(spark: SparkSession, edges: DataFrame,
               sourceCol: String, targetCol: String, outDir: String,
@@ -48,37 +56,66 @@ object EdgesToSonata {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pruned = edges.drop(SkipColumns: _*)
-    val (ordered0, stamped) = Offsets.globalPositionStamped(
+    val (ordered0, stampedE) = Offsets.globalPositionStamped(
       pruned, (Seq(sourceCol, targetCol) ++ tiebreak).map(col), "edge_id")
-    // persisted: both index builds and the bounds agg read it
+    // persisted: both index builds and the returned frame read it
     val ordered = ordered0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ordered.write.mode("overwrite").parquet(s"$outDir/edges")
-    stamped.unpersist() // ordered's cache is built; the internal one is dead
-
-    // one pass for both population sizes (MPI_Allreduce(MAX) analogue);
-    // an empty edge table aggregates to nulls → zero-sized populations.
+    // population bounds ride the write action as observed metrics —
+    // an empty edge table observes nulls → zero-sized populations.
     // cast("long"): node-id columns may arrive as any integer width
-    val bounds = ordered.agg(
-      max(col(sourceCol)).cast("long").as("ms"),
-      max(col(targetCol)).cast("long").as("mt")).first()
-    def maxOr(i: Int): Long = if (bounds.isNullAt(i)) -1L else bounds.getLong(i)
-    def writeIndex(nodeCol: String, nodeCount: Long, dir: String,
-                   contiguous: Boolean): Unit = {
-      val (primary, secondary, done) = CsrIndex.buildStamped(
-        ordered.select(col(nodeCol).as("node_id"), col("edge_id").as("pos")),
-        "node_id", "pos", nodeCount, contiguous)
-      secondary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/secondary")
-      primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")
-      done()
+    val obs = org.apache.spark.sql.Observation()
+    ordered.observe(obs,
+        max(col(sourceCol)).cast("long").as("ms"),
+        max(col(targetCol)).cast("long").as("mt"))
+      .write.mode("overwrite").parquet(s"$outDir/edges")
+    stampedE.unpersist() // ordered's cache is built; the internal one is dead
+    def nodeCountOf(metric: String): Long =
+      Option(obs.get(metric)).map(_.asInstanceOf[Long] + 1).getOrElse(0L)
+
+    // BOTH directions' range lists, RLE'd AND numbered in ONE range
+    // shuffle: each edge explodes into a (dir, node, pos) pair per
+    // direction, and `RangeRle.numberedRanges` does the reference's
+    // per-rank RLE + boundary merge + prefix-sum numbering
+    // (index.cpp:114-153, 272-280) in a single fused pass. The source
+    // direction's contiguity (edge table sorted by source) falls out
+    // for free — its runs are simply maximal.
+    val (numbered0, doneR) = graft.ops.RangeRle.numberedRanges(
+      ordered.select(
+        explode(array(
+          struct(lit(0).as("dir"), col(sourceCol).cast("long").as("node_id")),
+          struct(lit(1).as("dir"), col(targetCol).cast("long").as("node_id")))).as("k"),
+        col("edge_id").as("pos"))
+        .select(col("k.dir").as("dir"), col("k.node_id").as("node_id"), col("pos")))
+    val numbered = numbered0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def writeIndex(dirTag: Int, nodeCount: Long, dir: String): Seq[Future[Unit]] = {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val nd = numbered.filter(col("dir") === dirTag)
+      val secondary = nd.select(col("range_pos"),
+        col("range_start").as("edge_start"), col("range_end").as("edge_end"))
+      val counts = nd.groupBy(col("node_id"))
+        .agg(count(lit(1)).as("cnt"), min(col("range_pos")).as("first_range"))
+      val primary = spark.range(0, nodeCount).toDF("node_id")
+        .join(counts, Seq("node_id"), "left_outer")
+        .select(col("node_id"),
+          coalesce(col("first_range"), lit(0L)).as("range_start"),
+          coalesce(col("first_range") + col("cnt"), lit(0L)).as("range_end"))
+      Seq(
+        Future(secondary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/secondary")),
+        Future(primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")))
     }
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(Seq(
-      Future(writeIndex(sourceCol, maxOr(0) + 1, "source_to_target", contiguous = true)),
-      Future(writeIndex(targetCol, maxOr(1) + 1, "target_to_source", contiguous = false)))),
-      Duration.Inf)
-    ordered.unpersist()
-    spark.read.parquet(s"$outDir/edges")
+    try {
+      numbered.count() // materialize ONCE; the 4 writes below read the cache
+      doneR()          // numbered's cache is built; the internal one is dead
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(
+        writeIndex(0, nodeCountOf("ms"), "source_to_target") ++
+          writeIndex(1, nodeCountOf("mt"), "target_to_source")),
+        Duration.Inf)
+    } catch { case e: Throwable => ordered.unpersist(); throw e }
+    finally { doneR(); numbered.unpersist() }
+    ordered
   }
 
   val queries: Map[String, Q] = Map(

@@ -61,4 +61,47 @@ class IndexDataflowSpec extends AnyFunSuite {
       assert(s == 10 * j + t && e == 10 * j + t + 1, s"target $t range $j: ($s,$e)")
     }
   }
+
+  test("EdgesToSonata end-to-end: edges + all four index files on the fixture") {
+    import graft.pipelines.EdgesToSonata
+    val out = java.nio.file.Files.createTempDirectory("sonata_e2e").toString
+    val in = edges.select("source", "target") // convert stamps its own edge_id
+    val result = EdgesToSonata.convert(spark, in, "source", "target", out)
+    assert(result.count() == 100)
+    result.unpersist()
+
+    val edgesOut = spark.read.parquet(s"$out/edges")
+      .collect().map(r => (r.getAs[Int]("source"), r.getAs[Int]("target"),
+        r.getAs[Long]("edge_id"))).sortBy(_._3)
+    // edge_id = position in (source, target) order = s*10 + t
+    for (((s, t, id), i) <- edgesOut.zipWithIndex)
+      assert(id == i && s == 90 + i / 10 && t == i % 10, s"edge $i: ($s,$t,$id)")
+
+    val s2tPrim = spark.read.parquet(s"$out/indices/source_to_target/primary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(s2tPrim.length == 100)
+    assert(s2tPrim.take(90).forall { case (_, a, b) => a == 0 && b == 0 })
+    for (i <- 0 until 10) {
+      val (_, a, b) = s2tPrim(90 + i); assert(a == i && b == i + 1)
+    }
+    val s2tSec = spark.read.parquet(s"$out/indices/source_to_target/secondary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(s2tSec.length == 10)
+    for (i <- 0 until 10) {
+      val (_, s, e) = s2tSec(i); assert(s == 10 * i && e == 10 * (i + 1))
+    }
+    val t2sPrim = spark.read.parquet(s"$out/indices/target_to_source/primary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(t2sPrim.length == 10)
+    for (i <- 0 until 10) {
+      val (_, a, b) = t2sPrim(i); assert(a == 10 * i && b == 10 * i + 10)
+    }
+    val t2sSec = spark.read.parquet(s"$out/indices/target_to_source/secondary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(t2sSec.length == 100)
+    for (t <- 0 until 10; j <- 0 until 10) {
+      val (_, s, e) = t2sSec(10 * t + j)
+      assert(s == 10 * j + t && e == 10 * j + t + 1, s"target $t range $j: ($s,$e)")
+    }
+  }
 }

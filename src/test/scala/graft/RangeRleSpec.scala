@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{Offsets, Rle, RangeRle}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `RangeRle.numberedRanges` (fused range-shuffle RLE + numbering,
+  * reference index.cpp:114-153/272-280) must agree EXACTLY with the
+  * declarative formulation `Rle.ranges` + `Offsets.globalPosition` on
+  * every input shape — especially runs straddling range-partition
+  * boundaries, which is the whole point of the boundary merge.
+  */
+class RangeRleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Oracle: window RLE per dir + per-dir numbering in (node, start) order. */
+  private def windowed(pairs: DataFrame): Set[(Int, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dir"), col("node_id")).orderBy(col("pos"))
+    val ranges = pairs
+      .withColumn("_island", col("pos") - row_number().over(w))
+      .groupBy(col("dir"), col("node_id"), col("_island"))
+      .agg(min(col("pos")).as("range_start"), (max(col("pos")) + 1).as("range_end"))
+      .drop("_island")
+    val wn = Window.partitionBy(col("dir")).orderBy(col("node_id"), col("range_start"))
+    ranges.withColumn("range_pos", row_number().over(wn).cast("long") - 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+  }
+
+  private def fused(pairs: DataFrame): Set[(Int, Long, Long, Long, Long)] = {
+    val (ranges, done) = RangeRle.numberedRanges(pairs)
+    val out = ranges.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    done()
+    out
+  }
+
+  private def check(pairs: DataFrame): Unit = assert(fused(pairs) == windowed(pairs))
+
+  private def df(rows: Seq[(Int, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("dir", "node_id", "pos")
+  }
+
+  test("one giant run spanning every partition") {
+    check(df((0L until 1000L).map(p => (0, 7L, p))))
+  }
+
+  test("alternating keys — every row its own run") {
+    check(df((0L until 500L).map(p => (0, p % 5, p))))
+  }
+
+  test("two dirs with contiguous and scattered runs") {
+    val src = (0L until 300L).map(p => (0, p / 3, p))          // contiguous runs of 3
+    val tgt = (0L until 300L).map(p => (1, p % 7, p))          // scattered
+    check(df(src ++ tgt))
+  }
+
+  test("runs of random lengths straddling partition boundaries") {
+    val rnd = new scala.util.Random(42)
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var pos = 0L
+    while (pos < 2000L) {
+      val key = rnd.nextInt(6).toLong
+      val len = 1 + rnd.nextInt(40)
+      (0 until len).foreach { _ => rows += ((rnd.nextInt(2), key, pos)); pos += 1 }
+    }
+    // positions must be distinct per dir: split evens/odds instead
+    val clean = rows.zipWithIndex.map { case ((d, k, _), i) => (d, k, i.toLong) }
+    check(df(clean.toSeq))
+  }
+
+  test("single row and empty input") {
+    check(df(Seq((1, 3L, 5L))))
+    val (ranges, done) = RangeRle.numberedRanges(df(Seq.empty))
+    assert(ranges.count() == 0)
+    done()
+  }
+
+  test("gap inside a key splits the run") {
+    // key 1: pos 0,1,2 then 10,11 → two ranges
+    check(df(Seq((0, 1L, 0L), (0, 1L, 1L), (0, 1L, 2L), (0, 1L, 10L), (0, 1L, 11L),
+      (0, 2L, 3L), (0, 2L, 4L))))
+  }
+}
