@@ -23,18 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per doc (empty below 3 tokens; note
-    * Spark `sequence(1, n)` with n < 1 generates a DESCENDING sequence
-    * rather than an empty one, hence the guard).
+  /** Distinct word-3-gram shingles per doc (empty below 3 tokens) — the
+    * codegen'd `WordShingles` expression; shingle materialization through
+    * the interpreted HOF chain (`array_distinct(transform(sequence…))`)
+    * was the dominant cost of every shingle-based dedup. The DuckDB
+    * oracle keeps the equivalent `list_distinct(list_transform(…))`
+    * formulation.
     */
-  def shingles(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shingles(text: Column): Column =
+    graft.functions.WordShingles.wordShingles(text, 3)
 
   /** (doc_id, shingle) inverted index. */
   private def shingleIndex(docs: DataFrame): DataFrame =
@@ -43,17 +40,32 @@ object Dedup {
   /** Exact Jaccard over candidate pairs that share ≥1 shingle.
     * |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
     *
-    * The index is persisted before reuse — it feeds both self-join sides
-    * plus the per-doc sizes, and recomputing the (interpreted) shingle
-    * HOFs three times dominates the query otherwise. The self-join keys on
-    * `xxhash64(shingle)` (8-byte comparisons in the shuffle/join) with the
-    * string equality kept alongside, so hash collisions cannot alter the
-    * result.
+    * The index is persisted before reuse — it feeds the hot-shingle
+    * guard, both self-join sides, and the per-doc sizes. The self-join
+    * keys on `xxhash64(shingle)` (8-byte comparisons in the shuffle/
+    * join) with the string equality kept alongside, so hash collisions
+    * cannot alter the result.
+    *
+    * Hot-shingle guard: a shingle present in m documents contributes
+    * m·(m−1)/2 candidate rows — one boilerplate shingle shared by 10^6
+    * docs of a 100 TB corpus is a 10^12-row join ON ITS OWN. Shingles
+    * with document frequency > `dfCap` carry no near-dup signal (they
+    * are corpus-wide boilerplate, not copied content) and are dropped
+    * from the index BEFORE the self-join — sizes are computed on the
+    * filtered index so the Jaccard stays consistent, and the oracle
+    * applies the identical predicate. The candidate-join cost is thus
+    * bounded by dfCap²·|hot shingles| instead of quadratic in the
+    * worst document frequency.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val idx = shingleIndex(docs)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val raw = shingleIndex(docs)
       .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (h, shingle) grouping keeps the guard exact under hash collisions;
+    // the hot set is tiny by construction → broadcast anti join
+    val hot = raw.groupBy(col("h"), col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"), col("shingle"))
+    val idx = raw.join(broadcast(hot), Seq("h", "shingle"), "left_anti")
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.shingle") === col("b.shingle") &&
@@ -189,10 +201,13 @@ object Dedup {
         |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)) AS shingle
         |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |shf AS (
+        |  SELECT * FROM sh WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
         |  round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
