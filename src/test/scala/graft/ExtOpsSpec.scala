@@ -34,6 +34,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(hs(1L) != hs(3L))
   }
 
+  test("sign-LSH bucketed cosine dedup recalls EVERY brute-force pair") {
+    import graft.functions.QuantizedDot.{quantize, quantizedDot}
+    val e = Tables.embeddings(spark, sf)
+    val q = e.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val exact = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        quantizedDot(col("a.qv"), col("b.qv")).as("dot_q"))
+      .filter(col("dot_q") >= 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Dedup.embeddingCosineLshPairs(e, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain qualifying pairs")
+    assert(lsh == exact, s"bucketed pairs must equal brute force: " +
+      s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
   test("brute-force top-k: ranks by descending quantized dot, k per query") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val topk = SimSearch.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 5)

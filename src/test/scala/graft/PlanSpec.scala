@@ -58,4 +58,14 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(SparkEntry.queries("topk_orders")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("embedding cosine dedup has no nested-loop/cartesian product") {
+    val df = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
 }
