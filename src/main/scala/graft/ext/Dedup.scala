@@ -142,16 +142,35 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token xxhash64s: per bit, +1/−1 vote by hash bit,
-    * sign of the vote sum sets the fingerprint bit.
+    * sign of the vote sum sets the fingerprint bit. Codegen'd
+    * `SimHash64` expression — the HOF formulation ran 64 interpreted
+    * `aggregate` lambdas per row.
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(0L)
-    }
-    bits.reduce(_ bitwiseOR _)
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(text)
+
+  /** SimHash near-dup PAIRS: fingerprints banded into 4×16-bit keys,
+    * candidates = pairs sharing a band key (by pigeonhole, hamming ≤ 3
+    * over 64 bits guarantees at least one of 4 bands is EQUAL — recall
+    * is exact, not probabilistic), verified by
+    * `bit_count(xor) <= maxHamming`. The shuffle key is the band
+    * bucket — collision-bounded like the MinHash banding, never n².
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4 bands of 16 bits guarantee recall only for hamming <= 3, got $maxHamming")
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "band_key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Semantic near-dup pairs: banded sign-LSH candidate generation +
@@ -199,6 +218,11 @@ object Dedup {
 
     "dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))),
+
+    // Banded hamming-distance dedup over the fingerprints (xxhash64-
+    // based → rows-only; planted-near-dup recall in ScalaTest).
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
 
     // Semantic near-dup: sign-LSH bucketed candidates + exact quantized-
     // integer cosine verification (dot in exact int64 arithmetic,

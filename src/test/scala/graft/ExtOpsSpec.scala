@@ -34,6 +34,28 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(hs(1L) != hs(3L))
   }
 
+  test("simhash banded pairs equal the direct hamming<=3 pair set") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                         // exact duplicate → hamming 0
+      (3L, base + " omega"),              // near-duplicate
+      (4L, "totally unrelated words about ships and harbors and tides " * 5),
+      (5L, "x")                           // sub-shingle-length doc
+    ).toDF("doc_id", "text")
+    val fps = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.keySet == expected, s"banding must find exactly the hamming<=3 pairs: $got vs $expected")
+    assert(got.get((1L, 2L)).contains(0), "exact duplicates must collide at hamming 0")
+  }
+
   test("sign-LSH bucketed cosine dedup recalls EVERY brute-force pair") {
     import graft.functions.QuantizedDot.{quantize, quantizedDot}
     val e = Tables.embeddings(spark, sf)
