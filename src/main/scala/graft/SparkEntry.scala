@@ -17,6 +17,7 @@ object SparkEntry {
     (ops.SynapseId.queries, ops.SynapseId.oracleSql),
     (ops.Offsets.queries, ops.Offsets.oracleSql),
     (ops.Rle.queries, ops.Rle.oracleSql),
+    (ops.FileOrder.queries, ops.FileOrder.oracleSql),
     (ops.Intervals.queries, ops.Intervals.oracleSql),
     (ops.CsrIndex.queries, ops.CsrIndex.oracleSql),
     (ops.JoinOps.queries, ops.JoinOps.oracleSql),

@@ -77,16 +77,18 @@ object Offsets {
 
   /** `globalPositionStamped` with a leading GROUP dimension: `ord` must
     * lead with ascending `groupCol`, so groups are contiguous in the
-    * total order. Emits each row's position WITHIN its group
-    * (`groupPosCol`) — the per-group bases ride the same tiny broadcast
-    * as the per-partition offsets (counts keyed (partition, group)
-    * instead of partition alone), so numbering G groups independently
-    * costs exactly the same jobs as numbering one. This is the
-    * reference's per-communicator offset exchange
-    * (src/index/index.cpp:272-280) run ONCE for all communicators.
+    * total order. Emits BOTH the global position (`posCol`) and each
+    * row's position WITHIN its group (`groupPosCol`) — the per-group
+    * bases ride the same tiny broadcast as the per-partition offsets
+    * (counts keyed (partition, group) instead of partition alone), so
+    * numbering G groups independently costs exactly the same jobs as
+    * numbering one. This is the reference's per-communicator offset
+    * exchange (src/index/index.cpp:272-280) run ONCE for all
+    * communicators, and its per-FILE offset table
+    * (src/parquet2hdf5.cpp:97-110) when the group is a filename.
     */
   def globalPositionGroupedStamped(df: DataFrame, groupCol: String, ord: Seq[Column],
-                                   groupPosCol: String): (DataFrame, DataFrame) = {
+                                   posCol: String, groupPosCol: String): (DataFrame, DataFrame) = {
     val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
     val withMid = sorted.withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
@@ -107,8 +109,9 @@ object Offsets {
     val result = withMid
       .join(broadcast(offsets.select(col("_pid"), col("_grp").as(groupCol),
         col("_pbase"), col("_gbase"))), Seq("_pid", groupCol))
-      .withColumn(groupPosCol, col("_pbase") + col("_local") - col("_gbase"))
-      .select(df.columns.map(col) :+ col(groupPosCol): _*)
+      .withColumn(posCol, col("_pbase") + col("_local"))
+      .withColumn(groupPosCol, col(posCol) - col("_gbase"))
+      .select(df.columns.map(col) ++ Seq(col(posCol), col(groupPosCol)): _*)
     (result, withMid)
   }
 
