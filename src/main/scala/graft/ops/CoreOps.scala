@@ -121,14 +121,16 @@ object CoreOps {
     // fully oracle-checkable.
     "sink_parquet" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("sink_parquet").toString
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_returnflag"))
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("parquet.enable.dictionary", "false")
-        .option("parquet.block.size", (20 * 1024 * 1024).toString)
-        .parquet(out)
+      graft.io.ParquetMeta.writeWithMeta(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag")),
+        out,
+        kv = Map("touch2parquet_version" -> graft.BuildInfo.version),
+        options = Map(
+          "compression" -> "snappy",
+          "parquet.enable.dictionary" -> "false",
+          "parquet.block.size" -> (20 * 1024 * 1024).toString))
       s.read.parquet(out)
     }),
 

@@ -6,3 +6,12 @@ package object graft {
     */
   type Q = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
 }
+
+package graft {
+  /** Engine identity stamped into sink provenance metadata (the
+    * reference's `touch2parquet_version` footer KV analogue).
+    */
+  object BuildInfo {
+    val version: String = "graft-spark 0.3.0"
+  }
+}

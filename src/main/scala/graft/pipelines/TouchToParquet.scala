@@ -38,11 +38,17 @@ object TouchToParquet {
 
   def convert(spark: SparkSession, dataPath: String, outDir: String): DataFrame = {
     val df = TouchBinary.readProjected(spark, dataPath)
-    df.write.mode("overwrite")
-      .option("compression", "snappy")
-      .option("parquet.enable.dictionary", "false")
-      .option("parquet.block.size", (20 * 1024 * 1024).toString)
-      .parquet(outDir)
+    // footer provenance KVs, as the reference writer stamps them
+    // (src/touches/parquet_writer.cpp:115-120)
+    val index = TouchBinary.readIndex(TouchBinary.indexFileFor(dataPath))
+    graft.io.ParquetMeta.writeWithMeta(df, outDir,
+      kv = Map(
+        "touchdetector_version" -> index.versionString,
+        "touch2parquet_version" -> graft.BuildInfo.version),
+      options = Map(
+        "compression" -> "snappy",
+        "parquet.enable.dictionary" -> "false",
+        "parquet.block.size" -> (20 * 1024 * 1024).toString))
     spark.read.parquet(outDir)
   }
 

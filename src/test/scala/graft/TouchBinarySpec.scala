@@ -129,4 +129,29 @@ class TouchBinarySpec extends AnyFunSuite {
     val b = result.collect().map(_.toSeq.mkString("|")).sorted
     assert(a.toSeq == b.toSeq)
   }
+
+  test("converter stamps footer KV provenance that round-trips write+read") {
+    val out = Files.createTempDirectory("t2p_meta").toString
+    TouchToParquet.convert(spark, TouchToParquet.fixturePath(3), out)
+    // Spark-level round trip
+    val meta = graft.io.ParquetMeta.readMeta(spark, out)
+    assert(meta.getString("touchdetector_version") == "6.0.0")
+    assert(meta.getString("touch2parquet_version") == graft.BuildInfo.version)
+    // raw footer: the KVs must be physically present in the parquet
+    // file's key-value metadata (inside Spark's schema JSON entry)
+    val part = Files.list(java.nio.file.Paths.get(out)).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.toString),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+      val schemaJson = kv.get("org.apache.spark.sql.parquet.row.metadata")
+      assert(schemaJson != null, s"footer KVs: $kv")
+      assert(schemaJson.contains("touchdetector_version"))
+      assert(schemaJson.contains("6.0.0"))
+      assert(schemaJson.contains("touch2parquet_version"))
+    } finally reader.close()
+  }
 }
