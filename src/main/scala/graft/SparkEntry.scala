@@ -18,6 +18,7 @@ object SparkEntry {
     (ops.Offsets.queries, ops.Offsets.oracleSql),
     (ops.Rle.queries, ops.Rle.oracleSql),
     (ops.FileOrder.queries, ops.FileOrder.oracleSql),
+    (ops.EnumLibrary.queries, ops.EnumLibrary.oracleSql),
     (ops.Intervals.queries, ops.Intervals.oracleSql),
     (ops.CsrIndex.queries, ops.CsrIndex.oracleSql),
     (ops.JoinOps.queries, ops.JoinOps.oracleSql),

@@ -52,24 +52,39 @@ object EdgesToSonata {
     */
   def convert(spark: SparkSession, edges: DataFrame,
               sourceCol: String, targetCol: String, outDir: String,
-              tiebreak: Seq[String] = Seq.empty): DataFrame = {
+              tiebreak: Seq[String] = Seq.empty,
+              enumCols: Seq[String] = Seq.empty): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    require(!enumCols.contains(sourceCol) && !enumCols.contains(targetCol),
+      "node-id columns cannot be dictionary-encoded")
     val pruned = edges.drop(SkipColumns: _*)
     val (ordered0, stampedE) = Offsets.globalPositionStamped(
       pruned, (Seq(sourceCol, targetCol) ++ tiebreak).map(col), "edge_id")
-    // persisted: both index builds and the returned frame read it
+    // persisted: the index builds, the enum encode, and the returned
+    // frame all read it
     val ordered = ordered0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // enum columns → integer codes in the edge table + an
+    // `@library/<col>` values dataset each (sonata_writer.cpp:102-111);
+    // dictionaries are enum-small → broadcast encode, no extra shuffle
+    val (encoded, libraries) = enumCols.foldLeft(
+      (ordered, Seq.empty[(String, DataFrame)])) { case ((df, acc), c) =>
+        val (coded, lib) = graft.ops.EnumLibrary.encode(df, c, c)
+        (coded, acc :+ (c, lib))
+    }
     // population bounds ride the write action as observed metrics —
     // an empty edge table observes nulls → zero-sized populations.
     // cast("long"): node-id columns may arrive as any integer width
     val obs = org.apache.spark.sql.Observation()
-    ordered.observe(obs,
+    encoded.observe(obs,
         max(col(sourceCol)).cast("long").as("ms"),
         max(col(targetCol)).cast("long").as("mt"))
       .write.mode("overwrite").parquet(s"$outDir/edges")
     stampedE.unpersist() // ordered's cache is built; the internal one is dead
+    libraries.foreach { case (c, lib) =>
+      lib.write.mode("overwrite").parquet(s"$outDir/@library/$c")
+    }
     def nodeCountOf(metric: String): Long =
       Option(obs.get(metric)).map(_.asInstanceOf[Long] + 1).getOrElse(0L)
 
@@ -115,24 +130,28 @@ object EdgesToSonata {
         Duration.Inf)
     } catch { case e: Throwable => ordered.unpersist(); throw e }
     finally { doneR(); numbered.unpersist() }
-    ordered
+    encoded
   }
 
   val queries: Map[String, Q] = Map(
     // lineitem as the edge table (orderkey → suppkey edges); oracle checks
-    // the ordered, pruned, position-stamped edge output.
+    // the ordered, pruned, position-stamped edge output, including the
+    // dictionary-coded enum column (codes = sorted-value ranks, which the
+    // oracle reproduces as a dense rank over the string values).
     "edges_to_sonata" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("sonata").toString
       val edges = Tables.lineitem(s, dir).select(
         col("l_orderkey").as("source_node_id"),
         col("l_suppkey").as("target_node_id"),
         col("l_linenumber").as("edge_type_id"),
-        col("l_quantity").as("my_attribute"))
-      // edge_type_id (= linenumber) completes the total order — without a
-      // tiebreaker, rows sharing (source, target) could swap positions and
-      // their payload columns would disagree with the oracle
+        col("l_quantity").as("my_attribute"),
+        col("l_returnflag").as("my_label"))
+      // the tiebreak completes the total order — without it, rows sharing
+      // (source, target) could swap positions and their payload columns
+      // would disagree with the oracle
       convert(s, edges, "source_node_id", "target_node_id", out,
-        tiebreak = Seq("edge_type_id", "my_attribute"))
+        tiebreak = Seq("edge_type_id", "my_attribute", "my_label"),
+        enumCols = Seq("my_label"))
     })
   )
 
@@ -140,7 +159,8 @@ object EdgesToSonata {
     "edges_to_sonata" ->
       """SELECT l_orderkey AS source_node_id, l_suppkey AS target_node_id,
         |  l_linenumber AS edge_type_id, l_quantity AS my_attribute,
-        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity) - 1 AS edge_id
+        |  CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS INTEGER) AS my_label,
+        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS edge_id
         |FROM lineitem""".stripMargin
   )
 }

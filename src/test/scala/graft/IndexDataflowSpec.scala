@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.CsrIndex
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Port of the reference's analytic index fixture
@@ -65,10 +66,24 @@ class IndexDataflowSpec extends AnyFunSuite {
   test("EdgesToSonata end-to-end: edges + all four index files on the fixture") {
     import graft.pipelines.EdgesToSonata
     val out = java.nio.file.Files.createTempDirectory("sonata_e2e").toString
-    val in = edges.select("source", "target") // convert stamps its own edge_id
-    val result = EdgesToSonata.convert(spark, in, "source", "target", out)
+    // an enum payload column: label = "even"/"odd" by target parity
+    val in = edges.select(col("source"), col("target"))
+      .withColumn("kind", when(col("target") % 2 === 0, "even").otherwise("odd"))
+    val result = EdgesToSonata.convert(spark, in, "source", "target", out,
+      tiebreak = Seq("kind"), enumCols = Seq("kind"))
     assert(result.count() == 100)
     result.unpersist()
+
+    // @library/kind holds the sorted enum values; the edge column holds codes
+    val lib = spark.read.parquet(s"$out/@library/kind")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(lib.toSeq == Seq((0, "even"), (1, "odd")))
+    val kinds = spark.read.parquet(s"$out/edges")
+      .select(col("target"), col("kind")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(kinds.length == 100)
+    assert(kinds.forall { case (t, k) => k == (t % 2) },
+      "code 0=even must appear exactly on even targets")
 
     val edgesOut = spark.read.parquet(s"$out/edges")
       .collect().map(r => (r.getAs[Int]("source"), r.getAs[Int]("target"),
