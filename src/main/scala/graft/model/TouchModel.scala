@@ -29,7 +29,10 @@ object TouchModel {
       val m = "^[+-]?\\d+".r.findFirstIn(s.trim)
       m.map(_.toInt)
     }
-    val parts = clean.split('.').toSeq.map(stoi)
+    // -1 keeps trailing empty components: "5." must yield ["5", ""] so
+    // the empty component rejects the string to V1 exactly like the
+    // reference's throwing stoi on its trailing empty range
+    val parts = clean.split("\\.", -1).toSeq.map(stoi)
     // the reference materializes every stoi BEFORE comparing, so one
     // unparsable component (e.g. "5.x") rejects the WHOLE string → V1
     // (touch_reader.cpp:99-116's catch-all) — not just the parsed prefix

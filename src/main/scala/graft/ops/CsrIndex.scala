@@ -39,30 +39,21 @@ object CsrIndex {
   }
 
   /** `build` plus a cleanup thunk releasing the internal position cache
-    * (call it after the returned frames' actions complete), and a
-    * `contiguous` fast path: when the edge list is SORTED by `nodeCol`
-    * (the case for the index direction matching the edge sort key —
-    * exactly how the reference consumes its ordered edge table,
-    * src/index/index.cpp:309-317), each node's positions form one
-    * contiguous run, so the per-node range is a single groupBy min/max —
-    * no RLE window needed.
+    * (call it after the returned frames' actions complete).
     *
-    * In the general path, the gaps-and-islands RLE already produces
-    * maximal runs GLOBALLY (the window spans all positions of a key), so
-    * the reference's regroup/merge step — which repairs runs split at MPI
-    * rank boundaries (index.cpp:142-153) — is a no-op here and is omitted;
+    * The gaps-and-islands RLE already produces maximal runs GLOBALLY
+    * (the window spans all positions of a key), so the reference's
+    * regroup/merge step — which repairs runs split at MPI rank
+    * boundaries (index.cpp:142-153) — is a no-op here and is omitted;
     * `Intervals.merge` remains the standalone operator for genuinely
-    * fragmented interval inputs.
+    * fragmented interval inputs. (`RangeRle.numberedRanges` is the fused
+    * single-shuffle alternative the SONATA pipeline uses — it performs
+    * the boundary merge for real because its runs ARE per-partition.)
     */
-  def buildStamped(edges: DataFrame, nodeCol: String, posCol: String, nodeCount: Long,
-                   contiguous: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
+  def buildStamped(edges: DataFrame, nodeCol: String, posCol: String,
+                   nodeCount: Long): (DataFrame, DataFrame, () => Unit) = {
     val spark = edges.sparkSession
-    val ranges =
-      if (contiguous)
-        edges.select(col(nodeCol), col(posCol)).groupBy(col(nodeCol))
-          .agg(min(col(posCol)).as("range_start"), (max(col(posCol)) + 1).as("range_end"))
-      else
-        Rle.ranges(edges.select(col(nodeCol), col(posCol)), nodeCol, posCol)
+    val ranges = Rle.ranges(edges.select(col(nodeCol), col(posCol)), nodeCol, posCol)
     val (numbered, stamped) = Offsets.globalPositionStamped(ranges,
       Seq(col(nodeCol), col("range_start")), "range_pos")
     val secondary = numbered.select(

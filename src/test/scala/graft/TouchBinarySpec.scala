@@ -22,6 +22,8 @@ class TouchBinarySpec extends AnyFunSuite {
     assert(sniffVersion("4.98.0") == V1)
     assert(sniffVersion("b210b8b") == V1) // git hash
     assert(sniffVersion("1.0.0") == V1)
+    assert(sniffVersion("5.") == V1)  // trailing empty component rejects
+    assert(sniffVersion("5.x") == V1) // unparsable component rejects
   }
 
   test("fixture row counts: v1=82, v2=1104, v3=62") {

@@ -74,6 +74,10 @@ def main():
                 return "float"
             if s.startswith("timestamp"):
                 return "timestamp"
+            if s.startswith("decimal"):
+                # precision/scale-only drift hashes equal for the driver
+                # (values compare equal) — same policy as int widths
+                return "decimal"
             return s
         tdiff = []
         for c in sc:
