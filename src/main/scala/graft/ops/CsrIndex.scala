@@ -41,34 +41,33 @@ object CsrIndex {
   /** `build` plus a cleanup thunk releasing the internal position cache
     * (call it after the returned frames' actions complete).
     *
-    * The gaps-and-islands RLE already produces maximal runs GLOBALLY
-    * (the window spans all positions of a key), so the reference's
-    * regroup/merge step — which repairs runs split at MPI rank
-    * boundaries (index.cpp:142-153) — is a no-op here and is omitted;
-    * `Intervals.merge` remains the standalone operator for genuinely
-    * fragmented interval inputs. (`RangeRle.numberedRanges` is the fused
-    * single-shuffle alternative the SONATA pipeline uses — it performs
-    * the boundary merge for real because its runs ARE per-partition.)
+    * RLE and run numbering are fused into ONE range shuffle by
+    * `RangeRle.numberedRanges` — the reference's per-rank RLE +
+    * boundary merge + prefix-sum numbering (index.cpp:114-153,
+    * 272-280). The declarative equivalent (`Rle.ranges` window +
+    * `Offsets.globalPosition` stamp) computes the same ranges (asserted
+    * in RangeRleSpec) but costs a hash shuffle for the RLE window plus
+    * a second range shuffle for the numbering; `rle_group_ranges` keeps
+    * the window formulation as the standalone oracled operator.
     */
   def buildStamped(edges: DataFrame, nodeCol: String, posCol: String,
                    nodeCount: Long): (DataFrame, DataFrame, () => Unit) = {
     val spark = edges.sparkSession
-    val ranges = Rle.ranges(edges.select(col(nodeCol), col(posCol)), nodeCol, posCol)
-    val (numbered, stamped) = Offsets.globalPositionStamped(ranges,
-      Seq(col(nodeCol), col("range_start")), "range_pos")
-    val secondary = numbered.select(
+    val (ranges, done) = RangeRle.numberedRanges(edges.select(
+      lit(0).as("dir"), col(nodeCol).as("node_id"), col(posCol).as("pos")))
+    val secondary = ranges.select(
       col("range_pos"),
       col("range_start").as("edge_start"),
       col("range_end").as("edge_end"))
-    val counts = numbered.groupBy(col(nodeCol))
+    val counts = ranges.groupBy(col("node_id"))
       .agg(count(lit(1)).as("cnt"), min(col("range_pos")).as("first_range"))
     val primary = spark.range(0, nodeCount).toDF("node_id")
-      .join(counts.withColumnRenamed(nodeCol, "node_id"), Seq("node_id"), "left_outer")
+      .join(counts, Seq("node_id"), "left_outer")
       .select(
         col("node_id"),
         coalesce(col("first_range"), lit(0L)).as("range_start"),
         coalesce(col("first_range") + col("cnt"), lit(0L)).as("range_end"))
-    (primary, secondary, () => { stamped.unpersist(); () })
+    (primary, secondary, done)
   }
 
   private def lineitemEdges(s: SparkSession, dir: String): DataFrame = {
