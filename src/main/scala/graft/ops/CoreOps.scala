@@ -153,12 +153,13 @@ object CoreOps {
           countDistinct(col("l_suppkey")).as("n_supps"))
     }),
 
-    // …and the HLL++ sketch variant (rows-only: approximate results can't
-    // hash-match an exact oracle; bounds are asserted in ScalaTest).
+    // …and the HLL sketch variant via the custom TypedImperativeAggregate
+    // (rows-only: approximate results can't hash-match an exact oracle;
+    // error bounds + partitioning-invariance are asserted in ScalaTest).
     "approx_distinct_hll" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("approx_parts"))
     }),
 
     // L1/top-k: deterministic limit = global sort + limit (TakeOrdered —

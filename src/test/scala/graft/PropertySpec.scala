@@ -92,4 +92,29 @@ class PropertySpec extends AnyFunSuite {
       assert(pos.sortBy(p => (p._1, p._2)).map(_._3).toSeq == (0L until n).toSeq)
     }
   }
+
+  test("HLL sketch: within error bound of exact, invariant to partitioning") {
+    import spark.implicits._
+    import graft.functions.HllSketchAgg.hllDistinct
+    import org.apache.spark.sql.functions._
+    // 10k distinct keys, each duplicated a varying number of times
+    val rows = (0 until 10000).flatMap(k => Seq.fill(1 + k % 3)(k.toLong))
+    val df = rows.toDF("k")
+    val est = df.agg(hllDistinct(col("k"), 12).as("n")).collect()(0).getLong(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.05,
+      s"estimate $est vs exact 10000 exceeds 5%")
+    // max-merge is partitioning-invariant: same estimate for any layout
+    val est1 = df.repartition(1).agg(hllDistinct(col("k"), 12)).collect()(0).getLong(0)
+    val est17 = df.repartition(17, col("k")).agg(hllDistinct(col("k"), 12)).collect()(0).getLong(0)
+    assert(est == est1 && est == est17, s"$est / $est1 / $est17")
+    // small-range linear counting: tiny cardinalities are near-exact
+    val small = (0 until 30).map(_.toLong).toDF("k")
+      .agg(hllDistinct(col("k"), 12)).collect()(0).getLong(0)
+    assert(small == 30, s"linear-counting range should be near-exact, got $small")
+    // grouped: per-group sketches stay independent
+    val grouped = df.withColumn("g", col("k") % 2)
+      .groupBy(col("g")).agg(hllDistinct(col("k"), 12).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped.values.forall(v => math.abs(v - 5000.0) / 5000.0 < 0.05), grouped.toString)
+  }
 }
