@@ -19,6 +19,7 @@ object SparkEntry {
     (ops.Rle.queries, ops.Rle.oracleSql),
     (ops.FileOrder.queries, ops.FileOrder.oracleSql),
     (ops.EnumLibrary.queries, ops.EnumLibrary.oracleSql),
+    (io.SchemaSidecar.queries, io.SchemaSidecar.oracleSql),
     (ops.Intervals.queries, ops.Intervals.oracleSql),
     (ops.CsrIndex.queries, ops.CsrIndex.oracleSql),
     (ops.JoinOps.queries, ops.JoinOps.oracleSql),
