@@ -72,6 +72,9 @@ object RangeRle {
       if (!it.hasNext) Iterator.empty
       else {
         val (fd, fn, fp, pid) = it.next()
+        // the per-dir numbering base is tracked for dir 0 only — the
+        // operator is defined for the two index directions
+        require(fd == 0 || fd == 1, s"dir must be 0 or 1, got $fd")
         var (ld, ln, lp) = (fd, fn, fp)
         var nRows = 1L; var nRuns = 1L
         var nRunsDir0 = if (fd == 0) 1L else 0L
