@@ -58,6 +58,11 @@ object TouchToParquet {
     */
   val queries: Map[String, Q] = Map(
     "scan_touch_binary" -> ((s, _) => TouchBinary.readProjected(s, fixturePath(2))),
+    // same decode through the DataSource V2 connector (split planning +
+    // decode-time column pruning); equality with the RDD path is
+    // asserted in TouchDataSourceSpec
+    "scan_touch_v2_source" -> ((s, _) =>
+      s.read.format("touchbin").load(fixturePath(2))),
     "scan_touch_index" -> ((s, _) => {
       import s.implicits._
       val idx = TouchBinary.readIndex(TouchBinary.indexFileFor(fixturePath(3)))

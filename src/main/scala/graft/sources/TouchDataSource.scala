@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import graft.io.TouchBinary
+import graft.io.TouchBinary.TouchIndex
+import graft.model.TouchModel
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for TouchDetector binary files — the
+  * "custom connector" rung of the extension ladder (SURVEY.md §7.4's
+  * "revisit for 100 TB"), upgrading the RDD `binaryRecords` scan to a
+  * planned Batch source:
+  *
+  *  - **Split planning**: the fixed record width makes record-aligned
+  *    byte-range splits exact — `planInputPartitions` carves the file
+  *    into `maxBytesPerPartition` chunks (no line-sniffing, no skew),
+  *    each an independent `PartitionReader`, so a 100 TB directory
+  *    fans out across every executor with zero shuffle.
+  *  - **Column pruning at DECODE time** (`SupportsPushDownRequiredColumns`):
+  *    only the requested fields are read out of each record's
+  *    ByteBuffer — a 2-column projection of a v3 file touches 8 of 104
+  *    bytes per record instead of materializing all 28 fields.
+  *  - **Faithful synapse ids without a count job**: global row =
+  *    `split start record + local index` is known statically from the
+  *    split plan (the RDD path needs `zipWithIndex`'s extra pass), and
+  *    the id uses the same broadcast-free shifts lookup
+  *    (touch_reader.cpp:275-288) carried in the serialized partition.
+  *
+  * Usage: `spark.read.format("touchbin").load(dataPath)` (registered
+  * via `DataSourceRegister`) — schema, endianness, and version come
+  * from the companion index file exactly as in `TouchBinary`.
+  */
+class TouchDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "touchbin"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "touchbin requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TouchDataSource.schemaFor(
+      TouchBinary.readIndex(TouchBinary.indexFileFor(pathOf(options))).version)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TouchTable(properties.get("path"),
+      Option(properties.get("maxBytesPerPartition")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024))
+}
+
+object TouchDataSource {
+
+  private val fieldType: Map[String, DataType] = Map(
+    "synapse_id" -> LongType,
+    "source_node_id" -> IntegerType, "target_node_id" -> IntegerType,
+    "efferent_section_id" -> ShortType, "efferent_segment_id" -> ShortType,
+    "afferent_section_id" -> ShortType, "afferent_segment_id" -> ShortType,
+    "efferent_segment_offset" -> FloatType, "afferent_segment_offset" -> FloatType,
+    "distance_soma" -> FloatType, "branch_order" -> ByteType,
+    "efferent_section_pos" -> FloatType, "afferent_section_pos" -> FloatType,
+    "efferent_surface_x" -> FloatType, "efferent_surface_y" -> FloatType,
+    "efferent_surface_z" -> FloatType,
+    "afferent_center_x" -> FloatType, "afferent_center_y" -> FloatType,
+    "afferent_center_z" -> FloatType,
+    "spine_length" -> FloatType,
+    "efferent_section_type" -> ByteType, "afferent_section_type" -> ByteType,
+    "efferent_center_x" -> FloatType, "efferent_center_y" -> FloatType,
+    "efferent_center_z" -> FloatType,
+    "afferent_surface_x" -> FloatType, "afferent_surface_y" -> FloatType,
+    "afferent_surface_z" -> FloatType)
+
+  def schemaFor(version: TouchModel.Version): StructType =
+    StructType(TouchModel.columnsFor(version).map(c =>
+      StructField(c, fieldType(c), nullable = false)))
+
+  /** Per-field decoder: (record buffer, record base, global row, gid) →
+    * Catalyst value. The struct offsets follow touch_defs.h:19-63.
+    */
+  private[sources] def extractor(name: String, index: TouchIndex):
+      (ByteBuffer, Int, Long) => Any = name match {
+    case "synapse_id" => (b, base, row) => {
+      val gid = b.getInt(base)
+      val k = row - index.shiftOf(gid)
+      if (k >= (1L << 24))
+        throw new IllegalStateException(
+          s"gid $gid has more than 2^24 touches, can't assign unique synapse indices")
+      (gid.toLong << 24) + k
+    }
+    case "source_node_id" => (b, base, _) => b.getInt(base)
+    case "target_node_id" => (b, base, _) => b.getInt(base + 12)
+    case "efferent_section_id" => (b, base, _) => {
+      val s = b.getInt(base + 4)
+      // hard guard from parquet_writer.cpp:207-219
+      if (s > 0x7fff) throw new IllegalStateException(
+        s"Invalid pre_section $s for gid ${b.getInt(base)} — check endianness")
+      s.toShort
+    }
+    case "efferent_segment_id" => (b, base, _) => b.getInt(base + 8).toShort
+    case "afferent_section_id" => (b, base, _) => b.getInt(base + 16).toShort
+    case "afferent_segment_id" => (b, base, _) => b.getInt(base + 20).toShort
+    case "branch_order" => (b, base, _) => b.getInt(base + 24).toByte
+    case "distance_soma" => (b, base, _) => b.getFloat(base + 28)
+    case "efferent_segment_offset" => (b, base, _) => b.getFloat(base + 32)
+    case "afferent_segment_offset" => (b, base, _) => b.getFloat(base + 36)
+    case "efferent_section_pos" => (b, base, _) => b.getFloat(base + 40)
+    case "afferent_section_pos" => (b, base, _) => b.getFloat(base + 44)
+    case "efferent_surface_x" => (b, base, _) => b.getFloat(base + 48)
+    case "efferent_surface_y" => (b, base, _) => b.getFloat(base + 52)
+    case "efferent_surface_z" => (b, base, _) => b.getFloat(base + 56)
+    case "afferent_center_x" => (b, base, _) => b.getFloat(base + 60)
+    case "afferent_center_y" => (b, base, _) => b.getFloat(base + 64)
+    case "afferent_center_z" => (b, base, _) => b.getFloat(base + 68)
+    case "spine_length" => (b, base, _) => b.getFloat(base + 72)
+    // nibble unpack + MorphIO +1 soma offset (parquet_writer.h:63-69)
+    case "efferent_section_type" => (b, base, _) =>
+      ((((b.get(base + 76).toInt & 0xff) >> 4) & 0xf) + 1).toByte
+    case "afferent_section_type" => (b, base, _) =>
+      (((b.get(base + 76).toInt & 0xff) & 0xf) + 1).toByte
+    case "efferent_center_x" => (b, base, _) => b.getFloat(base + 80)
+    case "efferent_center_y" => (b, base, _) => b.getFloat(base + 84)
+    case "efferent_center_z" => (b, base, _) => b.getFloat(base + 88)
+    case "afferent_surface_x" => (b, base, _) => b.getFloat(base + 92)
+    case "afferent_surface_y" => (b, base, _) => b.getFloat(base + 96)
+    case "afferent_surface_z" => (b, base, _) => b.getFloat(base + 100)
+  }
+}
+
+private[sources] class TouchTable(path: String, maxBytesPerPartition: Long)
+    extends Table with SupportsRead {
+  private lazy val index = TouchBinary.readIndex(TouchBinary.indexFileFor(path))
+  override def name(): String = s"touchbin:$path"
+  override def schema(): StructType = TouchDataSource.schemaFor(index.version)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TouchScanBuilder(path, index, schema(), maxBytesPerPartition)
+}
+
+private[sources] class TouchScanBuilder(path: String, index: TouchIndex,
+    fullSchema: StructType, maxBytesPerPartition: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the table's field order for a stable layout
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new TouchScan(path, index, required, maxBytesPerPartition)
+}
+
+private[sources] case class TouchSplit(
+    path: String, startRecord: Long, numRecords: Long) extends InputPartition
+
+private[sources] class TouchScan(path: String, index: TouchIndex,
+    required: StructType, maxBytesPerPartition: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"touchbin $path v${index.version.ordinal} cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val recSize = index.version.recordSize
+    val fileLen = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    val nRecords = fileLen / recSize
+    val perSplit = math.max(1L, maxBytesPerPartition / recSize)
+    (0L until nRecords by perSplit).map { start =>
+      TouchSplit(path, start, math.min(perSplit, nRecords - start))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TouchReaderFactory(index, required.fieldNames)
+}
+
+private[sources] class TouchReaderFactory(index: TouchIndex,
+    fields: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[TouchSplit]
+    new PartitionReader[InternalRow] {
+      private val recSize = index.version.recordSize
+      private val order =
+        if (index.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      private val extractors = fields.map(TouchDataSource.extractor(_, index))
+      private val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(split.path))
+      // read in ~4 MiB record-aligned chunks
+      private val recsPerChunk = math.max(1, (4 << 20) / recSize)
+      private var chunk: ByteBuffer = _
+      private var chunkRecs = 0
+      private var chunkIdx = 0
+      private var emitted = 0L
+
+      override def next(): Boolean = {
+        if (emitted >= split.numRecords) return false
+        if (chunk == null || chunkIdx >= chunkRecs) {
+          val n = math.min(recsPerChunk.toLong, split.numRecords - emitted).toInt
+          val buf = ByteBuffer.allocate(n * recSize)
+          ch.position((split.startRecord + emitted) * recSize)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          require(!buf.hasRemaining, s"short read in ${split.path}")
+          buf.flip()
+          chunk = buf.order(order); chunkRecs = n; chunkIdx = 0
+        }
+        true
+      }
+
+      override def get(): InternalRow = {
+        val base = chunkIdx * recSize
+        // fresh row per record: downstream operators may buffer rows
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < extractors.length) {
+          row.update(i, extractors(i)(chunk, base, split.startRecord + emitted))
+          i += 1
+        }
+        chunkIdx += 1; emitted += 1
+        row
+      }
+
+      override def close(): Unit = ch.close()
+    }
+  }
+}
