@@ -37,7 +37,8 @@ object TouchToParquet {
   }
 
   def convert(spark: SparkSession, dataPath: String, outDir: String): DataFrame = {
-    val df = TouchBinary.readProjected(spark, dataPath)
+    // V2 connector: record-aligned splits, no zipWithIndex counting pass
+    val df = spark.read.format("touchbin").load(dataPath)
     // footer provenance KVs, as the reference writer stamps them
     // (src/touches/parquet_writer.cpp:115-120)
     val index = TouchBinary.readIndex(TouchBinary.indexFileFor(dataPath))
