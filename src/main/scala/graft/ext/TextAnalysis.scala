@@ -79,6 +79,18 @@ object TextAnalysis {
           .otherwise("und").as("lang_guess"))
     }),
 
+    // BPE-ish token counting: letter runs, single digits, and punctuation
+    // as separate tokens (the shape of GPT-style pre-tokenizers), via a
+    // regex restricted to constructs Java and RE2 interpret identically.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_word_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct_tokens"))
+    }),
+
     // Position-weighted checksum: sum(codepoint(c_i) * i) mod p — order-
     // sensitive, integer-exact, O(n) per row.
     "doc_fingerprint" -> ((s, dir) =>
@@ -137,6 +149,13 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM documents""".stripMargin,
+    // len() is BIGINT in DuckDB, size() is int in Spark
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct_tokens
         |FROM documents""".stripMargin
   )
 }

@@ -135,6 +135,29 @@ object StreamingOps {
       try q.processAllAvailable()
       finally q.stop()
       s.table(name)
+    }),
+
+    // Streaming exact dedup: dropDuplicatesWithinWatermark keys the
+    // state by (user_id, minute) and prunes it by the watermark — the
+    // streaming analogue of the batch hash-dedup, in bounded memory.
+    // The static fixture arrives as one micro-batch, so the emitted set
+    // equals the batch DISTINCT and the oracle is exact.
+    "streaming_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val name = s"dedup_${System.nanoTime()}"
+      val q = s.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+        .withColumn("minute", expr("(ts div 1000) div 60000000"))
+        .withWatermark("ts_event", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "minute")
+        .select(col("user_id"), col("minute"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
     })
   )
 
@@ -143,6 +166,9 @@ object StreamingOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, count(*) AS n
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "streaming_dedup" ->
+      """SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute
+        |FROM events""".stripMargin
   )
 }
