@@ -82,9 +82,6 @@ object EdgesToSonata {
         max(col(targetCol)).cast("long").as("mt"))
       .write.mode("overwrite").parquet(s"$outDir/edges")
     stampedE.unpersist() // ordered's cache is built; the internal one is dead
-    libraries.foreach { case (c, lib) =>
-      lib.write.mode("overwrite").parquet(s"$outDir/@library/$c")
-    }
     def nodeCountOf(metric: String): Long =
       Option(obs.get(metric)).map(_.asInstanceOf[Long] + 1).getOrElse(0L)
 
@@ -121,12 +118,14 @@ object EdgesToSonata {
         Future(primary.write.mode("overwrite").parquet(s"$outDir/indices/$dir/primary")))
     }
     try {
-      numbered.count() // materialize ONCE; the 4 writes below read the cache
+      numbered.count() // materialize ONCE; the 4+ writes below read caches
       doneR()          // numbered's cache is built; the internal one is dead
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(Future.sequence(
         writeIndex(0, nodeCountOf("ms"), "source_to_target") ++
-          writeIndex(1, nodeCountOf("mt"), "target_to_source")),
+          writeIndex(1, nodeCountOf("mt"), "target_to_source") ++
+          libraries.map { case (c, lib) => Future(
+            lib.write.mode("overwrite").parquet(s"$outDir/@library/$c")) }),
         Duration.Inf)
     } catch { case e: Throwable => ordered.unpersist(); throw e }
     finally { doneR(); numbered.unpersist() }

@@ -59,18 +59,35 @@ class RangeRleSpec extends AnyFunSuite {
     check(df(src ++ tgt))
   }
 
-  test("runs of random lengths straddling partition boundaries") {
-    val rnd = new scala.util.Random(42)
-    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    var pos = 0L
-    while (pos < 2000L) {
-      val key = rnd.nextInt(6).toLong
-      val len = 1 + rnd.nextInt(40)
-      (0 until len).foreach { _ => rows += ((rnd.nextInt(2), key, pos)); pos += 1 }
+  test("runs of random lengths straddling partition boundaries (multi-seed)") {
+    for (seed <- Seq(42, 7, 1234, 99991)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      var pos = 0L
+      while (pos < 2000L) {
+        val key = rnd.nextInt(6).toLong
+        val len = 1 + rnd.nextInt(40)
+        (0 until len).foreach { _ => rows += ((rnd.nextInt(2), key, pos)); pos += 1 }
+      }
+      // positions must be distinct per dir: renumber sequentially
+      val clean = rows.zipWithIndex.map { case ((d, k, _), i) => (d, k, i.toLong) }
+      check(df(clean.toSeq))
     }
-    // positions must be distinct per dir: split evens/odds instead
-    val clean = rows.zipWithIndex.map { case ((d, k, _), i) => (d, k, i.toLong) }
-    check(df(clean.toSeq))
+  }
+
+  test("result is invariant to the shuffle partition count") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 1500L).map(p => (rnd.nextInt(2), rnd.nextInt(4).toLong, p))
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val results = Seq("1", "3", "13").map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        fused(df(rows))
+      }
+      assert(results.distinct.size == 1,
+        "numbered ranges must not depend on partitioning")
+      assert(results.head == windowed(df(rows)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
   }
 
   test("single row and empty input") {
