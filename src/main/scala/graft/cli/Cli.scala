@@ -1,0 +1,79 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI parity with the reference's two converters, so a user can run the
+  * same jobs without writing Scala (reference: `touch2parquet
+  * <touchesData...> <outdir>` and `parquet2hdf5 <parquet-dir> <out>
+  * <population>`). Local sessions here; on a cluster, submit the same
+  * mains with `spark-submit --master ...`.
+  */
+private[cli] object Cli {
+  def session(app: String): SparkSession = {
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+    sys.env.get("SPARK_GRAFT_MASTER").orElse(Some("local[*]"))
+      .foldLeft(b)((b, m) => b.master(m)).getOrCreate()
+  }
+}
+
+/** `runMain graft.cli.Touch2Parquet <touchesData.N>... <outDir>` —
+  * converts one or more TouchDetector binary files (each with its
+  * companion index next to it) into a single parquet dataset, like the
+  * reference's `touch2parquet` (src/touch2parquet.cpp:34-138). Multiple
+  * inputs must share a schema version; they union into one sink.
+  */
+object Touch2Parquet {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Touch2Parquet <touchesData.N>... <outDir>")
+    val inputs = args.dropRight(1)
+    val outDir = args.last
+    val spark = Cli.session("touch2parquet")
+    try {
+      if (inputs.length == 1) {
+        graft.pipelines.TouchToParquet.convert(spark, inputs.head, outDir)
+      } else {
+        val frames: Seq[DataFrame] =
+          inputs.toSeq.map(p => spark.read.format("touchbin").load(p))
+        graft.io.ParquetMeta.writeWithMeta(
+          frames.reduce(_ unionByName _), outDir,
+          kv = Map("touch2parquet_version" -> graft.BuildInfo.version),
+          options = Map(
+            "compression" -> "snappy",
+            "parquet.enable.dictionary" -> "false",
+            "parquet.block.size" -> (20 * 1024 * 1024).toString))
+      }
+      println(s"touch2parquet: wrote ${spark.read.parquet(outDir).count()} rows to $outDir")
+    } finally spark.stop()
+  }
+}
+
+/** `runMain graft.cli.Parquet2Sonata <edgesParquetDir> <outDir>
+  * [sourceCol targetCol [enumCol...]]` — converts a parquet edge
+  * directory into the SONATA-mirror layout (ordered position-stamped
+  * edges + both CSR index directions + @library dictionaries), like the
+  * reference's `parquet2hdf5` (src/parquet2hdf5.cpp:171-251) with the
+  * HDF5 container mirrored as parquet (SURVEY §2.1 S5).
+  */
+object Parquet2Sonata {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Parquet2Sonata <edgesDir> <outDir> [sourceCol targetCol [enumCol...]]")
+    val (in, out) = (args(0), args(1))
+    val sourceCol = if (args.length > 2) args(2) else "source_node_id"
+    val targetCol = if (args.length > 3) args(3) else "target_node_id"
+    val enums = args.drop(4).toSeq
+    val spark = Cli.session("parquet2sonata")
+    try {
+      val edges = graft.io.SchemaSidecar.readParquetDir(spark, in)
+      val tiebreak = edges.columns.filterNot(c =>
+        c == sourceCol || c == targetCol).toSeq // total order over all columns
+      val result = graft.pipelines.EdgesToSonata.convert(
+        spark, edges, sourceCol, targetCol, out, tiebreak, enums)
+      println(s"parquet2sonata: wrote ${result.count()} edges + indices to $out")
+      result.unpersist()
+    } finally spark.stop()
+  }
+}
