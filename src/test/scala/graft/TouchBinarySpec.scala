@@ -132,6 +132,42 @@ class TouchBinarySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("validation guards TRIP on malformed data (both scan paths)") {
+    // craft a v1 pair: index declares one neuron; data holds one record
+    // with pre_section = 0x8000 (> 0x7fff → endianness-damage guard,
+    // parquet_writer.cpp:207-219)
+    def writeFixture(dir: java.nio.file.Path, preSection: Int, offset: Long): String = {
+      val idx = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      idx.putDouble(1.001).putLong(1)
+      idx.put("1.0.0".getBytes("US-ASCII")); idx.position(32)
+      idx.putInt(7).putInt(1).putLong(offset)
+      Files.write(dir.resolve("touches.0"), idx.array())
+      val rec = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      rec.putInt(7).putInt(preSection).putInt(0)
+      rec.putInt(8).putInt(1).putInt(0)
+      rec.putInt(1).putFloat(1f).putFloat(0f).putFloat(0f)
+      Files.write(dir.resolve("touchesData.0"), rec.array())
+      dir.resolve("touchesData.0").toString
+    }
+    val bad = writeFixture(Files.createTempDirectory("badsec"), 0x8000, 0L)
+    for (df <- Seq(TouchBinary.readProjected(spark, bad),
+                   spark.read.format("touchbin").load(bad))) {
+      val e = intercept[org.apache.spark.SparkException](df.collect())
+      assert(e.getMessage.contains("Invalid pre_section") ||
+        Option(e.getCause).exists(_.getMessage.contains("Invalid pre_section")), e.getMessage)
+    }
+    // 2^24-touches-per-gid overflow: a negative index offset makes
+    // global_row − shift reach 2^24 with a single record
+    val over = writeFixture(Files.createTempDirectory("overflow"), 3, -(1L << 24) * 40)
+    for (df <- Seq(TouchBinary.readProjected(spark, over),
+                   spark.read.format("touchbin").load(over))) {
+      val e = intercept[org.apache.spark.SparkException](df.select("synapse_id").collect())
+      assert(e.getMessage.contains("2^24") ||
+        Option(e.getCause).exists(_.getMessage.contains("2^24")), e.getMessage)
+    }
+    // non-trip: the valid fixture decodes fine (exercised throughout)
+  }
+
   test("converter stamps footer KV provenance that round-trips write+read") {
     val out = Files.createTempDirectory("t2p_meta").toString
     TouchToParquet.convert(spark, TouchToParquet.fixturePath(3), out)
