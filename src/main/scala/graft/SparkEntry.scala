@@ -33,6 +33,7 @@ object SparkEntry {
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
+    (ext.Sampling.queries, ext.Sampling.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)

@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data curation — the
+  * operations a 100 TB pipeline runs constantly (hold-out splits,
+  * per-class caps, fractional subsamples) expressed so the SAME row set
+  * comes back on every run, every engine, every partitioning:
+  *
+  * the sampling key is `md5(key)` — a cryptographic hash both Spark and
+  * DuckDB implement identically — so selection is a pure per-row
+  * predicate (narrow, zero shuffle, fully pushed into the scan stage)
+  * and the oracle can reproduce it bit-for-bit. `rand(seed)`-based
+  * sampling is reproducible only within one engine+partitioning;
+  * hash-based sampling is reproducible everywhere, which is what makes
+  * dataset audits possible.
+  */
+object Sampling {
+
+  /** Keep ~`pct`% of rows, decided by the first 4 hex chars of
+    * md5(key): uniform over 65536 buckets, exact and engine-portable.
+    */
+  def hashSample(df: DataFrame, key: Column, pct: Double): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct must be in (0, 100], got $pct")
+    val cut = math.round(65536.0 * pct / 100.0).toInt
+    df.filter(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long") < cut)
+  }
+
+  /** Deterministic train/valid/test labels from the same hash: an
+    * 80/10/10 split whose assignment never changes as the corpus grows
+    * (a row's label depends only on its key).
+    */
+  def splitLabel(key: Column): Column = {
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    when(bucket < 52429, "train")       // 65536 * 0.8
+      .when(bucket < 58982, "valid")    // 65536 * 0.9
+      .otherwise("test")
+  }
+
+  /** Per-class cap: keep at most `k` rows per class, chosen in md5-hash
+    * order (deterministic "random" representatives) — the custom
+    * partial/final TopKPerKey operator, so only ≤ k·partitions rows per
+    * class reach the shuffle at any corpus size.
+    */
+  def perClassCap(df: DataFrame, classCol: String, key: Column, k: Int): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      df.withColumn("_h", md5(key.cast("string"))),
+      Seq(classCol), Seq(("_h", false)), k)
+
+  val queries: Map[String, Q] = Map(
+    "sample_hash_pct" -> ((s, dir) =>
+      hashSample(Tables.documents(s, dir), col("doc_id"), 10.0)
+        .select(col("doc_id"), col("lang"))),
+
+    "train_valid_test_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), splitLabel(col("doc_id")).as("split"))),
+
+    // cap each language at 25 docs, hash-ordered representatives
+    "sample_per_class_cap" -> ((s, dir) =>
+      perClassCap(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), 25)
+        .select(col("lang"), col("rank"), col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_hash_pct" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554""".stripMargin,
+    "train_valid_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "sample_per_class_cap" ->
+      """SELECT lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank,
+        |  doc_id
+        |FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 25""".stripMargin
+  )
+}
