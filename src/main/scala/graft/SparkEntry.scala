@@ -28,6 +28,7 @@ object SparkEntry {
     (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracleSql),
     (ops.Salting.queries, ops.Salting.oracleSql),
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracleSql),
+    (ops.ZOrder.queries, ops.ZOrder.oracleSql),
     (plans.TopKPerKey.queries, plans.TopKPerKey.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),

@@ -78,6 +78,18 @@ object SimSearch {
   }
 
   val queries: Map[String, Q] = Map(
+    // Per-label centroid statistics in EXACT integer arithmetic:
+    // quantized components explode to (label, dim) and aggregate
+    // map-side — sums and counts instead of float means, so any engine
+    // reproduces the bits (centroid = sum_q / n / 1000 downstream).
+    "embedding_dim_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(graft.functions.QuantizedDot.quantize(col("embedding")))
+            .as(Seq("dim", "q")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))),
+
     "ann_bruteforce_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -88,6 +100,12 @@ object SimSearch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back
+    "embedding_dim_stats" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY label, i""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |d AS (

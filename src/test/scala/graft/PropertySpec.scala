@@ -117,4 +117,28 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(grouped.values.forall(v => math.abs(v - 5000.0) / 5000.0 < 0.05), grouped.toString)
   }
+
+  test("z-order key interleaves bits exactly") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    import org.apache.spark.sql.functions._
+    def refZ(a: Int, b: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1).toLong << (2 * i)
+        z |= ((b >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536))) ++
+      Seq((0, 0), (65535, 65535), (1, 0), (0, 1))
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zkey(col("a"), col("b")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == refZ(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
 }
