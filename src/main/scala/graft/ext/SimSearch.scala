@@ -63,6 +63,46 @@ object SimSearch {
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
 
+  /** IVF (inverted-file) ANN — the centroid-cell scale path the
+    * reference-free ANN literature pairs with LSH: vectors partition
+    * into cells by nearest centroid; a query probes only its `nProbe`
+    * nearest cells. Everything is deterministic and shuffle-lean:
+    *
+    *  - centroids are md5-hash-sampled vectors (engine-portable choice,
+    *    no RNG, no iterative training — one Lloyd step could refine them
+    *    via `embedding_dim_stats`-style integer sums, same plan shape);
+    *  - centroids BROADCAST to both assignment joins (cells ≪ corpus —
+    *    the corpus never shuffles for assignment);
+    *  - the probe join keys on cell id (shuffle bounded by cell sizes),
+    *    and the exact quantized dot ranks candidates through the
+    *    partial/final top-k operator.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val cents = corpus
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy(col("_h")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), quantize(col("embedding")).as("cent_qv"))
+    val assign = corpus.select(col("vec_id").as("c_id"), quantize(col("embedding")).as("c_qv"))
+      .join(broadcast(cents), col("c_id") =!= lit(-1L))
+      .withColumn("d", quantizedDot(col("c_qv"), col("cent_qv")))
+    val cells = graft.plans.TopKPerKey.topKPerKey(assign, Seq("c_id"),
+        Seq(("d", true), ("cent_id", false)), 1)
+      .select(col("c_id"), col("c_qv"), col("cent_id").as("cell"))
+    val probes = graft.plans.TopKPerKey.topKPerKey(
+        queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("q_qv"))
+          .join(broadcast(cents), col("q_id") =!= lit(-1L))
+          .withColumn("d", quantizedDot(col("q_qv"), col("cent_qv"))),
+        Seq("q_id"), Seq(("d", true), ("cent_id", false)), nProbe)
+      .select(col("q_id"), col("q_qv"), col("cent_id").as("cell"))
+    val cand = probes.join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot_q", quantizedDot(col("q_qv"), col("c_qv")))
+    graft.plans.TopKPerKey.topKPerKey(cand, Seq("q_id"),
+        Seq(("dot_q", true), ("c_id", false)), k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
+  }
+
   /** Bucketed ANN: candidates restricted to same-bucket vectors. */
   def lshTopK(vectors: DataFrame, nPlanes: Int, k: Int): DataFrame = {
     val bucketed = vectors.select(col("vec_id"),
@@ -96,7 +136,13 @@ object SimSearch {
     }),
     "ann_lsh_bucketed" -> ((s, dir) =>
       lshTopK(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        nPlanes = 8, k = 5))
+        nPlanes = 8, k = 5)),
+    // IVF cell-probe ANN (rows-only: approximate; recall vs brute force
+    // asserted in ScalaTest)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      ivfTopK(e.filter(col("vec_id") < 10), e, nCells = 16, nProbe = 4, k = 5)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -162,6 +162,16 @@ object CoreOps {
         .agg(graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("approx_parts"))
     }),
 
+    // I1 `partition_uniform`: round-robin repartition balances rows
+    // across tasks — per-partition counts surfaced for inspection
+    // (rows-only: partition layout is engine-internal; near-uniformity
+    // asserted in ScalaTest).
+    "partition_uniform" -> ((s, dir) => {
+      Tables.lineitem(s, dir).repartition(8)
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // L1/top-k: deterministic limit = global sort + limit (TakeOrdered —
     // per-partition top-k then merge on the driver, no full sort at scale).
     "topk_orders" -> ((s, dir) => {

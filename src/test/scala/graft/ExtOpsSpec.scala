@@ -84,6 +84,27 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: high recall vs brute force at nProbe=4/16 cells") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimSearch.bruteForceTopK(q, e, k = 5))
+    val ivf = pairs(SimSearch.ivfTopK(q, e, nCells = 16, nProbe = 4, k = 5))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall over ${exact.size} true neighbors")
+    // every query produced a full result set
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("round-robin repartition yields near-uniform partitions") {
+    val counts = graft.ops.CoreOps.queries("partition_uniform")(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(counts.length == 8)
+    val (mn, mx) = (counts.min, counts.max)
+    assert(mx - mn <= math.max(2L, mx / 10), s"skewed partitions: ${counts.toSeq}")
+  }
+
   test("LSH ANN returns same-bucket candidates with at most k per query") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val res = SimSearch.lshTopK(e, nPlanes = 4, k = 5)
