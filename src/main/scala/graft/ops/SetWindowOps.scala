@@ -17,6 +17,40 @@ import org.apache.spark.sql.expressions.Window
 object SetWindowOps {
 
   val queries: Map[String, Q] = Map(
+    // Exact linear-interpolated percentiles per group (both engines use
+    // the p·(n−1) index definition; quantities are integral doubles, so
+    // the interpolation arithmetic is bit-identical).
+    "percentile_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))),
+
+    // Second moments in exact integer arithmetic (cents²): variance and
+    // stddev derive downstream as (n·Σx² − (Σx)²) / n² without any
+    // order-dependent float summation — the same pattern as the q1
+    // integer-cents revenue and embedding_dim_stats.
+    "moment_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_c"),
+          sum(round(col("l_quantity") * 100).cast("long")
+            * round(col("l_quantity") * 100).cast("long")).as("sum_c2"))),
+
+    // Edit-distance surface: levenshtein over a bounded candidate set
+    // (consecutive doc ids) — both engines implement the same DP.
+    "edit_distance_neighbors" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).as("edit_dist"))
+    }),
+
     // Ordered UNION ALL of two scans (the reference's multi-file concat).
     "union_all" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), lit("l").as("src"))
@@ -92,6 +126,24 @@ object SetWindowOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back
+    "moment_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+        |         * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_c2
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "edit_distance_neighbors" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "union_all" ->
       """SELECT l_orderkey AS k, 'l' AS src FROM lineitem
         |UNION ALL SELECT o_orderkey AS k, 'o' AS src FROM orders""".stripMargin,
