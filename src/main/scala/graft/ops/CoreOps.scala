@@ -162,6 +162,20 @@ object CoreOps {
         .agg(graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("approx_parts"))
     }),
 
+    // Data-quality profile: per-column row/present counts, min/max, and
+    // integer-cents sums in ONE pass via stack (unpivot) + a single
+    // grouped aggregate — the profiling scan every ingestion step runs;
+    // at 100 TB it is one map-side-combining aggregate over one read.
+    "dq_profile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .selectExpr("stack(3, 'l_quantity', l_quantity, " +
+          "'l_extendedprice', l_extendedprice, 'l_discount', l_discount) " +
+          "as (col_name, v)")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"), count(col("v")).as("n_present"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          sum(round(col("v") * 100).cast("long")).as("sum_c"))),
+
     // I1 `partition_uniform`: round-robin repartition balances rows
     // across tasks — per-partition counts surfaced for inspection
     // (rows-only: partition layout is engine-internal; near-uniformity
@@ -183,6 +197,12 @@ object CoreOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back
+    "dq_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n, count($c) AS n_present,
+         |  min($c) AS min_v, max($c) AS max_v,
+         |  CAST(sum(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS sum_c
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -48,6 +48,27 @@ object JoinOps {
     filled.filter(col("_side") === 1).drop("_side")
   }
 
+  /** Pure range join (point-in-interval, NO equi key) via BIN BUCKETING —
+    * the scale-safe formulation of an inequality join: a naive theta
+    * join is a nested-loop product, but binning time into fixed windows
+    * turns it into an EQUI-join on the bin id (each interval explodes
+    * into the bins it covers; each point lives in exactly one bin, so no
+    * dedup is needed), with the precise containment check as a post-join
+    * filter. Shuffle cost is |points| + |intervals|·(span/binWidth), not
+    * |points|·|intervals|.
+    */
+  def rangeBinnedJoin(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      binWidth: Int): DataFrame = {
+    val pts = points.withColumn("_bin", floor(col(ptCol) / binWidth))
+    val ivs = intervals.withColumn("_bin",
+      explode(sequence(floor(col(startCol) / binWidth),
+        floor((col(endCol) - 1) / binWidth))))
+    pts.join(ivs, Seq("_bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("_bin")
+  }
+
   val queries: Map[String, Q] = Map(
     // Broadcast dimension chain: customer ⋈ nation ⋈ region, fact side
     // never shuffles.
@@ -100,6 +121,24 @@ object JoinOps {
         .select(col("a"), col("b"), col("ra").as("regionkey"))
     }),
 
+    // Pure range join, binned: lineitems shipped within a week of an
+    // order's date (dates as day offsets from 1992-01-01 → integer bins
+    // of 7 days). No equi key exists between the tables — the bin IS
+    // the join key; PlanSpec asserts no nested-loop product.
+    "join_range_binned" -> ((s, dir) => {
+      val epoch = lit("1992-01-01").cast("date")
+      val pts = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).as("ship_day"))
+      val ivs = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).as("start_day"),
+          (datediff(col("o_orderdate"), epoch) + 7).as("end_day"))
+      rangeBinnedJoin(pts, "ship_day", ivs, "start_day", "end_day", binWidth = 7)
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          col("ship_day"))
+    }),
+
     // As-of: each purchase joined to the user's most recent click at-or-
     // before it. Compared in epoch MICROS on both sides — DuckDB's parquet
     // reader truncates TIMESTAMP(NANOS) to its micro-precision TIMESTAMP,
@@ -141,6 +180,13 @@ object JoinOps {
       """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, n1.n_regionkey AS regionkey
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey""".stripMargin,
+    "join_range_binned" ->
+      """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+        |  CAST(date_diff('day', DATE '1992-01-01', l.l_shipdate) AS INTEGER) AS ship_day
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey < 100""".stripMargin,
     "asof_join" ->
       """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, p.value,
         |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us
