@@ -122,6 +122,34 @@ object SetWindowOps {
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"))
+    }),
+
+    // RANGE frame (peer rows share the frame end — the tie semantics
+    // that distinguish RANGE from ROWS): running cents revenue per
+    // supplier in shipdate order, all same-date rows seeing the same
+    // running total.
+    "window_range_frame" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        sum(cents).over(w).as("running_c"))
+    }),
+
+    // first/last/nth over an explicit full frame (last_value with the
+    // default frame is a footgun both engines share; the full frame is
+    // the meaningful form).
+    "window_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        first(col("l_quantity")).over(w).as("min_qty"),
+        last(col("l_quantity")).over(w).as("max_qty"),
+        nth_value(col("l_quantity"), 2).over(w).as("second_qty"))
     })
   )
 
@@ -144,6 +172,21 @@ object SetWindowOps {
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "window_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+        |FROM lineitem""".stripMargin,
+    "window_first_last" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  first_value(l_quantity) OVER w AS min_qty,
+        |  last_value(l_quantity) OVER w AS max_qty,
+        |  nth_value(l_quantity, 2) OVER w AS second_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "union_all" ->
       """SELECT l_orderkey AS k, 'l' AS src FROM lineitem
         |UNION ALL SELECT o_orderkey AS k, 'o' AS src FROM orders""".stripMargin,
