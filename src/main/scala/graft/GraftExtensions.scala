@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** The engine's `SparkSessionExtensions` entry point — the formal
+  * registration rung of the extension ladder. Activate with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or imperatively via `GraftExtensions.register(spark)` on a live
+  * session): injects the TopKPerKey planner strategy and registers the
+  * custom codegen expressions + the HLL aggregate as SQL-callable
+  * functions, so `spark.sql("SELECT simhash64(text) ...")` works with
+  * no Scala imports — the full surface a SQL-only user needs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  /** (name, info, builder) for every SQL-registrable custom function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("quantized_dot",
+      info("quantized_dot", "quantized_dot(a, b) - int64 dot product of two array<bigint>"),
+      (args: Seq[Expression]) => graft.functions.QuantizedDot(args(0), args(1))),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
+      (args: Seq[Expression]) => graft.functions.WordShingles(
+        args(0), if (args.length > 1) intArg(args(1), "n") else 3)),
+    ("simhash64",
+      info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => graft.functions.SimHash64(args(0))),
+    ("sign_lsh_buckets",
+      info("sign_lsh_buckets", "sign_lsh_buckets(qvec, rows, bands) - banded hyperplane LSH bucket ids"),
+      (args: Seq[Expression]) => graft.functions.SignLshBuckets(
+        args(0), intArg(args(1), "rows"), intArg(args(2), "bands"))),
+    ("hll_distinct",
+      info("hll_distinct", "hll_distinct(col[, p]) - HyperLogLog distinct-count sketch"),
+      (args: Seq[Expression]) => graft.functions.HllSketchAgg(
+        args(0), if (args.length > 1) intArg(args(1), "p") else 12)))
+
+  /** Imperative registration on a live session (extensions configured at
+    * build time are not applicable retroactively).
+    */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    functions.foreach { case (name, i, builder) =>
+      GraftSqlShim.registerFunction(spark, FunctionIdentifier(name), i, builder)
+    }
+  }
+}

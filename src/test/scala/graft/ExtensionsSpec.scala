@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions entry point: every custom expression and
+  * the HLL aggregate must be callable from PURE SQL after registration —
+  * the surface a SQL-only user of the engine sees.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("word_shingles is SQL-callable and matches the Column API") {
+    val r = spark.sql(
+      "SELECT word_shingles('the quick brown fox jumps', 3) AS sh").collect()(0)
+    assert(r.getSeq[String](0) ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("quantized_dot and sign_lsh_buckets are SQL-callable") {
+    val r = spark.sql(
+      """SELECT quantized_dot(array(1000L, -2000L), array(3000L, 500L)) AS d,
+        |       size(sign_lsh_buckets(array(1000L, -2000L), 4, 8)) AS nb""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 1000L * 3000 + -2000L * 500)
+    assert(r.getInt(1) == 8)
+  }
+
+  test("simhash64 in SQL equals the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("alpha beta gamma delta").toDF("t")
+    val viaCol = df.select(graft.ext.Dedup.simhash(col("t"))).collect()(0).getLong(0)
+    val viaSql = spark.sql("SELECT simhash64('alpha beta gamma delta')").collect()(0).getLong(0)
+    assert(viaCol == viaSql)
+  }
+
+  test("hll_distinct aggregates in SQL with grouping") {
+    import spark.implicits._
+    (0 until 1000).map(i => (i % 2, i.toLong)).toDF("g", "k")
+      .createOrReplaceTempView("hll_in")
+    val rows = spark.sql(
+      "SELECT g, hll_distinct(k, 12) AS n FROM hll_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    rows.foreach { case (_, n) =>
+      assert(math.abs(n - 500.0) / 500.0 < 0.05, s"estimate $n vs 500")
+    }
+  }
+
+  test("the extensions class wires the same registrations") {
+    // builder-time path: apply to a fresh SparkSessionExtensions and
+    // confirm every function injects without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // throws on malformed registration
+  }
+}
