@@ -162,6 +162,26 @@ object CoreOps {
         .agg(graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("approx_parts"))
     }),
 
+    // CDC upsert: base ∪ changes → latest version per key, as ONE
+    // map-side-combining aggregate (`max(struct(version, payload))` —
+    // lexicographic struct max picks the newest row), not a per-key
+    // window: partial aggregation collapses duplicates before the
+    // shuffle, so the exchange carries ~|keys| rows however many
+    // change batches pile up.
+    "upsert_latest" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), lit(0).as("version"), cents.as("price_c"))
+      val changes = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), lit(1).as("version"), (cents + 100L).as("price_c"))
+      base.unionByName(changes)
+        .groupBy(col("o_orderkey"))
+        .agg(max(struct(col("version"), col("price_c"))).as("latest"))
+        .select(col("o_orderkey"),
+          col("latest.version").as("version"), col("latest.price_c").as("price_c"))
+    }),
+
     // Data-quality profile: per-column row/present counts, min/max, and
     // integer-cents sums in ONE pass via stack (unpivot) + a single
     // grouped aggregate — the profiling scan every ingestion step runs;
@@ -197,6 +217,17 @@ object CoreOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "upsert_latest" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, 0 AS version,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1 AS version,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS price_c
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, version, price_c FROM all_rows
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB — cast back
     "dq_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n, count($c) AS n_present,
