@@ -19,7 +19,11 @@ object SetWindowOps {
   val queries: Map[String, Q] = Map(
     // Exact linear-interpolated percentiles per group (both engines use
     // the p·(n−1) index definition; quantities are integral doubles, so
-    // the interpolation arithmetic is bit-identical).
+    // the interpolation arithmetic is bit-identical). Scale note: exact
+    // percentile buffers per-group VALUE COUNTS — bounded here by the
+    // ~50 distinct quantities, but for high-cardinality columns at
+    // 100 TB use approx_percentile (t-digest) instead; exactness and
+    // bounded state cannot coexist for arbitrary quantile inputs.
     "percentile_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
