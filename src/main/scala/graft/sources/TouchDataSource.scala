@@ -206,7 +206,10 @@ private[sources] class TouchReaderFactory(index: TouchIndex,
       private var chunkRecs = 0
       private var chunkIdx = 0
       private var emitted = 0L
+      private var current: InternalRow = _
 
+      // PartitionReader contract: next() ADVANCES to the next record,
+      // get() returns the current one and must be repeatable
       override def next(): Boolean = {
         if (emitted >= split.numRecords) return false
         if (chunk == null || chunkIdx >= chunkRecs) {
@@ -218,10 +221,6 @@ private[sources] class TouchReaderFactory(index: TouchIndex,
           buf.flip()
           chunk = buf.order(order); chunkRecs = n; chunkIdx = 0
         }
-        true
-      }
-
-      override def get(): InternalRow = {
         val base = chunkIdx * recSize
         // fresh row per record: downstream operators may buffer rows
         val row = new GenericInternalRow(fields.length)
@@ -231,8 +230,11 @@ private[sources] class TouchReaderFactory(index: TouchIndex,
           i += 1
         }
         chunkIdx += 1; emitted += 1
-        row
+        current = row
+        true
       }
+
+      override def get(): InternalRow = current
 
       override def close(): Unit = ch.close()
     }
