@@ -58,8 +58,11 @@ object SchemaSidecar {
         lit(0.0d).as("l_quantity"),
         lit(0.0d).cast("double").as("sidecar_extra"))
       .write.parquet(empty.toString)
-    val part = java.nio.file.Files.list(empty).filter(p =>
-      p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    val listing = java.nio.file.Files.list(empty)
+    val part =
+      try listing.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
     java.nio.file.Files.move(part, tmp.resolve("_metadata"))
     java.nio.file.Files.walk(empty)
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

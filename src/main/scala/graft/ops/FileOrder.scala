@@ -49,9 +49,12 @@ object FileOrder {
       orders.filter(pmod(col("o_orderkey"), lit(3)) === m)
         .coalesce(1).sortWithinPartitions(col("o_orderkey"))
         .write.mode("overwrite").parquet(sub.toString)
-      val part = Files.list(sub).filter(p =>
-        p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val listing = Files.list(sub)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
       Files.move(part, tmp.resolve(f"f$i%02d.parquet"))
       Files.walk(sub).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.delete(p))
