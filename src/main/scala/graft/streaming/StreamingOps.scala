@@ -137,6 +137,37 @@ object StreamingOps {
       s.table(name)
     }),
 
+    // Stream-stream INNER join with a time-interval condition: each
+    // purchase joins the same user's clicks from the preceding hour.
+    // Watermarks on both sides + the interval bound let the engine
+    // evict join state (clicks older than the watermark minus the
+    // interval can never match again) — unbounded streams, bounded
+    // state. Inner-join emission is complete over the fixture, so the
+    // batch join oracle is exact.
+    "streaming_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src(tpe: String, alias: String) = s.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${alias}_user"),
+          col("event_id").as(s"${alias}_event"),
+          timestamp_micros(expr("ts div 1000")).as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+      val name = s"sjoin_${System.nanoTime()}"
+      val q = src("purchase", "p").join(src("click", "c"),
+          col("p_user") === col("c_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("p_user").as("user_id"), col("p_event").as("purchase_id"),
+          col("c_event").as("click_id"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }),
+
     // Streaming exact dedup: dropDuplicatesWithinWatermark keys the
     // state by (user_id, minute) and prunes it by the watermark — the
     // streaming analogue of the batch hash-dedup, in bounded memory.
@@ -169,6 +200,13 @@ object StreamingOps {
         |GROUP BY 1, 2""".stripMargin,
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "streaming_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin
   )
 }
