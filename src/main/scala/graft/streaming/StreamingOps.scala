@@ -146,6 +146,11 @@ object StreamingOps {
     // batch join oracle is exact.
     "streaming_join" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stream-stream join state is per-shuffle-partition per side —
+      // size the state width to the (small) keyed stream, not the
+      // session default meant for batch scans
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       def src(tpe: String, alias: String) = s.readStream
         .schema(eventsSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -164,7 +169,10 @@ object StreamingOps {
           col("c_event").as("click_id"))
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(name)
     }),
 
