@@ -76,7 +76,53 @@ object Intervals {
       .toDF(keyCol, startCol, endCol)
   }
 
+  /** Typed `Aggregator[IN, BUF, OUT]` — the Dataset-native aggregate
+    * rung of the extension ladder: per-group UNION LENGTH of half-open
+    * intervals. The buffer is the sorted DISJOINT merged interval list,
+    * so `reduce` and `merge` both fold overlaps eagerly — buffer size is
+    * bounded by the number of disjoint covered regions (the measure-
+    * theoretic minimum), never the input count, and partial aggregation
+    * runs map-side like any built-in agg. Coverage is a set measure:
+    * order-free, so any partitioning yields identical results.
+    */
+  object CoverageAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Long), List[(Long, Long)], Long] {
+    override def zero: List[(Long, Long)] = Nil
+    private def insert(buf: List[(Long, Long)], iv: (Long, Long)): List[(Long, Long)] = {
+      val (before, rest) = buf.span(_._2 < iv._1)    // strictly left of iv
+      val (overlap, after) = rest.span(_._1 <= iv._2) // touching/overlapping
+      val merged =
+        if (overlap.isEmpty) iv
+        else (math.min(iv._1, overlap.head._1), math.max(iv._2, overlap.last._2))
+      before ::: merged :: after
+    }
+    override def reduce(buf: List[(Long, Long)], row: (Long, Long, Long)): List[(Long, Long)] =
+      insert(buf, (row._2, row._3))
+    override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: List[(Long, Long)]): Long =
+      buf.iterator.map { case (s, e) => e - s }.sum
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Long, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Long, Long)]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   val queries: Map[String, Q] = Map(
+    // Coverage via the typed Aggregator: per supplier, how many days are
+    // covered by the union of 7-day windows following each shipment.
+    "interval_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val epoch = lit("1992-01-01").cast("date")
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("s"),
+          (datediff(col("l_shipdate"), epoch) + 7).cast("long").as("e"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .agg(CoverageAgg.toColumn.name("covered_days"))
+        .toDF("l_suppkey", "covered_days")
+    }),
     // Synthetic sparse intervals over lineitem: start = 5×orderkey leaves
     // gaps; end = start + quantity (1..50) produces a genuine mix of
     // overlapping, adjacent, and disjoint intervals per supplier.
@@ -90,6 +136,28 @@ object Intervals {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', DATE '1992-01-01', l_shipdate) AS s,
+        |    date_diff('day', DATE '1992-01-01', l_shipdate) + 7 AS e
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |i AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g),
+        |isl AS (
+        |  SELECT l_suppkey, island, max(e) - min(s) AS len
+        |  FROM i GROUP BY l_suppkey, island)
+        |SELECT l_suppkey, CAST(sum(len) AS BIGINT) AS covered_days
+        |FROM isl GROUP BY l_suppkey""".stripMargin,
     "merge_intervals" ->
       """WITH iv AS (
         |  SELECT l_suppkey AS k, l_orderkey * 5 AS range_start,

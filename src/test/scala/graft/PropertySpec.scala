@@ -141,4 +141,33 @@ class PropertySpec extends AnyFunSuite {
         s"(${r.getInt(0)}, ${r.getInt(1)})")
     }
   }
+
+  test("CoverageAgg equals merged-interval length for any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(500) {
+      val k = rnd.nextInt(5).toLong
+      val s = rnd.nextInt(200).toLong
+      (k, s, s + 1 + rnd.nextInt(30))
+    }
+    def refCoverage(ivs: Seq[(Long, Long)]): Long = {
+      val sorted = ivs.sortBy(identity)
+      var total = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+      sorted.foreach { case (s, e) =>
+        if (s > curE) { if (curE > curS) total += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE > curS) total += curE - curS
+      total
+    }
+    val expect = rows.groupBy(_._1).view.mapValues(g => refCoverage(g.map(t => (t._2, t._3)))).toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val got = rows.toDF("k", "s", "e").repartition(parts)
+        .as[(Long, Long, Long)].groupByKey(_._1)
+        .agg(graft.ops.Intervals.CoverageAgg.toColumn.name("len"))
+        .collect().toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
 }
