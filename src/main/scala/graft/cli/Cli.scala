@@ -70,10 +70,10 @@ object Parquet2Sonata {
       val edges = graft.io.SchemaSidecar.readParquetDir(spark, in)
       val tiebreak = edges.columns.filterNot(c =>
         c == sourceCol || c == targetCol).toSeq // total order over all columns
-      val result = graft.pipelines.EdgesToSonata.convert(
+      val (result, release) = graft.pipelines.EdgesToSonata.convertStamped(
         spark, edges, sourceCol, targetCol, out, tiebreak, enums)
       println(s"parquet2sonata: wrote ${result.count()} edges + indices to $out")
-      result.unpersist()
+      release()
     } finally spark.stop()
   }
 }

@@ -199,7 +199,9 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         quantizedDot(col("a.qv"), col("b.qv")).as("dot_q"))
-      .filter(col("dot_q") >= (threshold * 1e6).toLong) // cos ≈ dot_q / 1e6 on unit vectors
+      // round, don't truncate: 0.7 * 1e6 = 699999.9999… in double, and
+      // .toLong would admit the sub-threshold boundary pair
+      .filter(col("dot_q") >= math.round(threshold * 1e6)) // cos ≈ dot_q / 1e6 on unit vectors
       .dropDuplicates("vec_a", "vec_b")
   }
 

@@ -47,7 +47,7 @@ object SchemaSidecar {
     * schema in its footer.
     */
   private def sidecarFixture(spark: SparkSession, dir: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("sidecar")
+    val tmp = java.nio.file.Paths.get(TempDirs.create("sidecar"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .write.mode("overwrite").parquet(tmp.toString)

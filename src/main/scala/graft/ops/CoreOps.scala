@@ -120,7 +120,7 @@ object CoreOps {
     // src/touches/parquet_writer.cpp:105-163) — identity on values, so
     // fully oracle-checkable.
     "sink_parquet" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("sink_parquet").toString
+      val out = graft.io.TempDirs.create("sink_parquet")
       graft.io.ParquetMeta.writeWithMeta(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),

@@ -42,7 +42,7 @@ object FileOrder {
     * layout (tests/test_integration.py:49-61).
     */
   private def splitFixture(spark: SparkSession, dir: String): String = {
-    val tmp = Files.createTempDirectory("fileunion")
+    val tmp = java.nio.file.Paths.get(graft.io.TempDirs.create("fileunion"))
     val orders = Tables.orders(spark, dir).select(col("o_orderkey"))
     Seq(2, 0, 1).zipWithIndex.foreach { case (m, i) =>
       val sub = tmp.resolve(s"sub_$i")

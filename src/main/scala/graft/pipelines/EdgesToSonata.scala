@@ -28,10 +28,13 @@ object EdgesToSonata {
 
   private val SkipColumns = Seq("synapse_id", "__index_level_0__")
 
-  /** Run the full pipeline; returns the ordered edge frame (STILL
-    * PERSISTED — the caller's next action reads the cache instead of
-    * re-deriving the sort; release with `unpersist()` or the session's
-    * `clearCache`, which the Verify/Bench harnesses do per query).
+  /** Run the full pipeline; returns the ordered (enum-coded) edge frame
+    * backed by a STILL-PERSISTED cache — the caller's next action reads
+    * the cache instead of re-deriving the sort. With `enumCols` the
+    * returned frame is a broadcast join OVER the cached frame, so its
+    * own `unpersist()` would be a no-op: release through
+    * `convertStamped`'s cleanup thunk (or the session's `clearCache`,
+    * which the Verify/Bench harnesses call per query).
     *
     * Orchestration, not dataflow, dominated the first cut of this
     * pipeline (6+ serial actions × per-job overhead), so the structure
@@ -53,7 +56,18 @@ object EdgesToSonata {
   def convert(spark: SparkSession, edges: DataFrame,
               sourceCol: String, targetCol: String, outDir: String,
               tiebreak: Seq[String] = Seq.empty,
-              enumCols: Seq[String] = Seq.empty): DataFrame = {
+              enumCols: Seq[String] = Seq.empty): DataFrame =
+    convertStamped(spark, edges, sourceCol, targetCol, outDir, tiebreak, enumCols)._1
+
+  /** `convert` plus the cleanup thunk that releases the pipeline's edge
+    * cache — the handle callers outside a clearCache-per-query harness
+    * must invoke once their actions on the returned frame complete
+    * (same pattern as `CsrIndex.buildStamped`).
+    */
+  def convertStamped(spark: SparkSession, edges: DataFrame,
+              sourceCol: String, targetCol: String, outDir: String,
+              tiebreak: Seq[String] = Seq.empty,
+              enumCols: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     require(!enumCols.contains(sourceCol) && !enumCols.contains(targetCol),
@@ -129,7 +143,7 @@ object EdgesToSonata {
         Duration.Inf)
     } catch { case e: Throwable => ordered.unpersist(); throw e }
     finally { doneR(); numbered.unpersist() }
-    encoded
+    (encoded, () => { ordered.unpersist(); () })
   }
 
   val queries: Map[String, Q] = Map(
@@ -138,7 +152,7 @@ object EdgesToSonata {
     // dictionary-coded enum column (codes = sorted-value ranks, which the
     // oracle reproduces as a dense rank over the string values).
     "edges_to_sonata" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("sonata").toString
+      val out = graft.io.TempDirs.create("sonata")
       val edges = Tables.lineitem(s, dir).select(
         col("l_orderkey").as("source_node_id"),
         col("l_suppkey").as("target_node_id"),

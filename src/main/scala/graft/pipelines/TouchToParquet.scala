@@ -26,7 +26,7 @@ object TouchToParquet {
     else {
       // classpath entry is a jar: extract data+index to a temp dir (the
       // index file must sit next to the data file for name derivation)
-      val dir = java.nio.file.Files.createTempDirectory(s"touches_v$version")
+      val dir = java.nio.file.Paths.get(graft.io.TempDirs.create(s"touches_v$version"))
       Seq("touchesData.0", "touches.0").foreach { f =>
         val in = getClass.getResourceAsStream(s"/touches_v$version/$f")
         try java.nio.file.Files.copy(in, dir.resolve(f))
@@ -72,7 +72,7 @@ object TouchToParquet {
         .toDF("gid", "first_row")
     }),
     "touch2parquet_pipeline" -> ((s, _) => {
-      val out = java.nio.file.Files.createTempDirectory("touch2parquet").toString
+      val out = graft.io.TempDirs.create("touch2parquet")
       convert(s, fixturePath(3), out)
     })
   )

@@ -148,31 +148,32 @@ object StreamingOps {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // stream-stream join state is per-shuffle-partition per side —
       // size the state width to the (small) keyed stream, not the
-      // session default meant for batch scans
+      // session default meant for batch scans. The override is scoped:
+      // EVERYTHING from plan construction to stop() sits inside the
+      // try, and the restore runs even if start()/stop() throws.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      def src(tpe: String, alias: String) = s.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .filter(col("event_type") === tpe)
-        .select(col("user_id").as(s"${alias}_user"),
-          col("event_id").as(s"${alias}_event"),
-          timestamp_micros(expr("ts div 1000")).as(s"${alias}_ts"))
-        .withWatermark(s"${alias}_ts", "1 hour")
       val name = s"sjoin_${System.nanoTime()}"
-      val q = src("purchase", "p").join(src("click", "c"),
-          col("p_user") === col("c_user") &&
-            col("p_ts") >= col("c_ts") &&
-            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("p_user").as("user_id"), col("p_event").as("purchase_id"),
-          col("c_event").as("click_id"))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
+      try {
+        def src(tpe: String, alias: String) = s.readStream
+          .schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${alias}_user"),
+            col("event_id").as(s"${alias}_event"),
+            timestamp_micros(expr("ts div 1000")).as(s"${alias}_ts"))
+          .withWatermark(s"${alias}_ts", "1 hour")
+        val q = src("purchase", "p").join(src("click", "c"),
+            col("p_user") === col("c_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("p_user").as("user_id"), col("p_event").as("purchase_id"),
+            col("c_event").as("click_id"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
     }),
 
