@@ -173,8 +173,73 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Exact cosine-threshold pairs via a blocked grid self-join — the
+    * LOW-threshold regime of [[embeddingCosinePairs]].
+    *
+    * Vectors are hashed into `blocks` groups; each vector is replicated
+    * to the `blocks` grid cells `(min(g,k), max(g,k))` its group
+    * participates in, and the self-join is an EQUI-join on the cell id.
+    * A pair whose groups are (g_u, g_v) is evaluated only in cell
+    * `(min(g_u,g_v), max(g_u,g_v))` — the ownership predicate in the
+    * join condition — so every unordered pair costs exactly ONE
+    * codegen'd dot product and no dedup shuffle exists. Work per cell
+    * is `(2n/blocks)²/2` dots: evenly spread by construction (groups
+    * are hash-assigned), no driver participation, no
+    * BroadcastNestedLoop/Cartesian node.
+    *
+    * This is Θ(n²/2) dots — deliberately. At cos-threshold 0.4 over
+    * 64-dim unit vectors the qualifying set is the TAIL OF THE
+    * BACKGROUND DISTRIBUTION (measured on the test corpus: every
+    * qualifying pair lies in cos [0.40, 0.61], none above), and sign-LSH
+    * at that contrast (p_band = 0.25 vs 0.125 for a random pair, ρ ≈
+    * 0.67) generates ~all pairs as candidates at ANY (rows, bands) with
+    * near-1 recall — strictly more work than evaluating the pairs once
+    * each. Brute force, blocked and evenly sharded, IS the optimal
+    * exact plan in this regime; the LSH path wins only at high
+    * thresholds, which is what [[embeddingCosinePairs]] routes on.
+    */
+  def embeddingCosineBlockedPairs(vectors: DataFrame, threshold: Double,
+                                  blocks: Int = 16): DataFrame = {
+    import graft.functions.QuantizedDot.quantizedDot
+    val base = vectors
+      .select(col("vec_id"), graft.functions.QuantizedDot.quantize(col("embedding")).as("qv"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("g"))
+    // triangle replication: a group-g vector enters cell (i,j), i<=j, as
+    // the LEFT operand when i = g (cells (g, j>=g)) and as the RIGHT
+    // operand when j = g (cells (i<=g, g)). A cross-group pair then
+    // meets in exactly one cell with forced roles — no ownership filter
+    // and no dedup; only diagonal cells (g,g) see both orderings, and
+    // the vec_id tie-break keeps one.
+    val lhs = base.select(col("vec_id"), col("qv"), col("g").as("ci"),
+      explode(sequence(col("g"), lit(blocks - 1))).as("cj"))
+    val rhs = base.select(col("vec_id"), col("qv"),
+      explode(sequence(lit(0), col("g"))).as("ci"), col("g").as("cj"))
+    lhs.as("a").join(rhs.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cj") === col("b.cj") &&
+          (col("a.ci") =!= col("a.cj") || col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        quantizedDot(col("a.qv"), col("b.qv")).as("dot_q"))
+      .filter(col("dot_q") >= math.round(threshold * 1e6))
+  }
+
+  /** Cosine-threshold near-dup pairs, routed by regime: banded sign-LSH
+    * candidate generation when the threshold is high enough for LSH
+    * selectivity to pay for itself, the blocked exact grid join below
+    * the crossover. Sign-LSH's per-band collision probability is
+    * `(1 − θ/π)^rows` — at cos 0.7 a 6-plane band separates true pairs
+    * (p≈0.17) from random ones (p≈0.016) by 10×; at cos 0.4 the ratio
+    * is 2× and candidates degenerate to all pairs. Both paths emit
+    * identical rows (ScalaTest asserts parity with brute force).
+    */
+  def embeddingCosinePairs(vectors: DataFrame, threshold: Double,
+                           lshCrossover: Double = 0.7): DataFrame =
+    if (threshold >= lshCrossover) embeddingCosineLshPairs(vectors, threshold)
+    else embeddingCosineBlockedPairs(vectors, threshold)
+
   /** Semantic near-dup pairs: banded sign-LSH candidate generation +
-    * exact quantized-dot verification. The output is EXACTLY the pairs
+    * exact quantized-dot verification — the HIGH-threshold regime of
+    * [[embeddingCosinePairs]]. The output is EXACTLY the pairs
     * with `dot_q >= threshold` whose bucket sets intersect; with enough
     * bands the miss probability `(1-(1-θ/π)^rows)^bands` is driven
     * below any target, and the ScalaTest recall check asserts parity
@@ -183,26 +248,40 @@ object Dedup {
     * Plan shape (the point, vs the previous all-pairs formulation): the
     * candidate join is an EQUI-join on bucket id — a shuffle keyed by
     * bucket, cost bounded by bucket collisions, never an n² nested-loop
-    * product. The codegen'd dot + threshold filter run BEFORE the pair
-    * dedup, so only qualifying (id, id, dot) triples — not the wide
-    * vector payloads — reach the dropDuplicates shuffle.
+    * product — and it is fully NARROW: only (vec_id, bucket) rows enter
+    * the explode and the bucket shuffle, never the vector payload
+    * (carrying qv through the 24-way explode multiplied the cached/
+    * shuffled bytes by `bands` and dominated the runtime). Candidate id
+    * pairs are deduplicated as 16-byte keys, then the two quantized
+    * vectors are fetched by two vec_id equi-joins against the narrow
+    * persisted base — so a pair sharing b bands costs ONE dot product
+    * and the wide payload crosses a shuffle exactly twice, independent
+    * of `bands`.
     */
   def embeddingCosineLshPairs(vectors: DataFrame, threshold: Double,
                               rows: Int = 3, bands: Int = 24): DataFrame = {
     import graft.functions.QuantizedDot.quantizedDot
     import graft.functions.SignLshBuckets.signLshBuckets
-    val q = vectors
+    val base = vectors
       .select(col("vec_id"), graft.functions.QuantizedDot.quantize(col("embedding")).as("qv"))
-      .withColumn("bucket", explode(signLshBuckets(col("qv"), rows, bands)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    q.as("a").join(q.as("b"),
+    // (vec_id, bucket) only — recomputing the bucket ids from cache for
+    // each join side is n·bands·rows·dim primitive mults, far cheaper
+    // than materializing 24 copies of every vector
+    val ex = base.select(col("vec_id"),
+      explode(signLshBuckets(col("qv"), rows, bands)).as("bucket"))
+    val cand = ex.as("a").join(ex.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        quantizedDot(col("a.qv"), col("b.qv")).as("dot_q"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("qv").as("qv_a")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("qv").as("qv_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        quantizedDot(col("qv_a"), col("qv_b")).as("dot_q"))
       // round, don't truncate: 0.7 * 1e6 = 699999.9999… in double, and
       // .toLong would admit the sub-threshold boundary pair
       .filter(col("dot_q") >= math.round(threshold * 1e6)) // cos ≈ dot_q / 1e6 on unit vectors
-      .dropDuplicates("vec_a", "vec_b")
   }
 
   val queries: Map[String, Q] = Map(
@@ -226,12 +305,13 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
 
-    // Semantic near-dup: sign-LSH bucketed candidates + exact quantized-
-    // integer cosine verification (dot in exact int64 arithmetic,
-    // identical in the oracle — which stays the brute-force all-pairs
-    // SQL, so the hash compare proves the bucketed plan loses nothing).
+    // Semantic near-dup at the reference threshold (cos 0.4): the regime
+    // router picks the blocked exact grid join — every pair costs one
+    // exact int64 quantized dot, met in exactly one grid cell. The
+    // oracle stays the brute-force all-pairs SQL, so the hash compare
+    // proves the blocked plan loses nothing.
     "dedup_embedding_cosine" -> ((s, dir) =>
-      embeddingCosineLshPairs(Tables.embeddings(s, dir), 0.4))
+      embeddingCosinePairs(Tables.embeddings(s, dir), 0.4))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -70,6 +70,15 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain qualifying pairs")
     assert(lsh == exact, s"bucketed pairs must equal brute force: " +
       s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+    // the low-threshold regime: blocked grid join must ALSO equal brute
+    // force — each pair met in exactly one grid cell, one dot per pair
+    val blocked = Dedup.embeddingCosineBlockedPairs(e, 0.4, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == exact, s"blocked pairs must equal brute force: " +
+      s"missed=${(exact -- blocked).size} extra=${(blocked -- exact).size}")
+    // the router picks blocked below the crossover, LSH above it
+    assert(Dedup.embeddingCosinePairs(e, 0.4).queryExecution.analyzed
+      .toString.contains("least"), "threshold 0.4 must route to the blocked grid join")
   }
 
   test("brute-force top-k: ranks by descending quantized dot, k per query") {
