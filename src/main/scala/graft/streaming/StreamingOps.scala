@@ -59,15 +59,34 @@ object StreamingOps {
   }
 
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
-  final case class SessionState(start_us: Long, last_us: Long, n: Long)
-  final case class Session(user_id: Long, session_start_us: Long,
-                           session_end_us: Long, n_events: Long)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long,
+                                cents: Long, seq: Long)
+  final case class Session(user_id: Long, session_id: Long,
+                           session_start_us: Long, session_end_us: Long,
+                           n_events: Long, value_cents: Long)
+
+  /** `round(value * 100)` exactly as the batch path computes it —
+    * Spark's Round on DoubleType goes through `BigDecimal.valueOf`
+    * with HALF_UP, which differs from `math.round` on negative
+    * half-cents.
+    */
+  private def cents(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   /** Stateful streaming sessionization: custom per-user state via
     * `flatMapGroupsWithState` (the engine's §2.12 stateful extension
     * point). A session closes when the user's event-time gap exceeds
     * `gapUs` OR the state times out on the event-time clock (watermark) —
     * so state is bounded even for users that go silent.
+    *
+    * Emits the batch `sessionize` schema: the state carries the session
+    * ordinal (`seq`) and the exact integer-cents sum alongside the
+    * bounds, so a run whose final watermark passes every timeout (see
+    * [[sessionizeToCompletion]]) reproduces the batch result
+    * bit-for-bit. `(user_id, ts_us)` is unique in the events table, so
+    * the per-batch sort on `ts_us` is total and ordinals are
+    * deterministic.
     */
   def sessionizeStream(events: Dataset[Ev], gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -83,20 +102,20 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(user, s.start_us, s.last_us, s.n))
+            Iterator.single(Session(user, s.seq, s.start_us, s.last_us, s.n, s.cents))
           } else {
-            val sorted = evs.map(_._2).toArray.sorted
+            val sorted = evs.map(t => (t._2, t._3)).toArray.sortBy(_._1)
             var closed = List.empty[Session]
             var cur = state.getOption
-            sorted.foreach { ts =>
+            sorted.foreach { case (ts, v) =>
               cur match {
                 case Some(s) if ts - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = ts, n = s.n + 1))
+                  cur = Some(s.copy(last_us = ts, n = s.n + 1, cents = s.cents + cents(v)))
                 case Some(s) =>
-                  closed ::= Session(user, s.start_us, s.last_us, s.n)
-                  cur = Some(SessionState(ts, ts, 1))
+                  closed ::= Session(user, s.seq, s.start_us, s.last_us, s.n, s.cents)
+                  cur = Some(SessionState(ts, ts, 1, cents(v), s.seq + 1))
                 case None =>
-                  cur = Some(SessionState(ts, ts, 1))
+                  cur = Some(SessionState(ts, ts, 1, cents(v), 1))
               }
             }
             cur.foreach { s =>
@@ -113,29 +132,56 @@ object StreamingOps {
       }
   }
 
+  /** Sentinel timestamp far past any event (year 3000) used to flush
+    * open sessions at end-of-input.
+    */
+  val FlushTsUs: Long = 32503680000000000L
+
+  /** Run the sessionization stream over the static events parquet TO
+    * COMPLETION: the parquet streams in via the file source, then two
+    * far-future sentinel rows (user −1) injected through a unioned
+    * MemoryStream push the watermark past every real session's timeout,
+    * so `flatMapGroupsWithState` emits the open tails through its
+    * timeout path. The emitted set (sentinel user filtered out) then
+    * EQUALS the batch `sessionize` result — which is exactly what the
+    * shared DuckDB oracle checks. Two sentinels because a watermark
+    * advanced at the end of batch N fires timeouts during batch N+1:
+    * the first raises the watermark, the second triggers the batch that
+    * drains the timed-out state.
+    */
+  def sessionizeToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sentinels =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val fileSrc = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .as[Ev]
+    val name = s"sessions_${System.nanoTime()}"
+    val q = sessionizeStream(fileSrc.union(sentinels.toDS()),
+        graft.ext.Sessionize.SessionGapUs)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      sentinels.addData(Ev(-1L, FlushTsUs, 0.0))
+      q.processAllAvailable()
+      sentinels.addData(Ev(-1L, FlushTsUs + 2 * graft.ext.Sessionize.SessionGapUs, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
 
-    // Stateful sessionization (rows-only: append mode emits only closed
-    // sessions — the open tail per user stays in state, so the result is
-    // a strict subset of the batch sessions; subset equality is asserted
-    // in StreamingSpec).
-    "streaming_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = s.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
-        .as[Ev]
-      val name = s"sessions_${System.nanoTime()}"
-      val q = sessionizeStream(src, graft.ext.Sessionize.SessionGapUs)
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(name)
-    }),
+    // Stateful sessionization, run to completion with a sentinel-driven
+    // final watermark flush — emits closed sessions AND open tails, so
+    // the result equals batch `sessionize` and shares its exact oracle.
+    "streaming_sessionize" -> ((s, dir) => sessionizeToCompletion(s, dir)),
 
     // Stream-stream INNER join with a time-interval condition: each
     // purchase joins the same user's clicks from the preceding hour.
@@ -210,6 +256,25 @@ object StreamingOps {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute
         |FROM events""".stripMargin,
+    // identical to the batch `sessionize` oracle — the flushed stream
+    // must reproduce it bit-for-bit
+    "streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |           OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "streaming_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c

@@ -22,27 +22,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("stateful streaming sessions are a subset of batch sessions (open tails unemitted)") {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(StreamingOps.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
-      .as[StreamingOps.Ev]
-    val name = s"sessions_${System.nanoTime()}"
-    val q = StreamingOps.sessionizeStream(src, Sessionize.SessionGapUs)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val streamed = spark.table(name)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+  test("flushed streaming sessions EQUAL batch sessions, ordinals and cents included") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val cols = Seq("user_id", "session_id", "session_start_us",
+      "session_end_us", "n_events", "value_cents").map(col)
+    val streamed = StreamingOps.sessionizeToCompletion(spark, sf)
+      .select(cols: _*).collect().map(key).toSet
     val batch = Sessionize.sessions(Tables.events(spark, sf))
-      .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(streamed.nonEmpty, "no sessions closed by the stream")
-    val missing = streamed -- batch
-    assert(missing.isEmpty, s"streamed sessions not in batch: ${missing.take(3)}")
+      .select(cols: _*).collect().map(key).toSet
+    assert(streamed.nonEmpty, "no sessions emitted by the stream")
+    assert(streamed == batch, s"stream-with-flush must equal batch sessionize: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 }
