@@ -14,8 +14,15 @@ private[cli] object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-    sys.env.get("SPARK_GRAFT_MASTER").orElse(Some("local[*]"))
-      .foldLeft(b)((b, m) => b.master(m)).getOrCreate()
+    // spark-submit's --master (surfaced as the spark.master system
+    // property) must win: only force a master when explicitly requested
+    // via the env, falling back to local[*] ONLY when nothing else
+    // configured one (bare `runMain` during development).
+    (sys.env.get("SPARK_GRAFT_MASTER") match {
+      case Some(m) => b.master(m)
+      case None if sys.props.contains("spark.master") => b
+      case None => b.master("local[*]")
+    }).getOrCreate()
   }
 }
 
@@ -26,25 +33,57 @@ private[cli] object Cli {
   * inputs must share a schema version; they union into one sink.
   */
 object Touch2Parquet {
+
+  /** Union several touch files into one parquet sink, with the checks
+    * the single-input path gets implicitly: the reference's
+    * schema-agreement rule (parquet2hdf5.cpp:67-73 — mixed record
+    * versions cannot share a sink) and gid-range disjointness (synapse
+    * ids are `(gid << 24) + ordinal`, so overlapping gid ranges across
+    * inputs would collide; the reference's per-rank file split
+    * guarantees disjointness, here it is asserted). Stamps the same
+    * footer provenance as the single-input path — version STRING
+    * agreement is not required (git-hash builds of one record version
+    * differ), so the first input's string is stamped.
+    */
+  def convertMany(spark: SparkSession, inputs: Seq[String], outDir: String): Unit = {
+    import graft.io.TouchBinary
+    val indexes = inputs.map(p =>
+      p -> TouchBinary.readIndex(TouchBinary.indexFileFor(p)))
+    val versions = indexes.map(_._2.version).distinct
+    require(versions.size == 1,
+      s"inputs disagree on schema version: " +
+        indexes.map { case (p, i) => s"$p=v${i.version.ordinal}" }.mkString(", "))
+    val ranges = indexes.map { case (p, i) =>
+      (p, i.firstGid, i.firstGid + math.max(0, i.shifts.length - 1)) }
+    ranges.sortBy(_._2).sliding(2).foreach {
+      case Seq((pa, _, aHi), (pb, bLo, _)) =>
+        require(aHi < bLo,
+          s"gid ranges overlap between $pa (..$aHi) and $pb ($bLo..) — " +
+            "synapse ids would collide in the union")
+      case _ => ()
+    }
+    val frames: Seq[DataFrame] =
+      inputs.map(p => spark.read.format("touchbin").load(p))
+    graft.io.ParquetMeta.writeWithMeta(
+      frames.reduce(_ unionByName _), outDir,
+      kv = Map(
+        "touchdetector_version" -> indexes.head._2.versionString,
+        "touch2parquet_version" -> graft.BuildInfo.version),
+      options = Map(
+        "compression" -> "snappy",
+        "parquet.enable.dictionary" -> "false",
+        "parquet.block.size" -> (20 * 1024 * 1024).toString))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Touch2Parquet <touchesData.N>... <outDir>")
     val inputs = args.dropRight(1)
     val outDir = args.last
     val spark = Cli.session("touch2parquet")
     try {
-      if (inputs.length == 1) {
+      if (inputs.length == 1)
         graft.pipelines.TouchToParquet.convert(spark, inputs.head, outDir)
-      } else {
-        val frames: Seq[DataFrame] =
-          inputs.toSeq.map(p => spark.read.format("touchbin").load(p))
-        graft.io.ParquetMeta.writeWithMeta(
-          frames.reduce(_ unionByName _), outDir,
-          kv = Map("touch2parquet_version" -> graft.BuildInfo.version),
-          options = Map(
-            "compression" -> "snappy",
-            "parquet.enable.dictionary" -> "false",
-            "parquet.block.size" -> (20 * 1024 * 1024).toString))
-      }
+      else convertMany(spark, inputs.toSeq, outDir)
       println(s"touch2parquet: wrote ${spark.read.parquet(outDir).count()} rows to $outDir")
     } finally spark.stop()
   }

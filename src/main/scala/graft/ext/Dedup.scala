@@ -144,10 +144,14 @@ object Dedup {
   /** 64-bit SimHash over token xxhash64s: per bit, +1/−1 vote by hash bit,
     * sign of the vote sum sets the fingerprint bit. Codegen'd
     * `SimHash64` expression — the HOF formulation ran 64 interpreted
-    * `aggregate` lambdas per row.
+    * `aggregate` lambdas per row. NULL text coalesces to the empty
+    * string first: a null document carries the same (absent) token
+    * evidence as an empty one, so both fingerprint to 0L — preserving
+    * the pre-codegen `when/otherwise` semantics instead of
+    * null-propagating.
     */
   def simhash(text: Column): Column =
-    graft.functions.SimHash64.simhash64(text)
+    graft.functions.SimHash64.simhash64(coalesce(text, lit("")))
 
   /** SimHash near-dup PAIRS: fingerprints banded into 4×16-bit keys,
     * candidates = pairs sharing a band key (by pigeonhole, hamming ≤ 3

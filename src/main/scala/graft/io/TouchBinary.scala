@@ -1,7 +1,6 @@
 package graft.io
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
 import graft.model.TouchModel
 import graft.model.TouchModel._
@@ -57,6 +56,25 @@ object TouchBinary {
     dataFile.substring(0, idx) + dataFile.substring(idx + 4)
   }
 
+  /** Whole-file read through the Hadoop FileSystem API (session conf
+    * when a session is active), so index decoding works on any
+    * Hadoop-supported store, not just local paths. Index files are
+    * 32 B + 16 B/neuron — always driver-sized.
+    */
+  private def readAllBytesFs(path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$path: implausibly large touch index ($len bytes)")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes, 0, bytes.length) finally in.close()
+    bytes
+  }
+
   /** Driver-side decode of the companion index file (header: magic double,
     * neuron count, 16-byte version string; then per-neuron
     * (id:i32, count:u32, offset:i64) records). Replicates the reference's
@@ -65,7 +83,7 @@ object TouchBinary {
     * duplicate-empty-entry skip rule (touch_reader.cpp:131-143).
     */
   def readIndex(indexPath: String): TouchIndex = {
-    val bytes = Files.readAllBytes(Paths.get(indexPath))
+    val bytes = readAllBytesFs(indexPath)
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val order =
       if (le.getDouble(0) == ArchitectureIdentifier) ByteOrder.LITTLE_ENDIAN

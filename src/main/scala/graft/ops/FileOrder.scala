@@ -26,14 +26,26 @@ object FileOrder {
     * (lexicographic filename, `innerOrd` within the file). `innerOrd`
     * must totally order rows WITHIN each file (the relational stand-in
     * for physical row order, which a columnar engine may not preserve
-    * across splits). Emits `pos` (global) and `pos_in_file`.
+    * across splits). Emits `pos` (global) and `pos_in_file`, plus a
+    * release thunk that unpersists the stamp's MEMORY_AND_DISK cache of
+    * the full input once the result is consumed (same contract as
+    * `CsrIndex.buildStamped`).
     */
-  def fileOrderedUnion(spark: SparkSession, dir: String, innerOrd: Seq[Column]): DataFrame = {
+  def fileOrderedUnionStamped(spark: SparkSession, dir: String,
+                              innerOrd: Seq[Column]): (DataFrame, () => Unit) = {
     val df = spark.read.parquet(dir).withColumn("_file", input_file_name())
-    val (stamped, _) = Offsets.globalPositionGroupedStamped(
+    val (stamped, cached) = Offsets.globalPositionGroupedStamped(
       df, "_file", col("_file") +: innerOrd, "pos", "pos_in_file")
-    stamped.drop("_file")
+    (stamped.drop("_file"), () => { cached.unpersist(); () })
   }
+
+  /** [[fileOrderedUnionStamped]] without the cache handle — only for
+    * callers that clear caches themselves (Verify/Bench run
+    * `clearCache()` per query); long-lived sessions should use the
+    * stamped form and release.
+    */
+  def fileOrderedUnion(spark: SparkSession, dir: String, innerOrd: Seq[Column]): DataFrame =
+    fileOrderedUnionStamped(spark, dir, innerOrd)._1
 
   /** Fixture: split `orders` keys into three parquet FILES in one temp
     * directory whose filename order deliberately differs from key order

@@ -6,6 +6,9 @@ import java.util
 import graft.io.TouchBinary
 import graft.io.TouchBinary.TouchIndex
 import graft.model.TouchModel
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -21,7 +24,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * planned Batch source:
   *
   *  - **Split planning**: the fixed record width makes record-aligned
-  *    byte-range splits exact — `planInputPartitions` carves the file
+  *    byte-range splits exact — `planInputPartitions` carves each file
   *    into `maxBytesPerPartition` chunks (no line-sniffing, no skew),
   *    each an independent `PartitionReader`, so a 100 TB directory
   *    fans out across every executor with zero shuffle.
@@ -34,10 +37,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    split plan (the RDD path needs `zipWithIndex`'s extra pass), and
   *    the id uses the same broadcast-free shifts lookup
   *    (touch_reader.cpp:275-288) carried in the serialized partition.
+  *  - **Directory scans**: a directory path resolves to every `*Data*`
+  *    file inside it in name order, each paired with its own companion
+  *    index; all files must agree on the schema version (the
+  *    parquet2hdf5.cpp:67-73 schema-agreement rule) or the load fails.
+  *    Per-file endianness is allowed to differ — each split decodes
+  *    with its own index's byte order. Synapse ids are unique within a
+  *    file; across files uniqueness relies on disjoint gid ranges,
+  *    exactly as in the reference's per-rank converters.
+  *  - **Hadoop FileSystem I/O**: lengths, listings, and reads go
+  *    through `org.apache.hadoop.fs.FileSystem` (the session's Hadoop
+  *    conf, serialized to executors), so the source works on any
+  *    Hadoop-supported store, not just the local filesystem — and a
+  *    file whose length is not a record multiple is rejected loudly,
+  *    the same truncation guard the RDD path inherits from Hadoop's
+  *    fixed-length input format.
   *
-  * Usage: `spark.read.format("touchbin").load(dataPath)` (registered
+  * Usage: `spark.read.format("touchbin").load(dataPathOrDir)` (registered
   * via `DataSourceRegister`) — schema, endianness, and version come
-  * from the companion index file exactly as in `TouchBinary`.
+  * from the companion index files exactly as in `TouchBinary`.
   */
 class TouchDataSource extends TableProvider with DataSourceRegister {
 
@@ -51,7 +69,7 @@ class TouchDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TouchDataSource.schemaFor(
-      TouchBinary.readIndex(TouchBinary.indexFileFor(pathOf(options))).version)
+      TouchDataSource.indexedDataFiles(pathOf(options)).head._2.version)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -61,6 +79,45 @@ class TouchDataSource extends TableProvider with DataSourceRegister {
 }
 
 object TouchDataSource {
+
+  /** The session's Hadoop conf when a session is active (propagates
+    * `spark.hadoop.*` overrides), a default conf otherwise.
+    */
+  def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** A directory resolves to its `*Data*` files in name order (the
+    * index companion of `fooData.N` is `foo.N`, so only data files
+    * carry "Data" in the name); a plain file resolves to itself.
+    */
+  def resolveDataFiles(path: String): Seq[String] = {
+    val p = new HadoopPath(path)
+    val fs = p.getFileSystem(hadoopConf())
+    val status = fs.getFileStatus(p)
+    if (!status.isDirectory) Seq(path)
+    else {
+      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filter(_.getName.contains("Data")).map(_.toString).sorted.toSeq
+      require(files.nonEmpty, s"no touch data files (*Data*) under $path")
+      files
+    }
+  }
+
+  /** Every data file paired with its decoded companion index, with the
+    * schema-agreement check of the reference's multi-input converter
+    * (parquet2hdf5.cpp:67-73): mixed record versions cannot share one
+    * schema, so the load fails before any task runs.
+    */
+  def indexedDataFiles(path: String): Seq[(String, TouchIndex)] = {
+    val indexed = resolveDataFiles(path).map(f =>
+      f -> TouchBinary.readIndex(TouchBinary.indexFileFor(f)))
+    val versions = indexed.map(_._2.version).distinct
+    require(versions.size == 1,
+      s"touch inputs disagree on schema version: " +
+        indexed.map { case (f, i) => s"$f=v${i.version.ordinal}" }.mkString(", "))
+    indexed
+  }
 
   private val fieldType: Map[String, DataType] = Map(
     "synapse_id" -> LongType,
@@ -85,7 +142,7 @@ object TouchDataSource {
     StructType(TouchModel.columnsFor(version).map(c =>
       StructField(c, fieldType(c), nullable = false)))
 
-  /** Per-field decoder: (record buffer, record base, global row, gid) →
+  /** Per-field decoder: (record buffer, record base, global row) →
     * Catalyst value. The struct offsets follow touch_defs.h:19-63.
     */
   private[sources] def extractor(name: String, index: TouchIndex):
@@ -137,18 +194,36 @@ object TouchDataSource {
   }
 }
 
+/** Java-serializable Hadoop `Configuration` carrier (the Spark-internal
+  * equivalent is `private[spark]`): Configuration is a Writable, so the
+  * wrapper round-trips it through its own wire format.
+  */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class TouchTable(path: String, maxBytesPerPartition: Long)
     extends Table with SupportsRead {
-  private lazy val index = TouchBinary.readIndex(TouchBinary.indexFileFor(path))
+  private lazy val indexed = TouchDataSource.indexedDataFiles(path)
   override def name(): String = s"touchbin:$path"
-  override def schema(): StructType = TouchDataSource.schemaFor(index.version)
+  override def schema(): StructType = TouchDataSource.schemaFor(indexed.head._2.version)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TouchScanBuilder(path, index, schema(), maxBytesPerPartition)
+    new TouchScanBuilder(path, indexed, schema(), maxBytesPerPartition)
 }
 
-private[sources] class TouchScanBuilder(path: String, index: TouchIndex,
+private[sources] class TouchScanBuilder(path: String,
+    indexed: Seq[(String, TouchIndex)],
     fullSchema: StructType, maxBytesPerPartition: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -160,46 +235,65 @@ private[sources] class TouchScanBuilder(path: String, index: TouchIndex,
       requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new TouchScan(path, index, required, maxBytesPerPartition)
+    new TouchScan(path, indexed, required, maxBytesPerPartition)
 }
 
+/** One record-aligned byte range of one file; carries that file's own
+  * index so every split decodes with the correct shifts and byte order.
+  */
 private[sources] case class TouchSplit(
-    path: String, startRecord: Long, numRecords: Long) extends InputPartition
+    path: String, startRecord: Long, numRecords: Long,
+    index: TouchIndex) extends InputPartition
 
-private[sources] class TouchScan(path: String, index: TouchIndex,
+private[sources] class TouchScan(path: String,
+    indexed: Seq[(String, TouchIndex)],
     required: StructType, maxBytesPerPartition: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"touchbin $path v${index.version.ordinal} cols=[${required.fieldNames.mkString(",")}]"
+    s"touchbin $path v${indexed.head._2.version.ordinal} " +
+      s"files=${indexed.size} cols=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val recSize = index.version.recordSize
-    val fileLen = java.nio.file.Files.size(java.nio.file.Paths.get(path))
-    val nRecords = fileLen / recSize
-    val perSplit = math.max(1L, maxBytesPerPartition / recSize)
-    (0L until nRecords by perSplit).map { start =>
-      TouchSplit(path, start, math.min(perSplit, nRecords - start))
+    val conf = TouchDataSource.hadoopConf()
+    indexed.flatMap { case (file, index) =>
+      val recSize = index.version.recordSize
+      val p = new HadoopPath(file)
+      val fileLen = p.getFileSystem(conf).getFileStatus(p).getLen
+      // same loud truncation guard as Hadoop's fixed-length input format
+      require(fileLen % recSize == 0,
+        s"$file: length $fileLen is not a multiple of the v${index.version.ordinal} " +
+          s"record size $recSize — truncated or corrupt input")
+      val nRecords = fileLen / recSize
+      val perSplit = math.max(1L, maxBytesPerPartition / recSize)
+      (0L until nRecords by perSplit).map { start =>
+        TouchSplit(file, start, math.min(perSplit, nRecords - start), index)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TouchReaderFactory(index, required.fieldNames)
+    new TouchReaderFactory(
+      new SerializableHadoopConf(TouchDataSource.hadoopConf()),
+      required.fieldNames)
 }
 
-private[sources] class TouchReaderFactory(index: TouchIndex,
+private[sources] class TouchReaderFactory(conf: SerializableHadoopConf,
     fields: Array[String]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[TouchSplit]
     new PartitionReader[InternalRow] {
+      private val index = split.index
       private val recSize = index.version.recordSize
       private val order =
         if (index.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
       private val extractors = fields.map(TouchDataSource.extractor(_, index))
-      private val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(split.path))
+      private val in = {
+        val p = new HadoopPath(split.path)
+        p.getFileSystem(conf.value).open(p)
+      }
       // read in ~4 MiB record-aligned chunks
       private val recsPerChunk = math.max(1, (4 << 20) / recSize)
       private var chunk: ByteBuffer = _
@@ -214,12 +308,10 @@ private[sources] class TouchReaderFactory(index: TouchIndex,
         if (emitted >= split.numRecords) return false
         if (chunk == null || chunkIdx >= chunkRecs) {
           val n = math.min(recsPerChunk.toLong, split.numRecords - emitted).toInt
-          val buf = ByteBuffer.allocate(n * recSize)
-          ch.position((split.startRecord + emitted) * recSize)
-          while (buf.hasRemaining && ch.read(buf) >= 0) {}
-          require(!buf.hasRemaining, s"short read in ${split.path}")
-          buf.flip()
-          chunk = buf.order(order); chunkRecs = n; chunkIdx = 0
+          val bytes = new Array[Byte](n * recSize)
+          // positional readFully: fails loudly on a short read
+          in.readFully((split.startRecord + emitted) * recSize, bytes, 0, bytes.length)
+          chunk = ByteBuffer.wrap(bytes).order(order); chunkRecs = n; chunkIdx = 0
         }
         val base = chunkIdx * recSize
         // fresh row per record: downstream operators may buffer rows
@@ -236,7 +328,7 @@ private[sources] class TouchReaderFactory(index: TouchIndex,
 
       override def get(): InternalRow = current
 
-      override def close(): Unit = ch.close()
+      override def close(): Unit = in.close()
     }
   }
 }

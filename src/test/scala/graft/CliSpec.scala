@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import graft.cli.Touch2Parquet
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-input touch2parquet: schema agreement, gid-range disjointness,
+  * and the provenance stamps of the single-input path. Uses synthetic
+  * v1 pairs so gid ranges can be controlled (every shipped fixture
+  * shares its gid range with itself).
+  */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** One v1 index+data pair with `n` records for a single `gid`. */
+  private def v1Pair(gid: Int, n: Int): String = {
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create(s"cli_v1_$gid"))
+    val idx = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    idx.putDouble(1.001).putLong(1)
+    idx.put("1.0.0".getBytes("US-ASCII")); idx.position(32)
+    idx.putInt(gid).putInt(n).putLong(0L)
+    Files.write(dir.resolve("touches.0"), idx.array())
+    val rec = ByteBuffer.allocate(40 * n).order(ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n) {
+      rec.putInt(gid).putInt(1).putInt(i)   // pre: gid, section, segment
+      rec.putInt(gid + 1).putInt(2).putInt(i) // post
+      rec.putInt(1).putFloat(1.5f).putFloat(0.25f).putFloat(0.75f)
+    }
+    Files.write(dir.resolve("touchesData.0"), rec.array())
+    dir.resolve("touchesData.0").toString
+  }
+
+  test("convertMany unions disjoint-gid inputs with unique synapse ids and stamps") {
+    val out = graft.io.TempDirs.create("cli_union")
+    Touch2Parquet.convertMany(spark, Seq(v1Pair(7, 2), v1Pair(100, 3)), out)
+    val rows = spark.read.parquet(out).select("synapse_id").collect().map(_.getLong(0))
+    assert(rows.length == 5)
+    assert(rows.distinct.length == 5, "synapse ids must be unique across the union")
+    assert(rows.count(_ >> 24 == 7L) == 2)
+    assert(rows.count(_ >> 24 == 100L) == 3)
+    val kv = graft.io.ParquetMeta.readMeta(spark, out)
+    assert(kv.contains("touchdetector_version") &&
+      kv.getString("touchdetector_version") == "1.0.0",
+      "multi-input path must stamp touchdetector_version like the single-input path")
+    assert(kv.contains("touch2parquet_version"))
+  }
+
+  test("convertMany rejects overlapping gid ranges (synapse ids would collide)") {
+    val e = intercept[IllegalArgumentException] {
+      Touch2Parquet.convertMany(spark, Seq(v1Pair(7, 2), v1Pair(7, 3)),
+        graft.io.TempDirs.create("cli_overlap"))
+    }
+    assert(e.getMessage.contains("gid ranges overlap"), e.getMessage)
+  }
+
+  test("convertMany rejects a schema-version mix") {
+    import graft.pipelines.TouchToParquet
+    val e = intercept[IllegalArgumentException] {
+      Touch2Parquet.convertMany(spark,
+        Seq(v1Pair(7, 2), TouchToParquet.fixturePath(2)),
+        graft.io.TempDirs.create("cli_mix"))
+    }
+    assert(e.getMessage.contains("disagree on schema version"), e.getMessage)
+  }
+}

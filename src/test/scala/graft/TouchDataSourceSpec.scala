@@ -46,4 +46,52 @@ class TouchDataSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions > 5, s"${df.rdd.getNumPartitions} partitions")
     assert(rows(df) == rows(TouchBinary.readProjected(spark, path)))
   }
+
+  private def copyFixture(version: Int, dir: java.nio.file.Path, suffix: Int): Unit = {
+    val src = java.nio.file.Paths.get(TouchToParquet.fixturePath(version)).getParent
+    java.nio.file.Files.copy(src.resolve("touchesData.0"), dir.resolve(s"touchesData.$suffix"))
+    java.nio.file.Files.copy(src.resolve("touches.0"), dir.resolve(s"touches.$suffix"))
+  }
+
+  test("directory scan: 3 same-version files, sorted listing, splits straddling files") {
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_dir_ok"))
+    Seq(2, 0, 1).foreach(copyFixture(2, dir, _)) // created out of name order
+    val files = graft.sources.TouchDataSource.resolveDataFiles(dir.toString)
+    assert(files.map(f => new java.io.File(f).getName) ==
+      Seq("touchesData.0", "touchesData.1", "touchesData.2"),
+      "directory listing must be name-sorted and data-files-only")
+    val df = spark.read.format("touchbin")
+      .option("maxBytesPerPartition", (80 * 100).toString) // 100 records/split
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions > 3 * 5,
+      s"expected >5 splits per file across 3 files, got ${df.rdd.getNumPartitions}")
+    val single = rows(TouchBinary.readProjected(spark, TouchToParquet.fixturePath(2)))
+    assert(rows(df) == (single ++ single ++ single).sorted,
+      "directory read must union every file's decode (multiset equality)")
+  }
+
+  test("directory scan rejects a schema-version mix (parquet2hdf5 agreement rule)") {
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_dir_mix"))
+    copyFixture(2, dir, 0)
+    copyFixture(3, dir, 1)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("touchbin").load(dir.toString)
+    }
+    assert(e.getMessage.contains("disagree on schema version"), e.getMessage)
+  }
+
+  test("truncated data file fails loudly at split planning") {
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_dir_trunc"))
+    copyFixture(2, dir, 0)
+    val data = dir.resolve("touchesData.0")
+    val ch = java.nio.channels.FileChannel.open(data,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(java.nio.file.Files.size(data) - 7)
+    finally ch.close()
+    val df = spark.read.format("touchbin").load(data.toString)
+    val e = intercept[Exception] { df.collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("not a multiple"), msgs)
+  }
 }
