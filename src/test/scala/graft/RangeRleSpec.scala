@@ -97,6 +97,29 @@ class RangeRleSpec extends AnyFunSuite {
     done()
   }
 
+  test("adversarial shapes at width: giant chained run, edge flips, empty partitions") {
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (n <- Seq(8, 32)) {
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        // ALL rows one run: the boundary merge must chain-walk a single
+        // continued run through every one of the n partitions
+        check(df((0L until 256L).map(p => (0, 7L, p))))
+        // dir alternating in blocks sized to the partition width: after
+        // the range sort this is per-dir runs with gaps at every block
+        // edge, and the dir 0→1 flip lands inside the sorted order
+        val block = 256 / n
+        check(df((0L until 256L).map(p => ((p / block % 2).toInt, 9L, p))))
+        // single-row runs at every partition edge (node flips per row)
+        check(df((0L until 256L).map(p => (0, p % 2, p))))
+        // far more partitions than rows: empty partitions threaded
+        // through the driver walk's None branch
+        check(df((0L until 10L).map(p => (0, 7L, p))))
+        check(df(Seq((0, 1L, 0L), (1, 1L, 0L))))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
   test("gap inside a key splits the run") {
     // key 1: pos 0,1,2 then 10,11 → two ranges
     check(df(Seq((0, 1L, 0L), (0, 1L, 1L), (0, 1L, 2L), (0, 1L, 10L), (0, 1L, 11L),
