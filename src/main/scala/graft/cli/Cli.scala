@@ -89,6 +89,47 @@ object Touch2Parquet {
   }
 }
 
+/** `runMain graft.cli.Touch2Sonata <touchesData.N> <outDir>` — the full
+  * reference pipeline in one command: TouchDetector binary →
+  * `<outDir>/parquet` (provenance-stamped edge table) →
+  * `<outDir>/sonata` (SONATA-mirror layout: ordered `edges/`, both
+  * `indices/` directions, `@library/` dictionaries). Equivalent to
+  * `touch2parquet` followed by `parquet2hdf5` in the reference, with
+  * the HDF5 container mirrored as parquet directories — the group-name
+  * mapping to sonata_file.cpp:26-79 / index.cpp:27-31 is documented in
+  * README "Switching from the reference".
+  */
+object Touch2Sonata {
+
+  /** The testable pipeline body (mains own session lifecycle, tests
+    * share one): returns the ordered edge count.
+    */
+  def run(spark: SparkSession, touchesData: String, outDir: String): Long = {
+    val parquetDir = s"$outDir/parquet"
+    graft.pipelines.TouchToParquet.convert(spark, touchesData, parquetDir)
+    val edges = graft.io.SchemaSidecar.readParquetDir(spark, parquetDir)
+    // synapse_id is dropped by the sonata step (SkipColumns); everything
+    // else tiebreaks the total order like Parquet2Sonata
+    val tiebreak = edges.columns.filterNot(c =>
+      c == "source_node_id" || c == "target_node_id" || c == "synapse_id").toSeq
+    val (result, release) = graft.pipelines.EdgesToSonata.convertStamped(
+      spark, edges, "source_node_id", "target_node_id", s"$outDir/sonata", tiebreak)
+    val n = result.count()
+    release()
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: Touch2Sonata <touchesData.N> <outDir>")
+    val spark = Cli.session("touch2sonata")
+    try {
+      val n = run(spark, args(0), args(1))
+      println(s"touch2sonata: wrote $n edges + indices to ${args(1)}/sonata " +
+        s"(intermediate parquet at ${args(1)}/parquet)")
+    } finally spark.stop()
+  }
+}
+
 /** `runMain graft.cli.Parquet2Sonata <edgesParquetDir> <outDir>
   * [sourceCol targetCol [enumCol...]]` — converts a parquet edge
   * directory into the SONATA-mirror layout (ordered position-stamped

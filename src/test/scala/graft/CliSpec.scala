@@ -57,6 +57,32 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("gid ranges overlap"), e.getMessage)
   }
 
+  test("Touch2Sonata: one command produces the full SONATA-mirror tree") {
+    import graft.pipelines.TouchToParquet
+    val out = graft.io.TempDirs.create("touch2sonata")
+    val n = graft.cli.Touch2Sonata.run(spark, TouchToParquet.fixturePath(2), out)
+    assert(n == 1104, s"v2 fixture has 1104 touches, got $n")
+    // intermediate parquet + every sonata tree node readable with the
+    // expected schema (README layout-mapping table)
+    assert(spark.read.parquet(s"$out/parquet").count() == 1104)
+    val edges = spark.read.parquet(s"$out/sonata/edges")
+    assert(edges.count() == 1104)
+    assert(edges.columns.contains("edge_id") && !edges.columns.contains("synapse_id"))
+    for (d <- Seq("source_to_target", "target_to_source")) {
+      val primary = spark.read.parquet(s"$out/sonata/indices/$d/primary")
+      assert(primary.columns.toSeq == Seq("node_id", "range_start", "range_end"))
+      assert(primary.count() > 0, s"$d primary empty")
+      val secondary = spark.read.parquet(s"$out/sonata/indices/$d/secondary")
+      assert(secondary.columns.toSeq == Seq("range_pos", "edge_start", "edge_end"))
+      // range_to_edge_id rows must cover every edge exactly once
+      val covered = secondary.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("edge_end") -
+            org.apache.spark.sql.functions.col("edge_start"))).collect()(0).getLong(0)
+      assert(covered == 1104, s"$d secondary covers $covered of 1104 edges")
+    }
+  }
+
   test("convertMany rejects a schema-version mix") {
     import graft.pipelines.TouchToParquet
     val e = intercept[IllegalArgumentException] {
