@@ -104,6 +104,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall over ${exact.size} true neighbors")
     // every query produced a full result set
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+    // Lloyd refinement in its paying regime (cells fine-grained enough
+    // that quantization structure decides recall — at 16 coarse cells on
+    // this 500-vector corpus a step can REDUCE recall): one step must
+    // hold or improve over the sampled centroids at the same config
+    val base32 = pairs(SimSearch.ivfTopK(q, e, nCells = 32, nProbe = 8, k = 5))
+    val lloyd = pairs(SimSearch.ivfTopK(q, e, nCells = 32, nProbe = 8, k = 5,
+      lloydSteps = 1))
+    val r0 = exact.intersect(base32).size.toDouble / exact.size
+    val r1 = exact.intersect(lloyd).size.toDouble / exact.size
+    info(f"IVF recall at 32 cells: sampled $r0%.3f -> one Lloyd step $r1%.3f " +
+      f"(delta ${r1 - r0}%+.3f over ${exact.size} true neighbors)")
+    assert(r1 >= r0,
+      f"Lloyd refinement must hold or improve recall: $r0%.3f -> $r1%.3f")
+    assert(lloyd.groupBy(_._1).forall(_._2.size == 5))
   }
 
   test("round-robin repartition yields near-uniform partitions") {
