@@ -135,10 +135,21 @@ object Intervals {
     })
   )
 
+  // Both oracles deduplicate intervals first: duplicates contribute
+  // nothing to a union, and they make the two-pass window-island
+  // formulation tie-FRAGILE — DuckDB 1.0 computes prev_max and the
+  // running island sum in separate window operators whose tie order can
+  // differ under multithreading, nondeterministically attaching a
+  // duplicate boundary row to the wrong island (observed at sf0.1:
+  // covered_days 1997 vs 2007 across runs of the same query; the
+  // single-threaded run and the Spark side agree on 1997). DISTINCT
+  // restores a total order per key, making the oracle deterministic;
+  // the Spark sides are unaffected (the Aggregator is a set measure,
+  // and Spark evaluates both window functions over one sorted stream).
   val oracleSql: Map[String, String] = Map(
     "interval_coverage" ->
       """WITH iv AS (
-        |  SELECT l_suppkey,
+        |  SELECT DISTINCT l_suppkey,
         |    date_diff('day', DATE '1992-01-01', l_shipdate) AS s,
         |    date_diff('day', DATE '1992-01-01', l_shipdate) + 7 AS e
         |  FROM lineitem),
@@ -160,7 +171,7 @@ object Intervals {
         |FROM isl GROUP BY l_suppkey""".stripMargin,
     "merge_intervals" ->
       """WITH iv AS (
-        |  SELECT l_suppkey AS k, l_orderkey * 5 AS range_start,
+        |  SELECT DISTINCT l_suppkey AS k, l_orderkey * 5 AS range_start,
         |         l_orderkey * 5 + CAST(floor(l_quantity) AS BIGINT) AS range_end
         |  FROM lineitem),
         |m AS (
