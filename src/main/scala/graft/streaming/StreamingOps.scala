@@ -153,26 +153,39 @@ object StreamingOps {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val sentinels =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    val fileSrc = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
-      .as[Ev]
-    val name = s"sessions_${System.nanoTime()}"
-    val q = sessionizeStream(fileSrc.union(sentinels.toDS()),
-        graft.ext.Sessionize.SessionGapUs)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    // per-user state is keyed-stream-sized: pin the stateful shuffle
+    // width to the stream, not the batch-scan default — every
+    // micro-batch (three run here) commits one state store per
+    // partition, which dominates the harness cost at width 32. Scoped
+    // exactly like streaming_join's override.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      q.processAllAvailable()
-      sentinels.addData(Ev(-1L, FlushTsUs, 0.0))
-      q.processAllAvailable()
-      sentinels.addData(Ev(-1L, FlushTsUs + 2 * graft.ext.Sessionize.SessionGapUs, 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name).filter(col("user_id") >= 0)
+      val sentinels =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+      val fileSrc = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        .as[Ev]
+      val name = s"sessions_${System.nanoTime()}"
+      val q = sessionizeStream(fileSrc.union(sentinels.toDS()),
+          graft.ext.Sessionize.SessionGapUs)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // the first sentinel rides in the same micro-batch as the file
+        // data: the watermark only advances AFTER a batch, so no file
+        // event is late, and the batch's end-of-batch watermark already
+        // clears every real session's timeout — one fewer batch than
+        // sentinel-after-flush
+        sentinels.addData(Ev(-1L, FlushTsUs, 0.0))
+        q.processAllAvailable()
+        sentinels.addData(Ev(-1L, FlushTsUs + 2 * graft.ext.Sessionize.SessionGapUs, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).filter(col("user_id") >= 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val queries: Map[String, Q] = Map(
