@@ -50,14 +50,20 @@ object Bench {
     // The driver's BENCH_r{N}.json truncates its tail — persist the full
     // per-query record in-repo so the round audit reads one file. The
     // round number is inferred from the newest driver-written BENCH_r*.json
-    // (this run belongs to the round AFTER it).
+    // (the driver benches BEFORE writing the round's file, so this run
+    // belongs to the round after the newest one).
     if (only.isEmpty) {
-      val repo = java.nio.file.Paths.get("/root/repo")
-      if (java.nio.file.Files.isDirectory(repo)) {
+      val repo = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      if (java.nio.file.Files.isDirectory(repo) &&
+          java.nio.file.Files.exists(repo.resolve("build.sbt"))) {
         val benchRe = "BENCH_r(\\d+)\\.json".r
-        val lastRound = java.nio.file.Files.list(repo).iterator().asScala
-          .flatMap(p => benchRe.findFirstMatchIn(p.getFileName.toString))
-          .map(_.group(1).toInt).foldLeft(0)(math.max)
+        val listing = java.nio.file.Files.list(repo)
+        val lastRound =
+          try listing.iterator().asScala
+            .flatMap(p => benchRe.findFirstMatchIn(p.getFileName.toString))
+            .map(_.group(1).toInt).foldLeft(0)(math.max)
+          finally listing.close()
         java.nio.file.Files.write(
           repo.resolve(f"bench_full_r${lastRound + 1}%02d.json"),
           json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -43,7 +43,10 @@ object Touch2Parquet {
     * guarantees disjointness, here it is asserted). Stamps the same
     * footer provenance as the single-input path — version STRING
     * agreement is not required (git-hash builds of one record version
-    * differ), so the first input's string is stamped.
+    * differ), so the first input's string is stamped. The ranges come
+    * from the INDEXES, so the check is conservative: a short-read index
+    * whose zero-padding pulls firstGid to 0 widens its claimed range
+    * and can reject a union whose actual records were disjoint.
     */
   def convertMany(spark: SparkSession, inputs: Seq[String], outDir: String): Unit = {
     import graft.io.TouchBinary

@@ -263,7 +263,16 @@ object Dedup {
     * of `bands`.
     */
   def embeddingCosineLshPairs(vectors: DataFrame, threshold: Double,
-                              rows: Int = 3, bands: Int = 24): DataFrame = {
+                              rows: Int = 3, bands: Int = 24): DataFrame =
+    embeddingCosineLshPairsStamped(vectors, threshold, rows, bands)._1
+
+  /** [[embeddingCosineLshPairs]] plus the thunk releasing the persisted
+    * quantized base (read by both candidate-join sides and both payload
+    * fetches) — same contract as `FileOrder.fileOrderedUnionStamped`;
+    * the plain form is for harnesses that `clearCache()` per query.
+    */
+  def embeddingCosineLshPairsStamped(vectors: DataFrame, threshold: Double,
+                              rows: Int = 3, bands: Int = 24): (DataFrame, () => Unit) = {
     import graft.functions.QuantizedDot.quantizedDot
     import graft.functions.SignLshBuckets.signLshBuckets
     val base = vectors
@@ -278,7 +287,7 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    cand
+    val result = cand
       .join(base.select(col("vec_id").as("vec_a"), col("qv").as("qv_a")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("qv").as("qv_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
@@ -286,6 +295,7 @@ object Dedup {
       // round, don't truncate: 0.7 * 1e6 = 699999.9999… in double, and
       // .toLong would admit the sub-threshold boundary pair
       .filter(col("dot_q") >= math.round(threshold * 1e6)) // cos ≈ dot_q / 1e6 on unit vectors
+    (result, () => { base.unpersist(); () })
   }
 
   val queries: Map[String, Q] = Map(

@@ -40,8 +40,11 @@ object TouchToParquet {
     // V2 connector: record-aligned splits, no zipWithIndex counting pass
     val df = spark.read.format("touchbin").load(dataPath)
     // footer provenance KVs, as the reference writer stamps them
-    // (src/touches/parquet_writer.cpp:115-120)
-    val index = TouchBinary.readIndex(TouchBinary.indexFileFor(dataPath))
+    // (src/touches/parquet_writer.cpp:115-120). Resolved through the
+    // connector's file resolver so directory inputs stamp the first
+    // file's index instead of failing index-name derivation on the
+    // directory path.
+    val index = graft.sources.TouchDataSource.indexedDataFiles(dataPath).head.index
     graft.io.ParquetMeta.writeWithMeta(df, outDir,
       kv = Map(
         "touchdetector_version" -> index.versionString,

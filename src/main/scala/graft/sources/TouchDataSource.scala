@@ -43,8 +43,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    parquet2hdf5.cpp:67-73 schema-agreement rule) or the load fails.
   *    Per-file endianness is allowed to differ — each split decodes
   *    with its own index's byte order. Synapse ids are unique within a
-  *    file; across files uniqueness relies on disjoint gid ranges,
-  *    exactly as in the reference's per-rank converters.
+  *    file; across files uniqueness needs disjoint gid ranges (the
+  *    reference's per-rank split invariant), so a projection that reads
+  *    `synapse_id` REJECTS overlapping-range directories at planning —
+  *    projections without it scan them freely.
   *  - **Hadoop FileSystem I/O**: lengths, listings, and reads go
   *    through `org.apache.hadoop.fs.FileSystem` (the session's Hadoop
   *    conf, serialized to executors), so the source works on any
@@ -69,7 +71,7 @@ class TouchDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TouchDataSource.schemaFor(
-      TouchDataSource.indexedDataFiles(pathOf(options)).head._2.version)
+      TouchDataSource.indexedDataFiles(pathOf(options)).head.index.version)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -87,18 +89,26 @@ object TouchDataSource {
     SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** One data file with its byte length (captured during the listing —
+    * no second metadata round-trip at split planning) and its decoded
+    * companion index.
+    */
+  final case class IndexedFile(path: String, length: Long, index: TouchIndex)
+
   /** A directory resolves to its `*Data*` files in name order (the
     * index companion of `fooData.N` is `foo.N`, so only data files
     * carry "Data" in the name); a plain file resolves to itself.
+    * Lengths come from the same listing.
     */
-  def resolveDataFiles(path: String): Seq[String] = {
+  def resolveDataFiles(path: String): Seq[(String, Long)] = {
     val p = new HadoopPath(path)
     val fs = p.getFileSystem(hadoopConf())
     val status = fs.getFileStatus(p)
-    if (!status.isDirectory) Seq(path)
+    if (!status.isDirectory) Seq(path -> status.getLen)
     else {
-      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
-        .filter(_.getName.contains("Data")).map(_.toString).sorted.toSeq
+      val files = fs.listStatus(p).filter(_.isFile)
+        .filter(_.getPath.getName.contains("Data"))
+        .map(s => s.getPath.toString -> s.getLen).sortBy(_._1).toSeq
       require(files.nonEmpty, s"no touch data files (*Data*) under $path")
       files
     }
@@ -109,14 +119,36 @@ object TouchDataSource {
     * (parquet2hdf5.cpp:67-73): mixed record versions cannot share one
     * schema, so the load fails before any task runs.
     */
-  def indexedDataFiles(path: String): Seq[(String, TouchIndex)] = {
-    val indexed = resolveDataFiles(path).map(f =>
-      f -> TouchBinary.readIndex(TouchBinary.indexFileFor(f)))
-    val versions = indexed.map(_._2.version).distinct
+  def indexedDataFiles(path: String): Seq[IndexedFile] = {
+    val indexed = resolveDataFiles(path).map { case (f, len) =>
+      IndexedFile(f, len, TouchBinary.readIndex(TouchBinary.indexFileFor(f))) }
+    val versions = indexed.map(_.index.version).distinct
     require(versions.size == 1,
       s"touch inputs disagree on schema version: " +
-        indexed.map { case (f, i) => s"$f=v${i.version.ordinal}" }.mkString(", "))
+        indexed.map(f => s"${f.path}=v${f.index.version.ordinal}").mkString(", "))
     indexed
+  }
+
+  /** `synapse_id` is `(gid << 24) + ordinal-within-gid` per FILE — it is
+    * only globally unique when the files' gid ranges are disjoint (the
+    * reference's per-rank split guarantees this). The ranges come from
+    * the indexes, so the check is conservative: an index whose
+    * short-read zero-padding pulls firstGid to 0 widens its claimed
+    * range (same trade as the CLI's convertMany).
+    */
+  def requireDisjointGidRanges(indexed: Seq[IndexedFile]): Unit = {
+    val ranges = indexed
+      .filter(_.index.shifts.nonEmpty)
+      .map(f => (f.path, f.index.firstGid.toLong,
+        f.index.firstGid.toLong + math.max(0, f.index.shifts.length - 1)))
+    ranges.sortBy(_._2).sliding(2).foreach {
+      case Seq((pa, _, aHi), (pb, bLo, _)) =>
+        require(aHi < bLo,
+          s"gid ranges overlap between $pa (..$aHi) and $pb ($bLo..) — " +
+            "synapse_id would collide across files; drop the synapse_id " +
+            "column to scan overlapping inputs")
+      case _ => ()
+    }
   }
 
   private val fieldType: Map[String, DataType] = Map(
@@ -215,7 +247,7 @@ private[sources] class TouchTable(path: String, maxBytesPerPartition: Long)
     extends Table with SupportsRead {
   private lazy val indexed = TouchDataSource.indexedDataFiles(path)
   override def name(): String = s"touchbin:$path"
-  override def schema(): StructType = TouchDataSource.schemaFor(indexed.head._2.version)
+  override def schema(): StructType = TouchDataSource.schemaFor(indexed.head.index.version)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -223,7 +255,7 @@ private[sources] class TouchTable(path: String, maxBytesPerPartition: Long)
 }
 
 private[sources] class TouchScanBuilder(path: String,
-    indexed: Seq[(String, TouchIndex)],
+    indexed: Seq[TouchDataSource.IndexedFile],
     fullSchema: StructType, maxBytesPerPartition: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -246,21 +278,22 @@ private[sources] case class TouchSplit(
     index: TouchIndex) extends InputPartition
 
 private[sources] class TouchScan(path: String,
-    indexed: Seq[(String, TouchIndex)],
+    indexed: Seq[TouchDataSource.IndexedFile],
     required: StructType, maxBytesPerPartition: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"touchbin $path v${indexed.head._2.version.ordinal} " +
+    s"touchbin $path v${indexed.head.index.version.ordinal} " +
       s"files=${indexed.size} cols=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = TouchDataSource.hadoopConf()
-    indexed.flatMap { case (file, index) =>
+    // synapse_id is only well-defined across files with disjoint gid
+    // ranges; a projection without it can scan overlapping inputs freely
+    if (required.fieldNames.contains("synapse_id"))
+      TouchDataSource.requireDisjointGidRanges(indexed)
+    indexed.flatMap { case TouchDataSource.IndexedFile(file, fileLen, index) =>
       val recSize = index.version.recordSize
-      val p = new HadoopPath(file)
-      val fileLen = p.getFileSystem(conf).getFileStatus(p).getLen
       // same loud truncation guard as Hadoop's fixed-length input format
       require(fileLen % recSize == 0,
         s"$file: length $fileLen is not a multiple of the v${index.version.ordinal} " +

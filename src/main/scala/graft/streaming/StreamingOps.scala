@@ -87,6 +87,17 @@ object StreamingOps {
     * bit-for-bit. `(user_id, ts_us)` is unique in the events table, so
     * the per-batch sort on `ts_us` is total and ordinals are
     * deterministic.
+    *
+    * Batch-parity contract: each user's events must be delivered in
+    * event-time order ACROSS micro-batches (within a batch the operator
+    * sorts). The run-to-completion harness satisfies this trivially —
+    * all data arrives in one batch. In a live multi-batch stream, two
+    * incremental limits apply that any append-mode sessionizer shares:
+    * a late-but-admissible event older than the open session cannot
+    * retroactively merge ALREADY-EMITTED sessions, and a user resuming
+    * after an event-time timeout restarts the ordinal (state, including
+    * `seq`, was dropped at timeout — keeping it would make state
+    * user-cardinality-bounded instead of watermark-bounded).
     */
   def sessionizeStream(events: Dataset[Ev], gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

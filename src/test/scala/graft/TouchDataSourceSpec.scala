@@ -57,16 +57,25 @@ class TouchDataSourceSpec extends AnyFunSuite {
     val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_dir_ok"))
     Seq(2, 0, 1).foreach(copyFixture(2, dir, _)) // created out of name order
     val files = graft.sources.TouchDataSource.resolveDataFiles(dir.toString)
-    assert(files.map(f => new java.io.File(f).getName) ==
+    assert(files.map(f => new java.io.File(f._1).getName) ==
       Seq("touchesData.0", "touchesData.1", "touchesData.2"),
       "directory listing must be name-sorted and data-files-only")
-    val df = spark.read.format("touchbin")
+    // the three copies share one gid range, so a synapse_id projection
+    // must be rejected (ids would collide across files)…
+    val full = spark.read.format("touchbin")
       .option("maxBytesPerPartition", (80 * 100).toString) // 100 records/split
       .load(dir.toString)
-    assert(df.rdd.getNumPartitions > 3 * 5,
-      s"expected >5 splits per file across 3 files, got ${df.rdd.getNumPartitions}")
-    val single = rows(TouchBinary.readProjected(spark, TouchToParquet.fixturePath(2)))
-    assert(rows(df) == (single ++ single ++ single).sorted,
+    val e = intercept[Exception] { full.collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("gid ranges overlap"), msgs)
+    // …while a projection WITHOUT synapse_id scans them freely
+    val noId = full.drop("synapse_id")
+    assert(noId.rdd.getNumPartitions > 3 * 5,
+      s"expected >5 splits per file across 3 files, got ${noId.rdd.getNumPartitions}")
+    val single = rows(TouchBinary.readProjected(spark, TouchToParquet.fixturePath(2))
+      .drop("synapse_id"))
+    assert(rows(noId) == (single ++ single ++ single).sorted,
       "directory read must union every file's decode (multiset equality)")
   }
 
