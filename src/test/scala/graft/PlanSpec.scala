@@ -66,6 +66,11 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // triangle ownership means one dot per pair BY CONSTRUCTION: the
+    // plan must contain no aggregate at all (a pair-dedup would show as
+    // HashAggregate(keys=[vec_a, vec_b])) and join on the cell id
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"blocked cosine dedup must not need a pair-dedup shuffle:\n$plan")
     spark.catalog.clearCache()
   }
 
