@@ -86,6 +86,15 @@ object Offsets {
     * exchange (src/index/index.cpp:272-280) run ONCE for all
     * communicators, and its per-FILE offset table
     * (src/parquet2hdf5.cpp:97-110) when the group is a filename.
+    *
+    * Scale ceiling: groups are contiguous in the total order, so the
+    * bucket table holds ≈ |groups| + |partitions| rows and the
+    * broadcast is sized by GROUP COUNT — fine to ~10^6 groups (tens of
+    * MB), the regime of per-file offsets. Past that, replace the
+    * forced broadcast with a plain equi-join on (_pid, group) and
+    * accept one keyed data shuffle; the hint stays explicit here
+    * because window outputs carry poor size estimates and AQE would
+    * sometimes pick that shuffle long before the ceiling.
     */
   def globalPositionGroupedStamped(df: DataFrame, groupCol: String, ord: Seq[Column],
                                    posCol: String, groupPosCol: String): (DataFrame, DataFrame) = {
