@@ -32,6 +32,8 @@ object SparkEntry {
     (plans.TopKPerKey.queries, plans.TopKPerKey.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
+    (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
+    (ext.Quality.queries, ext.Quality.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),

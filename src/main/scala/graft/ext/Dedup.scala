@@ -328,34 +328,42 @@ object Dedup {
       embeddingCosinePairs(Tables.embeddings(s, dir), 0.4))
   )
 
+  /** The jaccard oracle's CTE chain (tokens → distinct 3-gram shingles →
+    * df-capped index → per-doc sizes → pair intersections), shared with
+    * the clustering oracles in [[DedupCluster]] so the pair graph they
+    * close over is definitionally the same query.
+    */
+  private[ext] val ngramCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)) AS shingle
+      |  FROM toks),
+      |shf AS (
+      |  SELECT * FROM sh WHERE shingle NOT IN (
+      |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)) AS shingle
-        |  FROM toks),
-        |shf AS (
-        |  SELECT * FROM sh WHERE shingle NOT IN (
-        |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shf GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+      (s"WITH $ngramCtes\n" +
+      """SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
         |  round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin,
+        |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin),
     // CAST dot_q back to BIGINT: DuckDB list_sum over BIGINT is HUGEINT
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,0 +1,182 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING — the step a real curation pipeline runs on
+  * top of pair emission: near-dup pairs form a graph, a document is
+  * dropped if any transitive chain of near-dups connects it to a kept
+  * one, so dedup decisions need connected components, not pairs.
+  * (The reference's analogue of transitive grouping is its per-connection
+  * RLE index build — grouping rows into maximal related runs,
+  * /root/reference/src/index/index.cpp:114-153 — but component closure
+  * over a similarity graph is a training-data concern the reference
+  * never had; the algorithm here is the published MapReduce one.)
+  *
+  * Components are computed with alternating large-star / small-star
+  * contractions (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): O(log²) rounds, every round is groupBy/join keyed
+  * on node ids — map-side-combined aggregates plus co-partitioned joins,
+  * no driver-side graph state, no `collect()`. That is the 100 TB shape:
+  * label-propagation converges only in O(diameter) rounds, and GraphX/
+  * Pregel would pull in RDD caching semantics for what is three
+  * DataFrame operators per round. High-degree hubs are exactly what
+  * large-star handles: a hub's neighbors re-attach to the component
+  * minimum rather than to the hub, so star skew shrinks itself.
+  *
+  * Each round materializes via `localCheckpoint` — iterative self-joins
+  * otherwise double the lineage every round and analysis cost explodes
+  * by round ~10. On a real cluster with executor churn, swap for
+  * reliable `checkpoint` to a DFS dir; the algorithm is unchanged.
+  */
+object DedupCluster {
+
+  /** Connected components of the undirected graph given as an edge list
+    * with columns `u`, `v` (self-loops and duplicates tolerated).
+    * Returns (node, component) for every node incident to ≥1 edge, where
+    * component = the minimum node id in the node's component. Isolated
+    * nodes never enter the edge list and are the caller's default case.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // Large-star: every node re-points its LARGER neighbors at the
+    // minimum of its closed neighborhood. One symmetrize, one min
+    // aggregate, one co-partitioned join — all keyed on u.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+    }
+    // Small-star: direct edges large→small, then re-point every node's
+    // smaller neighbors (and itself) at its minimum neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("_m"))
+      mins.select(col("u"), col("_m").as("v"))
+        .union(dir.join(mins, "u")
+          .filter(col("v") =!= col("_m"))
+          .select(col("v").as("u"), col("_m").as("v")))
+        .distinct()
+    }
+    // Convergence check = (row count, order-independent hash sum) of the
+    // distinct edge set: one tiny aggregate per round instead of a full
+    // set-difference join. A count+sum collision between two DIFFERENT
+    // consecutive edge sets would need a 128-bit coincidence.
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.valueOf(0) else r.getDecimal(1))
+    }
+
+    var cur = edges
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(cur)
+    var converged = sig._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nsig = signature(next)
+      converged = nsig == sig
+      // `next` is fully materialized, so the previous round's blocks are
+      // no longer reachable — release them instead of accumulating
+      // O(rounds) copies of the edge set in the block manager.
+      cur.unpersist()
+      cur = next
+      sig = nsig
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // Converged state is a union of stars: (member, component-min) edges.
+    // Roots appear only on the v side and label themselves; the final
+    // min-aggregate is cheap insurance, not load-bearing.
+    cur.groupBy(col("u").as("node")).agg(min(col("v")).as("component"))
+      .unionByName(cur.select(col("v").as("node"), col("v").as("component")).distinct())
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+  }
+
+  /** (doc_id, cluster_id) for every document, closing the given near-dup
+    * pair list (columns doc_a, doc_b) transitively; cluster_id = the
+    * smallest doc_id in the cluster, singletons label themselves. The
+    * docs side carries only doc_id into the join — at 100 TB the labels
+    * table is sized by the deduped fraction, so no broadcast hint: AQE
+    * picks broadcast when the graph is small and a plain shuffle join
+    * when it is not.
+    */
+  def clusterAssignments(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The deduplicated corpus: one representative (the minimum doc_id) per
+    * cluster, annotated with how many documents it stands for. This is
+    * the operator whose output feeds training.
+    */
+  def canonicalCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lab = clusterAssignments(docs, pairs)
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    docs.join(sizes, docs("doc_id") === sizes("cluster_id"))
+      .select(docs("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("cluster_size"))
+  }
+
+  // The DuckDB side closes the SAME pair graph (shared CTE chain from
+  // Dedup.ngramCtes, identical 0.12 threshold) with a recursive
+  // transitive closure — fine at oracle scale, impossible at 100 TB,
+  // which is exactly why the Spark side is star-contraction.
+  private val closureCtes: String =
+    """pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+      |  WHERE e.v <> r.u),
+      |mins AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(LEAST(m.mn, d.doc_id), d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      clusterAssignments(docs, Dedup.ngramJaccardPairs(docs, 0.12))
+    }),
+    "dedup_canonical_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      canonicalCorpus(docs, Dedup.ngramJaccardPairs(docs, 0.12))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_cluster_cc" ->
+      (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes\n" +
+        "SELECT doc_id, cluster_id FROM lab"),
+    "dedup_canonical_corpus" ->
+      (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes\n" +
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars, sz.cluster_size
+        |FROM (SELECT cluster_id, count(*) AS cluster_size
+        |      FROM lab GROUP BY cluster_id) sz
+        |JOIN documents d ON d.doc_id = sz.cluster_id""".stripMargin)
+  )
+}

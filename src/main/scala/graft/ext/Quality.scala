@@ -1,0 +1,172 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators a training-data pipeline runs before anything
+  * else sees the text: repetition scoring (the Gopher-style "is this
+  * document mostly one phrase repeated" filters), benchmark
+  * decontamination (drop training docs sharing long n-grams with an
+  * evaluation set), and per-document term weighting (TF-IDF ranking).
+  *
+  * All three are groupBy/join programs keyed on doc_id / term — map-side
+  * combined aggregates over an exploded token stream, never a window over
+  * everything and never a UDF. The token stream is `size(text)`-bounded,
+  * so at 100 TB each operator is one or two shuffles whose rows are
+  * (id, token) pairs, not documents.
+  */
+object Quality {
+
+  private def toks: Column = TextAnalysis.tokens(col("text"))
+
+  /** Adjacent-token bigrams in document order (NOT distinct — repetition
+    * scoring needs multiplicity, unlike the dedup shingles). Guarded:
+    * `sequence(1, 0)` would count DOWN, not produce an empty array.
+    */
+  private def bigrams(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word-level repetition profile: most-frequent unigram/bigram counts
+    * and the repeated-mass fractions the Gopher filters threshold on.
+    * Two explode→count→max chains, both keyed on doc_id.
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val uni = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_uniq_tokens"),
+        max(col("c")).as("top_unigram_count"))
+    val bi = docs.select(col("doc_id"), explode(bigrams(toks)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_count"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
+        col("top_unigram_count"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        round((col("n_tokens") - col("n_uniq_tokens")) / col("n_tokens"), 6)
+          .as("rep_unigram_frac"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("top_bigram_count") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("rep_bigram_frac"))
+  }
+
+  /** Benchmark decontamination (the GPT-3 appendix-C procedure): the
+    * rows matching `evalSide` are the held-out evaluation set; every
+    * TRAINING doc sharing at least one word-`n`-gram with it is reported
+    * with its overlap count. At 100 TB the eval side is tiny by
+    * construction — the broadcast is the right plan, and the training
+    * side never shuffles anything wider than (doc_id, shingle).
+    */
+  def decontaminationReport(docs: DataFrame, evalSide: Column, n: Int = 8): DataFrame = {
+    val shn = graft.functions.WordShingles.wordShingles(col("text"), n)
+    val benchGrams = docs.filter(evalSide)
+      .select(explode(shn).as("shingle")).distinct()
+    docs.filter(!evalSide)
+      .select(col("doc_id"), explode(shn).as("shingle"))
+      .join(broadcast(benchGrams), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap_ngrams"))
+  }
+
+  /** Per-doc TF-IDF term ranking, integers only: rank by (tf desc,
+    * df asc, term asc) — the idf ORDER without the float logarithm, so
+    * the oracle can reproduce it bit-exactly. Top-k per doc goes
+    * through the partial/final TopKPerKey operator: ≤ k·partitions
+    * rows per doc reach the shuffle regardless of vocabulary size.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    graft.plans.TopKPerKey.topKPerKey(tf.join(df, "term"),
+        Seq("doc_id"), Seq(("tf", true), ("df", false), ("term", false)), k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "quality_repetition" -> ((s, dir) =>
+      repetitionProfile(Tables.documents(s, dir))),
+
+    // the ~10% md5-bucket split doubles as the held-out benchmark here
+    "decontaminate_ngrams" -> ((s, dir) =>
+      decontaminationReport(Tables.documents(s, dir),
+        Sampling.hashBucket(col("doc_id")) < 6554)),
+
+    "tfidf_top_terms" -> ((s, dir) =>
+      tfidfTopTerms(Tables.documents(s, dir), 3))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // DuckDB sum(BIGINT) is HUGEINT, and BIGINT/BIGINT is float division
+    // in both engines — only the final round(…, 6) doubles leave the
+    // integer domain, same as the jaccard oracle.
+    "quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+        |ustat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_uniq_tokens, CAST(max(c) AS BIGINT) AS top_unigram_count
+        |  FROM uni GROUP BY doc_id),
+        |big AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |      THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |      ELSE [] END) AS bg FROM toks) GROUP BY doc_id, bg),
+        |bstat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_bigram_count
+        |  FROM big GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tokens, u.n_uniq_tokens, u.top_unigram_count,
+        |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+        |  round((u.n_tokens - u.n_uniq_tokens) / u.n_tokens, 6) AS rep_unigram_frac,
+        |  CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+        |       THEN round(b.top_bigram_count / b.n_bigrams, 6)
+        |       ELSE 0.0 END AS rep_bigram_frac
+        |FROM ustat u LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    "decontaminate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |sh8 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+        |    ELSE [] END)) AS shingle
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM sh8
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554)
+        |SELECT s.doc_id, count(*) AS n_overlap_ngrams
+        |FROM sh8 s JOIN bench USING (shingle)
+        |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554
+        |GROUP BY s.doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT t.doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |    ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS INTEGER) AS rank,
+        |  t.term, t.tf, d.df
+        |FROM tf t JOIN dfx d USING (term)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |  ORDER BY t.tf DESC, d.df ASC, t.term ASC) <= 3""".stripMargin
+  )
+}

@@ -19,14 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The engine-portable sampling bucket: first 4 hex chars of md5(key)
+    * as a long in [0, 65536) — the primitive under every deterministic
+    * selection here and in [[Quality]]'s benchmark split.
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
   /** Keep ~`pct`% of rows, decided by the first 4 hex chars of
     * md5(key): uniform over 65536 buckets, exact and engine-portable.
     */
   def hashSample(df: DataFrame, key: Column, pct: Double): DataFrame = {
     require(pct > 0 && pct <= 100, s"pct must be in (0, 100], got $pct")
     val cut = math.round(65536.0 * pct / 100.0).toInt
-    df.filter(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
-      .cast("long") < cut)
+    df.filter(hashBucket(key) < cut)
   }
 
   /** Deterministic train/valid/test labels from the same hash: an
@@ -34,7 +40,7 @@ object Sampling {
     * (a row's label depends only on its key).
     */
   def splitLabel(key: Column): Column = {
-    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val bucket = hashBucket(key)
     when(bucket < 52429, "train")       // 65536 * 0.8
       .when(bucket < 58982, "valid")    // 65536 * 0.9
       .otherwise("test")
