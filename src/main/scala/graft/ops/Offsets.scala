@@ -87,17 +87,20 @@ object Offsets {
     * communicators, and its per-FILE offset table
     * (src/parquet2hdf5.cpp:97-110) when the group is a filename.
     *
-    * Scale ceiling: groups are contiguous in the total order, so the
-    * bucket table holds ≈ |groups| + |partitions| rows and the
+    * Scale regimes: groups are contiguous in the total order, so the
+    * bucket table holds ≈ |groups| + |partitions| rows and the default
     * broadcast is sized by GROUP COUNT — fine to ~10^6 groups (tens of
-    * MB), the regime of per-file offsets. Past that, replace the
-    * forced broadcast with a plain equi-join on (_pid, group) and
-    * accept one keyed data shuffle; the hint stays explicit here
-    * because window outputs carry poor size estimates and AQE would
-    * sometimes pick that shuffle long before the ceiling.
+    * MB), the regime of per-file offsets. Past that, pass
+    * `broadcastOffsets = false`: the bucket join becomes a plain
+    * equi-join on (_pid, group) — one keyed shuffle of the data, no
+    * driver-sized structure anywhere, good to any group count. The
+    * hint stays explicit (not left to AQE) in the default because
+    * window outputs carry poor size estimates and AQE would sometimes
+    * pick that shuffle long before the ceiling.
     */
   def globalPositionGroupedStamped(df: DataFrame, groupCol: String, ord: Seq[Column],
-                                   posCol: String, groupPosCol: String): (DataFrame, DataFrame) = {
+                                   posCol: String, groupPosCol: String,
+                                   broadcastOffsets: Boolean = true): (DataFrame, DataFrame) = {
     val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
     val withMid = sorted.withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
@@ -115,9 +118,11 @@ object Offsets {
       .withColumn("_boff", coalesce(sum(col("cnt")).over(wAll), lit(0L)))
       .withColumn("_pbase", min(col("_boff")).over(Window.partitionBy(col("_pid"))))
       .withColumn("_gbase", min(col("_boff")).over(Window.partitionBy(col("_grp"))))
+    val bucketSide = offsets.select(col("_pid"), col("_grp").as(groupCol),
+      col("_pbase"), col("_gbase"))
     val result = withMid
-      .join(broadcast(offsets.select(col("_pid"), col("_grp").as(groupCol),
-        col("_pbase"), col("_gbase"))), Seq("_pid", groupCol))
+      .join(if (broadcastOffsets) broadcast(bucketSide) else bucketSide,
+        Seq("_pid", groupCol))
       .withColumn(posCol, col("_pbase") + col("_local"))
       .withColumn(groupPosCol, col(posCol) - col("_gbase"))
       .select(df.columns.map(col) ++ Seq(col(posCol), col(groupPosCol)): _*)

@@ -93,6 +93,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grouped stamp: join fallback (past the broadcast ceiling) equals the broadcast form") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"g${(i * 13) % 7}", (i * 7919) % 1000, i))
+      .toDF("grp", "a", "b").repartition(5)
+    val ord = Seq(col("grp"), col("a"), col("b"))
+    def run(bcast: Boolean): Seq[(String, Int, Int, Long, Long)] = {
+      val (res, cached) = Offsets.globalPositionGroupedStamped(
+        df, "grp", ord, "pos", "gpos", broadcastOffsets = bcast)
+      val out = res.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSeq
+      cached.unpersist()
+      out
+    }
+    val (b, j) = (run(true).sortBy(_._4), run(false).sortBy(_._4))
+    assert(b == j)
+    // and both are the window-formulation ground truth
+    val expected = df.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2, t._3)).zipWithIndex
+      .map { case ((g, a, x), i) => (g, a, x, i.toLong) }
+    val gbase = expected.groupBy(_._1).view.mapValues(_.map(_._4).min).toMap
+    val truth = expected.map { case (g, a, x, p) => (g, a, x, p, p - gbase(g)) }.toSeq
+    assert(b == truth)
+  }
+
   test("HLL sketch: within error bound of exact, invariant to partitioning") {
     import spark.implicits._
     import graft.functions.HllSketchAgg.hllDistinct
