@@ -74,6 +74,33 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("decontamination broadcasts the eval-gram side; training side never sort-merges") {
+    val df = SparkEntry.queries("decontaminate_ngrams")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("connected-components rounds are equi-joins/aggregates — no product, no window") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("u", "v")
+    val df = graft.ext.DedupCluster.connectedComponents(edges)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("tfidf top-k runs through the partial/final TopKPerKey operator") {
+    val df = SparkEntry.queries("tfidf_top_terms")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"), plan)
+  }
+
   test("binned range join is an equi-join, not a nested-loop product") {
     val df = SparkEntry.queries("join_range_binned")(spark, sf)
     df.collect()
