@@ -35,6 +35,7 @@ object SparkEntry {
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
+    (ext.KMeans.queries, ext.KMeans.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),

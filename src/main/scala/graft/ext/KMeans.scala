@@ -1,0 +1,111 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed k-means assignment over the embedding corpus — the
+  * clustering primitive under semantic diversity sampling and
+  * cluster-balanced curation. Unlike the IVF Lloyd step (ext/SimSearch,
+  * float means + renormalization, rows-only), this formulation is
+  * INTEGER-EXACT end to end so the full two-round computation
+  * hash-matches DuckDB:
+  *
+  *  - seeds: the k vectors smallest in md5(vec_id) order — the same
+  *    engine-portable "deterministic random" as [[Sampling]];
+  *  - assignment: argmax of the codegen quantized dot (1e3-scale ints),
+  *    ties to the smallest centroid id;
+  *  - update: per-(cluster, dim) integer sums via posexplode (map-side
+  *    combined, the `embedding_dim_stats` plan shape), new centroid
+  *    components by FLOOR division promoted to 1e6 scale —
+  *    `(s·1000 − pmod(s·1000, n)) div n` — so round 2 is again a pure
+  *    integer argmax, reproducible in any engine with integer ops.
+  *
+  * Scale shape: centroids are k·dim longs — always broadcast; the
+  * corpus is read from one persisted quantized projection and NEVER
+  * shuffles for assignment (the only data-sized exchange is the
+  * per-(cluster, dim) partial-sum, bounded by partitions·k·dim rows);
+  * per-vector argmax runs through the partial/final TopKPerKey
+  * operator, so k·partitions rows per vec_id bound that shuffle too.
+  */
+object KMeans {
+
+  import graft.functions.QuantizedDot.{quantize, quantizedDot}
+
+  /** (vec_id, cluster_id, dot_q) after seed-assign → integer centroid
+    * update → re-assign. `cluster_id` is the seed's vec_id (stable
+    * across runs and engines); `dot_q` is the winning round-2 dot at
+    * 1e9 scale (qv 1e3 × centroid 1e6).
+    */
+  def kmeansAssign2(vectors: DataFrame, k: Int = 8): DataFrame = {
+    val q = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = q
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = q.join(broadcast(cents), col("vec_id") =!= lit(-1L))
+        .withColumn("dot", quantizedDot(col("qv"), col("cv")))
+        .select(col("vec_id"), col("qv"), col("cid"), col("dot"))
+      graft.plans.TopKPerKey.topKPerKey(scored,
+          Seq("vec_id"), Seq(("dot", true), ("cid", false)), 1)
+        .select(col("vec_id"), col("qv"), col("cid"), col("dot"))
+    }
+    val cents2 = assign(seeds)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      // floor division in integers: pmod is the nonnegative remainder,
+      // so the numerator is an exact multiple of n — `div` is exact,
+      // no double arithmetic anywhere
+      .withColumn("c", expr("(s * 1000 - pmod(s * 1000, n)) div n"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("a"))
+      .select(col("cid"), expr("transform(a, x -> x.c)").as("cv"))
+    assign(cents2)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("dot").as("dot_q"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "embedding_kmeans_assign" -> ((s, dir) =>
+      kmeansAssign2(Tables.embeddings(s, dir), 8))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // The identical integer program: HUGEINT sums cast back, `//` on an
+    // exact multiple matches Spark's `div`, `list(... ORDER BY pos)`
+    // rebuilds the centroid arrays in dimension order.
+    "embedding_kmeans_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, qv AS cv FROM q
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT q.vec_id, q.qv, s.cid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS dot
+        |  FROM q CROSS JOIN seeds s),
+        |b1 AS (
+        |  SELECT vec_id, qv, cid FROM a1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) = 1),
+        |sums AS (
+        |  SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
+        |  FROM b1, UNNEST(generate_series(1, len(qv))) AS t(i)
+        |  GROUP BY cid, i),
+        |cent2 AS (
+        |  SELECT cid,
+        |    list((s * 1000 - ((s * 1000) % n + n) % n) // n ORDER BY pos) AS cv
+        |  FROM sums GROUP BY cid),
+        |a2 AS (
+        |  SELECT q.vec_id, c.cid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |      i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot
+        |  FROM q CROSS JOIN cent2 c)
+        |SELECT vec_id, cid AS cluster_id, dot AS dot_q FROM a2
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) = 1""".stripMargin
+  )
+}
