@@ -34,6 +34,7 @@ object SparkEntry {
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),
+    (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.KMeans.queries, ext.KMeans.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),

@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline — the composition a training run
+  * actually consumes, built entirely from the operators this package
+  * already defines (each independently oracle-exact):
+  *
+  *   training split (md5 bucket) →
+  *   near-dup clustering over the TRAINING pair graph
+  *     (keep only each cluster's min-doc_id representative) →
+  *   benchmark decontamination (drop docs sharing an 8-gram with the
+  *     held-out split) →
+  *   repetition-quality gate (Gopher-style), in INTEGER cross-multiplied
+  *     form so no float threshold can flip between engines.
+  *
+  * Plan shape: every stage is a keyed join/aggregate against `doc_id`;
+  * the only wide payloads in motion are (doc_id, shingle) streams; the
+  * eval-gram set broadcasts; the cluster-label table is sized by the
+  * deduped fraction. One query, but the same physical work as running
+  * the stages separately — Catalyst fuses the doc_id-keyed joins into
+  * one exchange chain.
+  */
+object Curate {
+
+  /** The kept corpus: canonical, uncontaminated, quality-passing
+    * training documents with their cluster sizes.
+    */
+  def curateCorpus(docs: DataFrame, evalSide: Column,
+                   minTokens: Int = 20, maxRepPct: Int = 68,
+                   maxTopUnigramPct: Int = 20): DataFrame = {
+    val train = docs.filter(!evalSide)
+    val lab = DedupCluster.clusterAssignments(train,
+      Dedup.ngramJaccardPairs(train, 0.12))
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val contaminated = Quality.decontaminationReport(docs, evalSide)
+      .select(col("doc_id"))
+    val rep = Quality.repetitionProfile(train)
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
+        col("top_unigram_count"))
+    train
+      .join(sizes, train("doc_id") === sizes("cluster_id")) // canonical reps only
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(rep, "doc_id")
+      .filter(col("n_tokens") >= minTokens &&
+        (col("n_tokens") - col("n_uniq_tokens")) * 100 <= col("n_tokens") * maxRepPct &&
+        col("top_unigram_count") * 100 <= col("n_tokens") * maxTopUnigramPct)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("cluster_size"))
+  }
+
+  private def bucketPred(c: String, op: String) =
+    s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4)) AS BIGINT) $op 6554"
+  private val trainPred = bucketPred("doc_id", ">=")
+  private val evalPred = bucketPred("doc_id", "<")
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_curate_corpus" -> ((s, dir) =>
+      curateCorpus(Tables.documents(s, dir),
+        Sampling.hashBucket(col("doc_id")) < 6554))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // The same composition in one statement: the pair/closure CTEs are
+    // instantiated TRAIN-ONLY (pred pushed into the shared chain), the
+    // 8-gram contamination CTEs run over all docs with their own names,
+    // and the quality gate repeats the integer cross-multiplication.
+    "pipeline_curate_corpus" ->
+      (s"WITH RECURSIVE ${Dedup.ngramCtesFor(trainPred)},\n" +
+        s"${DedupCluster.closureCtesFor(bucketPred("d.doc_id", ">="))},\n" +
+      s"""csizes AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |toks8 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |sh8 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+        |    ELSE [] END)) AS shingle
+        |  FROM toks8),
+        |bench8 AS (SELECT DISTINCT shingle FROM sh8 WHERE $evalPred),
+        |contaminated AS (
+        |  SELECT DISTINCT s.doc_id FROM sh8 s JOIN bench8 USING (shingle)
+        |  WHERE $trainPred),
+        |uni AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+        |ustat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_uniq_tokens, CAST(max(c) AS BIGINT) AS top_unigram_count
+        |  FROM uni GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, u.n_tokens, cs.cluster_size
+        |FROM documents d
+        |JOIN csizes cs ON d.doc_id = cs.cluster_id
+        |JOIN ustat u ON u.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |  AND u.n_tokens >= 20
+        |  AND (u.n_tokens - u.n_uniq_tokens) * 100 <= u.n_tokens * 68
+        |  AND u.top_unigram_count * 100 <= u.n_tokens * 20""".stripMargin)
+  )
+}

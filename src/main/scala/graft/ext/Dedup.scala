@@ -81,6 +81,50 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup: the production shape where a NEW BATCH of
+    * documents is deduplicated AGAINST the existing corpus without ever
+    * self-joining the corpus. `batchSide` partitions `docs` into batch
+    * (true) and corpus (false); the output is every (batch, corpus) pair
+    * with shingle-Jaccard ≥ `threshold`.
+    *
+    * Scale shape: the inverted corpus index is built once (at 100 TB it
+    * would be the PERSISTED artifact of the previous run — here it is
+    * derived inline so the oracle can see the same definition); the
+    * df-cap is computed from CORPUS frequencies (boilerplate is a
+    * corpus property, and capping by the batch would let a spammy batch
+    * mask real matches) and dropped from both sides so the Jaccard
+    * stays consistent; the candidate join is batch-index ⋈ corpus-index
+    * on the 8-byte shingle hash — cost bounded by shared-shingle
+    * collisions and LINEAR in the batch, never corpus², with AQE free
+    * to broadcast the batch side when it is small.
+    */
+  def incrementalJaccardPairs(docs: DataFrame, batchSide: Column,
+                              threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val idx = docs.select(col("doc_id"), batchSide.as("is_batch"),
+        explode(shingles(col("text"))).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusIdx = idx.filter(!col("is_batch"))
+    val hot = corpusIdx.groupBy(col("h"), col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"), col("shingle"))
+    val cIdx = corpusIdx.join(broadcast(hot), Seq("h", "shingle"), "left_anti")
+    val bIdx = idx.filter(col("is_batch"))
+      .join(broadcast(hot), Seq("h", "shingle"), "left_anti")
+    val sizesC = cIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_c"))
+    val sizesB = bIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val inter = bIdx.as("b").join(cIdx.as("c"),
+        col("b.h") === col("c.h") && col("b.shingle") === col("c.shingle"))
+      .groupBy(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizesB.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
+      .join(sizesC.withColumnRenamed("doc_id", "corpus_doc"), "corpus_doc")
+      .withColumn("jaccard", col("n_common") / (col("n_b") + col("n_c") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"), col("n_common"),
+        col("n_b"), col("n_c"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signatures: k universal-hash permutations of xxhash64 shingle
     * hashes, `h_i(s) = (a_i * h(s) + b_i) mod p`, min per permutation.
     *
@@ -308,6 +352,12 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), 0.12)),
 
+    // the md5 ~10% bucket plays the "newly arrived batch", the rest the
+    // standing corpus
+    "dedup_incremental_jaccard" -> ((s, dir) =>
+      incrementalJaccardPairs(Tables.documents(s, dir),
+        Sampling.hashBucket(col("doc_id")) < 6554, 0.12)),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLshPairs(Tables.documents(s, dir), k = 32, rows = 4, estThreshold = 0.3)),
 
@@ -328,20 +378,29 @@ object Dedup {
       embeddingCosinePairs(Tables.embeddings(s, dir), 0.4))
   )
 
-  /** The jaccard oracle's CTE chain (tokens → distinct 3-gram shingles →
-    * df-capped index → per-doc sizes → pair intersections), shared with
-    * the clustering oracles in [[DedupCluster]] so the pair graph they
-    * close over is definitionally the same query.
+  /** Tokens → distinct 3-gram shingles over the documents matching
+    * `pred`: the base CTEs every shingle oracle shares ([[DedupCluster]]
+    * reuses them verbatim, [[Curate]] instantiates them train-only).
     */
-  private[ext] val ngramCtes: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
-      |  FROM documents),
+  private[ext] def shingleCtesFor(pred: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+      |  FROM documents WHERE $pred),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)) AS shingle
-      |  FROM toks),
+      |  FROM toks)""".stripMargin
+
+  private[ext] val shingleCtes: String = shingleCtesFor("TRUE")
+
+  /** The jaccard oracle's CTE chain (shingles → df-capped index →
+    * per-doc sizes → pair intersections) over the documents matching
+    * `pred`, shared so every oracle that builds on the pair graph closes
+    * over definitionally the same query.
+    */
+  private[ext] def ngramCtesFor(pred: String): String =
+    s"""${shingleCtesFor(pred)},
       |shf AS (
       |  SELECT * FROM sh WHERE shingle NOT IN (
       |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)),
@@ -350,6 +409,8 @@ object Dedup {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  private[ext] val ngramCtes: String = ngramCtesFor("TRUE")
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -364,6 +425,27 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin),
+    "dedup_incremental_jaccard" ->
+      (s"WITH $shingleCtes,\n" +
+      """corpus AS (SELECT * FROM sh
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554),
+        |batch AS (SELECT * FROM sh
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554),
+        |hot AS (SELECT shingle FROM corpus GROUP BY shingle HAVING count(*) > 1000),
+        |cf AS (SELECT * FROM corpus WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |bf AS (SELECT * FROM batch WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |sc AS (SELECT doc_id, count(*) AS n_c FROM cf GROUP BY doc_id),
+        |sb AS (SELECT doc_id, count(*) AS n_b FROM bf GROUP BY doc_id),
+        |inc AS (
+        |  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, count(*) AS n_common
+        |  FROM bf b JOIN cf c ON b.shingle = c.shingle
+        |  GROUP BY b.doc_id, c.doc_id)
+        |SELECT batch_doc, corpus_doc, n_common, sb.n_b, sc.n_c,
+        |  round(n_common / (sb.n_b + sc.n_c - n_common), 6) AS jaccard
+        |FROM inc
+        |JOIN sb ON sb.doc_id = batch_doc
+        |JOIN sc ON sc.doc_id = corpus_doc
+        |WHERE n_common / (sb.n_b + sc.n_c - n_common) >= 0.12""".stripMargin),
     // CAST dot_q back to BIGINT: DuckDB list_sum over BIGINT is HUGEINT
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

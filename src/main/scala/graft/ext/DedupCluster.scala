@@ -135,11 +135,12 @@ object DedupCluster {
   }
 
   // The DuckDB side closes the SAME pair graph (shared CTE chain from
-  // Dedup.ngramCtes, identical 0.12 threshold) with a recursive
+  // Dedup.ngramCtesFor, identical 0.12 threshold) with a recursive
   // transitive closure — fine at oracle scale, impossible at 100 TB,
-  // which is exactly why the Spark side is star-contraction.
-  private val closureCtes: String =
-    """pairs AS (
+  // which is exactly why the Spark side is star-contraction. `pred`
+  // restricts the labeled document set ([[Curate]] labels train-only).
+  private[ext] def closureCtesFor(pred: String): String =
+    s"""pairs AS (
       |  SELECT doc_a, doc_b FROM inter
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
@@ -155,7 +156,10 @@ object DedupCluster {
       |mins AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
       |lab AS (
       |  SELECT d.doc_id, COALESCE(LEAST(m.mn, d.doc_id), d.doc_id) AS cluster_id
-      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id)""".stripMargin
+      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
+      |  WHERE $pred)""".stripMargin
+
+  private val closureCtes: String = closureCtesFor("TRUE")
 
   val queries: Map[String, Q] = Map(
     "dedup_cluster_cc" -> ((s, dir) => {

@@ -199,8 +199,43 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  private val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    // Stream-STATIC anti-join: the streaming-ingest face of incremental
+    // dedup — arriving documents (the md5-bucket "new batch") are
+    // dropped when their content hash already exists in the standing
+    // corpus. The static side is re-read per micro-batch by contract
+    // (Spark plans it as a fresh scan), is stateless (no watermark
+    // needed — a static row set can never retract), and at scale the
+    // right static side is a compact content-hash table, not the
+    // corpus itself. Fully deterministic → exact batch oracle.
+    "streaming_static_antijoin" -> ((s, dir) => {
+      val corpusHashes = graft.Tables.documents(s, dir)
+        .filter(!(graft.ext.Sampling.hashBucket(col("doc_id")) < 6554))
+        .select(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+        .distinct()
+      val name = s"santi_${System.nanoTime()}"
+      val q = s.readStream
+        .schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(graft.ext.Sampling.hashBucket(col("doc_id")) < 6554)
+        .withColumn("content_hash", md5(to_binary(col("text"), lit("utf-8"))))
+        .join(corpusHashes, Seq("content_hash"), "left_anti")
+        .select(col("doc_id"), col("content_hash"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }),
 
     // Stateful sessionization, run to completion with a sentinel-driven
     // final watermark flush — emits closed sessions AND open tails, so
@@ -280,6 +315,13 @@ object StreamingOps {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute
         |FROM events""".stripMargin,
+    "streaming_static_antijoin" ->
+      """SELECT doc_id, md5(text) AS content_hash
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
+        |  AND md5(text) NOT IN (
+        |    SELECT md5(text) FROM documents
+        |    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554)""".stripMargin,
     // identical to the batch `sessionize` oracle — the flushed stream
     // must reproduce it bit-for-bit
     "streaming_sessionize" ->

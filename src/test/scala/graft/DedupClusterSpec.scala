@@ -178,4 +178,55 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("incremental jaccard equals the batch-vs-corpus slice of a brute-force recount") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base + " one extra tail"),        // batch
+      (2L, base + " different ending here"), // corpus: near-dup of 1
+      (3L, base),                            // corpus: near-dup of 1
+      (4L, "wholly unrelated content about tides and harbors and ships at sea"),
+      (5L, base + " another tail entirely")  // batch: near-dup of 2,3
+    ).toDF("doc_id", "text")
+    val isBatch = col("doc_id").isin(1L, 5L)
+    val got = Dedup.incrementalJaccardPairs(docs, isBatch, 0.3)
+      .select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full pair list from the symmetric operator, sliced
+    val all = Dedup.ngramJaccardPairs(docs, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchSet = Set(1L, 5L)
+    val expected = all.flatMap { case (a, b) =>
+      (batchSet.contains(a), batchSet.contains(b)) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _             => None
+      }
+    }.toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("curated corpus: every survivor is canonical, uncontaminated, quality-passing") {
+    val docs = Tables.documents(spark, sf)
+    val evalSide = Sampling.hashBucket(col("doc_id")) < 6554
+    val kept = graft.ext.Curate.curateCorpus(docs, evalSide)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    val train = docs.filter(!evalSide)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(trainIds), "eval docs must never survive")
+    // canonical: survivor = min of its cluster in the train-only graph
+    val labels = DedupCluster.clusterAssignments(train,
+        Dedup.ngramJaccardPairs(train, 0.12))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.foreach(id => assert(labels(id) == id, s"doc $id kept but not canonical"))
+    // uncontaminated
+    val dirty = Quality.decontaminationReport(docs, evalSide)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dirty).isEmpty)
+    // and the pipeline dropped someone at each gate on this corpus
+    val nonCanonical = trainIds.filter(id => labels(id) != id)
+    assert(nonCanonical.nonEmpty, "fixture should exercise the dedup gate")
+  }
 }

@@ -22,6 +22,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static anti-join equals the batch anti-join on content hash") {
+    val streamed = SparkEntry.queries("streaming_static_antijoin")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val docs = Tables.documents(spark, sf)
+    val isBatch = graft.ext.Sampling.hashBucket(col("doc_id")) < 6554
+    val corpusHashes = docs.filter(!isBatch)
+      .select(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash")).distinct()
+    val batch = docs.filter(isBatch)
+      .withColumn("content_hash", md5(to_binary(col("text"), lit("utf-8"))))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream-static anti-join DROPS already-seen content (planted fixture)") {
+    import spark.implicits._
+    // pick real ids on each side of the md5 bucket split
+    val sides = (1L to 60L).toDF("doc_id")
+      .withColumn("b", graft.ext.Sampling.hashBucket(col("doc_id")) < 6554)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batchIds = sides.filter(_._2).keys.toSeq.sorted
+    val corpusIds = sides.filterNot(_._2).keys.toSeq.sorted
+    assert(batchIds.size >= 2, s"need 2 batch-side ids in 1..60, got $batchIds")
+    val dir = graft.io.TempDirs.create("santi_fixture")
+    val rows = Seq(
+      (batchIds(0), "duplicate content already in the corpus"),
+      (batchIds(1), "fresh content never seen before"),
+      (corpusIds(0), "duplicate content already in the corpus"),
+      (corpusIds(1), "corpus only content")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // the driver testdata layout is one FILE per table
+    val tmp = java.nio.file.Paths.get(dir, "_stage")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val got = SparkEntry.queries("streaming_static_antijoin")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(batchIds(1)), s"only the fresh batch doc survives: $got")
+  }
+
   test("flushed streaming sessions EQUAL batch sessions, ordinals and cents included") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
