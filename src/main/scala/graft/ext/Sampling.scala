@@ -69,7 +69,30 @@ object Sampling {
     "sample_per_class_cap" -> ((s, dir) =>
       perClassCap(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "lang", col("doc_id"), 25)
-        .select(col("lang"), col("rank"), col("doc_id")))
+        .select(col("lang"), col("rank"), col("doc_id"))),
+
+    // Deterministic corpus shuffle: the pre-training permutation as a
+    // stable position in md5 order — same engine-portable hash, computed
+    // by the two-phase distributed scan (no single-partition stage).
+    "corpus_shuffle_order" -> ((s, dir) =>
+      graft.ops.Offsets.globalPosition(
+        Tables.documents(s, dir).select(col("doc_id")),
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")), "pos")),
+
+    // Token-budget shard packing: exclusive weighted prefix sum of
+    // per-doc token counts in shuffle order, shard = cum div budget —
+    // every shard holds ~budget tokens of contiguous shuffled docs, and
+    // the assignment is reproducible anywhere. The scan runs through
+    // globalWeightedPrefix: per-partition running sums + a
+    // cluster-width offset table, never a window over the corpus.
+    "corpus_pack_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Offsets.globalWeightedPrefix(docs,
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          "n_tokens", "cum_tokens")
+        .withColumn("shard_id", expr("cum_tokens div 2000"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,6 +110,24 @@ object Sampling {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank,
         |  doc_id
         |FROM documents
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 25""".stripMargin
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 25""".stripMargin,
+    "corpus_shuffle_order" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
+    // cum computed once in a subquery: two textually identical windows
+    // would re-evaluate and invite the threaded-window tie hazard
+    "corpus_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 2000 AS shard_id FROM c""".stripMargin
   )
 }

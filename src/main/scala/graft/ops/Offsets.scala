@@ -129,6 +129,41 @@ object Offsets {
     (result, withMid)
   }
 
+  /** Exclusive WEIGHTED prefix sum over data rows in `ord` order —
+    * `globalPosition` generalized from weight 1 to `weightCol` (token
+    * budgets, byte sizes): each row gets the sum of all preceding rows'
+    * weights. Same two-phase shape, still no single-partition stage:
+    * the only unpartitioned window runs over the per-partition totals
+    * (cluster-width rows); the per-row running sum is a window
+    * PARTITIONED by the physical partition id, so its parallelism is
+    * the partition count and its state is one accumulator per task.
+    * `ord` must be a total order.
+    */
+  def globalWeightedPrefix(df: DataFrame, ord: Seq[Column], weightCol: String,
+                           cumCol: String = "cum"): DataFrame =
+    globalWeightedPrefixStamped(df, ord, weightCol, cumCol)._1
+
+  /** [[globalWeightedPrefix]] plus the persisted internal frame (same
+    * unpersist contract as [[globalPositionStamped]]).
+    */
+  def globalWeightedPrefixStamped(df: DataFrame, ord: Seq[Column], weightCol: String,
+                                  cumCol: String = "cum"): (DataFrame, DataFrame) = {
+    val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
+    val withMid = sorted.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = withMid.groupBy(col("_pid")).agg(sum(col(weightCol)).as("cnt"))
+    val offsets = exclusivePrefixSum(totals, "_pid")
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(col("_mid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val result = withMid
+      .withColumn("_run", sum(col(weightCol)).over(wLocal))
+      .join(broadcast(offsets.select(col("_pid"), col("write_offset"))), "_pid")
+      .withColumn(cumCol, col("_run") - col(weightCol) + col("write_offset"))
+      .select(df.columns.map(col) :+ col(cumCol): _*)
+    (result, withMid)
+  }
+
   val queries: Map[String, Q] = Map(
     "global_position" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))

@@ -93,6 +93,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted prefix sum equals the serial scan for any partitioning; weight 1 equals position") {
+    import spark.implicits._
+    for (parts <- Seq(1, 5, 13)) {
+      val df = (0 until 400).map(i => ((i * 7919) % 1000, i, (i * 31) % 17 + 1))
+        .toDF("a", "b", "w").repartition(parts)
+      val got = Offsets.globalWeightedPrefix(df, Seq(col("a"), col("b")), "w", "cum")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      var acc = 0L
+      got.foreach { case (_, _, w, cum) =>
+        assert(cum == acc, s"parts=$parts"); acc += w
+      }
+      val ones = Offsets.globalWeightedPrefix(
+          df.withColumn("one", lit(1L)), Seq(col("a"), col("b")), "one", "cum")
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(4))).toMap
+      val pos = Offsets.globalPosition(df, Seq(col("a"), col("b")))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(3))).toMap
+      assert(ones == pos)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("grouped stamp: join fallback (past the broadcast ceiling) equals the broadcast form") {
     import spark.implicits._
     val df = (0 until 500).map(i => (s"g${(i * 13) % 7}", (i * 7919) % 1000, i))
