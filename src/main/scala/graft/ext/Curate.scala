@@ -37,9 +37,9 @@ object Curate {
     val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     val contaminated = Quality.decontaminationReport(docs, evalSide)
       .select(col("doc_id"))
-    val rep = Quality.repetitionProfile(train)
-      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
-        col("top_unigram_count"))
+    // unigram profile only — the gate never reads the bigram columns,
+    // and the full profile would pay the bigram explode/aggregate pass
+    val rep = Quality.unigramProfile(train)
     train
       .join(sizes, train("doc_id") === sizes("cluster_id")) // canonical reps only
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -70,18 +70,9 @@ object Curate {
     "pipeline_curate_corpus" ->
       (s"WITH RECURSIVE ${Dedup.ngramCtesFor(trainPred)},\n" +
         s"${DedupCluster.closureCtesFor(bucketPred("d.doc_id", ">="))},\n" +
+        s"${Quality.gram8Ctes("toks8")},\n" +
       s"""csizes AS (
         |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
-        |toks8 AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
-        |  FROM documents),
-        |sh8 AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
-        |    ELSE [] END)) AS shingle
-        |  FROM toks8),
         |bench8 AS (SELECT DISTINCT shingle FROM sh8 WHERE $evalPred),
         |contaminated AS (
         |  SELECT DISTINCT s.doc_id FROM sh8 s JOIN bench8 USING (shingle)

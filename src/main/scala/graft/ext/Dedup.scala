@@ -99,7 +99,15 @@ object Dedup {
     * to broadcast the batch side when it is small.
     */
   def incrementalJaccardPairs(docs: DataFrame, batchSide: Column,
-                              threshold: Double, dfCap: Int = 1000): DataFrame = {
+                              threshold: Double, dfCap: Int = 1000): DataFrame =
+    incrementalJaccardPairsStamped(docs, batchSide, threshold, dfCap)._1
+
+  /** [[incrementalJaccardPairs]] plus the thunk releasing the persisted
+    * inverted index (same contract as [[embeddingCosineLshPairsStamped]];
+    * the plain form is for harnesses that `clearCache()` per query).
+    */
+  def incrementalJaccardPairsStamped(docs: DataFrame, batchSide: Column,
+                              threshold: Double, dfCap: Int = 1000): (DataFrame, () => Unit) = {
     val idx = docs.select(col("doc_id"), batchSide.as("is_batch"),
         explode(shingles(col("text"))).as("shingle"))
       .withColumn("h", xxhash64(col("shingle")))
@@ -116,13 +124,14 @@ object Dedup {
         col("b.h") === col("c.h") && col("b.shingle") === col("c.shingle"))
       .groupBy(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val result = inter
       .join(sizesB.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
       .join(sizesC.withColumnRenamed("doc_id", "corpus_doc"), "corpus_doc")
       .withColumn("jaccard", col("n_common") / (col("n_b") + col("n_c") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_doc"), col("corpus_doc"), col("n_common"),
         col("n_b"), col("n_c"), round(col("jaccard"), 6).as("jaccard"))
+    (result, () => { idx.unpersist(); () })
   }
 
   /** MinHash signatures: k universal-hash permutations of xxhash64 shingle

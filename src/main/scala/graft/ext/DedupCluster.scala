@@ -38,33 +38,40 @@ object DedupCluster {
     * component = the minimum node id in the node's component. Isolated
     * nodes never enter the edge list and are the caller's default case.
     */
+  /** Large-star: every node re-points its LARGER neighbors at the
+    * minimum of its closed neighborhood. One symmetrize, one min
+    * aggregate, one co-partitioned join — all keyed on u.
+    * Package-visible so PlanSpec pins the PER-ROUND plan shape (the
+    * loop checkpoints every round, so the converged plan alone would
+    * not witness it).
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("_m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: direct edges large→small, then re-point every node's
+    * smaller neighbors (and itself) at its minimum neighbor.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("_m"))
+    mins.select(col("u"), col("_m").as("v"))
+      .union(dir.join(mins, "u")
+        .filter(col("v") =!= col("_m"))
+        .select(col("v").as("u"), col("_m").as("v")))
+      .distinct()
+  }
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
-    // Large-star: every node re-points its LARGER neighbors at the
-    // minimum of its closed neighborhood. One symmetrize, one min
-    // aggregate, one co-partitioned join — all keyed on u.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
-        .select(col("u"), least(col("u"), col("_mn")).as("_m"))
-      sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("_m").as("v"))
-        .distinct()
-    }
-    // Small-star: direct edges large→small, then re-point every node's
-    // smaller neighbors (and itself) at its minimum neighbor.
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("_m"))
-      mins.select(col("u"), col("_m").as("v"))
-        .union(dir.join(mins, "u")
-          .filter(col("v") =!= col("_m"))
-          .select(col("v").as("u"), col("_m").as("v")))
-        .distinct()
-    }
     // Convergence check = (row count, order-independent hash sum) of the
     // distinct edge set: one tiny aggregate per round instead of a full
     // set-difference join. A count+sum collision between two DIFFERENT
@@ -90,8 +97,10 @@ object DedupCluster {
       converged = nsig == sig
       // `next` is fully materialized, so the previous round's blocks are
       // no longer reachable — release them instead of accumulating
-      // O(rounds) copies of the edge set in the block manager.
-      cur.unpersist()
+      // O(rounds) copies of the edge set in the block manager. This must
+      // go through the LogicalRDD leaf: Dataset.unpersist is a no-op on
+      // a local checkpoint (it never registers with the CacheManager).
+      org.apache.spark.sql.GraftSqlShim.unpersistLocalCheckpoint(cur)
       cur = next
       sig = nsig
       round += 1

@@ -13,20 +13,21 @@ import org.apache.spark.sql.functions._
   *
   *  - seeds: the k vectors smallest in md5(vec_id) order — the same
   *    engine-portable "deterministic random" as [[Sampling]];
-  *  - assignment: argmax of the codegen quantized dot (1e3-scale ints),
-  *    ties to the smallest centroid id;
+  *  - assignment: argmax of the codegen quantized dot (1e3-scale ints)
+  *    against a LITERAL centroid array, ties to the smallest centroid
+  *    id — a zero-shuffle projection inside the scan stage;
   *  - update: per-(cluster, dim) integer sums via posexplode (map-side
   *    combined, the `embedding_dim_stats` plan shape), new centroid
   *    components by FLOOR division promoted to 1e6 scale —
   *    `(s·1000 − pmod(s·1000, n)) div n` — so round 2 is again a pure
   *    integer argmax, reproducible in any engine with integer ops.
   *
-  * Scale shape: centroids are k·dim longs — always broadcast; the
-  * corpus is read from one persisted quantized projection and NEVER
-  * shuffles for assignment (the only data-sized exchange is the
-  * per-(cluster, dim) partial-sum, bounded by partitions·k·dim rows);
-  * per-vector argmax runs through the partial/final TopKPerKey
-  * operator, so k·partitions rows per vec_id bound that shuffle too.
+  * Scale shape: centroids are k·dim longs — driver-collected (bounded
+  * by the k parameter, never by data) and inlined per round; the
+  * corpus is read from one persisted quantized projection and never
+  * shuffles for assignment. The only data-sized exchange in the whole
+  * program is the centroid-update partial-sum, whose shuffle rows are
+  * bounded by partitions·k·dim.
   */
 object KMeans {
 
@@ -37,20 +38,37 @@ object KMeans {
     * across runs and engines); `dot_q` is the winning round-2 dot at
     * 1e9 scale (qv 1e3 × centroid 1e6).
     */
-  def kmeansAssign2(vectors: DataFrame, k: Int = 8): DataFrame = {
+  def kmeansAssign2(vectors: DataFrame, k: Int = 8): DataFrame =
+    kmeansAssign2Stamped(vectors, k)._1
+
+  /** [[kmeansAssign2]] plus the thunk releasing the persisted quantized
+    * corpus (same contract as `Dedup.embeddingCosineLshPairsStamped`;
+    * the plain form is for harnesses that `clearCache()` per query).
+    */
+  def kmeansAssign2Stamped(vectors: DataFrame, k: Int = 8): (DataFrame, () => Unit) = {
     val q = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = q
       .withColumn("_h", md5(col("vec_id").cast("string")))
       .orderBy(col("_h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    // Assignment is a PURE PROJECTION: the k centroids are collected
+    // (bounded by the k parameter — the same driver-summary regime as
+    // RangeRle's per-partition exchange) and inlined as a literal
+    // array, so the per-vector argmax runs inside the scan stage with
+    // ZERO shuffle — no join, no grouping, no exchange of the corpus.
+    // Tie-break: array_max on struct(dot, -cid) is lexicographic, so
+    // equal dots resolve to the SMALLEST centroid id.
     def assign(cents: DataFrame): DataFrame = {
-      val scored = q.join(broadcast(cents), col("vec_id") =!= lit(-1L))
-        .withColumn("dot", quantizedDot(col("qv"), col("cv")))
-        .select(col("vec_id"), col("qv"), col("cid"), col("dot"))
-      graft.plans.TopKPerKey.topKPerKey(scored,
-          Seq("vec_id"), Seq(("dot", true), ("cid", false)), 1)
-        .select(col("vec_id"), col("qv"), col("cid"), col("dot"))
+      val centLit = array(cents.collect().map { r =>
+        struct(lit(r.getLong(0)).as("cid"),
+          array(r.getSeq[Long](1).map(lit): _*).as("cv"))
+      }.toIndexedSeq: _*)
+      q.withColumn("best", array_max(transform(centLit,
+          c => struct(quantizedDot(col("qv"), c.getField("cv")).as("d"),
+            (-c.getField("cid")).as("ncid")))))
+        .select(col("vec_id"), col("qv"),
+          (-col("best.ncid")).as("cid"), col("best.d").as("dot"))
     }
     val cents2 = assign(seeds)
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -63,8 +81,9 @@ object KMeans {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("a"))
       .select(col("cid"), expr("transform(a, x -> x.c)").as("cv"))
-    assign(cents2)
+    val out = assign(cents2)
       .select(col("vec_id"), col("cid").as("cluster_id"), col("dot").as("dot_q"))
+    (out, () => { q.unpersist(); () })
   }
 
   val queries: Map[String, Q] = Map(

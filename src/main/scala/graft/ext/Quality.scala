@@ -30,17 +30,25 @@ object Quality {
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
 
-  /** Word-level repetition profile: most-frequent unigram/bigram counts
-    * and the repeated-mass fractions the Gopher filters threshold on.
-    * Two explode→count→max chains, both keyed on doc_id.
+  /** The unigram half of the repetition profile — factored out because
+    * [[Curate]]'s quality gate needs ONLY these columns, and joining the
+    * full profile would drag the bigram explode/aggregate pass along
+    * (Catalyst cannot eliminate an outer join to an aggregate).
     */
-  def repetitionProfile(docs: DataFrame): DataFrame = {
-    val uni = docs.select(col("doc_id"), explode(toks).as("tok"))
+  def unigramProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_uniq_tokens"),
         max(col("c")).as("top_unigram_count"))
+
+  /** Word-level repetition profile: most-frequent unigram/bigram counts
+    * and the repeated-mass fractions the Gopher filters threshold on.
+    * Two explode→count→max chains, both keyed on doc_id.
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val uni = unigramProfile(docs)
     val bi = docs.select(col("doc_id"), explode(bigrams(toks)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(
@@ -104,6 +112,24 @@ object Quality {
       tfidfTopTerms(Tables.documents(s, dir), 3))
   )
 
+  /** The 8-gram decontamination CTE chain (tokens over ALL docs →
+    * distinct word-8-grams), with the token CTE name parameterized so
+    * [[Curate]]'s composed oracle can instantiate it alongside the
+    * train-only 3-gram chain without name collisions — one definition,
+    * no drift between the standalone and composed oracles.
+    */
+  private[ext] def gram8Ctes(toksName: String): String =
+    s"""$toksName AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sh8 AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+      |    ELSE [] END)) AS shingle
+      |  FROM $toksName)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // DuckDB sum(BIGINT) is HUGEINT, and BIGINT/BIGINT is float division
     // in both engines — only the final round(…, 6) doubles leave the
@@ -137,23 +163,14 @@ object Quality {
         |       ELSE 0.0 END AS rep_bigram_frac
         |FROM ustat u LEFT JOIN bstat b USING (doc_id)""".stripMargin,
     "decontaminate_ngrams" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
-        |  FROM documents),
-        |sh8 AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
-        |    ELSE [] END)) AS shingle
-        |  FROM toks),
-        |bench AS (
+      (s"WITH ${gram8Ctes("toks")},\n" +
+      """bench AS (
         |  SELECT DISTINCT shingle FROM sh8
         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554)
         |SELECT s.doc_id, count(*) AS n_overlap_ngrams
         |FROM sh8 s JOIN bench USING (shingle)
         |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554
-        |GROUP BY s.doc_id""".stripMargin,
+        |GROUP BY s.doc_id""".stripMargin),
     "tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS term, count(*) AS tf

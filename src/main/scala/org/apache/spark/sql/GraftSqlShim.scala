@@ -17,4 +17,18 @@ object GraftSqlShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` is a no-op for it — that only clears
+    * CacheManager entries, and a local checkpoint's RDD persists itself
+    * directly without registering there — so iterative algorithms must
+    * drop the previous round's blocks through the `LogicalRDD` leaf.
+    * The Dataset is unusable afterwards (its lineage was truncated at
+    * the checkpoint); only call this once nothing derives from it.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -84,7 +84,22 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("connected-components rounds are equi-joins/aggregates — no product, no window") {
+  test("connected-components ROUNDS are equi-joins/aggregates — no product, no window") {
+    import spark.implicits._
+    // the loop checkpoints every round, so the converged query's plan
+    // starts at Scan ExistingRDD — the round shape must be asserted on
+    // an un-checkpointed contraction directly
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("u", "v")
+    val round = graft.ext.DedupCluster.smallStar(graft.ext.DedupCluster.largeStar(edges))
+    round.collect()
+    val plan = round.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan) // min-per-node rounds are aggregates
+  }
+
+  test("connected-components label assembly has no product and no window") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i + 1)).toDF("u", "v")
     val df = graft.ext.DedupCluster.connectedComponents(edges)

@@ -58,8 +58,10 @@ class StreamingSpec extends AnyFunSuite {
     // the driver testdata layout is one FILE per table
     val tmp = java.nio.file.Paths.get(dir, "_stage")
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "documents.parquet"))
     val got = SparkEntry.queries("streaming_static_antijoin")(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
