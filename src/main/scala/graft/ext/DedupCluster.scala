@@ -40,7 +40,10 @@ object DedupCluster {
     */
   /** Large-star: every node re-points its LARGER neighbors at the
     * minimum of its closed neighborhood. One symmetrize, one min
-    * aggregate, one co-partitioned join — all keyed on u.
+    * aggregate, one co-partitioned join — all keyed on u. The output is
+    * NOT deduplicated: it feeds straight into [[smallStar]], whose
+    * leading `distinct` dedups anyway, so a trailing distinct here would
+    * be a full extra exchange per round for nothing.
     * Package-visible so PlanSpec pins the PER-ROUND plan shape (the
     * loop checkpoints every round, so the converged plan alone would
     * not witness it).
@@ -53,7 +56,6 @@ object DedupCluster {
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("_m").as("v"))
-      .distinct()
   }
 
   /** Small-star: direct edges large→small, then re-point every node's
@@ -91,28 +93,55 @@ object DedupCluster {
     var sig = signature(cur)
     var converged = sig._1 == 0L
     var round = 0
-    while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nsig = signature(next)
-      converged = nsig == sig
-      // `next` is fully materialized, so the previous round's blocks are
-      // no longer reachable — release them instead of accumulating
-      // O(rounds) copies of the edge set in the block manager. This must
-      // go through the LogicalRDD leaf: Dataset.unpersist is a no-op on
-      // a local checkpoint (it never registers with the CacheManager).
+    // The per-round shuffles carry the (shrinking) edge set, so size them
+    // to the MEASURED edge count, not the session default: a near-dup
+    // pair graph is orders of magnitude smaller than the corpus that
+    // produced it, and every round pays ~7 exchanges. ~2M edges
+    // (≈32 MB of (u,v) rows) per partition; restored in `finally`
+    // (same scoping discipline as the streaming shuffle override).
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val scopedParts = math.max(1L, math.min(prevParts.toLong, sig._1 / 2000000L + 1L))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", scopedParts.toString)
+      while (!converged && round < maxRounds) {
+        // LAZY checkpoint: the signature aggregate is the round's single
+        // action — it materializes the checkpoint blocks and computes the
+        // convergence signature in one job instead of two.
+        val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+        val nsig = signature(next)
+        converged = nsig == sig
+        // `next` is fully materialized, so the previous round's blocks are
+        // no longer reachable — release them instead of accumulating
+        // O(rounds) copies of the edge set in the block manager. This must
+        // go through the LogicalRDD leaf: Dataset.unpersist is a no-op on
+        // a local checkpoint (it never registers with the CacheManager).
+        org.apache.spark.sql.GraftSqlShim.unpersistLocalCheckpoint(cur)
+        cur = next
+        sig = nsig
+        round += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+      // The label table is checkpointed (it is node-count-sized, no
+      // bigger than the edge set) so the converged edge-set blocks can
+      // be released NOW instead of leaking past the call —
+      // `clearCache()` cannot reach local-checkpoint blocks.
+      val labels = assembleLabels(cur).localCheckpoint()
       org.apache.spark.sql.GraftSqlShim.unpersistLocalCheckpoint(cur)
-      cur = next
-      sig = nsig
-      round += 1
-    }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    // Converged state is a union of stars: (member, component-min) edges.
-    // Roots appear only on the v side and label themselves; the final
-    // min-aggregate is cheap insurance, not load-bearing.
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Converged state is a union of stars: (member, component-min) edges.
+    * Roots appear only on the v side and label themselves; the final
+    * min-aggregate is cheap insurance, not load-bearing. Package-visible
+    * so PlanSpec pins the assembly's plan shape (the public API
+    * checkpoints the result, which would hide it).
+    */
+  private[graft] def assembleLabels(cur: DataFrame): DataFrame =
     cur.groupBy(col("u").as("node")).agg(min(col("v")).as("component"))
       .unionByName(cur.select(col("v").as("node"), col("v").as("component")).distinct())
       .groupBy(col("node")).agg(min(col("component")).as("component"))
-  }
 
   /** (doc_id, cluster_id) for every document, closing the given near-dup
     * pair list (columns doc_a, doc_b) transitively; cluster_id = the

@@ -101,8 +101,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("connected-components label assembly has no product and no window") {
     import spark.implicits._
+    // asserted on the un-checkpointed assembly: the public API
+    // checkpoints its result, which would reduce the plan to an RDD scan
     val edges = (1L to 50L).map(i => (i, i + 1)).toDF("u", "v")
-    val df = graft.ext.DedupCluster.connectedComponents(edges)
+    val df = graft.ext.DedupCluster.assembleLabels(edges)
     df.collect()
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
