@@ -46,6 +46,22 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: P(keep) = weight/scale
+    * (capped at 1), decided by the same md5 bucket — so up-weighted rows
+    * (longer documents, higher-quality sources) survive proportionally
+    * more often, and the decision is still a pure per-row predicate that
+    * never changes across runs, engines, or corpus growth. The
+    * comparison is integer cross-multiplied (`bucket·scale <
+    * 65536·min(weight, scale)`) so no float threshold can flip between
+    * engines.
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+                         scale: Long): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    df.filter(hashBucket(key) * lit(scale) <
+      lit(65536L) * least(weight.cast("long"), lit(scale)))
+  }
+
   /** Per-class cap: keep at most `k` rows per class, chosen in md5-hash
     * order (deterministic "random" representatives) — the custom
     * partial/final TopKPerKey operator, so only ≤ k·partitions rows per
@@ -70,6 +86,13 @@ object Sampling {
       perClassCap(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "lang", col("doc_id"), 25)
         .select(col("lang"), col("rank"), col("doc_id"))),
+
+    // length-proportional subsample: a 400-char doc keeps with p=0.4,
+    // anything ≥1000 chars always survives
+    "sample_weighted" -> ((s, dir) =>
+      weightedHashSample(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars"), 1000L)
+        .select(col("doc_id"), col("n_chars"))),
 
     // Deterministic corpus shuffle: the pre-training permutation as a
     // stable position in md5 order — same engine-portable hash, computed
@@ -111,6 +134,10 @@ object Sampling {
         |  doc_id
         |FROM documents
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 25""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * 1000
+        |  < 65536 * LEAST(n_chars, 1000)""".stripMargin,
     "corpus_shuffle_order" ->
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos

@@ -28,6 +28,28 @@ object TextAnalysis {
   private def occurrences(kw: String): Column =
     (length(col("_padded")) - length(expr(s"replace(_padded, '$kw', '')"))) / kw.length
 
+  /** PII scrubbing: emails then phone-shaped digit runs replaced with
+    * typed placeholder tokens. Patterns are restricted to constructs
+    * Java's regex and RE2 interpret identically (no backrefs, no
+    * lookaround), so the DuckDB oracle replays them verbatim. Redaction
+    * runs BEFORE [[normalize]] in the cleaning composition — a collapsed
+    * or case-folded phone number would no longer match.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  /** Pre-dedup canonicalization: case-fold, strip everything outside
+    * `[a-z0-9\s\[\]]` (keeping the redaction placeholders), collapse
+    * whitespace runs, trim. Shingle/fingerprint dedup keyed on the
+    * normalized form catches reformatted copies the raw text misses.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s\\[\\]]", ""), "\\s+", " "))
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> ((s, dir) => {
       val t = tokens(col("text"))
@@ -98,7 +120,17 @@ object TextAnalysis {
         col("doc_id"),
         (expr("aggregate(transform(sequence(1, length(text)), " +
           "i -> cast(ascii(substr(text, i, 1)) * i AS BIGINT)), bigint(0), (a, x) -> a + x)")
-          % 1000000007L).as("fingerprint")))
+          % 1000000007L).as("fingerprint"))),
+
+    // The cleaning composition every corpus passes through before dedup:
+    // PII redaction then canonicalization, still a pure narrow projection.
+    // (The synthetic corpus contains no emails/phones, so redaction's
+    // MATCHING behavior is covered by planted fixtures in ScalaTest; the
+    // oracle proves the composed regex pipeline agrees across engines.)
+    "text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        normalize(redactPii(col("text"))).as("norm_text")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,6 +181,16 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM documents""".stripMargin,
+    // DuckDB regexp_replace replaces the FIRST match unless the 'g'
+    // option is passed; Spark always replaces all
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')),
+        |    '[^a-z0-9\s\[\]]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
     // len() is BIGINT in DuckDB, size() is int in Spark
     "text_bpe_tokens" ->

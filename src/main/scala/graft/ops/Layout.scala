@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout management — the two levers that decide whether a
+  * 100 TB table is cheap or ruinous to read back:
+  *
+  *  - **Compaction**: converters and streaming sinks emit files sized by
+  *    task count, not by content (the reference writes one file per MPI
+  *    rank regardless of volume, src/touch2parquet.cpp:84 — 4 ranks give
+  *    4 files whether the run produced 4 MB or 4 TB). Downstream scan
+  *    cost is driven by file count (footer reads, listing, scheduler
+  *    overhead), so the layout op every pipeline needs is "rewrite to
+  *    files of ~N bytes", with the file count derived from the MEASURED
+  *    compressed input size, not guessed.
+  *
+  *  - **Bucketing**: a table that will be joined on the same key by
+  *    every consumer should pay the partitioning shuffle ONCE, at write
+  *    time. Two tables bucketed into the same number of buckets on their
+  *    join key then join with ZERO exchanges on either side — at 100 TB
+  *    the bucketed layout turns the nightly fact-to-fact join from a
+  *    full network shuffle of both tables into a local merge per bucket.
+  *    (Catalyst elides the Exchange because the bucketed scan already
+  *    reports `HashPartitioning` on the join key; PlanSpec pins that.)
+  */
+object Layout {
+
+  /** Rewrite `df`'s backing files into files of ~`targetBytes` each,
+    * range-laid-out on `orderCols` (so the rewritten files carry useful
+    * min/max footer stats for pruning, like the z-order sibling). The
+    * output file count comes from the measured on-disk input size — the
+    * standard compaction heuristic: compressed bytes are the only size
+    * signal that exists without reading the data.
+    */
+  def compactTo(df: DataFrame, orderCols: Seq[String], targetBytes: Long,
+                outDir: String): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    df.repartitionByRange(nFiles, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+  }
+
+  /** Write `df` as a bucketed table: hash-partitioned into `buckets` on
+    * `bucketCol` at write time, each bucket sorted on the same key so
+    * joins can merge without even a local sort when files-per-bucket is 1.
+    * External table at `path`; the (session-scoped, in-memory) catalog
+    * entry carries the bucket spec that later scans report as their
+    * output partitioning.
+    */
+  def writeBucketed(df: DataFrame, bucketCol: String, buckets: Int,
+                    table: String, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The co-located fact-to-fact join over two same-bucketed tables —
+    * both sides scan their bucket files in place; no Exchange appears on
+    * either side of the SortMergeJoin (PlanSpec asserts this with
+    * broadcast disabled).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val base = graft.io.TempDirs.create("bucketed")
+    writeBucketed(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+      "o_orderkey", buckets, "graft_bkt_orders", s"$base/orders")
+    writeBucketed(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")),
+      "l_orderkey", buckets, "graft_bkt_lineitem", s"$base/lineitem")
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("o_custkey"), col("o_orderpriority"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Small-file fixture built inline (64 task-sized shards of the
+    // documents table — the shape a 64-rank converter leaves behind),
+    // then compacted to ~256 KiB files. The oracle checks CONTENT
+    // identity through the rewrite; the file-count arithmetic and size
+    // bounds are ScalaTest's (LayoutSpec).
+    "compact_small_files" -> ((s, dir) => {
+      val base = graft.io.TempDirs.create("compact")
+      Tables.documents(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(s"$base/shards")
+      compactTo(s.read.parquet(s"$base/shards"),
+          Seq("doc_id"), 256L * 1024, s"$base/compacted")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    "join_bucketed" -> ((s, dir) => bucketedJoin(s, dir))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "compact_small_files" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    "join_bucketed" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber, l_quantity,
+        |  o_custkey, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+  )
+}
