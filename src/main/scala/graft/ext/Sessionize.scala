@@ -47,6 +47,22 @@ object Sessionize {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))),
 
+    // SLIDING 1-hour windows hopping every 30 min — Spark's built-in
+    // `window(ts, width, slide)` generator: each event lands in
+    // width/slide = 2 overlapping windows (batch counterpart of the
+    // streaming windowed aggregation). Epoch-aligned starts, reported
+    // as exact micros so the oracle reproduces the window arithmetic
+    // with integer division.
+    "event_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("n"), col("value_cents"))),
+
     // JSON property extraction (events.props = {"k": N}).
     "json_extract_props" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -78,6 +94,19 @@ object Sessionize {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events
         |GROUP BY event_type, epoch_us(ts) // 3600000000""".stripMargin,
+    // each event expands to its two containing window starts; the range
+    // predicate is redundant at width = 2·slide but keeps the oracle
+    // correct for any width/slide ratio
+    "event_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT event_type,
+        |  (ts_us // 1800000000 - k) * 1800000000 AS window_start_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM e, UNNEST(generate_series(0, 1)) AS u(k)
+        |WHERE ts_us >= (ts_us // 1800000000 - k) * 1800000000
+        |  AND ts_us < (ts_us // 1800000000 - k) * 1800000000 + 3600000000
+        |GROUP BY 1, 2""".stripMargin,
     "json_extract_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
   )

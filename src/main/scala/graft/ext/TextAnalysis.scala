@@ -50,6 +50,34 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s\\[\\]]", ""), "\\s+", " "))
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows of `chunkTokens` tokens at `stride`-token steps —
+    * the doc→training-example explosion every pretraining pipeline runs
+    * (strides < chunk size preserve cross-boundary context). Chunk
+    * starts are 0, stride, 2·stride, … while < n_tokens, so the final
+    * chunk may be short; token-less documents emit nothing. Still a
+    * narrow per-row computation — the fan-out multiplies rows ~n/stride
+    * but shuffles nothing.
+    */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame,
+                     chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got chunk=$chunkTokens stride=$stride")
+    val sliceAt = (i: Column) =>
+      slice(col("_t"), (i * stride + 1).cast("int"), lit(chunkTokens))
+    docs.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0L), expr(s"(_n - 1) div $stride")),
+        i => struct(
+          array_join(sliceAt(i), " ").as("chunk_text"),
+          size(sliceAt(i)).as("n_chunk_tokens")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> ((s, dir) => {
       val t = tokens(col("text"))
@@ -122,6 +150,10 @@ object TextAnalysis {
           "i -> cast(ascii(substr(text, i, 1)) * i AS BIGINT)), bigint(0), (a, x) -> a + x)")
           % 1000000007L).as("fingerprint"))),
 
+    // 64-token chunks at 48-token stride (16-token overlap)
+    "chunk_documents" -> ((s, dir) =>
+      chunkDocuments(Tables.documents(s, dir), 64, 48)),
+
     // The cleaning composition every corpus passes through before dedup:
     // PII redaction then canonicalization, still a pure narrow projection.
     // (The synthetic corpus contains no emails/phones, so redaction's
@@ -182,6 +214,15 @@ object TextAnalysis {
         |  CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text,
+        |  CAST(len(tk[i*48+1 : i*48+64]) AS INTEGER) AS n_chunk_tokens
+        |FROM c, UNNEST(generate_series(0, (n-1)//48)) AS u(i)""".stripMargin,
     // DuckDB regexp_replace replaces the FIRST match unless the 'g'
     // option is passed; Spark always replaces all
     "text_normalize" ->

@@ -197,6 +197,30 @@ class ExtOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("synapse id overflow")), e.getMessage)
   }
 
+  test("chunking reconstructs the token stream and respects size/stride arithmetic") {
+    import spark.implicits._
+    // 100 tokens -> chunk starts 0, 48, 96 -> sizes 64, 52, 4
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text), (8L, ""), (9L, "a b")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .sortBy(c => (c._1, c._2))
+    assert(chunks.map(c => (c._1, c._2, c._4)).toSeq ==
+      Seq((7L, 0L, 64), (7L, 1L, 52), (7L, 2L, 4), (9L, 0L, 2)))
+    // stride-aligned prefixes agree: chunk k starts at token 48k+1
+    assert(chunks(1)._3.startsWith("w49 w50 "))
+    assert(chunks(2)._3 == "w97 w98 w99 w100")
+    // overlap: last 16 tokens of chunk 0 are the first 16 of chunk 1
+    assert(chunks(0)._3.split(" ").takeRight(16).toSeq ==
+      chunks(1)._3.split(" ").take(16).toSeq)
+  }
+
+  test("sliding windows double-count each event exactly width/slide times") {
+    val events = Tables.events(spark, sf)
+    val agg = SparkEntry.queries("event_sliding_window")(spark, sf)
+    assert(agg.agg(sum("n")).head.getLong(0) == 2 * events.count())
+  }
+
   test("every registered query returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
