@@ -182,6 +182,36 @@ object CoreOps {
           col("latest.version").as("version"), col("latest.price_c").as("price_c"))
     }),
 
+    // Snapshot diff — the table-compare every incremental pipeline runs
+    // between runs: added / removed / changed rows via ONE full-outer
+    // join co-partitioned on the key; payloads compare as md5 of the
+    // canonicalized columns so arbitrarily wide rows diff on one 32-byte
+    // value. Both "versions" are derived deterministically from orders
+    // (old = keys outside a dropped md5 bucket; new = all keys with a
+    // deterministic subset repriced) so the oracle sees the same tables.
+    "snapshot_diff" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val old = Tables.orders(s, dir)
+        .filter(graft.ext.Sampling.hashBucket(col("o_orderkey")) >= 2000)
+        .select(col("o_orderkey"), cents.as("price_c"))
+      val nw = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0, cents + 100L)
+            .otherwise(cents).as("price_c"))
+      val oldH = old.select(col("o_orderkey"),
+        md5(col("price_c").cast("string")).as("h_old"))
+      val newH = nw.select(col("o_orderkey"),
+        md5(col("price_c").cast("string")).as("h_new"))
+      oldH.join(newH, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select(col("o_orderkey"), col("status"))
+    }),
+
     // Data-quality profile: per-column row/present counts, min/max, and
     // integer-cents sums in ONE pass via stack (unpivot) + a single
     // grouped aggregate — the profiling scan every ingestion step runs;
@@ -228,6 +258,25 @@ object CoreOps {
         |  FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT o_orderkey, version, price_c FROM all_rows
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1""".stripMargin,
+    "snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) >= 2000),
+        |nw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c
+        |  FROM orders)
+        |SELECT o_orderkey, status FROM (
+        |  SELECT COALESCE(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+        |    CASE WHEN old.o_orderkey IS NULL THEN 'added'
+        |         WHEN nw.o_orderkey IS NULL THEN 'removed'
+        |         WHEN old.price_c <> nw.price_c THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+        |WHERE status <> 'same'""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB — cast back
     "dq_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n, count($c) AS n_present,

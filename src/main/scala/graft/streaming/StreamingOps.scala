@@ -206,8 +206,42 @@ object StreamingOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** SLIDING-window streaming counts — the streaming face of the batch
+    * `event_sliding_window`: same `window(ts, "1 hour", "30 minutes")`
+    * generator, each event in 2 overlapping windows. Complete output
+    * mode is the run-to-completion harness's choice so the final table
+    * equals the batch oracle; a live deployment runs append mode where
+    * the watermark retires each window 1 hour after it closes, keeping
+    * state at (width/slide)·active-windows regardless of stream length.
+    */
+  def slidingCountsToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"slide_out_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(col("event_type"),
+        window(col("ts_event"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n"), col("value_cents"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    "streaming_sliding_window" -> ((s, dir) => slidingCountsToCompletion(s, dir)),
 
     // Stream-STATIC anti-join: the streaming-ingest face of incremental
     // dedup — arriving documents (the md5-bucket "new batch") are
@@ -311,6 +345,18 @@ object StreamingOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, count(*) AS n
         |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    // identical to the batch event_sliding_window oracle — the flushed
+    // stream must reproduce the batch result exactly
+    "streaming_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT event_type,
+        |  (ts_us // 1800000000 - k) * 1800000000 AS window_start_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM e, UNNEST(generate_series(0, 1)) AS u(k)
+        |WHERE ts_us >= (ts_us // 1800000000 - k) * 1800000000
+        |  AND ts_us < (ts_us // 1800000000 - k) * 1800000000 + 3600000000
         |GROUP BY 1, 2""".stripMargin,
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute
