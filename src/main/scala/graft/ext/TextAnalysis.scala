@@ -154,6 +154,24 @@ object TextAnalysis {
     "chunk_documents" -> ((s, dir) =>
       chunkDocuments(Tables.documents(s, dir), 64, 48)),
 
+    // Tokenizer-vocabulary construction: corpus-wide term & document
+    // frequencies plus a DENSE deterministic token id. Counting is one
+    // map-side-combining aggregate over the exploded (doc_id, token)
+    // stream (count-distinct collapses to the same shuffle — the pair
+    // stream is already distinct-able per partition); ids come from the
+    // two-phase distributed scan (Offsets.globalPosition) in token
+    // order, so no single-partition window touches the vocabulary and
+    // the numbering is reproducible at any partitioning.
+    "vocab_build" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val stats = pairs.groupBy(col("token"))
+        .agg(count(lit(1)).as("tf_total"),
+          count_distinct(col("doc_id")).as("df"))
+      graft.ops.Offsets.globalPosition(stats, Seq(col("token")), "token_id")
+        .select(col("token_id"), col("token"), col("tf_total"), col("df"))
+    }),
+
     // The cleaning composition every corpus passes through before dedup:
     // PII redaction then canonicalization, still a pure narrow projection.
     // (The synthetic corpus contains no emails/phones, so redaction's
@@ -214,6 +232,14 @@ object TextAnalysis {
         |  CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> CAST(ascii(text[i]) * i AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin,
+    "vocab_build" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != '')) AS token
+        |  FROM documents)
+        |SELECT ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id,
+        |  token, count(*) AS tf_total, count(DISTINCT doc_id) AS df
+        |FROM p GROUP BY token""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
