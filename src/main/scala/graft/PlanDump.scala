@@ -16,6 +16,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session-conf overrides for a capture, e.g.
+    // SPARK_GRAFT_PLAN_CONF="spark.sql.autoBroadcastJoinThreshold=-1"
+    // (comma-separated k=v pairs) to show a plan outside AQE's
+    // small-scale choices
+    sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     args.drop(1).foreach { name =>
       val df = SparkEntry.queries(name)(spark, args(0))
       df.collect() // finalize AQE
