@@ -72,6 +72,34 @@ object Sampling {
       df.withColumn("_h", md5(key.cast("string"))),
       Seq(classCol), Seq(("_h", false)), k)
 
+  /** Temperature-style per-source quota sampling (the multilingual /
+    * multi-source rebalancing a pretraining mix runs): source `s` gets a
+    * quota ∝ √|s| of the `total` target — up-weighting small sources
+    * relative to proportional sampling — then keeps its first `quota`
+    * documents in md5 order. All quota arithmetic is INTEGER (isqrt via
+    * exact double sqrt + floor, integer sum, integer division), so no
+    * float accumulation order can shift a quota between engines. One
+    * groupBy over (doc-count-per-source) + a broadcast of the
+    * source-cardinality quota table + one keyed row_number window.
+    */
+  def temperatureQuotaSample(docs: DataFrame, total: Long): DataFrame = {
+    val sizes = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rt", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = sizes.agg(sum(col("rt")).as("s"))
+    val quotas = sizes.crossJoin(tot)
+      .select(col("source"),
+        greatest(lit(1L), expr(s"($total * rt) div s")).as("quota"))
+    val ranked = docs.select(col("source"), col("doc_id"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .as("rank"))
+    ranked.join(broadcast(quotas), "source")
+      .filter(col("rank") <= col("quota"))
+      .select(col("source"), col("quota"), col("rank"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_hash_pct" -> ((s, dir) =>
       hashSample(Tables.documents(s, dir), col("doc_id"), 10.0)
@@ -93,6 +121,10 @@ object Sampling {
       weightedHashSample(Tables.documents(s, dir), col("doc_id"),
         col("n_chars"), 1000L)
         .select(col("doc_id"), col("n_chars"))),
+
+    // √-proportional source rebalancing toward a 200-doc target mix
+    "sample_temperature_quota" -> ((s, dir) =>
+      temperatureQuotaSample(Tables.documents(s, dir), 200L)),
 
     // Deterministic corpus shuffle: the pre-training permutation as a
     // stable position in md5 order — same engine-portable hash, computed
@@ -138,6 +170,21 @@ object Sampling {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * 1000
         |  < 65536 * LEAST(n_chars, 1000)""".stripMargin,
+    "sample_temperature_quota" ->
+      """WITH sz AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS rt
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(rt) AS BIGINT) AS s FROM sz),
+        |q AS (SELECT source, GREATEST(1, (200 * rt) // s) AS quota FROM sz, tot),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank
+        |  FROM documents)
+        |SELECT r.source, q.quota, r.rank, r.doc_id
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rank <= q.quota""".stripMargin,
     "corpus_shuffle_order" ->
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos

@@ -33,6 +33,24 @@ object SetWindowOps {
           expr("percentile(l_quantity, 0.75)").as("p75"),
           expr("percentile(l_quantity, 0.9)").as("p90"))),
 
+    // IQR-fence outlier detection per group — the Tukey data-quality
+    // gate: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR] of their
+    // event_type. Two passes over the data (fences, then filter), but
+    // the fence table is group-cardinality-sized and broadcasts; the
+    // filter is a narrow scan. Fence arithmetic keeps the exact
+    // textual expression shape of the oracle so the IEEE double ops
+    // evaluate identically.
+    "outlier_iqr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fences = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      ev.join(broadcast(fences), "event_type")
+        .filter(col("value") < col("p25") - lit(1.5) * (col("p75") - col("p25")) ||
+          col("value") > col("p75") + lit(1.5) * (col("p75") - col("p25")))
+        .select(col("event_type"), col("event_id"), col("value"))
+    }),
+
     // Second moments in exact integer arithmetic (cents²): variance and
     // stddev derive downstream as (n·Σx² − (Σx)²) / n² without any
     // order-dependent float summation — the same pattern as the q1
@@ -165,6 +183,18 @@ object SetWindowOps {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // fence expressions textually mirror the Spark side so the IEEE
+    // double arithmetic evaluates identically
+    "outlier_iqr" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS p25,
+        |    quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < f.p25 - 1.5 * (f.p75 - f.p25)
+        |   OR e.value > f.p75 + 1.5 * (f.p75 - f.p25)""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB — cast back
     "moment_stats" ->
       """SELECT l_returnflag, count(*) AS n,
