@@ -215,6 +215,64 @@ class ExtOpsSpec extends AnyFunSuite {
       chunks(1)._3.split(" ").take(16).toSeq)
   }
 
+  test("temperature quota: integer arithmetic, per-source bound, deterministic members") {
+    val docs = Tables.documents(spark, sf)
+    val got = ext.Sampling.temperatureQuotaSample(docs, 200L)
+    val bySource = got.groupBy("source")
+      .agg(max("quota").as("q"), count(lit(1)).as("kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every source respects its quota exactly (uniform sources here, so
+    // kept == quota; a source smaller than its quota would keep all)
+    bySource.foreach { case (s, q, kept) =>
+      assert(kept <= q, s"source $s kept $kept over quota $q")
+    }
+    // integer quota arithmetic: sum of quotas stays within one per-source
+    // floor rounding of the target
+    val totalQuota = bySource.map(_._2).sum
+    assert(totalQuota <= 200L && totalQuota >= 200L - bySource.length,
+      s"quota sum $totalQuota vs target 200")
+    // determinism
+    val again = ext.Sampling.temperatureQuotaSample(docs, 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("snapshot diff: planted add/remove/change classify correctly") {
+    val diff = SparkEntry.queries("snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sf)
+    val removedKeys = orders
+      .filter(ext.Sampling.hashBucket(col("o_orderkey")) < 2000)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // keys outside the dropped bucket with price bump -> changed;
+    // dropped-bucket keys are 'added' (only in new), never 'removed'
+    // (old ⊂ new by construction)
+    removedKeys.foreach(k => assert(diff.get(k).contains("added"), s"key $k"))
+    diff.foreach { case (k, st) =>
+      if (!removedKeys.contains(k))
+        assert(st == "changed" && k % 7 == 0, s"key $k -> $st")
+    }
+    assert(diff.nonEmpty)
+  }
+
+  test("IQR outliers: every flagged row is outside its group's fences, none missed") {
+    val ev = Tables.events(spark, sf)
+    val fences = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def isOut(t: String, v: Double): Boolean = {
+      val (p25, p75) = fences(t)
+      v < p25 - 1.5 * (p75 - p25) || v > p75 + 1.5 * (p75 - p25)
+    }
+    val flagged = SparkEntry.queries("outlier_iqr")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    flagged.foreach { case (t, id, v) => assert(isOut(t, v), s"event $id in-fence") }
+    val expected = ev.select("event_type", "event_id", "value")
+      .collect().count(r => isOut(r.getString(0), r.getDouble(2)))
+    assert(flagged.length == expected, "outlier count must match direct scan")
+  }
+
   test("sliding windows double-count each event exactly width/slide times") {
     val events = Tables.events(spark, sf)
     val agg = SparkEntry.queries("event_sliding_window")(spark, sf)
