@@ -117,6 +117,23 @@ object CsrIndex {
         .sortWithinPartitions(col("node_id"), col("range_start"))
     }),
 
+    // Degree distribution of the edge table — the graph summary every
+    // connectome (and every web/link corpus) profiles before an index
+    // build: per-node degrees in each direction, then the histogram of
+    // degrees. Two chained map-side-combining aggregates per direction;
+    // the second runs over the (already tiny) per-node counts. The
+    // distribution also bounds the CSR range blowup: max degree = the
+    // longest possible RLE run.
+    "degree_distribution" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def hist(key: String, tag: String) =
+        li.groupBy(col(key).as("node_id")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+          .withColumn("dir", lit(tag))
+      hist("l_orderkey", "out").unionByName(hist("l_suppkey", "in"))
+        .select(col("dir"), col("degree"), col("n_nodes"))
+    }),
+
     // I6 `dense_left_join_sequence` standalone: every id in [0, max]
     // materialized, edge-less ids get 0.
     "dense_left_join_sequence" -> ((s, dir) => {
@@ -143,6 +160,13 @@ object CsrIndex {
       |  FROM g GROUP BY node_id, grp)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "degree_distribution" ->
+      """WITH o AS (SELECT l_orderkey, count(*) AS degree FROM lineitem GROUP BY 1),
+        |i AS (SELECT l_suppkey, count(*) AS degree FROM lineitem GROUP BY 1)
+        |SELECT 'out' AS dir, degree, count(*) AS n_nodes FROM o GROUP BY degree
+        |UNION ALL
+        |SELECT 'in' AS dir, degree, count(*) AS n_nodes FROM i GROUP BY degree""".stripMargin,
+
     "csr_primary_index" -> (rleRangesSql +
       """,
         |numbered AS (

@@ -87,6 +87,19 @@ object Layout {
         col("l_quantity"), col("o_custkey"), col("o_orderpriority"))
   }
 
+  /** Hive-style partitioned layout + partition-pruned read-back: the
+    * third layout lever next to bucketing and z-order. A predicate on
+    * the partition column never touches non-matching directories — the
+    * scan's `PartitionFilters` prune at FILE LISTING time, before any
+    * footer or page is read (PlanSpec-asserted). At 100 TB, partitioning
+    * by a low-cardinality routing column (language, date, source) is
+    * what turns "scan the corpus" into "scan the slice".
+    */
+  def writePartitioned(df: DataFrame, partitionCol: String, outDir: String): DataFrame = {
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+  }
+
   val queries: Map[String, Q] = Map(
     // Small-file fixture built inline (64 task-sized shards of the
     // documents table — the shape a 64-rank converter leaves behind),
@@ -102,7 +115,17 @@ object Layout {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
-    "join_bucketed" -> ((s, dir) => bucketedJoin(s, dir))
+    "join_bucketed" -> ((s, dir) => bucketedJoin(s, dir)),
+
+    // lang-partitioned rewrite, then a partition-pruned slice scan; the
+    // partition column round-trips through the directory encoding
+    // (values become path segments), which the content oracle checks
+    "partitioned_scan_prune" -> ((s, dir) => {
+      val base = graft.io.TempDirs.create("partitioned")
+      writePartitioned(Tables.documents(s, dir), "lang", s"$base/by_lang")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -111,6 +134,8 @@ object Layout {
     "join_bucketed" ->
       """SELECT l_orderkey AS orderkey, l_linenumber, l_quantity,
         |  o_custkey, o_orderpriority
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "partitioned_scan_prune" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'"
   )
 }

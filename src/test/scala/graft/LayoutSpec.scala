@@ -65,6 +65,18 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout: the slice scan prunes partitions at listing time") {
+    val df = SparkEntry.queries("partitioned_scan_prune")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate must be a PARTITION filter (directory pruning),
+    // not a data filter evaluated per row
+    val partFilter = """PartitionFilters: \[[^\]]*lang[^\]]*en[^\]]*\]""".r
+    assert(partFilter.findFirstIn(plan).isDefined, plan)
+    val dataFilter = """DataFilters: \[[^\]]*lang[^\]]*\]""".r
+    assert(dataFilter.findFirstIn(plan).isEmpty, plan)
+  }
+
   test("pii redaction scrubs planted emails and phone numbers, leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
