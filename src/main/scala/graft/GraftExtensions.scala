@@ -54,7 +54,11 @@ object GraftExtensions {
     ("hll_distinct",
       info("hll_distinct", "hll_distinct(col[, p]) - HyperLogLog distinct-count sketch"),
       (args: Seq[Expression]) => graft.functions.HllSketchAgg(
-        args(0), if (args.length > 1) intArg(args(1), "p") else 12)))
+        args(0), if (args.length > 1) intArg(args(1), "p") else 12)),
+    ("misra_gries",
+      info("misra_gries", "misra_gries(col[, k]) - frequent-items (heavy hitters) sketch"),
+      (args: Seq[Expression]) => graft.functions.MisraGriesAgg(
+        args(0), if (args.length > 1) intArg(args(1), "k") else 16)))
 
   /** Imperative registration on a live session (extensions configured at
     * build time are not applicable retroactively).

@@ -172,6 +172,21 @@ object TextAnalysis {
         .select(col("token_id"), col("token"), col("tf_total"), col("df"))
     }),
 
+    // Heavy hitters over the token stream via the Misra–Gries
+    // TypedImperativeAggregate: ≤ k counters per partial cross the
+    // shuffle however large the vocabulary — the bounded-memory
+    // companion to the exact vocab_build. Rows-only (the surviving set
+    // below the n/k guarantee threshold is merge-order-dependent);
+    // the frequency guarantee and exact-below-k behavior are
+    // property-tested in PropertySpec.
+    "frequent_tokens_sketch" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(graft.functions.MisraGriesAgg.misraGries(col("token"), 16).as("hh"))
+        .select(posexplode(col("hh")))
+        .select(col("pos").as("rank"), col("col.token").as("token"),
+          col("col.est_count").as("est_count"))),
+
     // The cleaning composition every corpus passes through before dedup:
     // PII redaction then canonicalization, still a pure narrow projection.
     // (The synthetic corpus contains no emails/phones, so redaction's

@@ -52,6 +52,17 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("misra_gries aggregates in SQL; exact below capacity") {
+    import spark.implicits._
+    (Seq.fill(30)("x") ++ Seq.fill(12)("y") ++ Seq.fill(5)("z")).toDF("t")
+      .createOrReplaceTempView("mg_in")
+    val rows = spark.sql(
+      "SELECT explode(misra_gries(t, 8)) AS e FROM mg_in")
+      .selectExpr("e.token", "e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("x" -> 30L, "y" -> 12L, "z" -> 5L))
+  }
+
   test("the extensions class wires the same registrations") {
     // builder-time path: apply to a fresh SparkSessionExtensions and
     // confirm every function injects without error

@@ -216,4 +216,47 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect, s"parts=$parts")
     }
   }
+
+  private def mgSketch(tokens: Seq[String], k: Int, parts: Int): Map[String, Long] = {
+    import spark.implicits._
+    tokens.toDF("token").repartition(parts)
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("token"), k).as("hh"))
+      .select(explode(col("hh")))
+      .select(col("col.token"), col("col.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("misra-gries: exact counts under any partitioning when distinct <= k") {
+    forAll(Gen.listOfN(200, Gen.oneOf("a", "b", "c", "d", "e")), n = 10) { toks =>
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (parts <- Seq(1, 3, 7)) {
+        assert(mgSketch(toks, k = 8, parts) == exact, s"parts=$parts")
+      }
+    }
+  }
+
+  test("misra-gries: heavy hitters survive and estimates underestimate by at most n/k") {
+    // 60% of the stream is one planted token, the rest a wide tail of
+    // near-unique fillers — the regime the sketch exists for
+    forAll(Gen.listOfN(300, Gen.chooseNum(0, 100000)), n = 10) { ints =>
+      val toks = ints.zipWithIndex.map { case (v, i) =>
+        if (i % 5 < 3) "HEAVY" else s"t${v}_$i"
+      }
+      val n = toks.size
+      val k = 16
+      val trueCounts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (parts <- Seq(1, 4, 9)) {
+        val est = mgSketch(toks, k, parts)
+        // guarantee: anything with frequency > n/k is present
+        trueCounts.filter(_._2 > n / k).keys.foreach { t =>
+          assert(est.contains(t), s"heavy token $t missing at parts=$parts")
+        }
+        // estimates never exceed truth and undershoot by at most n/k
+        est.foreach { case (t, e) =>
+          val c = trueCounts(t)
+          assert(e <= c && c - e <= n / k, s"$t est=$e true=$c parts=$parts")
+        }
+      }
+    }
+  }
 }
