@@ -146,6 +146,20 @@ object SetWindowOps {
         dense_rank().over(w).as("drnk"))
     }),
 
+    // Distribution window functions over a TOTAL order (the PK completes
+    // it — percent_rank/cume_dist on a tied order would be ambiguous
+    // only in output order, but ntile bucket boundaries would shift):
+    // quartile bucket, (rank−1)/(n−1), and rank/n per return flag.
+    "window_dist_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+    }),
+
     // RANGE frame (peer rows share the frame end — the tie semantics
     // that distinguish RANGE from ROWS): running cents revenue per
     // supplier in shipdate order, all same-date rows seeing the same
@@ -257,6 +271,14 @@ object SetWindowOps {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""".stripMargin
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""".stripMargin,
+    "window_dist_stats" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
   )
 }

@@ -238,8 +238,53 @@ object StreamingOps {
     spark.table(name)
   }
 
+  private val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  /** Streaming CDC ingest through `foreachBatch` into a DURABLE parquet
+    * change log — the production sink pattern the memory-sink harnesses
+    * don't exercise: each micro-batch appends its change rows to the
+    * log (append-only, so no read-modify-write race), and the serving
+    * view is base ∪ log collapsed to latest-per-key by the same
+    * map-side-combining struct-max as the batch `upsert_latest`. At
+    * scale the log compacts periodically via [[graft.ops.Layout]]
+    * compaction; the view's shuffle carries ~|keys| rows however many
+    * change batches accumulate.
+    */
+  def cdcLogUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.io.TempDirs.create("cdclog")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val q = spark.readStream
+      .schema(ordersSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), lit(1).as("version"), (cents + 100L).as("price_c"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/log")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val base = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), lit(0).as("version"), cents.as("price_c"))
+    base.unionByName(spark.read.parquet(s"$out/log"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(struct(col("version"), col("price_c"))).as("latest"))
+      .select(col("o_orderkey"),
+        col("latest.version").as("version"), col("latest.price_c").as("price_c"))
+  }
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    // streaming face of `upsert_latest`, sharing its oracle: the change
+    // feed lands in a parquet log via foreachBatch, the view collapses
+    // base ∪ log to latest-per-key
+    "streaming_cdc_upsert" -> ((s, dir) => cdcLogUpsert(s, dir)),
 
     "streaming_sliding_window" -> ((s, dir) => slidingCountsToCompletion(s, dir)),
 
@@ -346,6 +391,19 @@ object StreamingOps {
         |  event_type, count(*) AS n
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    // identical to the batch upsert_latest oracle — the log-backed view
+    // must collapse to the same latest-per-key table
+    "streaming_cdc_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, 0 AS version,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1 AS version,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS price_c
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, version, price_c FROM all_rows
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1""".stripMargin,
     // identical to the batch event_sliding_window oracle — the flushed
     // stream must reproduce the batch result exactly
     "streaming_sliding_window" ->
