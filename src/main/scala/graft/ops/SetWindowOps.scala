@@ -33,6 +33,20 @@ object SetWindowOps {
           expr("percentile(l_quantity, 0.75)").as("p75"),
           expr("percentile(l_quantity, 0.9)").as("p90"))),
 
+    // The documented scale path for quantiles (see percentile_agg note):
+    // Greenwald-Khanna approximate percentiles with bounded state per
+    // group at ANY value cardinality — what replaces the exact
+    // formulation when the quantile column is high-cardinality at
+    // 100 TB. Rows-only: GK merge results depend on partition merge
+    // order (and DuckDB's approx_quantile is a different sketch);
+    // the error bound vs exact percentiles is asserted in ScalaTest.
+    "percentile_approx_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))),
+
     // IQR-fence outlier detection per group — the Tukey data-quality
     // gate: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR] of their
     // event_type. Two passes over the data (fences, then filter), but

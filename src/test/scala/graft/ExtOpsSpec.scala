@@ -215,6 +215,27 @@ class ExtOpsSpec extends AnyFunSuite {
       chunks(1)._3.split(" ").take(16).toSeq)
   }
 
+  test("approx percentiles stay within the GK accuracy bound of exact quantiles") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // GK with accuracy 1000: the returned value's RANK is within n/1000
+    // of the target rank — check via the value's actual quantile position
+    SparkEntry.queries("percentile_approx_agg")(spark, sf)
+      .collect().foreach { r =>
+        val flag = r.getString(0)
+        val approx50 = r.getDouble(1)
+        val (_, n) = exact(flag)
+        val rank = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") <= approx50).count()
+        val target = 0.5 * n
+        assert(math.abs(rank - target) <= n / 1000.0 + 1,
+          s"$flag: rank $rank of approx p50 vs target $target (n=$n)")
+      }
+  }
+
   test("temperature quota: integer arithmetic, per-source bound, deterministic members") {
     val docs = Tables.documents(spark, sf)
     val got = ext.Sampling.temperatureQuotaSample(docs, 200L)
