@@ -94,6 +94,20 @@ object SetWindowOps {
       l.unionAll(o)
     }),
 
+    // Schema-evolution union: concatenating snapshots written before and
+    // after a column was added (the reference's versioned touch schemas,
+    // v1 ⊂ v2 ⊂ v3, are exactly this shape — SURVEY §1.4). unionByName
+    // aligns by NAME and nulls the missing column; positional unionAll
+    // would mis-bind or reject.
+    "union_schema_evolution" -> ((s, dir) => {
+      val v1 = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), lit("v1").as("src"))
+      val v2 = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          lit("v2").as("src"))
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
     "distinct_rows" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_returnflag")).distinct()),
 
@@ -211,6 +225,11 @@ object SetWindowOps {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "union_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, 'v1' AS src FROM orders
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_custkey, o_orderpriority, 'v2' AS src
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // fence expressions textually mirror the Spark side so the IEEE
     // double arithmetic evaluates identically
     "outlier_iqr" ->
