@@ -33,6 +33,23 @@ object SetWindowOps {
           expr("percentile(l_quantity, 0.75)").as("p75"),
           expr("percentile(l_quantity, 0.9)").as("p90"))),
 
+    // Explicit GROUPING SETS (rollup/cube generalize from it) with
+    // grouping() disambiguation of NULL-as-subtotal vs NULL-as-value —
+    // via spark.sql, the surface a SQL user drives. One Expand + one
+    // aggregate: each input row replicates once per matching set, the
+    // same physical shape as the rollup/cube queries.
+    "grouping_sets_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |  (l_returnflag, l_linestatus), ())""".stripMargin)
+    }),
+
     // The documented scale path for quantiles (see percentile_agg note):
     // Greenwald-Khanna approximate percentiles with bounded state per
     // group at ANY value cardinality — what replaces the exact
@@ -225,6 +242,14 @@ object SetWindowOps {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus), ())""".stripMargin,
     "union_schema_evolution" ->
       """SELECT o_orderkey, o_custkey, 'v1' AS src FROM orders
         |UNION ALL BY NAME

@@ -217,6 +217,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking equals the sliding-window reference for any chunk/stride combo") {
+    import spark.implicits._
+    val gen = for {
+      nDocs <- Gen.chooseNum(1, 5)
+      lens <- Gen.listOfN(nDocs, Gen.chooseNum(0, 150))
+      chunk <- Gen.chooseNum(1, 64)
+      stride <- Gen.chooseNum(1, chunk)
+    } yield (lens, chunk, stride)
+    forAll(gen, n = 8) { case (lens, chunk, stride) =>
+      val docs = lens.zipWithIndex.map { case (len, id) =>
+        (id.toLong, (1 to len).map(i => s"w$i").mkString(" "))
+      }
+      val expect = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) Seq.empty
+        else (0 until toks.length by stride).zipWithIndex.map { case (off, ci) =>
+          val slice = toks.slice(off, off + chunk)
+          (id, ci.toLong, slice.mkString(" "), slice.length)
+        }
+      }.toSet
+      val got = graft.ext.TextAnalysis
+        .chunkDocuments(docs.toDF("doc_id", "text"), chunk, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet
+      assert(got == expect, s"chunk=$chunk stride=$stride lens=$lens")
+    }
+  }
+
   private def mgSketch(tokens: Seq[String], k: Int, parts: Int): Map[String, Long] = {
     import spark.implicits._
     tokens.toDF("token").repartition(parts)
