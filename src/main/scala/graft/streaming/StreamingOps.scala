@@ -59,6 +59,7 @@ object StreamingOps {
   }
 
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class JoinEv(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(start_us: Long, last_us: Long, n: Long,
                                 cents: Long, seq: Long)
   final case class Session(user_id: Long, session_id: Long,
@@ -361,6 +362,59 @@ object StreamingOps {
       s.table(name)
     }),
 
+    // Stream-stream LEFT OUTER interval join — the semantics inner join
+    // cannot give: a purchase with NO click inside its lookback hour
+    // must still emit (click_id −1). An outer result is only provably
+    // final once the GLOBAL watermark (min across both inputs) passes
+    // the row's match window, so the run-to-completion harness unions a
+    // far-future sentinel into EACH side (one sentinel advances only
+    // its own input's watermark) and triggers twice: the watermark
+    // moves after the first batch, the second batch drains the
+    // now-final outer rows. Unmatched ids coalesce to −1 on both
+    // engines so the null never reaches the hash compare.
+    "streaming_join_outer" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name = s"sojoin_${System.nanoTime()}"
+      try {
+        def mem() =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[JoinEv]
+        val (pSent, cSent) = (mem(), mem())
+        def src(tpe: String, alias: String, sent: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[JoinEv]) =
+          s.readStream
+            .schema(eventsSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+            .as[JoinEv].union(sent.toDS())
+            .select(col("user_id").as(s"${alias}_user"),
+              col("event_id").as(s"${alias}_event"),
+              timestamp_micros(col("ts_us")).as(s"${alias}_ts"))
+            .withWatermark(s"${alias}_ts", "1 hour")
+        val q = src("purchase", "p", pSent).join(src("click", "c", cSent),
+            col("p_user") === col("c_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("p_user").as("user_id"), col("p_event").as("purchase_id"),
+            coalesce(col("c_event"), lit(-1L)).as("click_id"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try {
+          pSent.addData(JoinEv(-1L, -1L, FlushTsUs))
+          cSent.addData(JoinEv(-1L, -1L, FlushTsUs))
+          q.processAllAvailable()
+          pSent.addData(JoinEv(-1L, -1L, FlushTsUs + 3600000001L))
+          cSent.addData(JoinEv(-1L, -1L, FlushTsUs + 3600000001L))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).filter(col("user_id") >= 0)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // Streaming exact dedup: dropDuplicatesWithinWatermark keys the
     // state by (user_id, minute) and prunes it by the watermark — the
     // streaming analogue of the batch hash-dedup, in bounded memory.
@@ -404,6 +458,16 @@ object StreamingOps {
         |  FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT o_orderkey, version, price_c FROM all_rows
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1""".stripMargin,
+    // batch LEFT JOIN with the identical interval predicate; unmatched
+    // clicks coalesce to -1 so no NULL reaches the hash compare
+    "streaming_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  COALESCE(c.event_id, -1) AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     // identical to the batch event_sliding_window oracle — the flushed
     // stream must reproduce the batch result exactly
     "streaming_sliding_window" ->
