@@ -21,8 +21,10 @@ object PlanDump {
     // (comma-separated k=v pairs) to show a plan outside AQE's
     // small-scale choices
     sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => System.err.println(s"PlanDump: ignoring malformed conf entry '$kv'")
+      }
     })
     args.drop(1).foreach { name =>
       val df = SparkEntry.queries(name)(spark, args(0))

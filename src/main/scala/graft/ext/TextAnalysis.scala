@@ -42,13 +42,19 @@ object TextAnalysis {
       phonePattern, "[PHONE]")
 
   /** Pre-dedup canonicalization: case-fold, strip everything outside
-    * `[a-z0-9\s\[\]]` (keeping the redaction placeholders), collapse
-    * whitespace runs, trim. Shingle/fingerprint dedup keyed on the
-    * normalized form catches reformatted copies the raw text misses.
+    * letters/digits/whitespace/brackets (keeping the redaction
+    * placeholders), collapse whitespace runs, trim. Shingle/fingerprint
+    * dedup keyed on the normalized form catches reformatted copies the
+    * raw text misses. Whitespace is an EXPLICIT character class, not
+    * `\s`: Java's `\s` includes vertical tab (\x0B), RE2's does not, so
+    * `\s` here would make the two engines normalize a \x0B-bearing
+    * document differently.
     */
+  private val wsClass = " \\t\\n\\x0B\\f\\r"
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s\\[\\]]", ""), "\\s+", " "))
+      regexp_replace(lower(text), s"[^a-z0-9$wsClass\\[\\]]", ""),
+      s"[$wsClass]+", " "))
 
   /** Context-window chunking: split each document into overlapping
     * token windows of `chunkTokens` tokens at `stride`-token steps —
@@ -63,16 +69,18 @@ object TextAnalysis {
                      chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens, got chunk=$chunkTokens stride=$stride")
-    val sliceAt = (i: Column) =>
-      slice(col("_t"), (i * stride + 1).cast("int"), lit(chunkTokens))
     docs.select(col("doc_id"), tokens(col("text")).as("_t"))
       .withColumn("_n", size(col("_t")))
       .filter(col("_n") > 0)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0L), expr(s"(_n - 1) div $stride")),
         i => struct(
-          array_join(sliceAt(i), " ").as("chunk_text"),
-          size(sliceAt(i)).as("n_chunk_tokens")))))
+          array_join(slice(col("_t"), (i * stride + 1).cast("int"),
+            lit(chunkTokens)), " ").as("chunk_text"),
+          // arithmetic, not a second O(chunk) slice: the final chunk is
+          // whatever remains past its start offset, capped at chunk size
+          least(lit(chunkTokens), (col("_n") - i * stride).cast("int"))
+            .as("n_chunk_tokens")))))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col.chunk_text").as("chunk_text"),
         col("col.n_chunk_tokens").as("n_chunk_tokens"))
@@ -266,13 +274,16 @@ object TextAnalysis {
         |FROM c, UNNEST(generate_series(0, (n-1)//48)) AS u(i)""".stripMargin,
     // DuckDB regexp_replace replaces the FIRST match unless the 'g'
     // option is passed; Spark always replaces all
+    // whitespace spelled as an explicit class on both sides (Java \s
+    // includes \x0B, RE2 \s does not)
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(
         |    lower(regexp_replace(regexp_replace(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')),
-        |    '[^a-z0-9\s\[\]]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |    '[^a-z0-9 \t\n\x0B\f\r\[\]]', '', 'g'),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
     // len() is BIGINT in DuckDB, size() is int in Spark
     "text_bpe_tokens" ->

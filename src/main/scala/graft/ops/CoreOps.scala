@@ -191,17 +191,24 @@ object CoreOps {
     // deterministic subset repriced) so the oracle sees the same tables.
     "snapshot_diff" -> ((s, dir) => {
       val cents = round(col("o_totalprice") * 100).cast("long")
+      // multi-column payload hashed to one 32-byte value — the point of
+      // the hash: however many payload columns the table grows, the
+      // full-outer join carries one fixed-width compare column
+      // \\u0001 unit-separator delimiter: concatenation without one
+      // would let a boundary shift ("10"+"0X" vs "100"+"X") fake
+      // payload equality
+      def payloadHash =
+        md5(concat_ws("", col("price_c").cast("string"), col("o_orderpriority")))
       val old = Tables.orders(s, dir)
         .filter(graft.ext.Sampling.hashBucket(col("o_orderkey")) >= 2000)
-        .select(col("o_orderkey"), cents.as("price_c"))
+        .select(col("o_orderkey"), cents.as("price_c"), col("o_orderpriority"))
       val nw = Tables.orders(s, dir)
         .select(col("o_orderkey"),
           when(pmod(col("o_orderkey"), lit(7)) === 0, cents + 100L)
-            .otherwise(cents).as("price_c"))
-      val oldH = old.select(col("o_orderkey"),
-        md5(col("price_c").cast("string")).as("h_old"))
-      val newH = nw.select(col("o_orderkey"),
-        md5(col("price_c").cast("string")).as("h_new"))
+            .otherwise(cents).as("price_c"),
+          col("o_orderpriority"))
+      val oldH = old.select(col("o_orderkey"), payloadHash.as("h_old"))
+      val newH = nw.select(col("o_orderkey"), payloadHash.as("h_new"))
       oldH.join(newH, Seq("o_orderkey"), "full_outer")
         .withColumn("status",
           when(col("h_old").isNull, "added")

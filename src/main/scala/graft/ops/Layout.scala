@@ -32,15 +32,26 @@ object Layout {
     * min/max footer stats for pruning, like the z-order sibling). The
     * output file count comes from the measured on-disk input size — the
     * standard compaction heuristic: compressed bytes are the only size
-    * signal that exists without reading the data.
+    * signal that exists without reading the data. (Count is an upper
+    * bound: a range partition left empty — possible only when the data
+    * has fewer rows or distinct range keys than computed files — writes
+    * no file.)
+    *
+    * Input sizing lists each distinct PARENT directory once
+    * (`listStatus`) instead of one `getFileStatus` round trip per file —
+    * compaction targets exactly the many-small-files layouts where
+    * per-file driver RPCs would dominate.
     */
   def compactTo(df: DataFrame, orderCols: Seq[String], targetBytes: Long,
                 outDir: String): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-    val totalBytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
+    val inputs = df.inputFiles.map(new org.apache.hadoop.fs.Path(_)).toSeq
+    val wanted = inputs.map(_.toUri.getPath).toSet
+    val totalBytes = inputs.groupBy(_.getParent).iterator.map { case (dir, _) =>
+      dir.getFileSystem(hconf).listStatus(dir).iterator
+        .filter(st => st.isFile && wanted.contains(st.getPath.toUri.getPath))
+        .map(_.getLen).sum
     }.sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     df.repartitionByRange(nFiles, orderCols.map(col): _*)
@@ -73,15 +84,20 @@ object Layout {
     */
   def bucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
     val base = graft.io.TempDirs.create("bucketed")
+    // run-scoped table names: the (session-local, in-memory) catalog
+    // entries point at per-run temp dirs, so a fixed name would race
+    // concurrent suites and leave entries aimed at a dead directory
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (tOrders, tLineitem) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     writeBucketed(Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
-      "o_orderkey", buckets, "graft_bkt_orders", s"$base/orders")
+      "o_orderkey", buckets, tOrders, s"$base/orders")
     writeBucketed(Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice")),
-      "l_orderkey", buckets, "graft_bkt_lineitem", s"$base/lineitem")
-    spark.table("graft_bkt_lineitem")
-      .join(spark.table("graft_bkt_orders"),
+      "l_orderkey", buckets, tLineitem, s"$base/lineitem")
+    spark.table(tLineitem)
+      .join(spark.table(tOrders),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
         col("l_quantity"), col("o_custkey"), col("o_orderpriority"))

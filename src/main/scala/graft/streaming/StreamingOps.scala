@@ -218,25 +218,32 @@ object StreamingOps {
   def slidingCountsToCompletion(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"slide_out_${System.nanoTime()}"
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_event", "1 hour")
-      .groupBy(col("event_type"),
-        window(col("ts_event"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .select(col("event_type"),
-        unix_micros(col("window.start")).as("window_start_us"),
-        col("n"), col("value_cents"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    // stateful aggregation: pin the state-store width to the keyed
+    // stream, not the batch-scan default — the same scoped override
+    // discipline as the sibling stateful harnesses
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_event", "1 hour")
+        .groupBy(col("event_type"),
+          window(col("ts_event"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("n"), col("value_cents"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   private val ordersSchema: StructType = StructType(Seq(
