@@ -55,6 +55,9 @@ object GraftExtensions {
       info("hll_distinct", "hll_distinct(col[, p]) - HyperLogLog distinct-count sketch"),
       (args: Seq[Expression]) => graft.functions.HllSketchAgg(
         args(0), if (args.length > 1) intArg(args(1), "p") else 12)),
+    ("posweight_checksum",
+      info("posweight_checksum", "posweight_checksum(text) - order-sensitive sum(codepoint*pos) mod p checksum"),
+      (args: Seq[Expression]) => graft.functions.PosWeightChecksum(args(0))),
     ("misra_gries",
       info("misra_gries", "misra_gries(col[, k]) - frequent-items (heavy hitters) sketch"),
       (args: Seq[Expression]) => graft.functions.MisraGriesAgg(

@@ -150,13 +150,16 @@ object TextAnalysis {
     }),
 
     // Position-weighted checksum: sum(codepoint(c_i) * i) mod p — order-
-    // sensitive, integer-exact, O(n) per row.
+    // sensitive, integer-exact, O(n) per row. Runs through the codegen
+    // PosWeightChecksum expression (one static call per row); the
+    // interpreted-HOF formulation it replaced dispatched two lambdas
+    // per character and is kept only as the CodegenExprSpec equality
+    // reference.
     "doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        (expr("aggregate(transform(sequence(1, length(text)), " +
-          "i -> cast(ascii(substr(text, i, 1)) * i AS BIGINT)), bigint(0), (a, x) -> a + x)")
-          % 1000000007L).as("fingerprint"))),
+        graft.functions.PosWeightChecksum.posweightChecksum(col("text"))
+          .as("fingerprint"))),
 
     // 64-token chunks at 48-token stride (16-token overlap)
     "chunk_documents" -> ((s, dir) =>

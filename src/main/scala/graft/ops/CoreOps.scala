@@ -134,6 +134,31 @@ object CoreOps {
       s.read.parquet(out)
     }),
 
+    // JSONL sink round-trip — the corpus interchange format a training
+    // pipeline actually emits/consumes (one JSON object per line,
+    // gzip-splittable at file granularity). Identity on values through
+    // JSON string escaping and number formatting, so fully
+    // oracle-checkable; an explicit read schema (from the writer's own
+    // frame) keeps long/double types stable instead of re-inferred.
+    "sink_jsonl_roundtrip" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("sink_jsonl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out)
+    }),
+
+    // CSV sink round-trip: quoted/escaped text survives commas, quotes,
+    // and newlines (multiLine on the read side for embedded newlines).
+    "sink_csv_roundtrip" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("sink_csv")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true").csv(out)
+    }),
+
     // L1 `limit_n`: deterministic cap — ordered by a unique key so the
     // kept row set is well-defined (a bare limit is partitioning-dependent
     // and could never hash-match an oracle).
@@ -325,6 +350,10 @@ object CoreOps {
     "count_records" -> "SELECT count(*) AS n_rows FROM lineitem",
     "sink_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "sink_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "sink_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
     "global_sum" ->
       "SELECT round(sum(l_quantity), 2) AS total_qty, count(*) AS n FROM lineitem",
     "global_max" -> "SELECT max(o_custkey) + 1 AS node_count FROM orders",

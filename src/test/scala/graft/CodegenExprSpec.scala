@@ -95,6 +95,22 @@ class CodegenExprSpec extends AnyFunSuite {
     }
   }
 
+  test("PosWeightChecksum equals the HOF formulation on arbitrary text") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(40, textGen)) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val hof = expr("aggregate(transform(sequence(1, length(text)), " +
+          "i -> cast(ascii(substr(text, i, 1)) * i AS BIGINT)), bigint(0), (a, x) -> a + x)") %
+          1000000007L
+        val rows = df.select(col("id"), hof.as("h"),
+            graft.functions.PosWeightChecksum.posweightChecksum(col("text")).as("c"))
+          .collect()
+        rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+      }
+    }
+  }
+
   test("SignLshBuckets: deterministic, band-prefixed, stable across sessions") {
     import spark.implicits._
     val df = Seq((1L, Seq(1000L, -500L, 250L, 0L)), (2L, Seq(-1L, -2L, -3L, -4L)))
