@@ -160,3 +160,53 @@ object Parquet2Sonata {
     } finally spark.stop()
   }
 }
+
+/** `runMain graft.cli.CurateCorpus <documentsParquetDir|file> <outDir>
+  * [tokensPerShard]` — the one-command training-data pipeline over a
+  * raw `documents` table, composing the curation operators end-to-end:
+  *
+  *   1. md5-bucket held-out split (the ~10% eval side);
+  *   2. near-dup clustering over the TRAINING pair graph, keep cluster
+  *      minima; 8-gram decontamination vs the held-out split; integer
+  *      repetition-quality gate  (ext.Curate.curateCorpus);
+  *   3. PII redaction + normalization of the survivors' text;
+  *   4. deterministic md5-order corpus shuffle + token-budget shard
+  *      packing (exclusive weighted prefix scan);
+  *   5. one JSONL file per shard (`shard=N/part-*.json` via a
+  *      partitioned write) — the layout a trainer consumes.
+  *
+  * Counterpart of the reference's converter CLIs for the engine's
+  * training-data side: raw table in, training shards out.
+  */
+object CurateCorpus {
+
+  /** Testable body; returns (kept docs, shards written). */
+  def run(spark: SparkSession, docsPath: String, outDir: String,
+          tokensPerShard: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(docsPath)
+    val evalSide = graft.ext.Sampling.hashBucket(col("doc_id")) < 6554
+    val kept = graft.ext.Curate.curateCorpus(docs, evalSide)
+    val cleaned = kept.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        graft.ext.TextAnalysis.normalize(
+          graft.ext.TextAnalysis.redactPii(col("text"))).as("text"))
+    val packed = graft.ops.Offsets.globalWeightedPrefix(cleaned,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        "n_tokens", "cum_tokens")
+      .withColumn("shard", expr(s"cum_tokens div $tokensPerShard"))
+    packed.write.mode("overwrite").partitionBy("shard").json(outDir)
+    val out = spark.read.json(outDir)
+    (out.count(), out.select(col("shard")).distinct().count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateCorpus <documentsParquet> <outDir> [tokensPerShard]")
+    val tokensPerShard = if (args.length > 2) args(2).toLong else 1000000L
+    val spark = Cli.session("curatecorpus")
+    try {
+      val (n, shards) = run(spark, args(0), args(1), tokensPerShard)
+      println(s"curatecorpus: wrote $n curated documents in $shards shards to ${args(1)}")
+    } finally spark.stop()
+  }
+}

@@ -148,6 +148,16 @@ object CoreOps {
       s.read.schema(docs.schema).json(out)
     }),
 
+    // ORC sink round-trip — the second columnar container Spark ships
+    // natively; same values through a different encoder/footer stack.
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("sink_orc")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
     // CSV sink round-trip: quoted/escaped text survives commas, quotes,
     // and newlines (multiLine on the read side for embedded newlines).
     "sink_csv_roundtrip" -> ((s, dir) => {
@@ -351,6 +361,8 @@ object CoreOps {
     "sink_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "sink_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "sink_orc_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     "sink_csv_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",

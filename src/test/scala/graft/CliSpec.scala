@@ -92,4 +92,32 @@ class CliSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("disagree on schema version"), e.getMessage)
   }
+
+  test("CurateCorpus: one command from raw documents to packed JSONL shards") {
+    import org.apache.spark.sql.functions._
+    val out = graft.io.TempDirs.create("curatecli")
+    val (n, shards) = graft.cli.CurateCorpus.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", out, tokensPerShard = 2000L)
+    assert(n > 0, "curation must keep documents")
+    assert(shards > 1, s"2000-token shards over the kept corpus should split, got $shards")
+    // the written shards reload to exactly the curated survivor set,
+    // every kept doc is a canonical cluster representative, and no text
+    // escaped normalization
+    val reread = spark.read.json(out)
+    assert(reread.count() == n)
+    assert(reread.columns.sorted.toSeq ==
+      Seq("cum_tokens", "doc_id", "lang", "n_tokens", "shard", "source", "text"))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val keptIds = graft.ext.Curate.curateCorpus(docs,
+        graft.ext.Sampling.hashBucket(col("doc_id")) < 6554)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reread.select("doc_id").collect().map(_.getLong(0)).toSet == keptIds)
+    assert(reread.filter(col("text") =!= lower(col("text"))).count() == 0,
+      "all shard text must be normalized")
+    // shard budget: every shard except the last stays within one doc of
+    // the token budget by the prefix-scan construction
+    val bad = reread.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > 2000L + 500L).count() // 500 = max doc tokens at sf0.001
+    assert(bad == 0, "no shard may exceed budget by more than one document")
+  }
 }
