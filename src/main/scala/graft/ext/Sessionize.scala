@@ -47,6 +47,23 @@ object Sessionize {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))),
 
+    // Spark's NATIVE session-window operator — the engine-level
+    // formulation of gap sessionization (SessionWindowing + merging
+    // session aggregate), complementing the explicit gaps-and-islands
+    // `sessionize`: same 30-min gap, session end = last event + gap by
+    // session_window semantics. One keyed shuffle; state merges
+    // adjacent windows inside the aggregate instead of a lag/sum
+    // window chain.
+    "sessionize_native" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_plus_gap_us"),
+          col("n_events"), col("value_cents"))),
+
     // SLIDING 1-hour windows hopping every 30 min — Spark's built-in
     // `window(ts, width, slide)` generator: each event lands in
     // width/slide = 2 overlapping windows (batch counterpart of the
@@ -94,6 +111,29 @@ object Sessionize {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events
         |GROUP BY event_type, epoch_us(ts) // 3600000000""".stripMargin,
+    // session_window boundary semantics: the window is [start, last+gap)
+    // with an EXCLUSIVE end, so an event arriving exactly `gap` after
+    // the last one starts a NEW session — the split predicate is >=,
+    // one notch different from the lag-chain `sessionize` (>), and the
+    // reported end is last_event + gap
+    "sessionize_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+        |           OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_plus_gap_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // each event expands to its two containing window starts; the range
     // predicate is redundant at width = 2·slide but keeps the oracle
     // correct for any width/slide ratio
