@@ -72,7 +72,29 @@ object SchemaSidecar {
 
   val queries: Map[String, Q] = Map(
     "scan_metadata_sidecar" -> ((s, dir) =>
-      readParquetDir(s, sidecarFixture(s, dir)))
+      readParquetDir(s, sidecarFixture(s, dir))),
+
+    // The scan-level face of schema evolution (the union-level face is
+    // `union_schema_evolution`): a directory whose files were written
+    // before and after a column was added, read with `mergeSchema` so
+    // the union of the file schemas becomes the table schema and
+    // old-file rows null-fill the new column. This is the opposite
+    // semantics of the sidecar/first-file scan above — the reference
+    // takes first-file (parquet2hdf5.cpp:205-218), a long-lived corpus
+    // directory needs the merge.
+    "scan_merge_schema" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = graft.io.TempDirs.create("mergeschema")
+      val orders = graft.Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v=1", s"$out/v=2")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -80,6 +102,11 @@ object SchemaSidecar {
     "scan_metadata_sidecar" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(NULL AS DOUBLE) AS sidecar_extra
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "scan_merge_schema" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders""".stripMargin
   )
 }

@@ -57,6 +57,19 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("2000-node random graphs with many components match union-find") {
+    // stress for the one-job-per-round loop: sparse enough for hundreds
+    // of components, dense clusters, and a long path all at once
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val edges =
+        Seq.fill(1500)((rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+          .filter { case (a, b) => a != b } ++
+        (5000L until 5300L).map(i => (i, i + 1)) // planted 300-node path
+      assert(cc(edges) == unionFind(edges), s"seed $seed")
+    }
+  }
+
   test("self-loops and duplicate/reversed edges are tolerated") {
     val labels = cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
     // 3 only ever appears in a self-loop → no edge evidence → absent
