@@ -80,6 +80,26 @@ object Sessionize {
           unix_micros(col("window.start")).as("window_start_us"),
           col("n"), col("value_cents"))),
 
+    // Time-series gap fill: a DENSE per-type minute grid (every minute
+    // from the type's first to its last event, empty minutes as 0) —
+    // the time-axis cousin of the reference's dense id-sequence join
+    // (I6): generate the grid from per-type bounds (a group-cardinality
+    // aggregate + sequence explode), left-join the per-minute counts,
+    // null-fill. Grid size is bounded by time span, not event count.
+    "timeseries_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_us div 60000000").as("minute"))
+      val grid = ev.groupBy(col("event_type"))
+        .agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("minute"))
+      val counts = ev.groupBy(col("event_type"), col("minute"))
+        .agg(count(lit(1)).as("c"))
+      grid.join(counts, Seq("event_type", "minute"), "left")
+        .select(col("event_type"), col("minute"),
+          coalesce(col("c"), lit(0L)).as("n_events"))
+    }),
+
     // JSON property extraction (events.props = {"k": N}).
     "json_extract_props" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -147,6 +167,14 @@ object Sessionize {
         |WHERE ts_us >= (ts_us // 1800000000 - k) * 1800000000
         |  AND ts_us < (ts_us // 1800000000 - k) * 1800000000 + 3600000000
         |GROUP BY 1, 2""".stripMargin,
+    "timeseries_gap_fill" ->
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute FROM events),
+        |b AS (SELECT event_type, min(minute) AS mn, max(minute) AS mx
+        |      FROM m GROUP BY event_type),
+        |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS minute FROM b),
+        |c AS (SELECT event_type, minute, count(*) AS c FROM m GROUP BY 1, 2)
+        |SELECT g.event_type, g.minute, COALESCE(c.c, 0) AS n_events
+        |FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.minute = c.minute""".stripMargin,
     "json_extract_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
   )

@@ -82,6 +82,33 @@ object SetWindowOps {
         .select(col("event_type"), col("event_id"), col("value"))
     }),
 
+    // Per-group z-score standardization — the feature-normalization
+    // projection, kept engine-deterministic: moments come from the
+    // integer-cents sums (order-independent), and the z-score is the
+    // one float expression `(v·n − Σ) / sqrt(n·Σ² − (Σ)²)` evaluated
+    // with the same textual shape on both engines (sqrt and division
+    // are IEEE-exact on identical inputs; no float ACCUMULATION
+    // anywhere). Broadcast the group-cardinality moment table, narrow
+    // scan for the projection.
+    "standardize_by_group" -> ((s, dir) => {
+      val cents = round(col("l_quantity") * 100).cast("long")
+      val mom = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          sum(cents * cents).as("s2"))
+      // numerator stays integer-exact (≤ cents·n, far inside long);
+      // the variance term multiplies as DOUBLES on both engines — in
+      // integers Spark's long would wrap at scale while DuckDB's
+      // HUGEINT would not, silently diverging; identical IEEE double
+      // expressions cannot
+      Tables.lineitem(s, dir)
+        .join(broadcast(mom), "l_returnflag")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round((cents * col("n") - col("s")) /
+            sqrt(col("n").cast("double") * col("s2").cast("double") -
+              col("s").cast("double") * col("s").cast("double")), 6).as("z"))
+    }),
+
     // Second moments in exact integer arithmetic (cents²): variance and
     // stddev derive downstream as (n·Σx² − (Σx)²) / n² without any
     // order-dependent float summation — the same pattern as the q1
@@ -242,6 +269,20 @@ object SetWindowOps {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // numerator in exact integers, variance term in doubles with the
+    // identical textual shape (see the query comment)
+    "standardize_by_group" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+        |           * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+        |  round((CAST(round(l.l_quantity * 100) AS BIGINT) * m.n - m.s) /
+        |    sqrt(CAST(m.n AS DOUBLE) * CAST(m.s2 AS DOUBLE) -
+        |      CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)), 6) AS z
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag""".stripMargin,
     "grouping_sets_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
