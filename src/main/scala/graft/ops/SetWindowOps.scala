@@ -109,6 +109,31 @@ object SetWindowOps {
               col("s").cast("double") * col("s").cast("double")), 6).as("z"))
     }),
 
+    // Pearson correlation per group, same determinism discipline as
+    // standardize_by_group: ALL sums are exact integers (map-side
+    // combining, order-independent); the only float arithmetic is the
+    // final covariance/variance expression, textually mirrored in the
+    // oracle. Built-in corr() would float-accumulate per partition and
+    // could differ across engines/partitionings in the last ulps.
+    "correlation_by_group" -> ((s, dir) => {
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qc).as("sq"), sum(pc).as("sp"),
+          sum(qc * qc).as("sqq"), sum(pc * pc).as("spp"),
+          sum(qc * pc).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n").cast("double") * col("sqp").cast("double") -
+              col("sq").cast("double") * col("sp").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sqq").cast("double") -
+                col("sq").cast("double") * col("sq").cast("double")) *
+              sqrt(col("n").cast("double") * col("spp").cast("double") -
+                col("sp").cast("double") * col("sp").cast("double"))), 6)
+            .as("corr_qty_price"))
+    }),
+
     // Second moments in exact integer arithmetic (cents²): variance and
     // stddev derive downstream as (n·Σx² − (Σx)²) / n² without any
     // order-dependent float summation — the same pattern as the q1
@@ -269,6 +294,27 @@ object SetWindowOps {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "correlation_by_group" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(pc) AS BIGINT) AS sp,
+        |    CAST(sum(qc * qc) AS BIGINT) AS sqq,
+        |    CAST(sum(pc * pc) AS BIGINT) AS spp,
+        |    CAST(sum(qc * pc) AS BIGINT) AS sqp
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) -
+        |      CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) -
+        |        CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+        |      sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) -
+        |        CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price
+        |FROM m""".stripMargin,
     // numerator in exact integers, variance term in doubles with the
     // identical textual shape (see the query comment)
     "standardize_by_group" ->
