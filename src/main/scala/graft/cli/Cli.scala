@@ -184,6 +184,9 @@ object CurateCorpus {
   def run(spark: SparkSession, docsPath: String, outDir: String,
           tokensPerShard: Long): (Long, Long) = {
     import org.apache.spark.sql.functions._
+    // div-by-zero in the shard expression would yield null shards and a
+    // __HIVE_DEFAULT_PARTITION__ layout; negatives, negative shard ids
+    require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
     val docs = spark.read.parquet(docsPath)
     val evalSide = graft.ext.Sampling.hashBucket(col("doc_id")) < 6554
     val kept = graft.ext.Curate.curateCorpus(docs, evalSide)
@@ -196,8 +199,11 @@ object CurateCorpus {
         "n_tokens", "cum_tokens")
       .withColumn("shard", expr(s"cum_tokens div $tokensPerShard"))
     packed.write.mode("overwrite").partitionBy("shard").json(outDir)
-    val out = spark.read.json(outDir)
-    (out.count(), out.select(col("shard")).distinct().count())
+    // summary from ONE read-back pass: explicit schema (no inference
+    // scan over the JSON text) and a single aggregate for both counts
+    val row = spark.read.schema(packed.schema).json(outDir)
+      .agg(count(lit(1)), count_distinct(col("shard"))).head
+    (row.getLong(0), row.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {

@@ -139,13 +139,13 @@ object Sessionize {
     "sessionize_native" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |flagged AS (
-        |  SELECT user_id, ts_us, value,
+        |  SELECT user_id, event_id, ts_us, value,
         |    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
         |           OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |s AS (
         |  SELECT user_id, ts_us, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id,

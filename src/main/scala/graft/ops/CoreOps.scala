@@ -160,11 +160,18 @@ object CoreOps {
 
     // CSV sink round-trip: quoted/escaped text survives commas, quotes,
     // and newlines (multiLine on the read side for embedded newlines).
+    // The WRITER trims leading/trailing whitespace by default — turned
+    // off explicitly or '  padded  ' text would round-trip as 'padded'.
+    // (Known format limit, not worked around: CSV cannot distinguish an
+    // empty string from null on read-back.)
     "sink_csv_roundtrip" -> ((s, dir) => {
       val out = graft.io.TempDirs.create("sink_csv")
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      docs.write.mode("overwrite").option("header", "true").csv(out)
+      docs.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
       s.read.schema(docs.schema)
         .option("header", "true").option("multiLine", "true").csv(out)
     }),

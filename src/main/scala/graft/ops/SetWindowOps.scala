@@ -118,12 +118,18 @@ object SetWindowOps {
     "correlation_by_group" -> ((s, dir) => {
       val qc = round(col("l_quantity") * 100).cast("long")
       val pc = round(col("l_extendedprice") * 100).cast("long")
+      // second-moment sums accumulate as DECIMAL(38,0): still exact and
+      // order-independent, but sum(pc²) is already ~80% of Long.Max at
+      // sf0.1 — a long would wrap just past the tested scale while
+      // DuckDB promotes to hugeint, silently diverging (the per-row
+      // products themselves fit comfortably in long)
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(qc).as("sq"), sum(pc).as("sp"),
-          sum(qc * qc).as("sqq"), sum(pc * pc).as("spp"),
-          sum(qc * pc).as("sqp"))
+          sum((qc * qc).cast("decimal(38,0)")).as("sqq"),
+          sum((pc * pc).cast("decimal(38,0)")).as("spp"),
+          sum((qc * pc).cast("decimal(38,0)")).as("sqp"))
         .select(col("l_returnflag"), col("n"),
           round((col("n").cast("double") * col("sqp").cast("double") -
               col("sq").cast("double") * col("sp").cast("double")) /
@@ -303,9 +309,9 @@ object SetWindowOps {
         |m AS (
         |  SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(pc) AS BIGINT) AS sp,
-        |    CAST(sum(qc * qc) AS BIGINT) AS sqq,
-        |    CAST(sum(pc * pc) AS BIGINT) AS spp,
-        |    CAST(sum(qc * pc) AS BIGINT) AS sqp
+        |    CAST(sum(qc * qc) AS DECIMAL(38,0)) AS sqq,
+        |    CAST(sum(pc * pc) AS DECIMAL(38,0)) AS spp,
+        |    CAST(sum(qc * pc) AS DECIMAL(38,0)) AS sqp
         |  FROM c GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) -
