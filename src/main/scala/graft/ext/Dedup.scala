@@ -378,6 +378,30 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
 
+    // Exact SUBSTRING duplication (the "repeated 50-token span" dedup of
+    // the published substring-dedup method, scaled down to the fixture's
+    // document lengths): every word-25-gram occurring in ≥2 documents,
+    // reported per containing doc with its count — the span-removal
+    // tier that catches boilerplate n-gram-Jaccard misses (two long
+    // docs sharing one paragraph have low global Jaccard). Plan shape:
+    // the gram stream is (doc_id, 8-byte hash) with the string
+    // alongside; repeated grams come from one groupBy keyed on the
+    // gram; the report re-joins docs only against the (tiny) repeated
+    // set via its hash — never doc×doc.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"), 25))
+            .as("gram"))
+      val repeated = grams.groupBy(col("gram"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      grams.join(repeated, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_repeated_grams"),
+          max(col("n_docs")).as("max_gram_spread"))
+    }),
+
     // Semantic near-dup at the reference threshold (cos 0.4): the regime
     // router picks the blocked exact grid join — every pair costs one
     // exact int64 quantized dot, met in exactly one grid cell. The
@@ -455,6 +479,22 @@ object Dedup {
         |JOIN sb ON sb.doc_id = batch_doc
         |JOIN sc ON sc.doc_id = corpus_doc
         |WHERE n_common / (sb.n_b + sc.n_c - n_common) >= 0.12""".stripMargin),
+    "dedup_substring_spans" ->
+      """WITH t25 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 25 THEN list_transform(generate_series(1, len(t) - 24),
+        |      i -> array_to_string(t[i : i + 24], ' ')) ELSE [] END)) AS gram
+        |  FROM t25),
+        |rep AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id, count(*) AS n_repeated_grams,
+        |  CAST(max(rep.n_docs) AS BIGINT) AS max_gram_spread
+        |FROM g JOIN rep ON g.gram = rep.gram
+        |GROUP BY g.doc_id""".stripMargin,
     // CAST dot_q back to BIGINT: DuckDB list_sum over BIGINT is HUGEINT
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
