@@ -164,30 +164,46 @@ object Dedup {
     * (band, band-slice hash), emit candidate pairs sharing a bucket, then
     * estimate similarity as matching-minhash fraction. The shuffle key is
     * the band bucket — collision-bounded, never n².
+    *
+    * The candidate path is fully NARROW, mirroring
+    * [[embeddingCosineLshPairsStamped]]: only (doc_id, band, bucket)
+    * rows enter the band explode and the bucket-keyed candidate join,
+    * and the pair dedup shuffles 16-byte (doc_a, doc_b) keys only — a
+    * pair sharing b bands no longer ships b redundant copies of two
+    * k·8-byte signatures through the dedup exchange. The signatures are
+    * fetched AFTER dedup by two doc_id equi-joins against the persisted
+    * signature base, so each surviving pair carries the wide payload
+    * across a shuffle exactly twice, independent of `bands`.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, rows: Int = 4,
                       estThreshold: Double = 0.5): DataFrame = {
     require(k % rows == 0, s"signature size $k must divide into bands of $rows")
     // shingle-less docs carry no similarity evidence — exclude them from
     // candidate generation instead of letting their sentinel signatures
-    // collide with each other
+    // collide with each other. Persisted: both candidate-join sides and
+    // both payload fetches read it, and the signature aggregation is the
+    // expensive part.
     val sigs = minhashSignatures(docs, k).filter(col("n_shingles") > 0)
+      .select(col("doc_id"), col("signature"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = k / rows
-    // persisted: both sides of the candidate join read it, and the
-    // signature aggregation is the expensive part
-    val bands = sigs.select(col("doc_id"), col("signature"),
+    // (doc_id, band, bucket) only — recomputing the band-slice hashes
+    // from cache per join side is n·bands cheap hashes, far cheaper than
+    // shuffling `bands` copies of every signature
+    val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(concat_ws("_", b.cast("string"),
           slice(col("signature"), b * lit(rows) + 1, lit(rows)).cast("array<string>")))))
         .as(Seq("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           / lit(k.toDouble))
       .filter(col("est_jaccard") >= estThreshold)

@@ -99,11 +99,21 @@ object DedupCluster {
     // produced it, and every round pays ~7 exchanges. ~2M edges
     // (≈32 MB of (u,v) rows) per partition; restored in `finally`
     // (same scoping discipline as the streaming shuffle override).
+    //
+    // NOTE: this mutates the SESSION-global shuffle-partition conf for the
+    // duration of the loop — correct for the single-threaded sessions this
+    // library runs in (one query at a time per SparkSession); a host
+    // running concurrent queries on a shared session should pass a
+    // dedicated session (`spark.newSession()`) into the dedup pipeline.
+    // Parsed defensively: a non-numeric value (e.g. a vendor "auto")
+    // skips the override rather than throwing.
     val spark = edges.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val scopedParts = math.max(1L, math.min(prevParts.toLong, sig._1 / 2000000L + 1L))
+    val scopedParts = scala.util.Try(prevParts.toLong).toOption
+      .map(p => math.max(1L, math.min(p, sig._1 / 2000000L + 1L)))
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", scopedParts.toString)
+      scopedParts.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
       while (!converged && round < maxRounds) {
         // LAZY checkpoint: the signature aggregate is the round's single
         // action — it materializes the checkpoint blocks and computes the

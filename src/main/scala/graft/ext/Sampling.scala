@@ -54,12 +54,23 @@ object Sampling {
     * comparison is integer cross-multiplied (`bucket·scale <
     * 65536·min(weight, scale)`) so no float threshold can flip between
     * engines.
+    *
+    * Caller contract: `weight` must be non-null and non-negative —
+    * Spark's `least()` ignores nulls, so a null weight would silently
+    * keep the row with p=1; null/negative weights are rejected up front.
+    * `scale` is bounded so `bucket·scale` (bucket < 2^16) and
+    * `65536·scale` cannot overflow a long and flip keep decisions.
     */
   def weightedHashSample(df: DataFrame, key: Column, weight: Column,
                          scale: Long): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    require(scale <= (Long.MaxValue >> 17),
+      s"scale must be <= 2^46 so the integer cross-multiply cannot overflow, got $scale")
+    val w = when(weight.isNull || weight < 0,
+      raise_error(concat(lit("weightedHashSample: null/negative weight for key "),
+        key.cast("string")))).otherwise(weight.cast("long"))
     df.filter(hashBucket(key) * lit(scale) <
-      lit(65536L) * least(weight.cast("long"), lit(scale)))
+      lit(65536L) * least(w, lit(scale)))
   }
 
   /** Per-class cap: keep at most `k` rows per class, chosen in md5-hash

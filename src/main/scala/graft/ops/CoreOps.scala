@@ -236,11 +236,13 @@ object CoreOps {
       // multi-column payload hashed to one 32-byte value — the point of
       // the hash: however many payload columns the table grows, the
       // full-outer join carries one fixed-width compare column
-      // \\u0001 unit-separator delimiter: concatenation without one
+      // \u0001 unit-separator delimiter: concatenation without one
       // would let a boundary shift ("10"+"0X" vs "100"+"X") fake
-      // payload equality
+      // payload equality. (Was previously a literal 0x01 byte inside the
+      // quotes, which review tools render as an empty string — spelled as
+      // an escape so the invariant is visible.)
       def payloadHash =
-        md5(concat_ws("", col("price_c").cast("string"), col("o_orderpriority")))
+        md5(concat_ws("\u0001", col("price_c").cast("string"), col("o_orderpriority")))
       val old = Tables.orders(s, dir)
         .filter(graft.ext.Sampling.hashBucket(col("o_orderkey")) >= 2000)
         .select(col("o_orderkey"), cents.as("price_c"), col("o_orderpriority"))

@@ -86,7 +86,14 @@ object Layout {
     val base = graft.io.TempDirs.create("bucketed")
     // run-scoped table names: the (session-local, in-memory) catalog
     // entries point at per-run temp dirs, so a fixed name would race
-    // concurrent suites and leave entries aimed at a dead directory
+    // concurrent suites and leave entries aimed at a dead directory.
+    // The returned join is LAZY (callers pin its executedPlan), so this
+    // run's two tables must outlive the call — instead, garbage-collect
+    // the PREVIOUS runs' entries here, bounding the catalog to the two
+    // live tables however many times benchmarks/suites call this.
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val tag = java.lang.Long.toHexString(System.nanoTime())
     val (tOrders, tLineitem) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     writeBucketed(Tables.orders(spark, dir)

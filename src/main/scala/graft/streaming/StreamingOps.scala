@@ -279,7 +279,13 @@ object StreamingOps {
     finally q.stop()
     val base = graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), lit(0).as("version"), cents.as("price_c"))
-    base.unionByName(spark.read.parquet(s"$out/log"))
+    // An empty change feed never creates the log directory (foreachBatch
+    // only appends when a micro-batch has rows) — fall back to an empty
+    // frame with the log schema rather than throwing on the missing path.
+    val logDf =
+      if (new java.io.File(s"$out/log").exists()) spark.read.parquet(s"$out/log")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
+    base.unionByName(logDf)
       .groupBy(col("o_orderkey"))
       .agg(max(struct(col("version"), col("price_c"))).as("latest"))
       .select(col("o_orderkey"),

@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("minhash LSH pair dedup shuffles 16-byte id pairs, not signatures") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (doc_a, doc_b) dropDuplicates must be a pure-key aggregate: a
+    // payload-carrying dedup would compile to first(sig_a)/first(sig_b)
+    // functions inside the HashAggregate, shipping both 256-byte
+    // signatures through the dedup exchange once per shared band
+    assert(!plan.contains("first(sig"),
+      s"pair dedup must not carry signatures through its exchange:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("decontamination broadcasts the eval-gram side; training side never sort-merges") {
     val df = SparkEntry.queries("decontaminate_ngrams")(spark, sf)
     df.collect()
