@@ -35,7 +35,17 @@ object TouchBinary {
       versionString: String,
       version: Version,
       firstGid: Int,
-      shifts: Array[Long]) {
+      shifts: Array[Long],
+      /** Per-gid record counts (parallel to `shifts`), from the index's
+        * (id, count, offset) entries — 0 for gids absent from the index.
+        */
+      counts: Array[Long] = Array.empty,
+      /** True when the header declared more neurons than the file holds
+        * (the short-read zero-pad case): the entries cannot be trusted
+        * for record-range pruning, only for the shift lookup's defined
+        * fallback.
+        */
+      truncated: Boolean = false) {
     /** First global row of `gid`'s contiguous block. For gids absent from
       * the index the reference indexes its shifts vector out of bounds
       * (undefined behavior, touch_reader.cpp:276 — the v1 fixture triggers
@@ -44,6 +54,34 @@ object TouchBinary {
     def shiftOf(gid: Int): Long = {
       val pos = gid - firstGid
       if (pos >= 0 && pos < shifts.length) shifts(pos) else 0L
+    }
+
+    /** Record range [start, end) covering every indexed gid in
+      * [lo, hi] — the Spark face of the reference's per-neuron
+      * `seek(pos)` (touch_reader.cpp:196-228, offsets decoded at
+      * :136-144). Bounds are min/max over PRESENT entries (count > 0),
+      * so no monotonicity of offsets across gids is assumed; `None`
+      * means "cannot prune" (truncated or empty index), `Some((0, 0))`
+      * means provably no records. Like the reference's seek, pruning
+      * trusts the index to describe the data file — callers keep the
+      * gid predicate as a post-scan residual, so a lying index can only
+      * lose rows the reference would also mis-seek, never emit wrong
+      * ones.
+      */
+    def recordRangeFor(lo: Long, hi: Long): Option[(Long, Long)] = {
+      if (truncated || shifts.isEmpty || counts.length != shifts.length) return None
+      var start = Long.MaxValue
+      var end = 0L
+      var pos = math.max(0L, lo - firstGid).toInt
+      val maxPos = math.min(shifts.length.toLong - 1, hi - firstGid)
+      while (pos <= maxPos) {
+        if (counts(pos) > 0) {
+          start = math.min(start, shifts(pos))
+          end = math.max(end, shifts(pos) + counts(pos))
+        }
+        pos += 1
+      }
+      if (start == Long.MaxValue) Some((0L, 0L)) else Some((start, end))
     }
   }
 
@@ -116,15 +154,18 @@ object TouchBinary {
     val firstGid = recs.map(_.id).min
     val maxGid = recs.map(_.id).max
     val shifts = new Array[Long](maxGid - firstGid + 1)
+    val counts = new Array[Long](maxGid - firstGid + 1)
     recs.foreach { r =>
       val pos = r.id - firstGid
       if (shifts(pos) > 0 && r.offset == 0 && r.count == 0) {
         // duplicate empty entry — keep the real one (touch_reader.cpp:136-139)
       } else {
         shifts(pos) = r.offset / version.recordSize
+        counts(pos) = r.count
       }
     }
-    TouchIndex(order == ByteOrder.LITTLE_ENDIAN, versionString, version, firstGid, shifts)
+    TouchIndex(order == ByteOrder.LITTLE_ENDIAN, versionString, version, firstGid,
+      shifts, counts, truncated = zeroPad)
   }
 
   /** Decode one raw record (without synapse id). Field offsets follow the

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,6 +33,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    only the requested fields are read out of each record's
   *    ByteBuffer — a 2-column projection of a v3 file touches 8 of 104
   *    bytes per record instead of materializing all 28 fields.
+  *  - **Gid-range predicate pushdown** (`SupportsPushDownFilters`): range
+  *    predicates on `source_node_id` narrow each file's planned record
+  *    range through its companion index's per-neuron (offset, count)
+  *    entries — the Spark face of the reference's `seek(pos)`
+  *    (touch_reader.cpp:196-228, offsets :136-144). Pruning is
+  *    split-planning only: every filter stays a post-scan residual, so
+  *    results never depend on the index being truthful; a query for one
+  *    neuron's touches reads that neuron's byte range, not the file.
   *  - **Faithful synapse ids without a count job**: global row =
   *    `split start record + local index` is known statically from the
   *    split plan (the RDD path needs `zipWithIndex`'s extra pass), and
@@ -257,17 +266,69 @@ private[sources] class TouchTable(path: String, maxBytesPerPartition: Long)
 private[sources] class TouchScanBuilder(path: String,
     indexed: Seq[TouchDataSource.IndexedFile],
     fullSchema: StructType, maxBytesPerPartition: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var accepted: Array[sources.Filter] = Array.empty
+  private var gidLo: Long = Long.MinValue
+  private var gidHi: Long = Long.MaxValue
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order for a stable layout
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new TouchScan(path, indexed, required, maxBytesPerPartition)
+  /** Source-gid bounds implied by a filter on `source_node_id` — the
+    * column the companion index keys its per-neuron record offsets on
+    * (gids are int32; comparisons are widened to long so `v ± 1` cannot
+    * wrap).
+    */
+  private def boundsOf(f: sources.Filter): Option[(Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo("source_node_id", v) => num(v).map(x => (x, x))
+      case sources.GreaterThan("source_node_id", v) => num(v).map(x => (x + 1, Long.MaxValue))
+      case sources.GreaterThanOrEqual("source_node_id", v) => num(v).map(x => (x, Long.MaxValue))
+      case sources.LessThan("source_node_id", v) => num(v).map(x => (Long.MinValue, x - 1))
+      case sources.LessThanOrEqual("source_node_id", v) => num(v).map(x => (Long.MinValue, x))
+      case sources.And(l, r) =>
+        for { (ll, lh) <- boundsOf(l); (rl, rh) <- boundsOf(r) }
+          yield (math.max(ll, rl), math.min(lh, rh))
+      case _ => None
+    }
+  }
+
+  /** Gid-range pushdown as SPLIT PRUNING (the Spark face of the
+    * reference's `seek(pos)`, touch_reader.cpp:196-228): range
+    * predicates on `source_node_id` narrow each file's planned record
+    * range via its companion index. EVERY filter is returned as a
+    * residual — the index bounds which record ranges can hold matching
+    * gids, Spark still evaluates the predicate per row, so pruning can
+    * never change results, only skip I/O.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    accepted = filters.filter(f => boundsOf(f).isDefined)
+    accepted.foreach { f =>
+      val (lo, hi) = boundsOf(f).get
+      gidLo = math.max(gidLo, lo)
+      gidHi = math.min(gidHi, hi)
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def build(): Scan = {
+    val range = if (accepted.nonEmpty) Some((gidLo, gidHi)) else None
+    new TouchScan(path, indexed, required, maxBytesPerPartition, range)
+  }
 }
 
 /** One record-aligned byte range of one file; carries that file's own
@@ -279,13 +340,15 @@ private[sources] case class TouchSplit(
 
 private[sources] class TouchScan(path: String,
     indexed: Seq[TouchDataSource.IndexedFile],
-    required: StructType, maxBytesPerPartition: Long) extends Scan with Batch {
+    required: StructType, maxBytesPerPartition: Long,
+    gidRange: Option[(Long, Long)] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"touchbin $path v${indexed.head.index.version.ordinal} " +
-      s"files=${indexed.size} cols=[${required.fieldNames.mkString(",")}]"
+      s"files=${indexed.size} cols=[${required.fieldNames.mkString(",")}]" +
+      gidRange.fold("")(r => s" PushedGidRange: [${r._1},${r._2}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // synapse_id is only well-defined across files with disjoint gid
@@ -299,9 +362,16 @@ private[sources] class TouchScan(path: String,
         s"$file: length $fileLen is not a multiple of the v${index.version.ordinal} " +
           s"record size $recSize — truncated or corrupt input")
       val nRecords = fileLen / recSize
+      // pushed gid range → this file's record range from ITS OWN index
+      // (clamped: an index may claim records past a short data file);
+      // None = index unusable for pruning, scan the whole file
+      val (lo, hi) = gidRange
+        .flatMap { case (gLo, gHi) => index.recordRangeFor(gLo, gHi) }
+        .map { case (s, e) => (math.min(s, nRecords), math.min(e, nRecords)) }
+        .getOrElse((0L, nRecords))
       val perSplit = math.max(1L, maxBytesPerPartition / recSize)
-      (0L until nRecords by perSplit).map { start =>
-        TouchSplit(file, start, math.min(perSplit, nRecords - start), index)
+      (lo until hi by perSplit).map { start =>
+        TouchSplit(file, start, math.min(perSplit, hi - start), index)
       }
     }.toArray
   }

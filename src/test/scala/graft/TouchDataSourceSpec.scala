@@ -89,6 +89,63 @@ class TouchDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disagree on schema version"), e.getMessage)
   }
 
+  /** Synthetic v1 file with `nGids` contiguous per-gid blocks of `per`
+    * records each (gids 100, 101, …), plus a faithful companion index —
+    * the multi-neuron shape the reference's `seek()` navigates, which
+    * the single-gid fixtures can't exercise.
+    */
+  private def writeMultiGidFixture(nGids: Int, per: Int): String = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_gid_push"))
+    val rec = 40 // v1 record size
+    val data = ByteBuffer.allocate(nGids * per * rec).order(ByteOrder.LITTLE_ENDIAN)
+    for (g <- 0 until nGids; k <- 0 until per) {
+      data.putInt(100 + g).putInt(1).putInt(k)   // pre: gid, section, segment
+      data.putInt(200 + g).putInt(2).putInt(k)   // post
+      data.putInt(1).putFloat(1f).putFloat(0.5f).putFloat(0.5f)
+    }
+    java.nio.file.Files.write(dir.resolve("touchesData.0"), data.array())
+    val idx = ByteBuffer.allocate(32 + nGids * 16).order(ByteOrder.LITTLE_ENDIAN)
+    idx.putDouble(1.001).putLong(nGids)
+    idx.put("1.0.0".getBytes("US-ASCII")); idx.position(32)
+    for (g <- 0 until nGids)
+      idx.putInt(100 + g).putInt(per).putLong(g.toLong * per * rec)
+    java.nio.file.Files.write(dir.resolve("touches.0"), idx.array())
+    dir.resolve("touchesData.0").toString
+  }
+
+  test("gid-range pushdown prunes splits via the index, results identical") {
+    import org.apache.spark.sql.functions.col
+    val path = writeMultiGidFixture(nGids = 6, per = 10)
+    def read() = spark.read.format("touchbin")
+      .option("maxBytesPerPartition", (40 * 10).toString) // 10 records/split
+      .load(path)
+    val full = read()
+    assert(full.rdd.getNumPartitions == 6, "one split per gid block")
+    // the predicate covers 2 of 6 gid blocks → 2 planned splits, the
+    // Spark face of the reference's per-neuron seek (touch_reader.cpp:196-228)
+    val pred = col("source_node_id") >= 102 && col("source_node_id") <= 103
+    val pruned = read().filter(pred)
+    assert(pruned.rdd.getNumPartitions == 2,
+      s"index pruning must plan only matching record ranges, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PushedGidRange"),
+      pruned.queryExecution.executedPlan.toString)
+    // identical rows to the post-scan filter over the full scan —
+    // including synapse_id, whose global row positions must stay
+    // absolute under pruned split plans
+    assert(rows(pruned) == rows(full.filter(pred)))
+    val ids = pruned.select("synapse_id", "source_node_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(ids == (for (g <- 102 to 103; k <- 0 until 10)
+      yield ((g.toLong << 24) + k, g)).sorted,
+      "synapse ids must keep absolute row positions under pruning")
+    // a range outside every indexed gid plans ZERO splits
+    assert(read().filter(col("source_node_id") > 1000).count() == 0)
+    // equality and one-sided predicates prune too
+    assert(read().filter(col("source_node_id") === 100).rdd.getNumPartitions == 1)
+    assert(read().filter(col("source_node_id") > 103).rdd.getNumPartitions == 2)
+  }
+
   test("truncated data file fails loudly at split planning") {
     val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_dir_trunc"))
     copyFixture(2, dir, 0)
