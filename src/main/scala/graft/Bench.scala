@@ -131,7 +131,12 @@ object Bench {
     // optional comma-separated filter for local iteration; the driver
     // leaves it unset (full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // deterministic but NON-alphabetical order (hash of the name):
+    // alphabetical order runs whole families (dedup_*, streaming_*)
+    // back-to-back, compounding contention on the same cached inputs —
+    // interleaving spreads it (PLANS.md round-7 note)
+    val names = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (n.hashCode, n))
       .filter(n => only.forall(_.contains(n)))
     // warmup pass (untimed); clearCache between queries — several operators
     // persist() intermediates, and letting those accumulate would make the

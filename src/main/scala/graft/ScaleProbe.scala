@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-order-of-magnitude scale-trend probe (round-7 audit item): the
+  * 100× claims in PLANS.md are argued from plan SHAPE; this main adds a
+  * measured data point by timing the most expensive queries at sf0.1
+  * and at a synthesized 10× of it, and comparing the executed-plan
+  * operator skeletons across scales (a scalable plan is the SAME plan,
+  * just with more bytes per exchange).
+  *
+  * The 10× inputs are derived from `/root/testdata/sf0.1` (written
+  * under `target/`, never next to the testdata):
+  *  - `lineitem` ×10 with per-replica l_orderkey offsets — join/sort
+  *    queries care about cardinality and key structure, not content.
+  *  - `documents` ×10 with fresh doc_ids AND every word tagged with
+  *    the replica number (`hello world` → `hello·3 world·3`). A
+  *    verbatim text copy would make every document a 10-way
+  *    near-duplicate family, which scales the pair graph superlinearly
+  *    BY CONSTRUCTION and would measure an artifact, not the engine.
+  *    Word-tagging maps each replica's shingle space bijectively — the
+  *    INTERNAL duplicate/near-duplicate structure of every replica is
+  *    exactly the original's — while cross-replica shingles never
+  *    match (every token differs), so the dup-rate per unit of corpus
+  *    is exactly preserved. (A content-keyed word PERMUTATION was
+  *    tried first and rejected: sorting words canonicalizes word order
+  *    away, so any two docs with similar vocabulary collapse into
+  *    near-identical strings — 11.6M artifact pairs at 10×.)
+  *  - `orders` ×10 with o_orderkey offsets (small, kept for pipelines
+  *    that read it).
+  *
+  * Run: `sbt "runMain graft.ScaleProbe"` (env `SPARK_GRAFT_CPUS`,
+  * default 32 to match the driver's local[32]). Prints one JSON line:
+  * per-query seconds at both scales, the ratio, and whether the plan
+  * skeleton matched.
+  */
+object ScaleProbe {
+
+  private val Reps = 10
+
+  /** Per-replica word tagging: suffix every word with `·<rep>` — a
+    * bijection on each replica's shingle space (internal similarity
+    * structure exactly preserved) with zero cross-replica overlap.
+    */
+  private def tagWords(text: org.apache.spark.sql.Column, rep: Int) =
+    concat_ws(" ", transform(split(text, " "), w => concat(w, lit(s"·$rep"))))
+
+  private def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALED"))) return
+    java.nio.file.Files.createDirectories(fs)
+
+    val docs = Tables.documents(spark, srcDir)
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val scaledDocs = (0 until Reps).map { i =>
+      val base = docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+      val txt =
+        if (i == 0) base
+        else base.withColumn("text", tagWords(col("text"), i))
+      txt.withColumn("n_chars", length(col("text")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }.reduce(_ unionByName _)
+    scaledDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val li = Tables.lineitem(spark, srcDir)
+    val maxOrder = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    (0 until Reps).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val ord = Tables.orders(spark, srcDir)
+    val maxO = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    (0 until Reps).map(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxO)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // remaining tables pass through unscaled (dimension-sized) as RAW
+    // byte copies — events.parquet is TIMESTAMP(NANOS), which a plain
+    // Spark read→write round-trip rejects (Tables.events decodes it)
+    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+      .foreach { t =>
+        val dst = fs.resolve(s"$t.parquet")
+        // a prior aborted build may have left a DIRECTORY here (Spark
+        // writes datasets as directories); clear whatever exists
+        if (java.nio.file.Files.exists(dst)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dst)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$srcDir/$t.parquet"), dst)
+      }
+    java.nio.file.Files.createFile(fs.resolve("_SUCCESS_SCALED"))
+  }
+
+  /** Operator skeleton of the final executed plan: operator names in
+    * tree order, stripped of ids/paths/stats, so the same logical
+    * strategy at two scales compares equal even though partition
+    * counts and input sizes differ.
+    */
+  private def skeleton(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .map(_.replaceAll("^[-+*: (\\d)]+", "")
+        .takeWhile(c => c != ' ' && c != '(')) // strip args: expr ids differ per run
+      .filter(_.nonEmpty)
+      .filterNot(s => s.startsWith("Reused") || s.startsWith("Subquery") ||
+        s.startsWith("==")) // AQE final-plan banner lines
+      .mkString(">")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
+      "/root/repo/target/scaled_sf1")
+    System.err.println(s"[scaleprobe] building 10x inputs under $sf1 (cached if present)")
+    buildScaled(spark, sf01, sf1)
+
+    val names = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Seq(
+      "edges_to_sonata", "dedup_canonical_corpus", "dedup_cluster_cc",
+      "dedup_ngram_jaccard", "pipeline_curate_corpus", "rle_group_ranges"))
+
+    def timeOne(name: String, dir: String): (Double, String, Long) = {
+      // t0 wraps CONSTRUCTION + count: several queries do their real
+      // work eagerly while building the frame (the CC loop's
+      // checkpointed rounds, edges_to_sonata's stamped write)
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val sk = skeleton(df)
+      spark.catalog.clearCache()
+      (dt, sk, n)
+    }
+
+    val results = names.map { name =>
+      val (tSmall, skSmall, nSmall) = timeOne(name, sf01)
+      val (tBig, skBig, nBig) = timeOne(name, sf1)
+      val samePlan = skSmall == skBig
+      System.err.println(f"[scaleprobe] $name%-28s sf0.1 ${tSmall}%6.2f s ($nSmall%d rows)  " +
+        f"10x ${tBig}%6.2f s ($nBig%d rows)  ratio ${tBig / tSmall}%5.2f  samePlan=$samePlan")
+      if (!samePlan) {
+        System.err.println(s"[scaleprobe]   sf0.1 plan: $skSmall")
+        System.err.println(s"[scaleprobe]   10x   plan: $skBig")
+      }
+      (name, tSmall, tBig, samePlan)
+    }
+    val qs = results.map { case (k, a, b, p) =>
+      s""""$k":{"sf01_sec":$a,"x10_sec":$b,"ratio":${b / a},"same_plan":$p}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe_10x","unit":"sec","queries":$qs}""")
+    spark.stop()
+  }
+}

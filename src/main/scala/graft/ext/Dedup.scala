@@ -367,6 +367,34 @@ object Dedup {
     (result, () => { base.unpersist(); () })
   }
 
+  /** Per-doc merged half-open TOKEN ranges [span_start, span_end)
+    * covered by word-`n`-grams occurring in ≥2 documents — the
+    * span-level output a removal pass consumes (vs the per-doc counts
+    * of `dedup_substring_spans`). Gram-keyed: one groupBy on the gram
+    * text, a re-join against the (tiny) repeated set, then the I5
+    * running-max interval merge keyed by doc — never doc×doc, and the
+    * merge's window is per-doc with unique positions (tie-safe).
+    */
+  def substringSpanRanges(docs: DataFrame, n: Int = 25): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+    val base = docs.select(col("doc_id"), toks.as("t"))
+    // positional gram stream: (doc_id, token position, n-gram text)
+    val grams = base.select(col("doc_id"),
+      posexplode(when(size(col("t")) >= n,
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val spans = grams.join(repeated.select(col("gram")), "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("range_start"),
+        (col("pos") + n).cast("long").as("range_end"))
+    graft.ops.Intervals.merge(spans, "doc_id")
+      .select(col("doc_id"), col("range_start").as("span_start"),
+        col("range_end").as("span_end"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on a content hash: representative = min doc_id.
     "dedup_exact" -> ((s, dir) =>
@@ -417,6 +445,17 @@ object Dedup {
         .agg(count(lit(1)).as("n_repeated_grams"),
           max(col("n_docs")).as("max_gram_spread"))
     }),
+
+    // Span-level output of the substring tier — what a removal pass
+    // actually consumes: per doc, the MERGED half-open token ranges
+    // [span_start, span_end) covered by word-25-grams that occur in ≥2
+    // documents. Same gram-keyed plan as `dedup_substring_spans` (one
+    // groupBy on the gram, re-join against the tiny repeated set, never
+    // doc×doc) plus the I5 interval merge keyed by doc — overlapping
+    // occurrences of a repeated paragraph collapse to one removable
+    // range instead of 25 counts.
+    "dedup_substring_span_ranges" -> ((s, dir) =>
+      substringSpanRanges(Tables.documents(s, dir))),
 
     // Semantic near-dup at the reference threshold (cos 0.4): the regime
     // router picks the blocked exact grid join — every pair costs one
@@ -511,6 +550,37 @@ object Dedup {
         |  CAST(max(rep.n_docs) AS BIGINT) AS max_gram_spread
         |FROM g JOIN rep ON g.gram = rep.gram
         |GROUP BY g.doc_id""".stripMargin,
+    // Positional 25-grams (struct unnest), repeated-gram spans, then the
+    // classic running-max island merge — mirrors Intervals.merge's
+    // half-open adjacency rule (s > prev_max_e breaks, s = prev_max_e
+    // merges). Positions are unique per doc (one gram per token index),
+    // so the window order is total and tie-safe.
+    "dedup_substring_span_ranges" ->
+      """WITH t25 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 25
+        |    THEN list_transform(generate_series(1, len(t) - 24),
+        |      i -> struct_pack(pos := i - 1, gram := array_to_string(t[i : i + 24], ' ')))
+        |    ELSE [] END, recursive := true)
+        |  FROM t25),
+        |rep AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |spans AS (
+        |  SELECT g.doc_id, pos AS s, pos + 25 AS e
+        |  FROM g JOIN rep ON g.gram = rep.gram),
+        |ord AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ord)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     // CAST dot_q back to BIGINT: DuckDB list_sum over BIGINT is HUGEINT
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -300,6 +300,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(agg.agg(sum("n")).head.getLong(0) == 2 * events.count())
   }
 
+  test("substring span ranges: planted boilerplate yields one merged removable span per doc") {
+    import spark.implicits._
+    // a 30-word boilerplate paragraph shared by docs 1 and 2, embedded at
+    // different offsets inside otherwise-unique text; doc 3 is clean
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("x", 10)} $boiler ${uniq("y", 10)}"),
+      (2L, s"${uniq("z", 40)} $boiler"),
+      (3L, uniq("w", 60))
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.substringSpanRanges(docs, n = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // the 30-word paragraph holds 6 overlapping 25-grams, all shared →
+    // ONE merged span of exactly the paragraph's 30 tokens per doc:
+    // doc 1 at tokens [10, 40), doc 2 at [40, 70); doc 3 reports nothing
+    assert(got == Seq((1L, 10L, 40L), (2L, 40L, 70L)), got)
+  }
+
   test("every registered query returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
