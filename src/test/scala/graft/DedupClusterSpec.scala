@@ -41,6 +41,7 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+
   test("long path graph (worst diameter for propagation) converges to one component") {
     val n = 300L
     val labels = cc((1L until n).map(i => (i, i + 1)))

@@ -117,4 +117,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < docs.count(),
       s"length-weighted sample should be a strict non-empty subset, got ${a.size}")
   }
+
+  test("weighted sample guards: null/negative weights raise, oversized scale rejected") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("doc_id", "w")
+    // a null weight must TRIP, not silently keep the row with p=1
+    // (least() ignores nulls — the hazard the guard exists for)
+    val e = intercept[Exception] {
+      Sampling.weightedHashSample(rows, col("doc_id"), col("w"), 100L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null/negative weight"), msgs)
+    val neg = intercept[Exception] {
+      Sampling.weightedHashSample(rows.filter(col("doc_id") =!= 2),
+        col("doc_id"), col("w") - 100L, 100L).collect()
+    }
+    val negMsgs = Iterator.iterate(neg: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(negMsgs.contains("null/negative weight"), negMsgs)
+    // scale past 2^46 would overflow the integer cross-multiply
+    intercept[IllegalArgumentException] {
+      Sampling.weightedHashSample(rows, col("doc_id"), col("w"), Long.MaxValue / 2)
+    }
+    // in-range rows still sample normally alongside the guards
+    val ok = Sampling.weightedHashSample(
+      rows.filter(col("w").isNotNull), col("doc_id"), col("w"), 10L)
+    assert(ok.count() >= 0)
+  }
 }

@@ -22,6 +22,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("CDC upsert with an EMPTY change feed serves the base unchanged (no missing-log throw)") {
+    // craft a fixture whose orders have NO keys divisible by 10 — the
+    // change-feed filter matches zero rows, foreachBatch never creates
+    // the log directory, and the serving view must fall back to base
+    val dir = graft.io.TempDirs.create("cdc_empty")
+    Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val served = StreamingOps.cdcLogUpsert(spark, dir)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+    assert(served.count() == base.count())
+    assert(served.filter(col("version") =!= 0).count() == 0,
+      "no change rows may appear for an empty feed")
+  }
+
   test("stream-static anti-join equals the batch anti-join on content hash") {
     val streamed = SparkEntry.queries("streaming_static_antijoin")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
