@@ -112,10 +112,14 @@ object Bench {
     val total = results.map(_._2._1).sum
     val json = s"""{"metric":"isolated_median_total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    repoDir.foreach { repo =>
-      java.nio.file.Files.write(
-        repo.resolve(f"bench_isolated_r${currentRound(repo)}%02d.json"),
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // same guard as the board record: an explicit SPARK_GRAFT_ONLY run is
+    // local iteration and must not overwrite the round's full record
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      repoDir.foreach { repo =>
+        java.nio.file.Files.write(
+          repo.resolve(f"bench_isolated_r${currentRound(repo)}%02d.json"),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
   }
 
