@@ -395,6 +395,34 @@ object Dedup {
         col("range_end").as("span_end"))
   }
 
+  /** The removal pass the span ranges exist for: rebuild each doc's
+    * text with every repeated-span token excised. Spans per doc are a
+    * FEW ranges (merged, bounded by doc length / n), so they ride a
+    * collect_list into a per-doc array and the excision is one codegen'd
+    * higher-order filter over the token array — no token-level join, no
+    * extra shuffle beyond the span computation itself. Docs without
+    * repeated spans pass through (left join + empty-array coalesce);
+    * whitespace is normalized to single spaces on BOTH engines (tokens
+    * re-joined), so the rebuilt text is oracle-comparable.
+    */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 25): DataFrame = {
+    val spans = substringSpanRanges(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+    docs.select(col("doc_id"), toks.as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("kept", filter(col("t"), (tok, i) =>
+        !exists(col("spans"), sp =>
+          i.cast("long") >= sp.getField("span_start") &&
+            i.cast("long") < sp.getField("span_end"))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text_clean"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on a content hash: representative = min doc_id.
     "dedup_exact" -> ((s, dir) =>
@@ -456,6 +484,10 @@ object Dedup {
     // range instead of 25 counts.
     "dedup_substring_span_ranges" -> ((s, dir) =>
       substringSpanRanges(Tables.documents(s, dir))),
+
+    // the removal pass applied: repeated spans excised from the text
+    "dedup_remove_spans" -> ((s, dir) =>
+      removeRepeatedSpans(Tables.documents(s, dir))),
 
     // Semantic near-dup at the reference threshold (cos 0.4): the regime
     // router picks the blocked exact grid join — every pair costs one
@@ -581,6 +613,53 @@ object Dedup {
         |  FROM ord)
         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // The span chain again, then every doc rebuilt from the tokens NOT
+    // covered by a merged span (anti EXISTS against the span set) —
+    // string_agg ordered by position; docs without spans keep all
+    // tokens. Both engines emit single-space-normalized text.
+    "dedup_remove_spans" ->
+      """WITH t25 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 25
+        |    THEN list_transform(generate_series(1, len(t) - 24),
+        |      i -> struct_pack(pos := i - 1, gram := array_to_string(t[i : i + 24], ' ')))
+        |    ELSE [] END, recursive := true)
+        |  FROM t25),
+        |rep AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |spans AS (
+        |  SELECT g.doc_id, pos AS s, pos + 25 AS e
+        |  FROM g JOIN rep ON g.gram = rep.gram),
+        |ord AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ord),
+        |merged AS (
+        |  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+        |  FROM isl GROUP BY doc_id, island),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |    i -> struct_pack(pos := i - 1, tok := t[i])), recursive := true)
+        |  FROM t25),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok
+        |  FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |    WHERE m.doc_id = tp.doc_id AND tp.pos >= m.span_start AND tp.pos < m.span_end))
+        |SELECT t25.doc_id,
+        |  coalesce(k.text_clean, '') AS text_clean,
+        |  len(t25.t) - coalesce(k.n_kept, 0) AS n_tokens_removed
+        |FROM t25 LEFT JOIN (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id) k ON k.doc_id = t25.doc_id""".stripMargin,
     // CAST dot_q back to BIGINT: DuckDB list_sum over BIGINT is HUGEINT
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

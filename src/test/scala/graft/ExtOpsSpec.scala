@@ -319,6 +319,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L, 40L), (2L, 40L, 70L)), got)
   }
 
+  test("span removal excises exactly the boilerplate tokens, leaves clean docs intact") {
+    import spark.implicits._
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("x", 10)} $boiler ${uniq("y", 10)}"),
+      (2L, s"${uniq("z", 40)} $boiler"),
+      (3L, uniq("w", 60))
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.removeRepeatedSpans(docs, n = 25)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((s"${uniq("x", 10)} ${uniq("y", 10)}", 30L)))
+    assert(got(2L) == ((uniq("z", 40), 30L)))
+    assert(got(3L) == ((uniq("w", 60), 0L)))
+  }
+
   test("every registered query returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
