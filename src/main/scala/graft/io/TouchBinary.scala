@@ -72,8 +72,14 @@ object TouchBinary {
       if (truncated || shifts.isEmpty || counts.length != shifts.length) return None
       var start = Long.MaxValue
       var end = 0L
-      var pos = math.max(0L, lo - firstGid).toInt
-      val maxPos = math.min(shifts.length.toLong - 1, hi - firstGid)
+      // clamp both bounds into the index's gid domain BEFORE subtracting
+      // firstGid: lo is Long.MinValue for upper-bound-only predicates
+      // (hi Long.MaxValue for lower-bound-only), where the raw
+      // subtraction wraps and `.toInt` truncates to a bogus index
+      val loC = math.min(math.max(lo, firstGid.toLong), firstGid.toLong + shifts.length)
+      val hiC = math.min(math.max(hi, firstGid.toLong - 1), firstGid.toLong + shifts.length - 1)
+      var pos = (loC - firstGid).toInt
+      val maxPos = (hiC - firstGid).toInt
       while (pos <= maxPos) {
         if (counts(pos) > 0) {
           start = math.min(start, shifts(pos))
@@ -82,6 +88,32 @@ object TouchBinary {
         pos += 1
       }
       if (start == Long.MaxValue) Some((0L, 0L)) else Some((start, end))
+    }
+
+    /** Record ranges for a UNION of gid intervals — one range per
+      * interval via [[recordRangeFor]], then sorted and merged so the
+      * planner never emits overlapping splits (offsets need not be
+      * monotone across gids, so two gid intervals CAN map to
+      * overlapping record ranges; a duplicate split would duplicate
+      * rows because the residual filter passes them twice). This is
+      * the multi-neuron face of the reference's per-neuron `seek(pos)`
+      * loop (touch_reader.cpp:196-228): scattered gids prune to their
+      * own blocks instead of one [min,max] hull. `None` = cannot
+      * prune; `Some(Nil)` = provably no records.
+      */
+    def recordRangesFor(intervals: Seq[(Long, Long)]): Option[Seq[(Long, Long)]] = {
+      if (truncated || shifts.isEmpty || counts.length != shifts.length) return None
+      val raw = intervals.flatMap { case (lo, hi) => recordRangeFor(lo, hi) }
+        .filter { case (s, e) => e > s }
+        .sortBy(_._1)
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      raw.foreach { case (s, e) =>
+        if (merged.nonEmpty && s <= merged.last._2) {
+          val (ps, pe) = merged.remove(merged.length - 1)
+          merged += ((ps, math.max(pe, e)))
+        } else merged += ((s, e))
+      }
+      Some(merged.toSeq)
     }
   }
 

@@ -33,14 +33,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    only the requested fields are read out of each record's
   *    ByteBuffer — a 2-column projection of a v3 file touches 8 of 104
   *    bytes per record instead of materializing all 28 fields.
-  *  - **Gid-range predicate pushdown** (`SupportsPushDownFilters`): range
-  *    predicates on `source_node_id` narrow each file's planned record
-  *    range through its companion index's per-neuron (offset, count)
-  *    entries — the Spark face of the reference's `seek(pos)`
-  *    (touch_reader.cpp:196-228, offsets :136-144). Pruning is
-  *    split-planning only: every filter stays a post-scan residual, so
-  *    results never depend on the index being truthful; a query for one
-  *    neuron's touches reads that neuron's byte range, not the file.
+  *  - **Gid predicate pushdown** (`SupportsPushDownFilters`): range,
+  *    `IN`, and `OR` predicates on `source_node_id` narrow each file's
+  *    planned record ranges through its companion index's per-neuron
+  *    (offset, count) entries — one record range PER DISJOINT gid
+  *    interval, the Spark face of the reference's per-neuron
+  *    `seek(pos)` loop (touch_reader.cpp:196-228, offsets :136-144):
+  *    `IN (5, 9000)` reads two neuron blocks, not the hull between
+  *    them. Pruning is split-planning only: every filter stays a
+  *    post-scan residual, so results never depend on the index being
+  *    truthful; a query for k scattered neurons' touches reads those
+  *    neurons' byte ranges, not the file.
   *  - **Faithful synapse ids without a count job**: global row =
   *    `split start record + local index` is known statically from the
   *    split plan (the RDD path needs `zipWithIndex`'s extra pass), and
@@ -271,64 +274,99 @@ private[sources] class TouchScanBuilder(path: String,
 
   private var required: StructType = fullSchema
   private var accepted: Array[sources.Filter] = Array.empty
-  private var gidLo: Long = Long.MinValue
-  private var gidHi: Long = Long.MaxValue
+  private var gidIntervals: Option[Seq[(Long, Long)]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order for a stable layout
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  /** Source-gid bounds implied by a filter on `source_node_id` — the
-    * column the companion index keys its per-neuron record offsets on
-    * (gids are int32; comparisons are widened to long so `v ± 1` cannot
-    * wrap).
+  private def num(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Sort + merge overlapping/adjacent closed intervals. */
+  private def normalize(iv: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = iv.filter { case (lo, hi) => lo <= hi }.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      // adjacency check without `+ 1` on hi (Long.MaxValue would wrap)
+      if (out.nonEmpty && (lo <= out.last._2 || lo - 1 <= out.last._2)) {
+        val (plo, phi) = out.remove(out.length - 1)
+        out += ((plo, math.max(phi, hi)))
+      } else out += ((lo, hi))
+    }
+    out.toSeq
+  }
+
+  /** Intersection of two NORMALIZED interval unions (two-pointer sweep). */
+  private def intersect(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (a(i)._2 < b(j)._2) i += 1 else j += 1
+    }
+    out.toSeq
+  }
+
+  /** Source-gid interval UNION implied by a filter on `source_node_id`
+    * — the column the companion index keys its per-neuron record
+    * offsets on. `In` and `Or` yield one interval per disjunct (the
+    * reference services scattered neurons via per-neuron seeks,
+    * touch_reader.cpp:196-228 — one [min,max] hull would prune nothing
+    * between the extremes); `And` intersects. `None` = filter unusable
+    * for pruning; `Some(Nil)` = provably empty.
     */
-  private def boundsOf(f: sources.Filter): Option[(Long, Long)] = {
-    def num(v: Any): Option[Long] = v match {
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
-    f match {
-      case sources.EqualTo("source_node_id", v) => num(v).map(x => (x, x))
-      case sources.GreaterThan("source_node_id", v) => num(v).map(x => (x + 1, Long.MaxValue))
-      case sources.GreaterThanOrEqual("source_node_id", v) => num(v).map(x => (x, Long.MaxValue))
-      case sources.LessThan("source_node_id", v) => num(v).map(x => (Long.MinValue, x - 1))
-      case sources.LessThanOrEqual("source_node_id", v) => num(v).map(x => (Long.MinValue, x))
-      case sources.And(l, r) =>
-        for { (ll, lh) <- boundsOf(l); (rl, rh) <- boundsOf(r) }
-          yield (math.max(ll, rl), math.min(lh, rh))
-      case _ => None
-    }
+  private def intervalsOf(f: sources.Filter): Option[Seq[(Long, Long)]] = f match {
+    case sources.EqualTo("source_node_id", v) => num(v).map(x => Seq((x, x)))
+    case sources.In("source_node_id", vs) =>
+      val xs = vs.toSeq.map(num)
+      // a null in the list defeats pruning (null never matches, but the
+      // residual filter decides that — stay conservative)
+      if (xs.forall(_.isDefined)) Some(normalize(xs.flatten.map(x => (x, x)))) else None
+    case sources.GreaterThan("source_node_id", v) =>
+      num(v).map(x => if (x == Long.MaxValue) Seq.empty else Seq((x + 1, Long.MaxValue)))
+    case sources.GreaterThanOrEqual("source_node_id", v) => num(v).map(x => Seq((x, Long.MaxValue)))
+    case sources.LessThan("source_node_id", v) =>
+      num(v).map(x => if (x == Long.MinValue) Seq.empty else Seq((Long.MinValue, x - 1)))
+    case sources.LessThanOrEqual("source_node_id", v) => num(v).map(x => Seq((Long.MinValue, x)))
+    case sources.And(l, r) =>
+      for { a <- intervalsOf(l); b <- intervalsOf(r) } yield intersect(normalize(a), normalize(b))
+    case sources.Or(l, r) =>
+      for { a <- intervalsOf(l); b <- intervalsOf(r) } yield normalize(a ++ b)
+    case _ => None
   }
 
   /** Gid-range pushdown as SPLIT PRUNING (the Spark face of the
-    * reference's `seek(pos)`, touch_reader.cpp:196-228): range
-    * predicates on `source_node_id` narrow each file's planned record
-    * range via its companion index. EVERY filter is returned as a
-    * residual — the index bounds which record ranges can hold matching
-    * gids, Spark still evaluates the predicate per row, so pruning can
-    * never change results, only skip I/O.
+    * reference's `seek(pos)`, touch_reader.cpp:196-228): gid predicates
+    * on `source_node_id` narrow each file's planned record ranges via
+    * its companion index — one range per disjoint gid interval, so
+    * `IN (5, 9000)` reads two neuron blocks, not the hull between
+    * them. EVERY filter is returned as a residual — the index bounds
+    * which record ranges can hold matching gids, Spark still evaluates
+    * the predicate per row, so pruning can never change results, only
+    * skip I/O.
     */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    accepted = filters.filter(f => boundsOf(f).isDefined)
-    accepted.foreach { f =>
-      val (lo, hi) = boundsOf(f).get
-      gidLo = math.max(gidLo, lo)
-      gidHi = math.min(gidHi, hi)
+    accepted = filters.filter(f => intervalsOf(f).isDefined)
+    gidIntervals = accepted.foldLeft(Option.empty[Seq[(Long, Long)]]) { (acc, f) =>
+      val iv = normalize(intervalsOf(f).get)
+      Some(acc.fold(iv)(intersect(_, iv)))
     }
     filters
   }
 
   override def pushedFilters(): Array[sources.Filter] = accepted
 
-  override def build(): Scan = {
-    val range = if (accepted.nonEmpty) Some((gidLo, gidHi)) else None
-    new TouchScan(path, indexed, required, maxBytesPerPartition, range)
-  }
+  override def build(): Scan =
+    new TouchScan(path, indexed, required, maxBytesPerPartition, gidIntervals)
 }
 
 /** One record-aligned byte range of one file; carries that file's own
@@ -341,14 +379,15 @@ private[sources] case class TouchSplit(
 private[sources] class TouchScan(path: String,
     indexed: Seq[TouchDataSource.IndexedFile],
     required: StructType, maxBytesPerPartition: Long,
-    gidRange: Option[(Long, Long)] = None) extends Scan with Batch {
+    gidIntervals: Option[Seq[(Long, Long)]] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"touchbin $path v${indexed.head.index.version.ordinal} " +
       s"files=${indexed.size} cols=[${required.fieldNames.mkString(",")}]" +
-      gidRange.fold("")(r => s" PushedGidRange: [${r._1},${r._2}]")
+      gidIntervals.fold("")(iv =>
+        s" PushedGidRanges: ${iv.map { case (a, b) => s"[$a,$b]" }.mkString("∪")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // synapse_id is only well-defined across files with disjoint gid
@@ -362,16 +401,20 @@ private[sources] class TouchScan(path: String,
         s"$file: length $fileLen is not a multiple of the v${index.version.ordinal} " +
           s"record size $recSize — truncated or corrupt input")
       val nRecords = fileLen / recSize
-      // pushed gid range → this file's record range from ITS OWN index
-      // (clamped: an index may claim records past a short data file);
-      // None = index unusable for pruning, scan the whole file
-      val (lo, hi) = gidRange
-        .flatMap { case (gLo, gHi) => index.recordRangeFor(gLo, gHi) }
-        .map { case (s, e) => (math.min(s, nRecords), math.min(e, nRecords)) }
-        .getOrElse((0L, nRecords))
+      // pushed gid intervals → this file's record ranges from ITS OWN
+      // index (clamped: an index may claim records past a short data
+      // file; ranges come back merged-disjoint so no record plans
+      // twice); None = index unusable for pruning, scan the whole file
+      val ranges = gidIntervals
+        .flatMap(iv => index.recordRangesFor(iv))
+        .map(_.map { case (s, e) => (math.min(s, nRecords), math.min(e, nRecords)) }
+          .filter { case (s, e) => e > s })
+        .getOrElse(Seq((0L, nRecords)))
       val perSplit = math.max(1L, maxBytesPerPartition / recSize)
-      (lo until hi by perSplit).map { start =>
-        TouchSplit(file, start, math.min(perSplit, hi - start), index)
+      ranges.flatMap { case (rLo, rHi) =>
+        (rLo until rHi by perSplit).map { start =>
+          TouchSplit(file, start, math.min(perSplit, rHi - start), index)
+        }
       }
     }.toArray
   }

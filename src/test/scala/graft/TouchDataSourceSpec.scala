@@ -144,6 +144,55 @@ class TouchDataSourceSpec extends AnyFunSuite {
     // equality and one-sided predicates prune too
     assert(read().filter(col("source_node_id") === 100).rdd.getNumPartitions == 1)
     assert(read().filter(col("source_node_id") > 103).rdd.getNumPartitions == 2)
+    // UPPER-bound-only predicates (lo = Long.MinValue internally) must
+    // not crash split planning (round-7 advice: the raw subtraction
+    // wrapped) and must prune to the leading blocks
+    val upper = read().filter(col("source_node_id") <= 101)
+    assert(upper.rdd.getNumPartitions == 2, s"got ${upper.rdd.getNumPartitions}")
+    assert(rows(upper) == rows(full.filter(col("source_node_id") <= 101)))
+    assert(read().filter(col("source_node_id") < 101).rdd.getNumPartitions == 1)
+  }
+
+  test("multi-range pushdown: IN / OR plan one record range per gid interval") {
+    import org.apache.spark.sql.functions.col
+    val path = writeMultiGidFixture(nGids = 6, per = 10)
+    def read() = spark.read.format("touchbin")
+      .option("maxBytesPerPartition", (40 * 10).toString) // 10 records/split
+      .load(path)
+    val full = read()
+    // scattered gids — first and last blocks — must plan 2 small
+    // ranges, not the 6-block hull (the reference seeks per neuron,
+    // touch_reader.cpp:196-228)
+    val inPred = col("source_node_id").isin(100, 105)
+    val pruned = read().filter(inPred)
+    assert(pruned.rdd.getNumPartitions == 2,
+      s"IN (first, last) must plan 2 ranges, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PushedGidRanges"),
+      pruned.queryExecution.executedPlan.toString)
+    assert(rows(pruned) == rows(full.filter(inPred)))
+    // OR of two ranges prunes the gap between them
+    val orPred = (col("source_node_id") === 100) || (col("source_node_id") >= 104)
+    val orScan = read().filter(orPred)
+    assert(orScan.rdd.getNumPartitions == 3, // 1 block + 2 blocks
+      s"got ${orScan.rdd.getNumPartitions}")
+    assert(rows(orScan) == rows(full.filter(orPred)))
+    // ADJACENT gid values merge into one contiguous record range
+    // (2 blocks of 10 records → 2 splits at 10 records/split, but ONE
+    // merged range — no duplicate planning at the seam)
+    val adj = read().filter(col("source_node_id").isin(102, 103))
+    assert(adj.rdd.getNumPartitions == 2, s"got ${adj.rdd.getNumPartitions}")
+    assert(rows(adj) == rows(full.filter(col("source_node_id").isin(102, 103))))
+    // conjunction of an IN with a range intersects interval sets
+    val both = read().filter(col("source_node_id").isin(100, 103, 105) &&
+      col("source_node_id") >= 103)
+    assert(both.rdd.getNumPartitions == 2, s"got ${both.rdd.getNumPartitions}")
+    assert(rows(both) == rows(full.filter(
+      col("source_node_id").isin(100, 103, 105) && col("source_node_id") >= 103)))
+    // synapse ids keep absolute row positions under multi-range pruning
+    val ids = pruned.select("synapse_id", "source_node_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(ids == (for (g <- Seq(100, 105); k <- 0 until 10)
+      yield ((g.toLong << 24) + k, g)).sorted)
   }
 
   test("truncated data file fails loudly at split planning") {
