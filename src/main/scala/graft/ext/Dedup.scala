@@ -176,7 +176,17 @@ object Dedup {
     * across a shuffle exactly twice, independent of `bands`.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, rows: Int = 4,
-                      estThreshold: Double = 0.5): DataFrame = {
+                      estThreshold: Double = 0.5): DataFrame =
+    minhashLshPairsStamped(docs, k, rows, estThreshold)._1
+
+  /** [[minhashLshPairs]] plus the thunk releasing the persisted
+    * signature base — library callers that keep the session alive
+    * should invoke it once the result is consumed (the plain overload
+    * leaves the cache to `spark.catalog.clearCache()`, the bench's
+    * between-queries hygiene).
+    */
+  def minhashLshPairsStamped(docs: DataFrame, k: Int = 32, rows: Int = 4,
+                             estThreshold: Double = 0.5): (DataFrame, () => Unit) = {
     require(k % rows == 0, s"signature size $k must divide into bands of $rows")
     // shingle-less docs carry no similarity evidence — exclude them from
     // candidate generation instead of letting their sentinel signatures
@@ -200,7 +210,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val result = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
@@ -208,6 +218,7 @@ object Dedup {
           / lit(k.toDouble))
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    (result, () => { sigs.unpersist(); () })
   }
 
   /** 64-bit SimHash over token xxhash64s: per bit, +1/−1 vote by hash bit,
@@ -229,7 +240,14 @@ object Dedup {
     * `bit_count(xor) <= maxHamming`. The shuffle key is the band
     * bucket — collision-bounded like the MinHash banding, never n².
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsStamped(docs, maxHamming)._1
+
+  /** [[simhashPairs]] plus the thunk releasing the persisted
+    * fingerprint base (same caller contract as
+    * [[minhashLshPairsStamped]]).
+    */
+  def simhashPairsStamped(docs: DataFrame, maxHamming: Int = 3): (DataFrame, () => Unit) = {
     require(maxHamming <= 3, s"4 bands of 16 bits guarantee recall only for hamming <= 3, got $maxHamming")
     val fp = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -237,13 +255,14 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "band_key")))
-    bands.as("a").join(bands.as("b"),
+    val result = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
+    (result, () => { fp.unpersist(); () })
   }
 
   /** Exact cosine-threshold pairs via a blocked grid self-join — the

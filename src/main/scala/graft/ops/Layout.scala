@@ -89,10 +89,22 @@ object Layout {
     // concurrent suites and leave entries aimed at a dead directory.
     // The returned join is LAZY (callers pin its executedPlan), so this
     // run's two tables must outlive the call — instead, garbage-collect
-    // the PREVIOUS runs' entries here, bounding the catalog to the two
-    // live tables however many times benchmarks/suites call this.
+    // STALE runs' entries here, bounding the catalog growth. The name
+    // tag is the creating call's nanoTime, so GC can skip entries
+    // younger than the grace window: a CONCURRENT same-session caller
+    // between its writeBucketed and spark.table() keeps its tables
+    // (round-7 advice: the unconditional drop re-introduced exactly
+    // the race the run-scoped names were created to avoid).
+    val graceNanos = 10L * 60 * 1_000_000_000L
+    val cutoff = System.nanoTime() - graceNanos
     spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("graft_bkt_"))
+      .filter { t =>
+        // tag = trailing hex nanoTime; unparseable names are legacy → drop
+        scala.util.Try(java.lang.Long.parseUnsignedLong(
+          t.substring(t.lastIndexOf('_') + 1), 16)).toOption
+          .forall(_ < cutoff)
+      }
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val tag = java.lang.Long.toHexString(System.nanoTime())
     val (tOrders, tLineitem) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")

@@ -282,8 +282,14 @@ object StreamingOps {
     // An empty change feed never creates the log directory (foreachBatch
     // only appends when a micro-batch has rows) — fall back to an empty
     // frame with the log schema rather than throwing on the missing path.
+    // Existence goes through the Hadoop FileSystem API so the check
+    // matches the writer's filesystem (java.io.File is always-false on
+    // any non-local store and would silently serve base-only).
+    val logPath = new org.apache.hadoop.fs.Path(s"$out/log")
+    val logExists = logPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(logPath)
     val logDf =
-      if (new java.io.File(s"$out/log").exists()) spark.read.parquet(s"$out/log")
+      if (logExists) spark.read.parquet(s"$out/log")
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
     base.unionByName(logDf)
       .groupBy(col("o_orderkey"))
