@@ -143,6 +143,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ngram-jaccard joins: BHJ at small scale, SMJ once broadcast is off (the 10x probe's flip)") {
+    // the round-7 scale probe observed Catalyst flip the pair-aggregate
+    // size joins from broadcast to sort-merge at 10x data — the plan
+    // you'd want at 100 TB, chosen by stats. Pin BOTH regimes so the
+    // scale-correct behavior can't silently regress: small inputs under
+    // the default 10 MB threshold broadcast; with the threshold forced
+    // off (standing in for "stats say too big") the same query
+    // sort-merges, while the EXPLICIT broadcast hint on the hot-shingle
+    // anti-join guard survives either way.
+    def planFor(): String = {
+      val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      df.collect() // finalize AQE — runtime sizes decide the join strategy
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      spark.catalog.clearCache()
+      p
+    }
+    val small = planFor()
+    assert(small.contains("BroadcastHashJoin"), small)
+    assert(!small.contains("SortMergeJoin"), small)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = planFor()
+      assert(big.contains("SortMergeJoin"),
+        s"size joins must sort-merge when broadcast is off:\n$big")
+      assert(big.contains("BroadcastHashJoin"),
+        s"the explicit broadcast(hot) hint must survive the threshold:\n$big")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
