@@ -173,6 +173,30 @@ object SimSearch {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       ivfTopK(e.filter(col("vec_id") < 10), e, nCells = 32, nProbe = 8, k = 5,
         lloydSteps = 1)
+    }),
+    // ORACLED companion for the approximate path: recall@k of the IVF
+    // result against the brute-force truth, computed INSIDE Spark (a
+    // semi-join on (q_id, c_id) + two scalar counts), then collapsed to
+    // a floor assertion. The oracle reproduces n_exact with its own
+    // brute-force count and pins meets_floor=true — so an IVF recall
+    // regression below the documented 0.5 floor flips the boolean and
+    // fails the driver's hash compare, giving the rows-only
+    // `ann_ivf_topk` a hash-checkable guard. Both inputs are fully
+    // deterministic (md5-sampled centroids, integer dots, total-order
+    // tie-breaks), so the boolean is stable across runs and engines.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+      val exact = bruteForceTopK(q, e, k = 5).select(col("q_id"), col("c_id"))
+      val ivf = ivfTopK(q, e, nCells = 32, nProbe = 8, k = 5, lloydSteps = 1)
+        .select(col("q_id"), col("c_id"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHits = ivf.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      // 1-row × 1-row cross join — two scalars, never data-sized
+      nExact.crossJoin(nHits)
+        .select(col("n_exact"), lit(0.5).as("recall_floor"),
+          (col("n_hits") >= col("n_exact") * lit(0.5)).as("meets_floor"))
     })
   )
 
@@ -195,6 +219,23 @@ object SimSearch {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
         |  c_id, dot_q
         |FROM d
-        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin,
+    // the oracle reproduces the exact-neighbor count with its own
+    // brute-force top-k and PINS meets_floor — DuckDB cannot run IVF,
+    // so the approximate side is graded as "did Spark's recall clear
+    // the documented floor", which is exactly the invariant we ship
+    "ann_ivf_recall" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
+        |t AS (SELECT q_id, c_id FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.5 AS DOUBLE) AS recall_floor,
+        |  CAST(TRUE AS BOOLEAN) AS meets_floor
+        |FROM t""".stripMargin
   )
 }
