@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** One-order-of-magnitude scale-trend probe (round-7 audit item): the
   * 100× claims in PLANS.md are argued from plan SHAPE; this main adds a
   * measured data point by timing the most expensive queries at sf0.1
@@ -29,6 +31,12 @@ import org.apache.spark.sql.functions._
   *    near-identical strings — 11.6M artifact pairs at 10×.)
   *  - `orders` ×10 with o_orderkey offsets (small, kept for pipelines
   *    that read it).
+  *  - `embeddings` ×10 with vec_id offsets (vectors verbatim — ANN
+  *    cost scales with corpus/cell size, not vector content).
+  *  - `events` ×10 with user_id/event_id offsets (per-user session/
+  *    dedup structure preserved per replica, no cross-replica key
+  *    collapse), landed as ONE FILE so the streaming readers'
+  *    `pathGlobFilter=events.parquet` still matches.
   *
   * Run: `sbt "runMain graft.ScaleProbe"` (env `SPARK_GRAFT_CPUS`,
   * default 32 to match the driver's local[32]). Prints one JSON line:
@@ -48,7 +56,9 @@ object ScaleProbe {
 
   private def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALED"))) return
+    // V2: round 8 added scaled embeddings + events (the marker bump
+    // invalidates a round-7 dir that raw-copied both)
+    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALED_V2"))) return
     java.nio.file.Files.createDirectories(fs)
 
     val docs = Tables.documents(spark, srcDir)
@@ -75,24 +85,64 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
-    // remaining tables pass through unscaled (dimension-sized) as RAW
-    // byte copies — events.parquet is TIMESTAMP(NANOS), which a plain
-    // Spark read→write round-trip rejects (Tables.events decodes it)
-    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
-      .foreach { t =>
-        val dst = fs.resolve(s"$t.parquet")
-        // a prior aborted build may have left a DIRECTORY here (Spark
-        // writes datasets as directories); clear whatever exists
-        if (java.nio.file.Files.exists(dst)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(dst)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-          finally walk.close()
-        }
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$srcDir/$t.parquet"), dst)
+    // embeddings ×10 with per-replica vec_id offsets, vectors verbatim —
+    // ANN cost scales with corpus size and cell occupancy, not vector
+    // content; the fixed `vec_id < 10` query set stays 10 queries
+    val emb = Tables.embeddings(spark, srcDir)
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until Reps).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events ×10 with per-replica user_id/event_id offsets (preserving
+    // each replica's per-user dedup/session structure, no cross-replica
+    // key collapse), ts verbatim. Read RAW with nanosAsLong (the
+    // TIMESTAMP(NANOS) column arrives as a plain long, exactly the type
+    // the streaming sources' eventsSchema declares) and land it as ONE
+    // FILE named events.parquet — the streaming readers list with
+    // `pathGlobFilter=events.parquet`, which matches a file, not the
+    // part-files inside a dataset directory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
+    val maxEvent = ev.agg(max("event_id")).head.getLong(0) + 1
+    val evTmp = s"$outDir/_events_build"
+    (0 until Reps).map(i => ev
+        .withColumn("user_id", col("user_id") + lit(i * maxUser))
+        .withColumn("event_id", col("event_id") + lit(i * maxEvent)))
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(evTmp)
+    val deleteRecursively: java.nio.file.Path => Unit = { p =>
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
-    java.nio.file.Files.createFile(fs.resolve("_SUCCESS_SCALED"))
+    }
+    deleteRecursively(fs.resolve("events.parquet"))
+    val evPart = {
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(evTmp))
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $evTmp"))
+      finally listing.close()
+    }
+    java.nio.file.Files.move(evPart, fs.resolve("events.parquet"))
+    deleteRecursively(java.nio.file.Paths.get(evTmp))
+
+    // remaining tables pass through unscaled (dimension-sized) as RAW
+    // byte copies
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      val dst = fs.resolve(s"$t.parquet")
+      // a prior aborted build may have left a DIRECTORY here (Spark
+      // writes datasets as directories); clear whatever exists
+      deleteRecursively(dst)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$srcDir/$t.parquet"), dst)
+    }
+    java.nio.file.Files.createFile(fs.resolve("_SUCCESS_SCALED_V2"))
   }
 
   /** Operator skeleton of the final executed plan: operator names in
@@ -127,7 +177,13 @@ object ScaleProbe {
 
     val names = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Seq(
       "edges_to_sonata", "dedup_canonical_corpus", "dedup_cluster_cc",
-      "dedup_ngram_jaccard", "pipeline_curate_corpus", "rle_group_ranges"))
+      "dedup_ngram_jaccard", "pipeline_curate_corpus", "rle_group_ranges",
+      // round-8 additions: the remaining expensive families (banded
+      // minhash, TF-IDF, cell-probe ANN, salted skew join, stateful
+      // streaming dedup) — embeddings/events now scale with replica
+      // key offsets like documents/lineitem
+      "tfidf_top_terms", "ann_ivf_topk", "dedup_minhash_lsh",
+      "join_salted_skew", "streaming_dedup"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real
