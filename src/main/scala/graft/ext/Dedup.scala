@@ -461,6 +461,29 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLshPairs(Tables.documents(s, dir), k = 32, rows = 4, estThreshold = 0.3)),
 
+    // ORACLED companion for the banded-minhash path (the ann_ivf_recall
+    // pattern): recall of the LSH pairs against the EXACT shingle-
+    // Jaccard pairs at 0.5, collapsed to a floor boolean. The oracle
+    // reproduces n_exact with the same CTEs as dedup_ngram_jaccard and
+    // pins meets_floor=true, so a banding/signature regression that
+    // drops true near-dup pairs flips the boolean and fails the hash
+    // compare. Floor 0.7 is conservative: measured recall at sf0.01 is
+    // 1.0, and the ≥0.5-Jaccard band of the est≥0.3 cut is ~2σ wide
+    // for 32 permutations.
+    "dedup_minhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = ngramJaccardPairs(docs, 0.5).select(col("doc_a"), col("doc_b"))
+      val lsh = minhashLshPairs(docs, k = 32, rows = 4, estThreshold = 0.3)
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHits = lsh.select(col("doc_a"), col("doc_b"))
+        .join(exact, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      // 1-row × 1-row cross join — two scalars, never data-sized
+      nExact.crossJoin(nHits)
+        .select(col("n_exact"), lit(0.7).as("recall_floor"),
+          (col("n_hits") >= col("n_exact") * lit(0.7)).as("meets_floor"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))),
 
@@ -564,6 +587,14 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin),
+    "dedup_minhash_recall" ->
+      (s"WITH $ngramCtes\n" +
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.7 AS DOUBLE) AS recall_floor,
+        |  CAST(TRUE AS BOOLEAN) AS meets_floor
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5""".stripMargin),
     "dedup_incremental_jaccard" ->
       (s"WITH $shingleCtes,\n" +
       """corpus AS (SELECT * FROM sh

@@ -198,6 +198,30 @@ object TextAnalysis {
         .select(col("pos").as("rank"), col("col.token").as("token"),
           col("col.est_count").as("est_count"))),
 
+    // ORACLED companion for the Misra-Gries path: the classic MG
+    // guarantee is that any token with true frequency > N/k SURVIVES a
+    // k-counter sketch. For the exact top-5 tokens (oracle-computable:
+    // count desc, token asc), emit `guaranteed_or_present` = "its
+    // frequency is below the guarantee threshold OR it is in the
+    // sketch" — vacuously true for light tokens, and a hard invariant
+    // for genuine heavy hitters, so a sketch that drops one fails the
+    // pinned-TRUE hash compare. Exact counts come from the oracle.
+    "frequent_tokens_check" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val sketch = toks
+        .agg(graft.functions.MisraGriesAgg.misraGries(col("token"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("sk_token"))
+      counts.crossJoin(broadcast(total)) // 1-row total side
+        .orderBy(col("cnt").desc, col("token")).limit(5)
+        .join(broadcast(sketch), col("token") === col("sk_token"), "left")
+        .select(col("token"), col("cnt"),
+          (col("cnt") * 16 <= col("n_total") || col("sk_token").isNotNull)
+            .as("guaranteed_or_present"))
+    }),
+
     // The cleaning composition every corpus passes through before dedup:
     // PII redaction then canonicalization, still a pure narrow projection.
     // (The synthetic corpus contains no emails/phones, so redaction's
@@ -210,6 +234,18 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact top-5 token counts from the oracle; the MG-guarantee
+    // boolean is pinned TRUE (see the query's Scaladoc)
+    "frequent_tokens_check" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |n AS (SELECT count(*) AS n_total FROM t)
+        |SELECT token, cnt, CAST(TRUE AS BOOLEAN) AS guaranteed_or_present
+        |FROM c, n
+        |ORDER BY cnt DESC, token
+        |LIMIT 5""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars2,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,

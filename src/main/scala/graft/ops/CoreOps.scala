@@ -204,6 +204,20 @@ object CoreOps {
         .agg(graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("approx_parts"))
     }),
 
+    // ORACLED companion for the HLL path (the ann_ivf_recall pattern):
+    // per-group estimate vs exact distinct, collapsed to a within-5%
+    // boolean. p=12 → 4096 registers → σ ≈ 1.6%, so 5% is ~3σ; the
+    // oracle reproduces the exact counts and pins within_bound=true, so
+    // a sketch regression fails the hash compare.
+    "hll_distinct_check" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("est"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
+            .as("within_bound"))),
+
     // CDC upsert: base ∪ changes → latest version per key, as ONE
     // map-side-combining aggregate (`max(struct(version, payload))` —
     // lexicographic struct max picks the newest row), not a per-key
@@ -390,6 +404,12 @@ object CoreOps {
     "count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact counts reproduced by the oracle; within_bound pinned TRUE —
+    // a sketch whose estimate drifts past 5% flips the boolean
+    "hll_distinct_check" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(TRUE AS BOOLEAN) AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

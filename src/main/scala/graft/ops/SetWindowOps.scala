@@ -64,6 +64,28 @@ object SetWindowOps {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))),
 
+    // ORACLED companion for the approximate-percentile path: the
+    // returned value's EMPIRICAL RANK must sit within ±2% of the target
+    // quantile (accuracy=1000 guarantees ±0.1% rank error — 2% is a
+    // wide margin over value-duplication effects). The per-group counts
+    // come back exact from the oracle; the booleans are pinned TRUE.
+    // Plan shape: group-cardinality approx table broadcast back onto
+    // the fact scan, one pass each side.
+    "percentile_approx_check" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"))
+      li.join(broadcast(approx), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("l_returnflag"), col("n"),
+          (col("le50") >= col("n") * 0.48 && col("le50") <= col("n") * 0.52).as("p50_rank_ok"),
+          (col("le90") >= col("n") * 0.88 && col("le90") <= col("n") * 0.92).as("p90_rank_ok"))
+    }),
+
     // IQR-fence outlier detection per group — the Tukey data-quality
     // gate: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR] of their
     // event_type. Two passes over the data (fences, then filter), but
@@ -299,6 +321,14 @@ object SetWindowOps {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact group counts from the oracle; rank-window booleans pinned
+    // TRUE — an approx-percentile whose value drifts outside the ±2%
+    // empirical-rank window flips them
+    "percentile_approx_check" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(TRUE AS BOOLEAN) AS p50_rank_ok,
+        |  CAST(TRUE AS BOOLEAN) AS p90_rank_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "correlation_by_group" ->
       """WITH c AS (
