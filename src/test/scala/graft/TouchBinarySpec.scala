@@ -192,4 +192,44 @@ class TouchBinarySpec extends AnyFunSuite {
       assert(schemaJson.contains("touch2parquet_version"))
     } finally reader.close()
   }
+
+  test("recordRangeFor clamps one-sided and out-of-domain bounds (no wrap)") {
+    val idx = TouchBinary.TouchIndex(littleEndian = true, "1.0.0",
+      graft.model.TouchModel.sniffVersion("1.0.0"), firstGid = 100,
+      shifts = Array(0L, 10L, 20L), counts = Array(10L, 10L, 10L))
+    // upper-bound-only: lo = Long.MinValue wrapped before the round-8 fix
+    assert(idx.recordRangeFor(Long.MinValue, 101L) == Some((0L, 20L)))
+    // lower-bound-only: hi = Long.MaxValue
+    assert(idx.recordRangeFor(101L, Long.MaxValue) == Some((10L, 30L)))
+    // fully out-of-domain on either side → provably empty
+    assert(idx.recordRangeFor(Long.MinValue, 99L) == Some((0L, 0L)))
+    assert(idx.recordRangeFor(103L, Long.MaxValue) == Some((0L, 0L)))
+    // degenerate inverted interval
+    assert(idx.recordRangeFor(Long.MaxValue, Long.MinValue) == Some((0L, 0L)))
+  }
+
+  test("recordRangesFor merges overlapping ranges from non-monotone offsets") {
+    // gids 100..103 with NON-MONOTONE record offsets: gid 100 at records
+    // [30,40), 101 at [0,10), 102 at [35,45), 103 at [10,20). Two gid
+    // intervals whose record ranges OVERLAP must come back merged
+    // disjoint — a duplicate split would emit duplicate rows (the
+    // residual filter passes them twice).
+    val idx = TouchBinary.TouchIndex(littleEndian = true, "1.0.0",
+      graft.model.TouchModel.sniffVersion("1.0.0"), firstGid = 100,
+      shifts = Array(30L, 0L, 35L, 10L), counts = Array(10L, 10L, 10L, 10L))
+    // [100,100] → [30,40); [102,102] → [35,45): overlap at [35,40)
+    assert(idx.recordRangesFor(Seq((100L, 100L), (102L, 102L))) ==
+      Some(Seq((30L, 45L))))
+    // touching record ranges merge into one contiguous range
+    assert(idx.recordRangesFor(Seq((101L, 101L), (103L, 103L))) ==
+      Some(Seq((0L, 20L))))
+    // genuinely disjoint record ranges stay separate
+    assert(idx.recordRangesFor(Seq((101L, 101L), (100L, 100L))) ==
+      Some(Seq((0L, 10L), (30L, 40L))))
+    // an empty interval contributes nothing
+    assert(idx.recordRangesFor(Seq((100L, 100L), (500L, 600L))) ==
+      Some(Seq((30L, 40L))))
+    // all-empty → provably no records
+    assert(idx.recordRangesFor(Seq((1L, 2L))) == Some(Seq.empty))
+  }
 }
