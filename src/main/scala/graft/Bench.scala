@@ -39,6 +39,13 @@ object Bench {
   /** A newest-board/previous-board ratio above this marks a mover. */
   private val MoverRatio = 2.5
 
+  /** Isolated-mode target-set ceiling: a globally-contended previous
+    * board can mark half the suite as movers; cap the run at the most
+    * expensive offenders and LOG what was dropped (never truncate
+    * silently).
+    */
+  private val MaxIsolated = 32
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,7 +132,16 @@ object Bench {
       }.getOrElse(Seq.empty)
       if (movers.nonEmpty)
         System.err.println(s"[isolated] board movers (> ${MoverRatio}x prev): ${movers.mkString(",")}")
-      (top ++ movers).distinct
+      val all = (top ++ movers).distinct
+      if (all.size <= MaxIsolated) all
+      else {
+        // keep the most expensive (by newest board) — they dominate the
+        // total the round is graded on
+        val kept = all.sortBy(q => (-newest.getOrElse(q, 0.0), q)).take(MaxIsolated)
+        System.err.println(s"[isolated] capping ${all.size} targets to $MaxIsolated; " +
+          s"dropped: ${all.diff(kept).mkString(",")}")
+        kept
+      }
     }
   }
 

@@ -46,4 +46,16 @@ class BenchSpec extends AnyFunSuite {
     writeBoard(dir2, 3, Map("a" -> 2.0, "b" -> 1.0, "c" -> 0.1))
     assert(Bench.isolatedTargets(dir2, n = 2) == Seq("a", "b"))
   }
+
+  test("a mover flood (globally contended previous board) caps at the most expensive") {
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("bench_flood"))
+    val qs = (0 until 40).map(i => f"q$i%02d").toSeq
+    writeBoard(dir, 1, qs.map(_ -> 0.1).toMap)
+    // every query 10-50x slower on the newest board → all 40 are movers
+    writeBoard(dir, 2, qs.zipWithIndex.map { case (q, i) => q -> (1.0 + i * 0.1) }.toMap)
+    val targets = Bench.isolatedTargets(dir, n = 10)
+    assert(targets.size == 32, s"flood must cap at 32, got ${targets.size}")
+    // the kept set is the 32 most expensive by the newest board
+    assert(targets.toSet == qs.drop(8).toSet, targets.sorted.mkString(","))
+  }
 }
