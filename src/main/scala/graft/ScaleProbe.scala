@@ -104,8 +104,9 @@ object ScaleProbe {
     // part-files inside a dataset directory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
-    val maxEvent = ev.agg(max("event_id")).head.getLong(0) + 1
+    val maxRow = ev.agg(max("user_id"), max("event_id")).head
+    val maxUser = maxRow.getLong(0) + 1
+    val maxEvent = maxRow.getLong(1) + 1
     val evTmp = s"$outDir/_events_build"
     (0 until Reps).map(i => ev
         .withColumn("user_id", col("user_id") + lit(i * maxUser))

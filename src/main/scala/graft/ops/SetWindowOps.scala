@@ -65,12 +65,15 @@ object SetWindowOps {
           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))),
 
     // ORACLED companion for the approximate-percentile path: the
-    // returned value's EMPIRICAL RANK must sit within ±2% of the target
-    // quantile (accuracy=1000 guarantees ±0.1% rank error — 2% is a
-    // wide margin over value-duplication effects). The per-group counts
-    // come back exact from the oracle; the booleans are pinned TRUE.
-    // Plan shape: group-cardinality approx table broadcast back onto
-    // the fact scan, one pass each side.
+    // returned value's EMPIRICAL RANK must bracket the target quantile
+    // within ±2% (accuracy=1000 guarantees ±0.1% rank error). The
+    // two-sided bracket is duplication-proof: #(x ≤ v) bounds the rank
+    // from ABOVE the target (lower check) and #(x < v) from BELOW it
+    // (upper check) — a value carrying many duplicates at the quantile
+    // inflates only the ≤-count, which the upper check deliberately
+    // doesn't use. Exact per-group counts come from the oracle; the
+    // booleans are pinned TRUE. Plan shape: group-cardinality approx
+    // table broadcast back onto the fact scan, one pass each side.
     "percentile_approx_check" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice"))
       val approx = li.groupBy(col("l_returnflag"))
@@ -80,10 +83,12 @@ object SetWindowOps {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
-          sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+          sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("l_extendedprice") < col("a90"), 1L).otherwise(0L)).as("lt90"))
         .select(col("l_returnflag"), col("n"),
-          (col("le50") >= col("n") * 0.48 && col("le50") <= col("n") * 0.52).as("p50_rank_ok"),
-          (col("le90") >= col("n") * 0.88 && col("le90") <= col("n") * 0.92).as("p90_rank_ok"))
+          (col("le50") >= col("n") * 0.48 && col("lt50") <= col("n") * 0.52).as("p50_rank_ok"),
+          (col("le90") >= col("n") * 0.88 && col("lt90") <= col("n") * 0.92).as("p90_rank_ok"))
     }),
 
     // IQR-fence outlier detection per group — the Tukey data-quality
