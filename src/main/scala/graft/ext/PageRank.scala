@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis — the graph family beyond connected
+  * components (DedupCluster): PageRank over an edge list, formulated
+  * INTEGER-EXACT so a fixed iteration count is bit-reproducible on any
+  * engine (the same determinism discipline as KMeans/QuantizedDot:
+  * floor-divided longs, no float accumulation ambiguity).
+  *
+  * Arithmetic, mirrored verbatim in the DuckDB oracle via unrolled
+  * CTE rounds (`//` there ≡ `div` here; every value nonnegative so
+  * floor = truncate):
+  *
+  *   r0(v)     = scale div N
+  *   r_{t+1}(v) = (15 * scale div 100) div N
+  *              + 85 * Σ_{u→v} (r_t(u) div outdeg(u)) div 100
+  *
+  * Dangling mass (nodes with no out-edges) is dropped, not
+  * redistributed — deterministic and documented, the common simplified
+  * formulation.
+  *
+  * 100 TB shape: each round is ONE edge-keyed shuffle — `edges ⋈ ranks`
+  * on src (ranks is node-sized, the small side of the join), then a
+  * map-side-combining sum keyed on dst; the out-degree table is
+  * node-sized and joins pre-aggregation. No driver state, no
+  * per-round collect, iteration count fixed up front. The edge list
+  * is re-read per round from the persisted frame, so at scale the
+  * natural layout is edges bucketed by src (Layout.writeBucketed)
+  * making the per-round join exchange-free on the edge side.
+  */
+object PageRank {
+
+  /** `iterations` rounds of integer PageRank over `edges(src, dst)`.
+    * Returns (node_id, rank) for every node appearing as src or dst.
+    * Leaves the persisted edge/node frames to
+    * `spark.catalog.clearCache()` — use [[pageRankIntStamped]] for the
+    * unpersist handle.
+    */
+  def pageRankInt(edges: DataFrame, iterations: Int,
+                  scale: Long = 1000000L): DataFrame =
+    pageRankIntStamped(edges, iterations, scale)._1
+
+  /** [[pageRankInt]] plus the thunk releasing the persisted edge and
+    * node frames (same caller contract as the dedup entry points).
+    */
+  def pageRankIntStamped(edges: DataFrame, iterations: Int,
+                         scale: Long = 1000000L): (DataFrame, () => Unit) = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // N and the per-round teleport base are SCALARS — computed once,
+    // cross-joined (1 row) rather than collected to the driver
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(n)
+      .select(col("node_id"), expr(s"$scale div n_nodes").as("rank"))
+    for (_ <- 0 until iterations) {
+      val contrib = e.join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst").as("node_id"), expr("rank div deg").as("c"))
+        .groupBy(col("node_id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.crossJoin(n)
+        .join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (expr(s"(15 * $scale div 100) div n_nodes") +
+            expr(s"85 * ${coalesceContrib} div 100")).as("rank"))
+    }
+    (ranks, () => { e.unpersist(); nodes.unpersist(); () })
+  }
+
+  private val coalesceContrib = "coalesce(contrib, 0L)"
+
+  val queries: Map[String, Q] = Map(
+    // supplier→part bipartite graph from lineitem (distinct edges; part
+    // ids offset into their own id space), 3 integer-exact rounds
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      pageRankInt(edges, iterations = 3)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the same arithmetic unrolled: DuckDB's // is floor division,
+    // identical to Spark's `div` on the nonnegative longs used here
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(l_partkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node_id, CAST(1000000 // n_nodes AS BIGINT) AS rank FROM nodes, n),
+        |c1 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node_id,
+        |         CAST((15 * 1000000 // 100) // n_nodes + 85 * COALESCE(c1.contrib, 0) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node_id = nodes.node_id),
+        |c2 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node_id,
+        |         CAST((15 * 1000000 // 100) // n_nodes + 85 * COALESCE(c2.contrib, 0) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node_id = nodes.node_id),
+        |c3 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node_id,
+        |         CAST((15 * 1000000 // 100) // n_nodes + 85 * COALESCE(c3.contrib, 0) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.node_id = nodes.node_id)
+        |SELECT node_id, rank FROM r3""".stripMargin
+  )
+}
