@@ -58,6 +58,21 @@ object Dedup {
     * worst document frequency.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val (joined, _, _) = pairIntersections(docs, dfCap)
+    joined
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared candidate machinery for [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: the df-capped inverted-index self-join with
+    * per-pair intersection counts and both sizes attached. Returns
+    * (joined pairs, inter, sizes).
+    */
+  private def pairIntersections(docs: DataFrame, dfCap: Int):
+      (DataFrame, DataFrame, DataFrame) = {
     val raw = shingleIndex(docs)
       .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -72,13 +87,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val joined = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
-      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
+    (joined, inter, sizes)
+  }
+
+  /** ASYMMETRIC near-dup: containment of the smaller shingle set,
+    * `n_common / min(n_a, n_b)` — the measure that catches SUBSET
+    * duplication (a document quoted whole inside a larger one, a page
+    * embedding a boilerplate article) which symmetric Jaccard dilutes
+    * toward zero as the size ratio grows: a 100-shingle doc fully
+    * contained in a 10 000-shingle doc has containment 1.0 but Jaccard
+    * 0.01. Same df-capped inverted-index plan as
+    * [[ngramJaccardPairs]] — one extra codegen'd `least()` per
+    * surviving pair, no new shuffle.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val (joined, _, _) = pairIntersections(docs, dfCap)
+    joined
+      .withColumn("containment", col("n_common") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+        round(col("containment"), 6).as("containment"))
   }
 
   /** Incremental near-dup: the production shape where a NEW BATCH of
@@ -452,6 +483,11 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), 0.12)),
 
+    // asymmetric subset-duplication pairs at containment ≥ 0.5 — the
+    // doc-inside-doc cases Jaccard dilutes away
+    "dedup_containment" -> ((s, dir) =>
+      containmentPairs(Tables.documents(s, dir), 0.5)),
+
     // the md5 ~10% bucket plays the "newly arrived batch", the rest the
     // standing corpus
     "dedup_incremental_jaccard" -> ((s, dir) =>
@@ -587,6 +623,14 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12""".stripMargin),
+    "dedup_containment" ->
+      (s"WITH $ngramCtes\n" +
+      """SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+        |  round(n_common / least(sa.n_shingles, sb.n_shingles), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common / least(sa.n_shingles, sb.n_shingles) >= 0.5""".stripMargin),
     "dedup_minhash_recall" ->
       (s"WITH $ngramCtes\n" +
       """SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.7 AS DOUBLE) AS recall_floor,

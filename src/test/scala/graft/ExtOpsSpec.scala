@@ -10,6 +10,22 @@ class ExtOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("containment catches a subset duplicate that Jaccard dilutes away") {
+    import spark.implicits._
+    val small = (1 to 30).map(i => s"tok$i").mkString(" ")            // 28 3-shingles
+    val big = small + " " + (100 to 400).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    // the small doc's shingles are a strict subset of the big doc's →
+    // containment 1.0, but Jaccard ≈ 28/329 ≈ 0.085
+    val cont = graft.ext.Dedup.containmentPairs(docs, 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)), cont.mkString(","))
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    val jac = graft.ext.Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(jac.isEmpty, s"Jaccard at 0.5 must miss the subset pair: ${jac.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("minhash LSH recalls the planted near-duplicate pairs") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, 0.5)
