@@ -61,7 +61,7 @@ object PageRank {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(n)
       .select(col("node_id"), expr(s"$scale div n_nodes").as("rank"))
-    for (_ <- 0 until iterations) {
+    for (i <- 0 until iterations) {
       val contrib = e.join(outDeg, "src")
         .join(ranks.withColumnRenamed("node_id", "src"), "src")
         .select(col("dst").as("node_id"), expr("rank div deg").as("c"))
@@ -71,6 +71,12 @@ object PageRank {
         .select(col("node_id"),
           (expr(s"(15 * $scale div 100) div n_nodes") +
             expr(s"85 * ${coalesceContrib} div 100")).as("rank"))
+      // iterative self-reference doubles the lineage every round —
+      // truncate it periodically (lazy: the next round's join is the
+      // materializing action), same discipline as the CC loop; on a
+      // real cluster swap for reliable checkpoint to a DFS dir
+      if ((i + 1) % 5 == 0 && i + 1 < iterations)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     (ranks, () => { e.unpersist(); nodes.unpersist(); () })
   }

@@ -32,9 +32,10 @@ class PageRankSpec extends AnyFunSuite {
   }
 
   test("results are partition-invariant (integer arithmetic has no merge-order ambiguity)") {
+    // 7 iterations also crosses the every-5-rounds lineage checkpoint
     val edges = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ Seq((100L, 101L), (101L, 102L))
-    val a = ranksOf(edges, iters = 3, parts = 1)
-    val b = ranksOf(edges, iters = 3, parts = 13)
+    val a = ranksOf(edges, iters = 7, parts = 1)
+    val b = ranksOf(edges, iters = 7, parts = 13)
     assert(a == b)
   }
 
