@@ -252,6 +252,54 @@ object Dedup {
     (result, () => { sigs.unpersist(); () })
   }
 
+  /** Incremental banded-minhash: LSH candidate pairs between a NEW
+    * BATCH and the standing corpus — [[minhashLshPairs]]'s
+    * continuous-ingestion face, pairing with
+    * [[incrementalJaccardPairs]]'s batch/corpus split. At 100 TB the
+    * corpus band table (doc_id, band, bucket — nBands longs per doc)
+    * is the PERSISTED artifact of the previous run; each arriving
+    * batch computes its own bands and equi-joins on (band, bucket) —
+    * LINEAR in the batch, never corpus², with AQE free to broadcast
+    * the batch side. Candidates dedup as bare id pairs and re-fetch
+    * signatures by two equi-joins, the same narrow-exchange discipline
+    * as the self-join form.
+    */
+  def minhashIncrementalPairs(docs: DataFrame, batchSide: Column, k: Int = 32,
+                              rows: Int = 4, estThreshold: Double = 0.5): DataFrame =
+    minhashIncrementalPairsStamped(docs, batchSide, k, rows, estThreshold)._1
+
+  /** [[minhashIncrementalPairs]] plus the unpersist thunk. */
+  def minhashIncrementalPairsStamped(docs: DataFrame, batchSide: Column,
+                                     k: Int = 32, rows: Int = 4,
+                                     estThreshold: Double = 0.5): (DataFrame, () => Unit) = {
+    require(k % rows == 0, s"signature size $k must divide into bands of $rows")
+    val flags = docs.select(col("doc_id"), batchSide.as("is_batch"))
+    val sigs = minhashSignatures(docs, k).filter(col("n_shingles") > 0)
+      .join(flags, "doc_id")
+      .select(col("doc_id"), col("signature"), col("is_batch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBands = k / rows
+    val bands = sigs.select(col("doc_id"), col("is_batch"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(concat_ws("_", b.cast("string"),
+          slice(col("signature"), b * lit(rows) + 1, lit(rows)).cast("array<string>")))))
+        .as(Seq("band", "bucket")))
+    val cand = bands.filter(col("is_batch")).as("b")
+      .join(bands.filter(!col("is_batch")).as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+    val result = cand
+      .join(sigs.select(col("doc_id").as("batch_doc"), col("signature").as("sig_b")), "batch_doc")
+      .join(sigs.select(col("doc_id").as("corpus_doc"), col("signature").as("sig_c")), "corpus_doc")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y), b => b))
+          / lit(k.toDouble))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("batch_doc"), col("corpus_doc"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    (result, () => { sigs.unpersist(); () })
+  }
+
   /** 64-bit SimHash over token xxhash64s: per bit, +1/−1 vote by hash bit,
     * sign of the vote sum sets the fingerprint bit. Codegen'd
     * `SimHash64` expression — the HOF formulation ran 64 interpreted
@@ -497,6 +545,34 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLshPairs(Tables.documents(s, dir), k = 32, rows = 4, estThreshold = 0.3)),
 
+    // batch-vs-corpus banded minhash on the same md5 ~10% split as
+    // dedup_incremental_jaccard (rows-only: xxhash64; recall oracled
+    // by the companion below)
+    "dedup_minhash_incremental" -> ((s, dir) =>
+      minhashIncrementalPairs(Tables.documents(s, dir),
+        Sampling.hashBucket(col("doc_id")) < 6554, k = 32, rows = 4,
+        estThreshold = 0.3)),
+
+    // ORACLED companion: recall of the incremental LSH candidates vs
+    // the exact incremental Jaccard pairs at 0.5 (same split, same
+    // corpus-frequency df-cap), floor 0.7 — the oracle reproduces
+    // n_exact with the incremental CTEs and pins meets_floor
+    "dedup_minhash_incr_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = Sampling.hashBucket(col("doc_id")) < 6554
+      val exact = incrementalJaccardPairs(docs, batch, 0.5)
+        .select(col("batch_doc"), col("corpus_doc"))
+      val lsh = minhashIncrementalPairs(docs, batch, k = 32, rows = 4,
+          estThreshold = 0.3)
+        .select(col("batch_doc"), col("corpus_doc"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHits = lsh.join(exact, Seq("batch_doc", "corpus_doc"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nExact.crossJoin(nHits)
+        .select(col("n_exact"), lit(0.7).as("recall_floor"),
+          (col("n_hits") >= col("n_exact") * lit(0.7)).as("meets_floor"))
+    }),
+
     // ORACLED companion for the banded-minhash path (the ann_ivf_recall
     // pattern): recall of the LSH pairs against the EXACT shingle-
     // Jaccard pairs at 0.5, collapsed to a floor boolean. The oracle
@@ -639,6 +715,27 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5""".stripMargin),
+    "dedup_minhash_incr_recall" ->
+      (s"WITH $shingleCtes,\n" +
+      """corpus AS (SELECT * FROM sh
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554),
+        |batch AS (SELECT * FROM sh
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554),
+        |hot AS (SELECT shingle FROM corpus GROUP BY shingle HAVING count(*) > 1000),
+        |cf AS (SELECT * FROM corpus WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |bf AS (SELECT * FROM batch WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |sc AS (SELECT doc_id, count(*) AS n_c FROM cf GROUP BY doc_id),
+        |sb AS (SELECT doc_id, count(*) AS n_b FROM bf GROUP BY doc_id),
+        |inc AS (
+        |  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, count(*) AS n_common
+        |  FROM bf b JOIN cf c ON b.shingle = c.shingle
+        |  GROUP BY b.doc_id, c.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.7 AS DOUBLE) AS recall_floor,
+        |  CAST(TRUE AS BOOLEAN) AS meets_floor
+        |FROM inc
+        |JOIN sb ON sb.doc_id = batch_doc
+        |JOIN sc ON sc.doc_id = corpus_doc
+        |WHERE n_common / (sb.n_b + sc.n_c - n_common) >= 0.5""".stripMargin),
     "dedup_incremental_jaccard" ->
       (s"WITH $shingleCtes,\n" +
       """corpus AS (SELECT * FROM sh
