@@ -26,6 +26,31 @@ class ExtOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental minhash pairs only cross the batch/corpus boundary") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // doc 1 (batch) duplicates doc 10 (corpus); docs 2+3 are an
+    // IN-BATCH duplicate pair that must NOT be reported; 11+12 the
+    // same within the corpus
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " x"),
+      (10L, base), (11L, base + " y"), (12L, base + " y"))
+      .toDF("doc_id", "text")
+    val isBatch = col("doc_id") < 10
+    val (pairs, unpersist) = graft.ext.Dedup.minhashIncrementalPairsStamped(
+      docs, isBatch, k = 32, rows = 4, estThreshold = 0.5)
+    val got = pairs.select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    unpersist()
+    assert(got.contains((1L, 10L)), got.toString)
+    // every reported pair crosses the boundary
+    assert(got.forall { case (b, c) => b < 10 && c >= 10 }, got.toString)
+    // near-identical cross-boundary docs (2,3 vs 11,12 differ by one
+    // token) are allowed; same-side pairs are not
+    assert(!got.exists { case (b, c) => b >= 10 || c < 10 })
+    spark.catalog.clearCache()
+  }
+
   test("minhash LSH recalls the planted near-duplicate pairs") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, 0.5)
