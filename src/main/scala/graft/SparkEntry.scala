@@ -38,6 +38,7 @@ object SparkEntry {
     (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.KMeans.queries, ext.KMeans.oracleSql),
+    (ext.SemDedup.queries, ext.SemDedup.oracleSql),
     (ext.PageRank.queries, ext.PageRank.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),

@@ -91,40 +91,49 @@ object KMeans {
       kmeansAssign2(Tables.embeddings(s, dir), 8))
   )
 
+  /** The two-round integer k-means as a DuckDB CTE chain, shared with
+    * the [[SemDedup]] oracle: defines `q` (quantized corpus) and `asg`
+    * (final (vec_id, cluster_id, dot_q) assignment). HUGEINT sums cast
+    * back, `//` on an exact multiple matches Spark's `div`,
+    * `list(... ORDER BY pos)` rebuilds the centroid arrays in
+    * dimension order.
+    */
+  private[ext] val oracleCtes: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS cid, qv AS cv FROM q
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT q.vec_id, q.qv, s.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS dot
+      |  FROM q CROSS JOIN seeds s),
+      |b1 AS (
+      |  SELECT vec_id, qv, cid FROM a1
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) = 1),
+      |sums AS (
+      |  SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
+      |  FROM b1, UNNEST(generate_series(1, len(qv))) AS t(i)
+      |  GROUP BY cid, i),
+      |cent2 AS (
+      |  SELECT cid,
+      |    list((s * 1000 - ((s * 1000) % n + n) % n) // n ORDER BY pos) AS cv
+      |  FROM sums GROUP BY cid),
+      |a2 AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |      i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot
+      |  FROM q CROSS JOIN cent2 c),
+      |asg AS (
+      |  SELECT vec_id, cid AS cluster_id, dot AS dot_q FROM a2
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // The identical integer program: HUGEINT sums cast back, `//` on an
-    // exact multiple matches Spark's `div`, `list(... ORDER BY pos)`
-    // rebuilds the centroid arrays in dimension order.
+    // The identical integer program, via the shared CTE chain.
     "embedding_kmeans_assign" ->
-      """WITH q AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |seeds AS (
-        |  SELECT vec_id AS cid, qv AS cv FROM q
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        |a1 AS (
-        |  SELECT q.vec_id, q.qv, s.cid,
-        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
-        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS dot
-        |  FROM q CROSS JOIN seeds s),
-        |b1 AS (
-        |  SELECT vec_id, qv, cid FROM a1
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) = 1),
-        |sums AS (
-        |  SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
-        |  FROM b1, UNNEST(generate_series(1, len(qv))) AS t(i)
-        |  GROUP BY cid, i),
-        |cent2 AS (
-        |  SELECT cid,
-        |    list((s * 1000 - ((s * 1000) % n + n) % n) // n ORDER BY pos) AS cv
-        |  FROM sums GROUP BY cid),
-        |a2 AS (
-        |  SELECT q.vec_id, c.cid,
-        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
-        |      i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot
-        |  FROM q CROSS JOIN cent2 c)
-        |SELECT vec_id, cid AS cluster_id, dot AS dot_q FROM a2
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) = 1""".stripMargin
+      (oracleCtes + "\nSELECT vec_id, cluster_id, dot_q FROM asg")
   )
 }

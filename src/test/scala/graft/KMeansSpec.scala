@@ -45,4 +45,29 @@ class KMeansSpec extends AnyFunSuite {
     assert(out.select("cluster_id").distinct().count() <= 8)
     spark.catalog.clearCache()
   }
+
+  test("semanticDedup: survivors + dropped partition the corpus by the keep rule") {
+    import graft.functions.QuantizedDot.{quantize, quantizedDot}
+    val e = Tables.embeddings(spark, sf)
+    val tau = 0.4
+    val kept = ext.SemDedup.semanticDedup(e, k = 8, threshold = tau)
+    // ground truth, computed the slow way: same-cluster pairs above the
+    // threshold, drop the larger id of each
+    val asg = KMeans.kmeansAssign2(e, 8).select(col("vec_id"), col("cluster_id"))
+    val m = asg.join(e.select(col("vec_id"), quantize(col("embedding")).as("qv")), "vec_id")
+    val droppedTruth = m.as("a").join(m.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(quantizedDot(col("a.qv"), col("b.qv")) >= math.round(tau * 1e6))
+      .select(col("b.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == allIds -- droppedTruth,
+      s"survivors must be exactly corpus minus dropped (dropped=${droppedTruth.size})")
+    // the keep rule always retains the minimal id of any duplicate pair,
+    // so no cluster empties out
+    assert(kept.select("cluster_id").distinct().count() ==
+      asg.select("cluster_id").distinct().count())
+    spark.catalog.clearCache()
+  }
 }
