@@ -61,7 +61,16 @@ object GraftExtensions {
     ("misra_gries",
       info("misra_gries", "misra_gries(col[, k]) - frequent-items (heavy hitters) sketch"),
       (args: Seq[Expression]) => graft.functions.MisraGriesAgg(
-        args(0), if (args.length > 1) intArg(args(1), "k") else 16)))
+        args(0), if (args.length > 1) intArg(args(1), "k") else 16)),
+    ("bloom_filter",
+      info("bloom_filter", "bloom_filter(key[, numBits[, numHashes]]) - bloom filter over a long key column"),
+      (args: Seq[Expression]) => graft.functions.BloomFilterAgg(args(0),
+        if (args.length > 1) intArg(args(1), "numBits") else 1 << 20,
+        if (args.length > 2) intArg(args(2), "numHashes") else 5)),
+    ("bloom_might_contain",
+      info("bloom_might_contain", "bloom_might_contain(key, filter[, numHashes]) - probe a serialized bloom filter"),
+      (args: Seq[Expression]) => graft.functions.BloomMightContain(args(0), args(1),
+        if (args.length > 2) intArg(args(2), "numHashes") else 5)))
 
   /** Imperative registration on a live session (extensions configured at
     * build time are not applicable retroactively).

@@ -69,6 +69,32 @@ object JoinOps {
       .drop("_bin")
   }
 
+  /** Bloom-prefiltered semi join — the explicit runtime-filter
+    * (sideways-information-passing) pattern: build a bloom filter over
+    * the dim side's keys ([[graft.functions.BloomFilterAgg]] — a fixed
+    * numBits/8-byte aggregate, never data-sized), inline it as a
+    * literal into a codegen probe on the fact side, then remove the
+    * bloom's false positives with the exact semi join. Result is
+    * IDENTICAL to a plain semi join (blooms have no false negatives),
+    * but the fact rows that reach the join shuffle shrink by the
+    * filter's selectivity — at 100 TB the filter does its work inside
+    * the fact SCAN stage, where Spark's own InjectRuntimeFilter only
+    * kicks in when stats happen to qualify; this form is unconditional
+    * and tunable.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFilterAgg.{bloomFilter, bloomMightContain}
+    // ONE driver-collected row of numBits/8 bytes — bounded by the
+    // parameter, never by the dim cardinality
+    val bytes = dim.agg(bloomFilter(col(dimKey), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(bloomMightContain(col(factKey), lit(bytes), numHashes))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+
   val queries: Map[String, Q] = Map(
     // Broadcast dimension chain: customer ⋈ nation ⋈ region, fact side
     // never shuffles.
@@ -154,6 +180,17 @@ object JoinOps {
         Seq("click_event_id", "click_ts_us"))
         .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
           col("click_event_id"), col("click_ts_us"))
+    }),
+
+    // Runtime-filtered semi join: lineitems of urgent orders. The bloom
+    // prefilter runs in the lineitem scan stage; the exact semi join
+    // removes its false positives, so the oracle is the plain IN.
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
     })
   )
 
@@ -192,6 +229,10 @@ object JoinOps {
         |  c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "join_bloom_prefilter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
   )
 }

@@ -111,6 +111,39 @@ class CodegenExprSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom filter: no false negatives, bounded false positives, merge-invariant") {
+    import spark.implicits._
+    import graft.functions.BloomFilterAgg.{bloomFilter, bloomMightContain}
+    val present = (0L until 1000L).map(i => i * 7919L + 13L)
+    val absent = (0L until 1000L).map(i => i * 7919L + 14L) // disjoint by construction
+    // small filter (4096 bits, ~17% theoretical FPR at n=1000, k=5) so
+    // the FPR assertion actually exercises collision behavior
+    val bytes = present.toDF("k")
+      .agg(bloomFilter(col("k"), 4096, 5)).head().getAs[Array[Byte]](0)
+    assert(bytes.length == 4096 / 8)
+    // no false negatives — every inserted key probes true, and the
+    // codegen path agrees with the interpreted expression eval
+    val probed = present.toDF("k")
+      .select(col("k"), bloomMightContain(col("k"), lit(bytes), 5).as("hit"))
+      .collect()
+    probed.foreach { r =>
+      assert(r.getBoolean(1), s"false negative for key ${r.getLong(0)}")
+      val interp = graft.functions.BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(r.getLong(0)),
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes), 5)
+        .eval(null).asInstanceOf[Boolean]
+      assert(interp, s"interpreted eval disagrees for key ${r.getLong(0)}")
+    }
+    // bounded false positives (deterministic hashes → a fixed measured rate)
+    val fp = absent.toDF("k")
+      .filter(bloomMightContain(col("k"), lit(bytes), 5)).count()
+    assert(fp < 300, s"FPR ${fp / 1000.0} far above the ~0.17 theoretical rate")
+    // OR-merge is partitioning-invariant: 1 vs 13 partitions, same bytes
+    val b13 = present.toDF("k").repartition(13)
+      .agg(bloomFilter(col("k"), 4096, 5)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytes, b13), "merge must be partitioning-invariant")
+  }
+
   test("SignLshBuckets: deterministic, band-prefixed, stable across sessions") {
     import spark.implicits._
     val df = Seq((1L, Seq(1000L, -500L, 250L, 0L)), (2L, Seq(-1L, -2L, -3L, -4L)))

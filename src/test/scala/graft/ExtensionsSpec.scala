@@ -63,6 +63,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows == Map("x" -> 30L, "y" -> 12L, "z" -> 5L))
   }
 
+  test("bloom_filter / bloom_might_contain round-trip in SQL") {
+    import spark.implicits._
+    (1L to 100L).toDF("k").createOrReplaceTempView("bloom_in")
+    val rows = spark.sql(
+      """WITH bf AS (SELECT bloom_filter(k, 4096, 5) AS f FROM bloom_in),
+        |p AS (SELECT n, bloom_might_contain(n, f, 5) AS hit
+        |      FROM bf, (SELECT explode(sequence(1L, 100L)) AS n))
+        |SELECT count_if(hit) AS n_hits, count(*) AS n FROM p""".stripMargin)
+      .collect()(0)
+    assert(rows.getLong(0) == rows.getLong(1),
+      "no false negatives over the inserted range")
+  }
+
   test("the extensions class wires the same registrations") {
     // builder-time path: apply to a fresh SparkSessionExtensions and
     // confirm every function injects without error

@@ -177,6 +177,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit bloomSemiJoin: probe filter in the fact scan stage, result equals plain semi join") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val urgent = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+    val j = ops.JoinOps.bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+    val plan = planOf(j)
+    assert(plan.contains("bloom_might_contain"),
+      s"the bloom probe must survive into the physical plan:\n$plan")
+    // the probe is a Filter below the join (printed deeper in the tree),
+    // i.e. it runs scan-side, before any exchange toward the join
+    assert(plan.indexOf("bloom_might_contain") > plan.indexOf("Join"),
+      s"bloom probe must sit under the join, not above it:\n$plan")
+    val got = j.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val want = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(got == want, "bloom prefilter must not change the semi-join result")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
