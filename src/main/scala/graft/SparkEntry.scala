@@ -37,6 +37,7 @@ object SparkEntry {
     (ext.Quality.queries, ext.Quality.oracleSql),
     (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
+    (ext.ProductQuant.queries, ext.ProductQuant.oracleSql),
     (ext.KMeans.queries, ext.KMeans.oracleSql),
     (ext.SemDedup.queries, ext.SemDedup.oracleSql),
     (ext.PageRank.queries, ext.PageRank.oracleSql),
