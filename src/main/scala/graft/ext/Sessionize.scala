@@ -36,8 +36,56 @@ object Sessionize {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
   }
 
+  /** Ordered-funnel analysis (the MATCH_RECOGNIZE shape): per user, the
+    * earliest `steps.head` event, then for each later step the earliest
+    * matching event STRICTLY after the previous step's match and within
+    * `windowUs` of it — Amplitude-style earliest-completion semantics.
+    *
+    * ONE shuffle (hash by user), no joins: the chain is computed with
+    * cumulative conditional minima over the user's time-ordered window —
+    * `stepK_cum = min(ts where type=stepK and prev_cum < ts <= prev_cum
+    * + W)` — which equals the join-the-first-matches formulation because
+    * a running min over an expanding window settles to the global first
+    * match as soon as any match precedes the current row (the oracle IS
+    * that independent join formulation). Same-ts events never chain
+    * (strict >), so the result depends only on values, not row order.
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+                  windowUs: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // step 1 candidate: any head-type event; step k candidate: a step-k
+    // event chained off the running min of step k-1's candidates
+    // (comparisons against a null cum are null → `when` false, so rows
+    // before the previous step matched never qualify)
+    var df = events.withColumn("_cand1",
+      when(col("event_type") === steps.head, col("ts_us")))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      val prevCum = min(col(s"_cand${i + 1}")).over(w)
+      df = df.withColumn(s"_cand${i + 2}",
+        when(col("event_type") === step &&
+          col("ts_us") > prevCum &&
+          col("ts_us") <= prevCum + lit(windowUs), col("ts_us")))
+    }
+    val aggs = steps.indices.map(i => min(col(s"_cand${i + 1}")).as(s"t${i + 1}_us"))
+    val stepCount = (2 to steps.size).foldLeft(lit(1)) {
+      (acc, i) => acc + when(col(s"t${i}_us").isNotNull, 1).otherwise(0)
+    }
+    df.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("t1_us").isNotNull) // users that never entered the funnel
+      .withColumn("steps", stepCount)
+  }
+
   val queries: Map[String, Q] = Map(
     "sessionize" -> ((s, dir) => sessions(Tables.events(s, dir))),
+
+    // 3-step ordered funnel, 24 h per step: view → click → purchase.
+    "funnel_steps" -> ((s, dir) =>
+      funnelSteps(Tables.events(s, dir), Seq("view", "click", "purchase"),
+        86400000000L)),
 
     // Fixed 1-hour tumbling windows by event type (integer bucket index —
     // `div` keeps it exact).
@@ -108,6 +156,22 @@ object Sessionize {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // INDEPENDENT formulation: first-match joins instead of cumulative
+    // window minima — agreement pins the running-min chaining argument.
+    "funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND ts_us > t1 AND ts_us <= t1 + 86400000000 GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND ts_us > t2 AND ts_us <= t2 + 86400000000 GROUP BY ev.user_id)
+        |SELECT s1.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER) AS steps
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |flagged AS (

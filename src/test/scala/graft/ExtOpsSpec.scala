@@ -376,6 +376,35 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((uniq("w", 60), 0L)))
   }
 
+  test("funnelSteps: chaining, boundaries, ties, and out-of-order steps") {
+    import spark.implicits._
+    val W = 100L
+    // (event_id, user_id, event_type, ts_us)
+    val ev = Seq(
+      // u1: clean view(10) -> click(50) -> purchase(120): full funnel
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 50L), (3L, 1L, "purchase", 120L),
+      // u2: click(5) BEFORE first view(10); next click at exactly t1+W
+      // (inclusive boundary); purchase at t2+W+1 (exclusive) -> steps=2
+      (4L, 2L, "click", 5L), (5L, 2L, "view", 10L), (6L, 2L, "click", 110L),
+      (7L, 2L, "purchase", 211L),
+      // u3: purchase TIES with click (strict > means no chain) -> steps=2
+      (8L, 3L, "view", 10L), (9L, 3L, "click", 60L), (10L, 3L, "purchase", 60L),
+      // u4: no view at all -> excluded
+      (11L, 4L, "click", 10L), (12L, 4L, "purchase", 20L),
+      // u5: chain must use the FIRST view (10), so click(150) is outside
+      // the window even though view(100) is closer -> steps=1
+      (13L, 5L, "view", 10L), (14L, 5L, "view", 100L), (15L, 5L, "click", 150L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val got = ext.Sessionize.funnelSteps(ev, Seq("view", "click", "purchase"), W)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(got(1L) == ((Some(10L), Some(50L), Some(120L), 3)))
+    assert(got(2L) == ((Some(10L), Some(110L), None, 2)))
+    assert(got(3L) == ((Some(10L), Some(60L), None, 2)))
+    assert(!got.contains(4L), "a user with no step-1 event never enters the funnel")
+    assert(got(5L) == ((Some(10L), None, None, 1)))
+  }
+
   test("every registered query returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
