@@ -200,6 +200,114 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  final case class FunnelEv(user_id: Long, event_type: String, ts_us: Long)
+
+  /** Streaming funnel state: the running min of step-1 timestamps plus
+    * CANDIDATE timestamp buffers for each later step. Candidates must be
+    * buffered (unlike sessionize's O(1) state) because a late step-1
+    * event can move the chain's windows in either direction, re-
+    * qualifying or disqualifying any later-step event — the chain is
+    * only decidable when the user's horizon closes. State is bounded by
+    * the user's step-2..k event count inside the stream horizon and is
+    * dropped wholesale at the timeout that emits the row.
+    */
+  final case class FunnelBuf(t1: Long, tails: Seq[Seq[Long]])
+
+  final case class FunnelRow(user_id: Long, t1_us: Long,
+                             t2_us: Option[Long], t3_us: Option[Long],
+                             steps: Int)
+
+  /** Stateful ordered funnel — the streaming form of
+    * [[graft.ext.Sessionize.funnelSteps]] (same earliest-completion
+    * semantics, same output schema, SAME exact oracle). Events
+    * accumulate per user; the finalized chain — each step's first match
+    * strictly after the previous step's match and within `windowUs` —
+    * is emitted exactly once, through the event-time timeout path after
+    * the watermark passes the flush sentinel.
+    */
+  def funnelStream(events: Dataset[FunnelEv], stepTypes: Seq[String],
+                   windowUs: Long): Dataset[FunnelRow] = {
+    require(stepTypes.size == 3, "FunnelRow is the 3-step shape")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "1 hour")
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            if (b.t1 == Long.MaxValue) Iterator.empty
+            else {
+              // fold the chain: first candidate strictly after the
+              // previous match and within the window of it
+              val matches = b.tails.scanLeft(Option(b.t1)) { (prev, cands) =>
+                prev.flatMap(p =>
+                  cands.sorted.find(ts => ts > p && ts <= p + windowUs))
+              }.tail
+              Iterator.single(FunnelRow(user, b.t1,
+                matches.head, matches(1),
+                1 + matches.count(_.isDefined)))
+            }
+          } else {
+            var b = state.getOption.getOrElse(
+              FunnelBuf(Long.MaxValue, stepTypes.tail.map(_ => Vector.empty[Long])))
+            evs.foreach { case (_, tpe, ts, _) =>
+              if (tpe == stepTypes.head) {
+                if (ts < b.t1) b = b.copy(t1 = ts)
+              } else {
+                val i = stepTypes.tail.indexOf(tpe)
+                if (i >= 0) b = b.copy(tails = b.tails.updated(i, b.tails(i) :+ ts))
+              }
+            }
+            state.update(b)
+            // fire on the first batch whose end-of-batch watermark has
+            // moved past this one — the sentinel flush batch
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run the funnel stream over the static events parquet to
+    * completion — same sentinel-driven flush as
+    * [[sessionizeToCompletion]] (two far-future sentinel rows advance
+    * the watermark, firing every user's timeout), same scoped
+    * shuffle-width override.
+    */
+  def funnelToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val sentinels =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEv]
+      val fileSrc = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+        .as[FunnelEv]
+      val name = s"funnel_${System.nanoTime()}"
+      val q = funnelStream(fileSrc.union(sentinels.toDS()),
+          Seq("view", "click", "purchase"), 86400000000L)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        sentinels.addData(FunnelEv(-1L, "view", FlushTsUs))
+        q.processAllAvailable()
+        sentinels.addData(FunnelEv(-1L, "view", FlushTsUs + 7200000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).filter(col("user_id") >= 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   private val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -340,6 +448,12 @@ object StreamingOps {
     // final watermark flush — emits closed sessions AND open tails, so
     // the result equals batch `sessionize` and shares its exact oracle.
     "streaming_sessionize" -> ((s, dir) => sessionizeToCompletion(s, dir)),
+
+    // Stateful ordered-funnel (the streaming form of `funnel_steps`,
+    // sharing its exact oracle): per-user candidate buffers in
+    // flatMapGroupsWithState, finalized once the watermark passes the
+    // sentinel flush — one emitted row per funnel entrant.
+    "streaming_funnel" -> ((s, dir) => funnelToCompletion(s, dir)),
 
     // Stream-stream INNER join with a time-interval condition: each
     // purchase joins the same user's clicks from the preceding hour.
@@ -509,6 +623,10 @@ object StreamingOps {
         |  AND md5(text) NOT IN (
         |    SELECT md5(text) FROM documents
         |    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554)""".stripMargin,
+    // the streaming funnel emits exactly the batch funnel's rows, so it
+    // shares funnel_steps' first-match-join oracle verbatim
+    "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
+
     // identical to the batch `sessionize` oracle — the flushed stream
     // must reproduce it bit-for-bit
     "streaming_sessionize" ->

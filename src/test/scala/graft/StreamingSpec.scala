@@ -96,4 +96,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream-with-flush must equal batch sessionize: " +
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("flushed streaming funnel EQUALS the batch funnel row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getInt(4))
+    val cols = Seq("user_id", "t1_us", "t2_us", "t3_us", "steps").map(col)
+    val streamed = StreamingOps.funnelToCompletion(spark, sf)
+      .select(cols: _*).collect().map(key).toSet
+    val batch = Sessionize.funnelSteps(Tables.events(spark, sf),
+        Seq("view", "click", "purchase"), 86400000000L)
+      .select(cols: _*).collect().map(key).toSet
+    assert(streamed.nonEmpty, "no funnel rows emitted by the stream")
+    assert(streamed == batch, s"stream-with-flush must equal batch funnel: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
+  test("streaming funnel: a LATE step-1 event re-qualifies a buffered later-step candidate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.FunnelEv]
+    val name = s"funnel_late_${System.nanoTime()}"
+    val q = StreamingOps.funnelStream(src.toDS(), Seq("view", "click", "purchase"), 100L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: the click arrives FIRST — no view yet, so nothing chains
+      src.addData(StreamingOps.FunnelEv(1L, "click", 50L))
+      q.processAllAvailable()
+      // batch 2: the view arrives LATE (event-time 10 < the click's 50,
+      // admissible under the 1h watermark delay) — the buffered click
+      // must now qualify (10 < 50 <= 110)
+      src.addData(StreamingOps.FunnelEv(1L, "view", 10L))
+      q.processAllAvailable()
+      // flush sentinels fire the timeout emission
+      src.addData(StreamingOps.FunnelEv(-1L, "view", StreamingOps.FlushTsUs))
+      q.processAllAvailable()
+      src.addData(StreamingOps.FunnelEv(-1L, "view", StreamingOps.FlushTsUs + 7200000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getInt(4)))
+    assert(rows.toSeq == Seq((1L, 10L, Some(50L), 2)),
+      s"late view must re-qualify the buffered click: ${rows.toSeq}")
+  }
 }
