@@ -142,14 +142,29 @@ object ProductQuant {
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       pqTopK(e.filter(col("vec_id") < 10), e)
+    }),
+    // Exact recall@5 vs brute force: both sides are deterministic
+    // integer programs, so the hit COUNT itself is oracle-exact (the
+    // 0.90 in the Scaladoc is this number, hash-guarded every round).
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = SimSearch.bruteForceTopK(queries, e, k = 5)
+        .select(col("q_id"), col("c_id"))
+      val pq = pqTopK(queries, e).select(col("q_id"), col("c_id"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHits = pq.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      // 1-row × 1-row cross join — two scalars, never data-sized
+      nExact.crossJoin(nHits)
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // The identical integer program: subspace as data (UNNEST over sub),
-    // the same seed/assign/update/encode/ADC chain, HUGEINT sums cast
-    // back, `//` floor division on exact multiples ≡ Spark's `div`.
-    "ann_pq_topk" ->
+  /** The full PQ program as a DuckDB CTE chain ending in `pq`
+    * (q_id, rank, c_id, dot_q — the reranked top-5), shared by the
+    * top-k oracle and the exact recall companion.
+    */
+  private val oracleCtes: String =
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -210,11 +225,34 @@ object ProductQuant {
         |      i -> qa.qv[i] * qc.qv[i])) AS BIGINT) AS dot_q
         |  FROM short s
         |  JOIN q qa ON qa.vec_id = s.q_id
-        |  JOIN q qc ON qc.vec_id = s.c_id)
-        |SELECT q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
-        |  c_id, dot_q
-        |FROM rer
-        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin
+        |  JOIN q qc ON qc.vec_id = s.c_id),
+        |pq AS (
+        |  SELECT q_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
+        |    c_id, dot_q
+        |  FROM rer
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // The identical integer program: subspace as data (UNNEST over sub),
+    // the same seed/assign/update/encode/ADC chain, HUGEINT sums cast
+    // back, `//` floor division on exact multiples ≡ Spark's `div`.
+    "ann_pq_topk" ->
+      (oracleCtes + "\nSELECT q_id, rank, c_id, dot_q FROM pq"),
+    // Recall@5 vs brute force as EXACT integers — unlike the IVF
+    // companion's pinned floor boolean, BOTH sides here are
+    // deterministic integer programs, so the oracle recomputes the
+    // recall itself and the driver hash-checks the exact hit count.
+    "ann_pq_recall" ->
+      (oracleCtes + """,
+        |exact AS (
+        |  SELECT qa.vec_id AS q_id, qc.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qa.qv)),
+        |      i -> qa.qv[i] * qc.qv[i])) AS BIGINT) AS dot
+        |  FROM (SELECT * FROM q WHERE vec_id < 10) qa
+        |  JOIN q qc ON qa.vec_id != qc.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY qa.vec_id ORDER BY dot DESC, qc.vec_id) <= 5)
+        |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM pq JOIN exact USING (q_id, c_id)) AS BIGINT) AS n_hits""".stripMargin)
   )
 }
