@@ -32,6 +32,7 @@ object SparkEntry {
     (ops.Layout.queries, ops.Layout.oracleSql),
     (plans.TopKPerKey.queries, plans.TopKPerKey.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
+    (ext.BpeTrain.queries, ext.BpeTrain.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),

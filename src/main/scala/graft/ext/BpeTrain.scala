@@ -1,0 +1,151 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** BPE tokenizer TRAINING at corpus scale (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"):
+  * start from characters within words, repeatedly (1) count adjacent
+  * symbol pairs across the corpus, (2) pick the most frequent pair,
+  * (3) merge every greedy left-to-right occurrence — the learned merge
+  * rules ARE the tokenizer. `text_bpe_tokens` applies a tokenizer;
+  * this trains one.
+  *
+  * The serial part of BPE is the greedy LTR apply (overlapping
+  * occurrences like "aaa" under merge (a,a) must merge as [aa, a]) —
+  * a sequential fold at first sight. It distributes because within one
+  * round only ONE pair type merges, so overlap is only possible inside
+  * runs of consecutive candidate positions, and greedy LTR is exactly
+  * "merge the even offsets of each run": a gaps-and-islands window
+  * (run id = pos − row_number per candidate flag) plus a parity test —
+  * all keyed by (doc, word), no sequential scan anywhere. The oracle
+  * replays the identical program as 5 unrolled CTE rounds (the
+  * PageRank unrolled-oracle pattern).
+  *
+  * Scale shape: each round is one pair-count aggregate (map-side
+  * combined) + windows keyed by (doc_id, word_id) — the same
+  * single-shuffle-per-round regime as the CC rounds; the best pair is
+  * ONE collected row per round (bounded by the `rounds` parameter, the
+  * kmeans driver-summary regime), inlined as literals into the next
+  * round's filter. Lineage is truncated per round with an eager
+  * localCheckpoint — without it each round embeds the previous one
+  * TWICE (once via the merge stream, once via the collected best pair)
+  * and the logical plan doubles per round.
+  */
+object BpeTrain {
+
+  /** The first `rounds` learned merges: (round, lft, rgt, n) — the
+    * pair merged in that round and its corpus frequency at merge time.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wWord = Window.partitionBy(col("doc_id"), col("word_id")).orderBy(col("pos"))
+    var t = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), w => w =!= "")).as(Seq("word_id", "word")))
+      .select(col("doc_id"), col("word_id"),
+        posexplode(filter(split(col("word"), ""), c => c =!= "")).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val pre = t.withColumn("nxt", lead(col("tok"), 1).over(wWord))
+      // ONE row — the kmeans-style bounded driver summary
+      val bestRows = pre.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
+        .collect()
+      if (bestRows.isEmpty) {
+        // every word is a single symbol — nothing left to merge
+        exhausted = true
+      } else {
+      val best = bestRows(0)
+      val (lft, rgt, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      val cand = pre.withColumn("cand",
+        when(col("tok") === lit(lft) && col("nxt") === lit(rgt), 1).otherwise(0))
+      // greedy LTR = merge the even offsets of each consecutive-candidate
+      // run (runs only matter when lft == rgt; disjoint candidates are
+      // their own runs and always merge)
+      val wCand = Window.partitionBy(col("doc_id"), col("word_id"), col("cand"))
+        .orderBy(col("pos"))
+      val grp = cand.withColumn("grp", col("pos") - row_number().over(wCand))
+      val wRun = Window.partitionBy(col("doc_id"), col("word_id"), col("cand"), col("grp"))
+        .orderBy(col("pos"))
+      val m = grp.withColumn("do_merge",
+        when(col("cand") === 1 && (row_number().over(wRun) - 1) % 2 === 0, 1)
+          .otherwise(0))
+      // a row is CONSUMED iff its predecessor merged; survivors
+      // re-densify pos for the next round
+      t = m.withColumn("prev_m", lag(col("do_merge"), 1).over(wWord))
+        .filter(coalesce(col("prev_m"), lit(0)) === 0)
+        .select(col("doc_id"), col("word_id"),
+          row_number().over(wWord).as("pos"),
+          when(col("do_merge") === 1, concat(col("tok"), col("nxt")))
+            .otherwise(col("tok")).as("tok"))
+        .localCheckpoint()
+      merges += ((r, lft, rgt, n))
+      }
+    }
+    merges.toSeq.toDF("round", "lft", "rgt", "n")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "bpe_train_merges" -> ((s, dir) =>
+      bpeTrainMerges(Tables.documents(s, dir), rounds = 5))
+  )
+
+  /** One unrolled CTE round of the identical program. */
+  private def roundSql(r: Int): String = {
+    val p = r - 1
+    s"""pre$r AS (
+       |  SELECT doc_id, word_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS nxt
+       |  FROM t$p),
+       |b$r AS (
+       |  SELECT tok AS lft, nxt AS rgt, count(*) AS n
+       |  FROM pre$r WHERE nxt IS NOT NULL
+       |  GROUP BY 1, 2 ORDER BY n DESC, lft, rgt LIMIT 1),
+       |m$r AS (
+       |  SELECT doc_id, word_id, pos, tok, nxt, cand,
+       |    CASE WHEN cand = 1 AND
+       |        (ROW_NUMBER() OVER (PARTITION BY doc_id, word_id, cand, grp ORDER BY pos) - 1) % 2 = 0
+       |      THEN 1 ELSE 0 END AS do_merge
+       |  FROM (
+       |    SELECT a.*, CASE WHEN a.tok = b.lft AND a.nxt = b.rgt THEN 1 ELSE 0 END AS cand,
+       |      a.pos - ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.word_id,
+       |        CASE WHEN a.tok = b.lft AND a.nxt = b.rgt THEN 1 ELSE 0 END ORDER BY a.pos) AS grp
+       |    FROM pre$r a CROSS JOIN b$r b)),
+       |t$r AS (
+       |  SELECT doc_id, word_id,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS pos,
+       |    CASE WHEN do_merge = 1 THEN tok || nxt ELSE tok END AS tok
+       |  FROM (SELECT *, lag(do_merge) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS prev_m
+       |        FROM m$r)
+       |  WHERE coalesce(prev_m, 0) = 0)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe_train_merges" -> (
+      """WITH words AS (
+        |  SELECT doc_id, wi AS word_id, ws[wi] AS word
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |    UNNEST(generate_series(1, len(ws))) AS t(wi)
+        |  WHERE ws[wi] != ''),
+        |t0 AS (
+        |  SELECT doc_id, word_id, ci AS pos, cs[ci] AS tok
+        |  FROM (SELECT doc_id, word_id, string_split(word, '') AS cs FROM words),
+        |    UNNEST(generate_series(1, len(cs))) AS t(ci)),
+        |""".stripMargin +
+      (1 to 5).map(roundSql).mkString(",\n") +
+      "\nSELECT * FROM (" +
+      (1 to 5).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, lft, rgt, CAST(n AS BIGINT) AS n FROM b$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY round")
+  )
+}
