@@ -112,6 +112,78 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Threshold Jaccard similarity join by PREFIX FILTERING (the
+    * AllPairs/PPJoin principle, Bayardo et al. WWW'07; Xiao et al.
+    * TODS'11) over per-document DISTINCT TOKEN sets — the third exact
+    * near-dup tier beside the df-capped inverted index
+    * ([[ngramJaccardPairs]]) and MinHash banding: instead of dropping
+    * hot tokens (which changes the measure) or accepting probabilistic
+    * recall, it is EXACT at any df, because candidate generation only
+    * touches each document's PREFIX — its rarest
+    * |d| − ceil(τ·|d|) + 1 tokens in global (df, token) order.
+    *
+    * Completeness: J(A,B) ≥ τ ⟹ |A∩B| ≥ ceil(τ|A|) (and ≥ ceil(τ|B|)).
+    * If the two prefixes (under any shared total order) were disjoint,
+    * then — taking wlog the side whose last prefix token is smaller —
+    * every common token would exceed the OTHER side's prefix boundary
+    * and so also its own, forcing A∩B entirely into one suffix of size
+    * ceil(τ|·|) − 1 < |A∩B|: contradiction. So every qualifying pair
+    * shares a prefix token and survives the candidate join. The
+    * threshold is applied integer-exactly
+    * (100·inter ≥ p·(|A|+|B|−inter)).
+    *
+    * 100 TB shape: the candidate self-join carries only prefix tokens —
+    * at τ=0.95 that is ~5% of the index, and by construction the RAREST
+    * tokens, so bucket sizes are small without any df cap; corpus-wide
+    * boilerplate tokens never reach the join (they rank last in every
+    * document's order). Verification re-fetches the two token arrays by
+    * doc_id equi-joins against the persisted base (the same
+    * payload-after-dedup shape as minhashLshPairs) and intersects
+    * doc-bounded arrays per candidate — never a token-level pair
+    * explosion.
+    */
+  def prefixJaccardPairs(docs: DataFrame, thresholdPct: Int): DataFrame =
+    prefixJaccardPairsStamped(docs, thresholdPct)._1
+
+  /** [[prefixJaccardPairs]] plus the thunk releasing the persisted token
+    * index (plain form is for harnesses that `clearCache()` per query).
+    */
+  def prefixJaccardPairsStamped(docs: DataFrame,
+                                thresholdPct: Int): (DataFrame, () => Unit) = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct must be in (0, 100], got $thresholdPct")
+    val p = thresholdPct
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val allByDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // prefix = the first n − ceil(p·n/100) + 1 tokens in (df, tok) order;
+    // one shuffle on tok (df join), one on doc_id (both windows share it)
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(allByDoc))
+      .where(col("pos") <= col("n") - expr(s"(($p * n) + 99) div 100") + 1)
+      .select(col("doc_id"), col("tok"), xxhash64(col("tok")).as("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrays = toks.groupBy(col("doc_id"))
+      .agg(collect_list(col("tok")).as("toks"), count(lit(1)).as("n"))
+    val verified = cand
+      .join(arrays.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("n_a")), "doc_a")
+      .join(arrays.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .where(lit(100L) * col("n_common") >= lit(p.toLong) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+    (verified, () => { toks.unpersist(); () })
+  }
+
   /** Incremental near-dup: the production shape where a NEW BATCH of
     * documents is deduplicated AGAINST the existing corpus without ever
     * self-joining the corpus. `batchSide` partitions `docs` into batch
@@ -536,6 +608,11 @@ object Dedup {
     "dedup_containment" -> ((s, dir) =>
       containmentPairs(Tables.documents(s, dir), 0.5)),
 
+    // exact threshold-Jaccard join over distinct-token sets by prefix
+    // filtering — candidates only from each doc's rarest ~5% of tokens
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      prefixJaccardPairs(Tables.documents(s, dir), thresholdPct = 95)),
+
     // the md5 ~10% bucket plays the "newly arrived batch", the rest the
     // standing corpus
     "dedup_incremental_jaccard" -> ((s, dir) =>
@@ -707,6 +784,24 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / least(sa.n_shingles, sb.n_shingles) >= 0.5""".stripMargin),
+    // brute force over ALL token-sharing pairs — the prefix filter is an
+    // exact algorithm, so its output must equal the unfiltered join
+    "dedup_prefix_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        |  round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE 100 * n_common >= 95 * (sa.n + sb.n - n_common)""".stripMargin,
     "dedup_minhash_recall" ->
       (s"WITH $ngramCtes\n" +
       """SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.7 AS DOUBLE) AS recall_floor,

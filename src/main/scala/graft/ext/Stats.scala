@@ -1,0 +1,186 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical modeling operators beyond the moment/percentile family in
+  * SetWindowOps: group-wise OLS regression, robust (median/MAD) outlier
+  * detection, and the 2-D Pareto skyline.
+  *
+  * Determinism discipline is the repo standard (correlation_by_group,
+  * standardize_by_group): every sum is exact integer/decimal arithmetic,
+  * and the unavoidable float math is ONE expression of identical textual
+  * shape on both engines.
+  */
+object Stats {
+
+  /** Per-group simple OLS fit y = slope·x + intercept via exact integer
+    * cross-moments; slope/intercept emerge from single mirrored float
+    * expressions over the exact sums. Second moments accumulate as
+    * DECIMAL(38,0) — Σ(price_cents²) already flirts with Long.Max at
+    * sf0.1 (see correlation_by_group's note).
+    */
+  def regressionByGroup(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val m = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val slopeRaw = (nD * col("sxy").cast("double") - sxD * syD) /
+      (nD * col("sxx").cast("double") - sxD * sxD)
+    m.select(col("grp"), col("n"),
+      round(slopeRaw, 6).as("slope"),
+      round((syD - slopeRaw * sxD) / nD, 6).as("intercept"))
+  }
+
+  /** Robust per-group outliers: |x − median| > k·MAD. Median and MAD are
+    * EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both the R-7 definition); on integer inputs the
+    * interpolated values are exact binary fractions (halves/quarters), so
+    * the comparison is engine-deterministic despite the double type.
+    *
+    * 100 TB shape: two passes over the data, each a map-side-combining
+    * aggregate on the group key; the group-stat tables are
+    * group-count-sized and broadcast back. Exact percentile holds a
+    * per-group value-count map — fine for bounded integer domains like
+    * cents; swap in approx_percentile for unbounded ones.
+    */
+  def outliersMad(df: DataFrame, group: Column, x: Column, k: Int,
+                  keep: Seq[Column]): DataFrame = {
+    val base = df.select((keep :+ group.as("grp") :+ x.as("pc")): _*)
+    val med = base.groupBy(col("grp"))
+      .agg(percentile(col("pc"), lit(0.5)).as("med"))
+    val withMed = base.join(broadcast(med), "grp")
+    val mad = withMed.groupBy(col("grp"))
+      .agg(percentile(abs(col("pc").cast("double") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "grp")
+      .where(abs(col("pc").cast("double") - col("med")) > lit(k) * col("mad"))
+  }
+
+  /** 2-D Pareto skyline (minimize both dimensions): the points no other
+    * point dominates (≤ in both, < in at least one).
+    *
+    * Two-phase staircase, no single-partition stage: one shuffle reduces
+    * to min(y) per distinct x (the only candidate per x); a row then
+    * survives iff the exclusive running min of y over ascending x stays
+    * above its own y. The running min over the x-level table is computed
+    * the `Offsets.globalPosition` way — range-shuffle by x, a
+    * per-PARTITION running-min window (partition-parallel), and the
+    * cluster-width per-partition minima broadcast back as exclusive
+    * prefix minima. The stamped frame is persisted before branching so
+    * both readers see one partition layout (same AQE note as
+    * globalPositionStamped).
+    */
+  def skyline2d(pts: DataFrame, xCol: String, yCol: String): DataFrame =
+    skyline2dStamped(pts, xCol, yCol)._1
+
+  /** [[skyline2d]] plus the unpersist thunk for the stamped internal
+    * frame (plain form leaves it to `spark.catalog.clearCache()`).
+    */
+  def skyline2dStamped(pts: DataFrame, xCol: String, yCol: String): (DataFrame, () => Unit) = {
+    val g = pts.groupBy(col(xCol)).agg(min(col(yCol)).as("_my"))
+    val stamped = g.repartitionByRange(col(xCol)).sortWithinPartitions(col(xCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localRun = Window.partitionBy(col("_pid")).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partMins = stamped.groupBy(col("_pid")).agg(min(col("_my")).as("_pmin"))
+    val prefixW = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = partMins.withColumn("_before", min(col("_pmin")).over(prefixW))
+      .select(col("_pid"), col("_before"))
+    val result = stamped
+      .join(broadcast(prefix), "_pid")
+      .withColumn("_run", least(min(col("_my")).over(localRun), col("_before")))
+      .where(col("_run").isNull || col("_run") > col("_my"))
+      .select(col(xCol), col("_my").as(yCol))
+    (result, () => { stamped.unpersist(); () })
+  }
+
+  val queries: Map[String, Q] = Map(
+    // price_cents on qty_cents per returnflag — 3 fitted lines
+    "regression_by_group" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      regressionByGroup(li, col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"))
+        .withColumnRenamed("grp", "l_returnflag")
+    }),
+
+    // per-event-type robust outliers on value_cents, k = 3
+    "outlier_mad" -> ((s, dir) =>
+      outliersMad(Tables.events(s, dir), col("event_type"),
+          round(col("value") * 100).cast("long"), k = 3,
+          keep = Seq(col("event_id")))
+        .select(col("grp").as("event_type"), col("event_id"),
+          col("pc").as("value_cents"), col("med"), col("mad"))),
+
+    // cheapest-and-smallest part frontier
+    "skyline_pareto" -> ((s, dir) =>
+      skyline2d(
+        Tables.part(s, dir).select(
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("p_size")),
+        "price_cents", "p_size"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "regression_by_group" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+        |  FROM c GROUP BY l_returnflag),
+        |s AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+        |  FROM m)
+        |SELECT l_returnflag, n, round(slope_raw, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) /
+        |    CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s""".stripMargin,
+
+    "outlier_mad" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(value_cents, 0.5) AS med
+        |  FROM c GROUP BY event_type),
+        |d AS (
+        |  SELECT c.event_type, c.event_id, c.value_cents, m.med
+        |  FROM c JOIN m ON m.event_type = c.event_type),
+        |m2 AS (
+        |  SELECT event_type,
+        |    quantile_cont(abs(CAST(value_cents AS DOUBLE) - med), 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, d.event_id, d.value_cents, d.med, m2.mad
+        |FROM d JOIN m2 ON m2.event_type = d.event_type
+        |WHERE abs(CAST(value_cents AS DOUBLE) - med) > 3 * m2.mad""".stripMargin,
+
+    "skyline_pareto" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT price_cents, p_size FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))""".stripMargin
+  )
+}
