@@ -42,6 +42,11 @@ object SparkEntry {
     (ext.KMeans.queries, ext.KMeans.oracleSql),
     (ext.SemDedup.queries, ext.SemDedup.oracleSql),
     (ext.PageRank.queries, ext.PageRank.oracleSql),
+    (ext.GraphOps.queries, ext.GraphOps.oracleSql),
+    (ext.Cohort.queries, ext.Cohort.oracleSql),
+    (ext.Stats.queries, ext.Stats.oracleSql),
+    (ext.RankFusion.queries, ext.RankFusion.oracleSql),
+    (ext.RecSys.queries, ext.RecSys.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),

@@ -161,11 +161,15 @@ object ProductQuant {
   )
 
   /** The full PQ program as a DuckDB CTE chain ending in `pq`
-    * (q_id, rank, c_id, dot_q — the reranked top-5), shared by the
-    * top-k oracle and the exact recall companion.
+    * (q_id, rank, c_id, dot_q — the reranked top-`k`), shared by the
+    * top-k oracle, the exact recall companion, and RankFusion's hybrid
+    * oracle. `lead` lets a composing query supply its own WITH and
+    * splice this chain mid-list.
     */
-  private val oracleCtes: String =
-      """WITH q AS (
+  private[ext] def oracleCtesFor(shortlist: Int, k: Int,
+                                 lead: String = "WITH "): String =
+      (lead +
+      """q AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
         |  FROM embeddings),
@@ -218,7 +222,7 @@ object ProductQuant {
         |  GROUP BY lut.q_id, enc.vec_id),
         |short AS (
         |  SELECT q_id, c_id FROM adc
-        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) <= 50),
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) <= SHORTLIST_N),
         |rer AS (
         |  SELECT s.q_id, s.c_id,
         |    CAST(list_sum(list_transform(generate_series(1, len(qa.qv)),
@@ -231,7 +235,11 @@ object ProductQuant {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
         |    c_id, dot_q
         |  FROM rer
-        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5)""".stripMargin
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= TOPK_N)""".stripMargin)
+        .replace("SHORTLIST_N", shortlist.toString)
+        .replace("TOPK_N", k.toString)
+
+  private val oracleCtes: String = oracleCtesFor(50, 5)
 
   val oracleSql: Map[String, String] = Map(
     // The identical integer program: subspace as data (UNNEST over sub),

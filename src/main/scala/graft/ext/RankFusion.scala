@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.,
+  * SIGIR'09): fuse two rankings of the same corpus by summing
+  * 1/(60 + rank) per list — formulated INTEGER-EXACT
+  * (`SCALE div (60 + rank)`, SCALE = 10⁶) so the fused ordering is
+  * bit-reproducible on any engine. Here the two lists are the exact
+  * quantized-dot ranking (SimSearch.bruteForceTopK) and the
+  * PQ-compressed ADC ranking (ProductQuant.pqTopK) — the realistic
+  * hybrid-retrieval shape where a cheap compressed index and an exact
+  * scorer vote jointly.
+  *
+  * 100 TB shape: both inputs are per-query top-N lists (N = 50), so the
+  * fusion join carries |queries|·N rows per side — NEVER corpus-sized;
+  * the full-outer join keys on (q_id, c_id) and the final top-k runs
+  * through the TopKPerKey partial/final operator. Rank-absent documents
+  * contribute 0 by coalesce, the standard RRF convention.
+  */
+object RankFusion {
+
+  /** Fuse two (q_id, rank, c_id) rankings; emits per-query top-`k` by
+    * descending integer RRF score (ties broken by c_id).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              rrfK: Int = 60, scale: Long = 1000000L): DataFrame = {
+    val fa = a.select(col("q_id"), col("c_id"), col("rank").as("rank_a"))
+    val fb = b.select(col("q_id"), col("c_id"), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq("q_id", "c_id"), "full_outer")
+      .select(col("q_id"), col("c_id"),
+        (coalesce(expr(s"$scale div ($rrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"$scale div ($rrfK + rank_b)"), lit(0L))).as("rrf_score"))
+    graft.plans.TopKPerKey.topKPerKey(fused, Seq("q_id"),
+        Seq(("rrf_score", true), ("c_id", false)), k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("rrf_score"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact top-50 ∪ PQ-ADC top-50 → fused top-10 per query
+    "hybrid_rank_fusion" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+      rrfFuse(
+        SimSearch.bruteForceTopK(qs, e, k = 50),
+        ProductQuant.pqTopK(qs, e, shortlist = 50, k = 50),
+        k = 10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the brute-force chain + the full PQ chain (shortlist 50, k 50)
+    // spliced into one WITH, fused by the same integer arithmetic
+    "hybrid_rank_fusion" ->
+      (ProductQuant.oracleCtesFor(50, 50) + ",\n" +
+      """bf_d AS (
+        |  SELECT qa.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qa.embedding)),
+        |      i -> CAST(round(CAST(qa.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) qa
+        |  JOIN embeddings c ON qa.vec_id != c.vec_id),
+        |bf AS (
+        |  SELECT q_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
+        |    c_id
+        |  FROM bf_d
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 50),
+        |fused AS (
+        |  SELECT COALESCE(bf.q_id, pq.q_id) AS q_id,
+        |    COALESCE(bf.c_id, pq.c_id) AS c_id,
+        |    COALESCE(1000000 // (60 + bf.rank), 0) +
+        |      COALESCE(1000000 // (60 + pq.rank), 0) AS rrf_score
+        |  FROM bf FULL OUTER JOIN pq
+        |    ON pq.q_id = bf.q_id AND pq.c_id = bf.c_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, c_id) AS INTEGER) AS rank,
+        |  c_id, CAST(rrf_score AS BIGINT) AS rrf_score
+        |FROM fused
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, c_id) <= 10""".stripMargin)
+  )
+}
