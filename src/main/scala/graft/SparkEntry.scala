@@ -45,6 +45,7 @@ object SparkEntry {
     (ext.GraphOps.queries, ext.GraphOps.oracleSql),
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
+    (ext.Collocations.queries, ext.Collocations.oracleSql),
     (ext.RankFusion.queries, ext.RankFusion.oracleSql),
     (ext.RecSys.queries, ext.RecSys.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),

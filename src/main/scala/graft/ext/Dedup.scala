@@ -114,13 +114,21 @@ object Dedup {
 
   /** Threshold Jaccard similarity join by PREFIX FILTERING (the
     * AllPairs/PPJoin principle, Bayardo et al. WWW'07; Xiao et al.
-    * TODS'11) over per-document DISTINCT TOKEN sets — the third exact
+    * TODS'11) over per-document 3-gram SHINGLE sets — the third exact
     * near-dup tier beside the df-capped inverted index
-    * ([[ngramJaccardPairs]]) and MinHash banding: instead of dropping
-    * hot tokens (which changes the measure) or accepting probabilistic
-    * recall, it is EXACT at any df, because candidate generation only
-    * touches each document's PREFIX — its rarest
-    * |d| − ceil(τ·|d|) + 1 tokens in global (df, token) order.
+    * ([[ngramJaccardPairs]], the SAME measure) and MinHash banding:
+    * instead of dropping hot shingles (which changes the measure) or
+    * accepting probabilistic recall, it is EXACT at any df, because
+    * candidate generation only touches each document's PREFIX — its
+    * rarest |d| − ceil(τ·|d|) + 1 shingles in global (df, shingle)
+    * order.
+    *
+    * Shingles, not raw token sets, deliberately: on templated corpora
+    * two docs built from one template have near-IDENTICAL token SETS
+    * (same vocabulary, different order), so token-set similarity is
+    * degenerate — measured here, token-set prefixes produced 6.9M
+    * candidates on the sf0.1 corpus where shingle prefixes produce
+    * 47k for the same τ. Word order is signal; shingles keep it.
     *
     * Completeness: J(A,B) ≥ τ ⟹ |A∩B| ≥ ceil(τ|A|) (and ≥ ceil(τ|B|)).
     * If the two prefixes (under any shared total order) were disjoint,
@@ -132,21 +140,22 @@ object Dedup {
     * threshold is applied integer-exactly
     * (100·inter ≥ p·(|A|+|B|−inter)).
     *
-    * 100 TB shape: the candidate self-join carries only prefix tokens —
-    * at τ=0.95 that is ~5% of the index, and by construction the RAREST
-    * tokens, so bucket sizes are small without any df cap; corpus-wide
-    * boilerplate tokens never reach the join (they rank last in every
-    * document's order). Verification re-fetches the two token arrays by
-    * doc_id equi-joins against the persisted base (the same
-    * payload-after-dedup shape as minhashLshPairs) and intersects
-    * doc-bounded arrays per candidate — never a token-level pair
-    * explosion.
+    * 100 TB shape: the candidate self-join carries only prefix
+    * shingles — at τ=0.9 that is ~10% of the index, and by construction
+    * the RAREST shingles, so bucket sizes are small without any df cap;
+    * corpus-wide boilerplate shingles never reach the join (they rank
+    * last in every document's order). Verification re-fetches the two
+    * shingle arrays by doc_id equi-joins against the persisted base
+    * (the same payload-after-dedup shape as minhashLshPairs) and
+    * intersects doc-bounded arrays per candidate — never a
+    * shingle-level pair explosion.
     */
   def prefixJaccardPairs(docs: DataFrame, thresholdPct: Int): DataFrame =
     prefixJaccardPairsStamped(docs, thresholdPct)._1
 
-  /** [[prefixJaccardPairs]] plus the thunk releasing the persisted token
-    * index (plain form is for harnesses that `clearCache()` per query).
+  /** [[prefixJaccardPairs]] plus the thunk releasing the persisted
+    * shingle index (plain form is for harnesses that `clearCache()` per
+    * query).
     */
   def prefixJaccardPairsStamped(docs: DataFrame,
                                 thresholdPct: Int): (DataFrame, () => Unit) = {
@@ -154,7 +163,7 @@ object Dedup {
       s"thresholdPct must be in (0, 100], got $thresholdPct")
     val p = thresholdPct
     val toks = docs
-      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -182,6 +191,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
     (verified, () => { toks.unpersist(); () })
+  }
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95) — the
+    * blocking-window tier: sort the corpus ONCE by a cheap blocking key
+    * (here the first `keyLen` chars of the whitespace-stripped
+    * lowercased text), then compare each document only against the
+    * `window − 1` documents that FOLLOW it in that order, verifying
+    * candidates with the exact token-Jaccard threshold. Linear
+    * candidate count (n·(w−1) pairs), the classic cheap screen when
+    * near-dups share prefixes — complementary to prefix-filter (exact,
+    * any τ) and MinHash (probabilistic, order-free).
+    *
+    * 100 TB shape: the sort is ONE range shuffle via
+    * [[graft.ops.Offsets.globalPosition]] (two-phase, no
+    * single-partition stage); the neighbour join EXPLODES each row into
+    * `window − 1` (pos + δ) probes and equi-joins on position — a plain
+    * hash join, never an order-dependent window over the full corpus —
+    * and verification re-fetches token arrays by doc_id equi-joins
+    * against the persisted base (the minhashLshPairs shape).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int,
+                              thresholdPct: Int, keyLen: Int = 12): DataFrame =
+    sortedNeighborhoodPairsStamped(docs, window, thresholdPct, keyLen)._1
+
+  /** [[sortedNeighborhoodPairs]] plus the thunk releasing the persisted
+    * token index and position frame.
+    */
+  def sortedNeighborhoodPairsStamped(docs: DataFrame, window: Int,
+                                     thresholdPct: Int,
+                                     keyLen: Int = 12): (DataFrame, () => Unit) = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct must be in (0, 100], got $thresholdPct")
+    val p = thresholdPct
+    val keyed = docs.select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, keyLen).as("bk"))
+    val (pos, stamped) = graft.ops.Offsets.globalPositionStamped(
+      keyed, Seq(col("bk"), col("doc_id")))
+    val probes = pos.select(col("doc_id").as("doc_a"),
+        explode(sequence(col("pos") + 1, col("pos") + (window - 1))).as("pos"))
+    val cand = probes.join(pos.select(col("doc_id").as("doc_b"), col("pos")), "pos")
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val toks = docs
+      .select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("n_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .where(lit(100L) * col("n_common") >= lit(p.toLong) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
+    (verified, () => { toks.unpersist(); stamped.unpersist(); () })
   }
 
   /** Incremental near-dup: the production shape where a NEW BATCH of
@@ -608,10 +671,17 @@ object Dedup {
     "dedup_containment" -> ((s, dir) =>
       containmentPairs(Tables.documents(s, dir), 0.5)),
 
-    // exact threshold-Jaccard join over distinct-token sets by prefix
-    // filtering — candidates only from each doc's rarest ~5% of tokens
+    // exact threshold-Jaccard join over shingle sets by prefix
+    // filtering — candidates only from each doc's rarest ~10% of
+    // shingles; same measure as dedup_ngram_jaccard, no df cap
     "dedup_prefix_jaccard" -> ((s, dir) =>
-      prefixJaccardPairs(Tables.documents(s, dir), thresholdPct = 95)),
+      prefixJaccardPairs(Tables.documents(s, dir), thresholdPct = 90)),
+
+    // blocking-window screen: sort once by text prefix, compare each doc
+    // to its 7 successors, verify at 80% token Jaccard
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      sortedNeighborhoodPairs(Tables.documents(s, dir), window = 8,
+        thresholdPct = 80)),
 
     // the md5 ~10% bucket plays the "newly arrived batch", the rest the
     // standing corpus
@@ -784,13 +854,18 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / least(sa.n_shingles, sb.n_shingles) >= 0.5""".stripMargin),
-    // brute force over ALL token-sharing pairs — the prefix filter is an
-    // exact algorithm, so its output must equal the unfiltered join
+    // brute force over ALL shingle-sharing pairs — the prefix filter is
+    // an exact algorithm, so its output must equal the unfiltered join
     "dedup_prefix_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS tok
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
         |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)) AS tok
+        |  FROM t0),
         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -801,7 +876,35 @@ object Dedup {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE 100 * n_common >= 95 * (sa.n + sb.n - n_common)""".stripMargin,
+        |WHERE 100 * n_common >= 90 * (sa.n + sb.n - n_common)""".stripMargin,
+    // row_number over the same (blocking key, doc_id) order; pairs at
+    // position distance 1..7; identical token-join verification
+    "dedup_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 12) AS bk
+        |  FROM documents),
+        |p AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) - 1 AS pos FROM d),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 7),
+        |tk AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |  FROM cand c
+        |  JOIN tk a ON a.doc_id = c.doc_a
+        |  JOIN tk b ON b.doc_id = c.doc_b AND b.tok = a.tok
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE 100 * i.n_common >= 80 * (sa.n + sb.n - i.n_common)""".stripMargin,
     "dedup_minhash_recall" ->
       (s"WITH $ngramCtes\n" +
       """SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.7 AS DOUBLE) AS recall_floor,

@@ -101,6 +101,36 @@ object Stats {
     (result, () => { stamped.unpersist(); () })
   }
 
+  /** Equi-depth (equal-frequency) discretization: bin a numeric column
+    * into `bins` buckets holding ≈ equal row counts, emitting per-bin
+    * (bin, n, lo, hi). The B−1 boundaries are EXACT interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    * established percentile_agg equivalence); bin assignment counts
+    * strict boundary exceedances via a codegen'd higher-order
+    * `aggregate` over the broadcast boundary array — so ties on a
+    * boundary all land in the lower bin, deterministically, on both
+    * engines.
+    *
+    * 100 TB shape: one exact-percentile aggregate (swap in
+    * approx_percentile for unbounded domains — same note as
+    * outliersMad), the 1-row boundary table broadcast back, then one
+    * map-side-combining aggregate on the bin id. Never a global sort —
+    * the ntile formulation this replaces would window over one
+    * partition.
+    */
+  def equiDepthBins(df: DataFrame, x: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val ps = (1 until bins).map(i => lit(i.toDouble / bins))
+    val bnds = df.select(x.as("pc"))
+      .agg(percentile(col("pc"), array(ps: _*)).as("bnds"))
+    df.select(x.as("pc")).crossJoin(broadcast(bnds))
+      .select(col("pc"),
+        aggregate(col("bnds"), lit(0),
+          (acc, b) => acc + when(col("pc").cast("double") > b, 1).otherwise(0)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("pc")).as("lo"), max(col("pc")).as("hi"))
+  }
+
   val queries: Map[String, Q] = Map(
     // price_cents on qty_cents per returnflag — 3 fitted lines
     "regression_by_group" -> ((s, dir) => {
@@ -118,6 +148,11 @@ object Stats {
           keep = Seq(col("event_id")))
         .select(col("grp").as("event_type"), col("event_id"),
           col("pc").as("value_cents"), col("med"), col("mad"))),
+
+    // ten equal-frequency price bands over lineitem cents
+    "equidepth_bins" -> ((s, dir) =>
+      equiDepthBins(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100).cast("long"), bins = 10)),
 
     // cheapest-and-smallest part frontier
     "skyline_pareto" -> ((s, dir) =>
@@ -171,6 +206,17 @@ object Stats {
         |SELECT d.event_type, d.event_id, d.value_cents, d.med, m2.mad
         |FROM d JOIN m2 ON m2.event_type = d.event_type
         |WHERE abs(CAST(value_cents AS DOUBLE) - med) > 3 * m2.mad""".stripMargin,
+
+    "equidepth_bins" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc FROM lineitem),
+        |b AS (
+        |  SELECT quantile_cont(pc, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+        |  FROM c)
+        |SELECT CAST(len(list_filter(b.bnds, x -> CAST(c.pc AS DOUBLE) > x)) AS INTEGER) AS bin,
+        |  count(*) AS n, min(c.pc) AS lo, max(c.pc) AS hi
+        |FROM c CROSS JOIN b
+        |GROUP BY 1""".stripMargin,
 
     "skyline_pareto" ->
       """WITH pts AS (

@@ -89,10 +89,11 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
-  test("prefix-filter Jaccard equals the brute-force threshold join") {
+  test("prefix-filter Jaccard equals the brute-force shingle threshold join") {
     import spark.implicits._
-    // templated docs: shared base tokens with small per-doc variations →
-    // pairs straddle the 80% threshold both ways
+    // templated docs: shared base token runs with per-doc point edits →
+    // shingle-set pairs straddle the 80% threshold both ways (docs with
+    // i % 5 == 0 are exact copies of each other)
     val base = (1 to 30).map(i => s"tok$i")
     val docs = (0L until 24L).map { i =>
       val drop = (i % 5).toInt
@@ -104,7 +105,12 @@ class StatsSpec extends AnyFunSuite {
     val gotPairs = got.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     unpersist()
-    val sets = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSet }.toMap
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
     val expected = (for {
       a <- docs.map(_._1); b <- docs.map(_._1) if a < b
       inter = (sets(a) & sets(b)).size
@@ -114,9 +120,76 @@ class StatsSpec extends AnyFunSuite {
     assert(expected.nonEmpty && gotPairs == expected)
   }
 
+  test("sorted-neighborhood finds prefix-blocked near-dups, misses out-of-window ones") {
+    import spark.implicits._
+    // 10 docs share blocking prefix "aaaa"; two identical docs block
+    // under "zzzz". With window 3, identical "aaaa" docs at sorted
+    // positions 0 and 9 are NEVER compared — the documented screen
+    // tradeoff — while adjacent near-identical ones are found.
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"aaaa $body x0"), (9L, s"aaaa $body x0"),
+      (1L, s"aaaa $body x1"), (2L, s"aaaa $body x1"),
+      (20L, s"zzzz $body"), (21L, s"zzzz $body"))
+    val df = docs.toDF("doc_id", "text").repartition(3)
+    val (got, unpersist) = graft.ext.Dedup.sortedNeighborhoodPairsStamped(
+      df, window = 3, thresholdPct = 90)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    unpersist()
+    // every aaaa doc shares one blocking key, so block order is doc_id:
+    // 0, 1, 2, 9 — window 3 probes 2 successors. Same-block pairs score
+    // 21/23 = 91.3% (x-suffix differs) or 100%; cross-block pairs 87%.
+    // The IDENTICAL pair (0, 9) sits 3 positions apart → screened out,
+    // the documented sorted-neighborhood tradeoff.
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (1L, 9L), (2L, 9L), (20L, 21L)))
+  }
+
+  test("equi-depth bins: uniform 1..100 into 4 bins of 25") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("x").repartition(7)
+    val r = graft.ext.Stats.equiDepthBins(df, col("x"), bins = 4).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // quantile_cont boundaries at 25.75, 50.5, 75.25 → bins 1-25, 26-50,
+    // 51-75, 76-100
+    assert(r == Map(0 -> ((25L, 1L, 25L)), 1 -> ((25L, 26L, 50L)),
+      2 -> ((25L, 51L, 75L)), 3 -> ((25L, 76L, 100L))))
+  }
+
+  test("BFS layers: path graph distances, unreachable nodes absent") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("u", "v").repartition(3)
+    val sources = Seq(1L).toDF("node_id")
+    val (r, unpersist) = graft.ext.GraphOps.bfsLayersStamped(edges, sources, maxHops = 2)
+    val got = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    unpersist()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("BFS layers: min distance wins on converging paths; hop 0 only sources") {
+    import spark.implicits._
+    // diamond: 1-2, 1-3, 2-4, 3-4 → dist(4) = 2 (not 3); edges undirected
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val sources = Seq(1L).toDF("node_id")
+    val got = graft.ext.GraphOps.bfsLayers(edges, sources, maxHops = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("PMI bigrams: hand-computed two-step integer lift") {
+    import spark.implicits._
+    // tokens [a b a b]: n_(a,b)=2, n_(b,a)=1, n_a=n_b=2, N=4
+    // lift(a,b) = ((1e6*2) div 2 * 4) div 2 = 2000000
+    // lift(b,a) = ((1e6*1) div 2 * 4) div 2 = 1000000
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = graft.ext.Collocations.pmiBigramsTopK(df, k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 2000000L), ("b", "a", 1L, 1000000L)))
+  }
+
   test("prefix-filter Jaccard finds nothing when nothing qualifies") {
     import spark.implicits._
-    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+    val df = Seq((1L, "a b c d"), (2L, "d e f g"), (3L, "g h i j"))
       .toDF("doc_id", "text")
     assert(graft.ext.Dedup.prefixJaccardPairs(df, thresholdPct = 50).count() == 0)
   }
