@@ -46,6 +46,7 @@ object SparkEntry {
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
     (ext.Collocations.queries, ext.Collocations.oracleSql),
+    (ext.Markov.queries, ext.Markov.oracleSql),
     (ext.RankFusion.queries, ext.RankFusion.oracleSql),
     (ext.RecSys.queries, ext.RecSys.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),

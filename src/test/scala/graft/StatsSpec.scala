@@ -187,6 +187,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 2L, 2000000L), ("b", "a", 1L, 1000000L)))
   }
 
+  test("Markov transitions: hand-computed probabilities, per-user boundaries respected") {
+    import spark.implicits._
+    // user 1: a→b→a→c; user 2: a→b. Transitions: a→b ×2, b→a ×1, a→c ×1
+    // (no cross-user pair between user 1's c and user 2's a)
+    val ev = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+        (1L, 40L, 4L, "c"), (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"))
+      .toDF("user_id", "ts_us", "event_id", "event_type").repartition(3)
+    val got = graft.ext.Markov.transitionTopK(ev, k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // from a: n_from=3 → a→b p=666666, a→c p=333333; from b: n_from=1 →
+    // b→a p=1000000
+    assert(got == Set(
+      ("a", 1, "b", 2L, 666666L), ("a", 2, "c", 1L, 333333L),
+      ("b", 1, "a", 1L, 1000000L)))
+  }
+
   test("prefix-filter Jaccard finds nothing when nothing qualifies") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "d e f g"), (3L, "g h i j"))
