@@ -184,7 +184,14 @@ object ScaleProbe {
       // streaming dedup) — embeddings/events now scale with replica
       // key offsets like documents/lineitem
       "tfidf_top_terms", "ann_ivf_topk", "dedup_minhash_lsh",
-      "join_salted_skew", "streaming_dedup"))
+      "join_salted_skew", "streaming_dedup",
+      // round-8 second wave: support-thresholded triangle counting,
+      // basket-bounded item similarity, shingle prefix-filter join,
+      // fused ANN rankings (word-tagged documents preserve per-replica
+      // shingle structure; embeddings scale with the corpus while the
+      // vec_id<10 query side stays fixed)
+      "graph_triangles", "recsys_item_similarity", "dedup_prefix_jaccard",
+      "hybrid_rank_fusion"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real
