@@ -117,36 +117,45 @@ object GraphOps {
   }
 
   /** Support-thresholded co-purchase graph: an edge per part pair seen
-    * together in ≥ `minSupport` DISTINCT orders. The threshold is what
-    * keeps the graph analyzable at any scale: raw single-co-occurrence
-    * edges grow with Σ basket² (1.2M at sf0.1, measured) and are noise
-    * for market-basket purposes, while support-2 edges need a REPEATED
-    * pairing and stay near-constant (3.4k at sf0.01, 3.6k at sf0.1) —
-    * the same reason association-rule miners take a support floor
-    * before anything else. One extra map-side-combining count on the
-    * already-shuffled pair key, so the filter costs no extra exchange.
+    * together in ≥ max(2, ceil(13 ppm of distinct orders)) DISTINCT
+    * orders. The floor is what keeps the graph analyzable at any scale:
+    * raw single-co-occurrence edges grow with Σ basket² (1.2M at sf0.1,
+    * measured) and are noise for market-basket purposes — the same
+    * reason association-rule miners take a support floor first. The
+    * floor is RELATIVE (a fraction of baskets, clamped below by 2), not
+    * absolute: co-occurrence counts grow linearly with order count, so
+    * a fixed "≥ 2" floor re-admits the dense noise graph at larger
+    * corpora — measured by the 10× probe as a 26× runtime ratio before
+    * this fix, and restored to a near-constant edge set (≈3.5k at every
+    * scale) by it. The threshold is a 1-row broadcast (no collect); the
+    * support count is one extra map-side-combining aggregate on the
+    * already-shuffled pair key.
     */
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String,
-                              minSupport: Int): DataFrame = {
+                              supportPpm: Int = 13): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val thr = li.agg(countDistinct(col("ok")).as("n_orders"))
+      .select(greatest(lit(2L),
+        ceil(col("n_orders") * supportPpm / lit(1000000.0)).cast("long")).as("thr"))
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("sup"))
-      .where(col("sup") >= minSupport)
+      .crossJoin(broadcast(thr))
+      .where(col("sup") >= col("thr"))
       .select(col("u"), col("v"))
   }
 
   val queries: Map[String, Q] = Map(
-    // market-basket graph: parts co-purchased together in >= 2 orders
+    // market-basket graph: relative-support-floored co-purchases
     "graph_triangles" -> ((s, dir) =>
-      triangleCounts(copurchaseEdges(s, dir, minSupport = 2))),
+      triangleCounts(copurchaseEdges(s, dir))),
 
     // 2-hop BFS over the same co-purchase graph from the low-id parts
     "graph_bfs_layers" -> ((s, dir) =>
       bfsLayers(
-        copurchaseEdges(s, dir, minSupport = 2),
+        copurchaseEdges(s, dir),
         Tables.part(s, dir)
           .where(col("p_partkey") < 100)
           .select(col("p_partkey").as("node_id")),
@@ -157,9 +166,10 @@ object GraphOps {
     // id-oriented brute force: each triangle found once as a < b < c
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
         |e AS (SELECT a.pk AS u, b.pk AS v
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |      GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |      GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
         |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |      FROM e e1 JOIN e e2 ON e2.u = e1.v
         |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -171,9 +181,10 @@ object GraphOps {
     // unrolled frontier rounds: f1 = N(r0) \ r0, f2 = N(f1) \ (r0 ∪ f1)
     "graph_bfs_layers" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
         |e0 AS (SELECT a.pk AS u, b.pk AS v
         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |       GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
         |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
         |r0 AS (SELECT p_partkey AS node_id FROM part WHERE p_partkey < 100),
         |f1 AS (SELECT DISTINCT e.v AS node_id FROM e JOIN r0 ON e.u = r0.node_id
