@@ -29,6 +29,7 @@ object SparkEntry {
     (ops.Salting.queries, ops.Salting.oracleSql),
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracleSql),
     (ops.ZOrder.queries, ops.ZOrder.oracleSql),
+    (ops.Hilbert.queries, ops.Hilbert.oracleSql),
     (ops.Layout.queries, ops.Layout.oracleSql),
     (plans.TopKPerKey.queries, plans.TopKPerKey.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),

@@ -217,6 +217,19 @@ object DedupCluster {
     "dedup_canonical_corpus" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       canonicalCorpus(docs, Dedup.ngramJaccardPairs(docs, 0.12))
+    }),
+    // Leakage-safe train/valid/test split: hash the CLUSTER id, not the
+    // doc id, so a whole near-dup family lands in one split — splitting
+    // by doc hash puts near-copies of a training doc in the test set,
+    // the standard contamination failure a dedup pass exists to prevent.
+    // Same 80/10/10 md5-bucket rule as train_valid_test_split, applied
+    // to the CC label; cost over plain splitting is exactly the
+    // clustering (one extra equi-join, nothing per-pair).
+    "split_cluster_aware" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      clusterAssignments(docs, Dedup.ngramJaccardPairs(docs, 0.12))
+        .select(col("doc_id"), col("cluster_id"),
+          Sampling.splitLabel(col("cluster_id")).as("split"))
     })
   )
 
@@ -229,6 +242,13 @@ object DedupCluster {
       """SELECT d.doc_id, d.lang, d.source, d.n_chars, sz.cluster_size
         |FROM (SELECT cluster_id, count(*) AS cluster_size
         |      FROM lab GROUP BY cluster_id) sz
-        |JOIN documents d ON d.doc_id = sz.cluster_id""".stripMargin)
+        |JOIN documents d ON d.doc_id = sz.cluster_id""".stripMargin),
+    "split_cluster_aware" ->
+      (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes\n" +
+      """SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM lab""".stripMargin)
   )
 }

@@ -116,6 +116,44 @@ object GraphOps {
     (reached, () => { handles.foreach(_.unpersist()); () })
   }
 
+  /** Synchronous label-propagation communities over an undirected edge
+    * list: `rounds` fixed synchronized rounds, each node adopting the
+    * most frequent label among its NEIGHBORS (ties broken by the
+    * smallest label — the deterministic variant of Raghavan et al.'s
+    * LPA, whose async random tie-breaks would be unverifiable). Initial
+    * label = node id. Returns (node_id, community) for every node of
+    * the edge list.
+    *
+    * 100 TB shape — each round is one join keyed on the edge's
+    * neighbor endpoint plus one map-side-combining (node,label) count
+    * and one per-node argmax (min over struct(-cnt, label) — integer
+    * exact, no window): work per round is O(m) shuffled on node keys,
+    * no driver state, same fixed-round discipline as [[bfsLayers]]
+    * (fixed synchronized rounds are also what makes the result
+    * well-defined — async LPA is order-dependent). Plan depth grows
+    * linearly with `rounds`; callers going deep should checkpoint as
+    * PageRank does, but community detection converges in a handful of
+    * sweeps — 3 rounds is the conventional budget.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var labels = sym.select(col("u").as("node_id")).distinct()
+      .withColumn("lbl", col("node_id"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node_id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("lbl").as("l"))).as("top"))
+        .select(col("u").as("node_id"), col("top.l").as("lbl"))
+    }
+    labels.select(col("node_id"), col("lbl").as("community"))
+  }
+
   /** Support-thresholded co-purchase graph: an edge per part pair seen
     * together in ≥ max(2, ceil(13 ppm of distinct orders)) DISTINCT
     * orders. The floor is what keeps the graph analyzable at any scale:
@@ -159,7 +197,11 @@ object GraphOps {
         Tables.part(s, dir)
           .where(col("p_partkey") < 100)
           .select(col("p_partkey").as("node_id")),
-        maxHops = 2))
+        maxHops = 2)),
+
+    // 3-round deterministic LPA communities over the same graph
+    "graph_label_propagation" -> ((s, dir) =>
+      labelPropagation(copurchaseEdges(s, dir), rounds = 3))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -194,6 +236,28 @@ object GraphOps {
         |         AND e.v NOT IN (SELECT node_id FROM f1))
         |SELECT node_id, CAST(0 AS BIGINT) AS dist FROM r0
         |UNION ALL SELECT node_id, 1 FROM f1
-        |UNION ALL SELECT node_id, 2 FROM f2""".stripMargin
+        |UNION ALL SELECT node_id, 2 FROM f2""".stripMargin,
+
+    // 3 unrolled synchronized rounds; per-node argmax = row_number over
+    // (count DESC, label ASC) — the same (most-frequent, then smallest)
+    // tie-break as the Spark side's min(struct(-cnt, lbl))
+    "graph_label_propagation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node_id, u AS lbl FROM e),
+        |r1 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l0 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l1 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l1 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l2 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l3 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1)
+        |SELECT node_id, lbl AS community FROM l3""".stripMargin
   )
 }

@@ -222,6 +222,32 @@ object TextAnalysis {
             .as("guaranteed_or_present"))
     }),
 
+    // Count-min sketch token counts — the third sketch tier, and the
+    // only one inside the EXACT gate: CMS merge is an elementwise sum
+    // (deterministic under any partitioning) and the bucket hash is
+    // engine-portable md5, so the oracle REBUILDS the identical sketch
+    // in SQL (cell (i,b) = Σ counts of tokens hashing there) and the
+    // estimates hash-compare exactly. Output: the exact top-20 tokens
+    // with exact and CMS-estimated counts (est ≥ exact always; the gap
+    // is the collision mass the 4×256 matrix admits). The sketch side
+    // is one fixed-8KB-state aggregate over the token stream — at
+    // 100 TB that is what crosses the shuffle, not the vocabulary.
+    "cms_token_counts" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(explode(tokens(col("text"))).as("token"))
+      val sketch = toks.agg(
+        graft.functions.CountMinAgg.countMin(col("token"), 4, 256).as("cells"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("token")).limit(20)
+      val est = (0 until 4).map { i =>
+        element_at(col("cells"),
+          (conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 8), 16, 10)
+            .cast("long") % 256 + lit(i * 256) + 1).cast("int"))
+      }
+      top.crossJoin(broadcast(sketch)) // 1-row sketch side
+        .select(col("token"), col("exact_count"),
+          least(est: _*).as("est_count"))
+    }),
+
     // The cleaning composition every corpus passes through before dedup:
     // PII redaction then canonicalization, still a pure narrow projection.
     // (The synthetic corpus contains no emails/phones, so redaction's
@@ -246,6 +272,25 @@ object TextAnalysis {
         |FROM c, n
         |ORDER BY cnt DESC, token
         |LIMIT 5""".stripMargin,
+    // the oracle rebuilds the 4×256 sketch: per-row buckets from the
+    // same md5 discipline, cell = Σ token counts in the bucket,
+    // estimate = min over the 4 rows — deterministic, so exact-hash
+    "cms_token_counts" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |bk AS (
+        |  SELECT c.token, c.cnt, r.i,
+        |    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || c.token), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM c CROSS JOIN range(4) r(i)),
+        |cells AS (SELECT i, b, CAST(sum(cnt) AS BIGINT) AS cell FROM bk GROUP BY i, b),
+        |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20)
+        |SELECT top.token, top.cnt AS exact_count, CAST(min(cells.cell) AS BIGINT) AS est_count
+        |FROM top
+        |JOIN bk ON bk.token = top.token
+        |JOIN cells ON cells.i = bk.i AND cells.b = bk.b
+        |GROUP BY top.token, top.cnt""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars2,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,

@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -44,6 +45,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    post-scan residual, so results never depend on the index being
   *    truthful; a query for k scattered neurons' touches reads those
   *    neurons' byte ranges, not the file.
+  *  - **Metadata-only COUNT** (`SupportsPushDownAggregates`): an
+  *    ungrouped, unfiltered `count(*)` (or `count(col)` — every touch
+  *    column is non-nullable) is answered from file lengths alone
+  *    (`length / recordSize` per file, summed by Spark), zero data
+  *    bytes read — parquet's footer-count trick for a fixed-width
+  *    format. Gid predicates stay residual Filter nodes, so a filtered
+  *    count takes the pruned-scan path and never trusts the index.
+  *  - **Limit pushdown** (`SupportsPushDownLimit`, partial): `limit k`
+  *    plans ~k records from the first file(s) instead of the whole
+  *    directory — the interactive-peek path.
   *  - **Faithful synapse ids without a count job**: global row =
   *    `split start record + local index` is known statically from the
   *    split plan (the RDD path needs `zipWithIndex`'s extra pass), and
@@ -270,11 +281,14 @@ private[sources] class TouchScanBuilder(path: String,
     indexed: Seq[TouchDataSource.IndexedFile],
     fullSchema: StructType, maxBytesPerPartition: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var accepted: Array[sources.Filter] = Array.empty
   private var gidIntervals: Option[Seq[(Long, Long)]] = None
+  private var countsPushed = 0
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order for a stable layout
@@ -365,8 +379,94 @@ private[sources] class TouchScanBuilder(path: String,
 
   override def pushedFilters(): Array[sources.Filter] = accepted
 
+  /** COUNT answered from FILE LENGTHS, no data I/O — the fixed record
+    * width makes `length / recordSize` an exact row count, the same
+    * metadata-only count parquet answers from footer row counts. Only
+    * ungrouped, non-distinct counts qualify (`count(*)`, or `count(col)`
+    * of any touch column — all are non-nullable, so both equal the
+    * record count). Catalyst only offers an aggregate for pushdown when
+    * nothing sits between it and the scan, and every gid predicate
+    * stays a post-scan residual (a Filter node), so a filtered count
+    * takes the normal pruned-scan path and this fast path can never
+    * hinge on the index being truthful — it trusts only the record
+    * width, which the scan already requires of every file. Pushdown is
+    * PARTIAL (one per-file count row, summed by Spark), so a count over
+    * a 100k-file directory is a listing, not a read.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def countable(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+        : Boolean = e match {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && (c.column match {
+        case r: NamedReference =>
+          r.fieldNames.length == 1 && fullSchema.fieldNames.contains(r.fieldNames.head)
+        case _ => false
+      })
+      case _ => false
+    }
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(countable)
+    if (ok) countsPushed = aggregation.aggregateExpressions.length
+    ok
+  }
+
+  /** LIMIT caps the PLANNED record total (partial pushdown — Spark
+    * still applies the final limit): `df.limit(k)` on a touch directory
+    * reads ~k records from the first file instead of every byte. Like
+    * the count path, Catalyst only offers a limit when no residual
+    * filter sits below it.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new TouchScan(path, indexed, required, maxBytesPerPartition, gidIntervals)
+    if (countsPushed > 0) new TouchCountScan(path, indexed, countsPushed)
+    else new TouchScan(path, indexed, required, maxBytesPerPartition, gidIntervals, limit)
+}
+
+/** Metadata-only COUNT scan: one split per file, each emitting a single
+  * row of that file's record count (`length / recordSize`) — zero data
+  * bytes read. Spark sums the per-file partials.
+  */
+private[sources] class TouchCountScan(path: String,
+    indexed: Seq[TouchDataSource.IndexedFile], nCounts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType((1 to nCounts).map(i => StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"touchbin-count $path files=${indexed.size} PushedAggregates: count (metadata-only)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    indexed.map { case TouchDataSource.IndexedFile(file, fileLen, index) =>
+      val recSize = index.version.recordSize
+      require(fileLen % recSize == 0,
+        s"$file: length $fileLen is not a multiple of the v${index.version.ordinal} " +
+          s"record size $recSize — truncated or corrupt input")
+      TouchCountSplit(fileLen / recSize): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TouchCountReaderFactory(nCounts)
+}
+
+private[sources] case class TouchCountSplit(numRecords: Long) extends InputPartition
+
+private[sources] class TouchCountReaderFactory(nCounts: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val n = partition.asInstanceOf[TouchCountSplit].numRecords
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array.fill[Any](nCounts)(n))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One record-aligned byte range of one file; carries that file's own
@@ -379,7 +479,8 @@ private[sources] case class TouchSplit(
 private[sources] class TouchScan(path: String,
     indexed: Seq[TouchDataSource.IndexedFile],
     required: StructType, maxBytesPerPartition: Long,
-    gidIntervals: Option[Seq[(Long, Long)]] = None) extends Scan with Batch {
+    gidIntervals: Option[Seq[(Long, Long)]] = None,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -387,14 +488,15 @@ private[sources] class TouchScan(path: String,
     s"touchbin $path v${indexed.head.index.version.ordinal} " +
       s"files=${indexed.size} cols=[${required.fieldNames.mkString(",")}]" +
       gidIntervals.fold("")(iv =>
-        s" PushedGidRanges: ${iv.map { case (a, b) => s"[$a,$b]" }.mkString("∪")}")
+        s" PushedGidRanges: ${iv.map { case (a, b) => s"[$a,$b]" }.mkString("∪")}") +
+      limit.fold("")(l => s" PushedLimit: $l")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // synapse_id is only well-defined across files with disjoint gid
     // ranges; a projection without it can scan overlapping inputs freely
     if (required.fieldNames.contains("synapse_id"))
       TouchDataSource.requireDisjointGidRanges(indexed)
-    indexed.flatMap { case TouchDataSource.IndexedFile(file, fileLen, index) =>
+    val splits = indexed.flatMap { case TouchDataSource.IndexedFile(file, fileLen, index) =>
       val recSize = index.version.recordSize
       // same loud truncation guard as Hadoop's fixed-length input format
       require(fileLen % recSize == 0,
@@ -416,7 +518,20 @@ private[sources] class TouchScan(path: String,
           TouchSplit(file, start, math.min(perSplit, rHi - start), index)
         }
       }
-    }.toArray
+    }
+    // pushed limit (partial — Spark re-applies it): keep splits only
+    // until the planned record total covers the limit, trimming the
+    // last one, so `limit k` reads ~k records instead of the directory
+    limit match {
+      case None => splits.toArray
+      case Some(l) =>
+        var remaining = l.toLong
+        splits.iterator.takeWhile(_ => remaining > 0).map { s =>
+          val take = math.min(s.numRecords, remaining)
+          remaining -= take
+          s.copy(numRecords = take): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -254,6 +254,67 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  test("hilbert key: column form equals the scalar reference, unit-step locality") {
+    import spark.implicits._
+    forAll(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))),
+        n = 5) { pts =>
+      val got = graft.ops.Hilbert.withHkey(pts.toDF("x", "y"), col("x"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      pts.foreach { case (x, y) =>
+        assert(got((x, y)) == graft.ops.Hilbert.hkeyScalar(x, y), s"($x, $y)")
+      }
+    }
+    // the defining property z-order lacks: consecutive indexes are
+    // ADJACENT cells (manhattan distance exactly 1) — walk a stretch
+    val grid = 16
+    val cells = for (x <- 0 until grid; y <- 0 until grid) yield {
+      // embed the 16x16 grid in the low corner of the 65536 grid: the
+      // first 256 indexes of the full curve stay inside it
+      (x, y, graft.ops.Hilbert.hkeyScalar(x.toLong, y.toLong))
+    }
+    val byIndex = cells.filter(_._3 < grid * grid).sortBy(_._3)
+    assert(byIndex.size == grid * grid, "first 256 indexes fill the 16x16 corner")
+    byIndex.sliding(2).foreach {
+      case Seq((x1, y1, d1), (x2, y2, d2)) =>
+        assert(d2 == d1 + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"curve jumps between ($x1,$y1)@$d1 and ($x2,$y2)@$d2")
+      case _ => ()
+    }
+  }
+
+  private def cmsCells(tokens: Seq[String], depth: Int, width: Int,
+                       parts: Int): Seq[Long] = {
+    import spark.implicits._
+    tokens.toDF("token").repartition(parts)
+      .agg(graft.functions.CountMinAgg.countMin(col("token"), depth, width).as("cells"))
+      .collect().head.getSeq[Long](0)
+  }
+
+  test("count-min: deterministic under any partitioning, estimates bound exact counts") {
+    forAll(Gen.listOfN(300, Gen.chooseNum(0, 40)), n = 10) { ints =>
+      val toks = ints.map(v => s"tok$v")
+      val (depth, width) = (4, 32)
+      val single = cmsCells(toks, depth, width, 1)
+      // merge is an elementwise sum → sketch identical for ANY partitioning
+      for (parts <- Seq(3, 7)) {
+        assert(cmsCells(toks, depth, width, parts) == single, s"parts=$parts")
+      }
+      // every row sums to the stream length
+      for (i <- 0 until depth) {
+        assert(single.slice(i * width, (i + 1) * width).sum == toks.size.toLong, s"row $i")
+      }
+      // point estimates: min over rows, always >= exact, and exact when
+      // a token collides with nothing in some row
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (t, c) =>
+        val est = (0 until depth).map(i =>
+          single(i * width + graft.functions.CountMinAgg.bucket(i, t, width))).min
+        assert(est >= c, s"$t est=$est exact=$c")
+      }
+    }
+  }
+
   test("misra-gries: exact counts under any partitioning when distinct <= k") {
     forAll(Gen.listOfN(200, Gen.oneOf("a", "b", "c", "d", "e")), n = 10) { toks =>
       val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -176,6 +176,37 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int, parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ext.GraphOps.labelPropagation(
+        edges.toDF("u", "v").repartition(parts), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("label propagation: two cliques joined by a bridge converge to two communities") {
+    // cliques {1,2,3} and {10,11,12} with a single bridge 3-10
+    val c1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val c2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val got = lpa(c1 ++ c2 ++ Seq((3L, 10L)), rounds = 3)
+    // each clique agrees on one label; the two labels differ
+    assert(Set(got(1L), got(2L)).size == 1 && got(1L) == got(2L))
+    assert(got(10L) == got(11L) || got(11L) == got(12L))
+    assert(got(1L) != got(12L), s"cliques must not merge: $got")
+  }
+
+  test("label propagation: deterministic tie-break (min label), partition-invariant") {
+    // single edge: after round 1 each node adopts the neighbor's label;
+    // round 2 swaps back — fixed synchronized rounds make this well-defined
+    assert(lpa(Seq((5L, 9L)), rounds = 1) == Map(5L -> 9L, 9L -> 5L))
+    assert(lpa(Seq((5L, 9L)), rounds = 2) == Map(5L -> 5L, 9L -> 9L))
+    // triangle: round 1 gives each node the min of the OTHER two's labels
+    assert(lpa(Seq((1L, 2L), (2L, 3L), (1L, 3L)), rounds = 1) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // partitioning never changes the result
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    assert(lpa(e, rounds = 3, parts = 1) == lpa(e, rounds = 3, parts = 7))
+  }
+
   test("PMI bigrams: hand-computed two-step integer lift") {
     import spark.implicits._
     // tokens [a b a b]: n_(a,b)=2, n_(b,a)=1, n_a=n_b=2, N=4

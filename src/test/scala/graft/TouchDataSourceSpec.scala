@@ -195,6 +195,45 @@ class TouchDataSourceSpec extends AnyFunSuite {
       yield ((g.toLong << 24) + k, g)).sorted)
   }
 
+  test("metadata-only count and limit pushdown") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val path = writeMultiGidFixture(nGids = 6, per = 10)
+    def read() = spark.read.format("touchbin")
+      .option("maxBytesPerPartition", (40 * 10).toString) // 10 records/split
+      .load(path)
+
+    // ungrouped unfiltered count(*): answered from file lengths — the
+    // plan carries the metadata-only count scan, one split per FILE
+    // (not per 10-record chunk), and the value matches the full scan
+    val cnt = read().agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      cnt.queryExecution.executedPlan.toString)
+    assert(cnt.collect().head.getLong(0) == 60L)
+    // count(col) of a non-nullable touch column pushes too
+    val cntCol = read().agg(count(col("source_node_id")))
+    assert(cntCol.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      cntCol.queryExecution.executedPlan.toString)
+    assert(cntCol.collect().head.getLong(0) == 60L)
+    // count DISTINCT must NOT push (not answerable from lengths)
+    val cntDist = read().select(col("source_node_id")).distinct().count()
+    assert(cntDist == 6L)
+    // a FILTERED count takes the pruned-scan path (gid predicates stay
+    // residuals, so Catalyst never offers the aggregate to the source)
+    val filtered = read().filter(col("source_node_id") <= 101).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      filtered.queryExecution.executedPlan.toString)
+    assert(filtered.collect().head.getLong(0) == 20L)
+
+    // limit pushdown: limit 15 plans only the covering splits and trims
+    // the record total; rows come from the file head (gids 100-101)
+    val lim = read().limit(15)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 15"),
+      lim.queryExecution.executedPlan.toString)
+    val got = lim.collect()
+    assert(got.length == 15)
+    assert(got.map(_.getAs[Int]("source_node_id")).forall(g => g == 100 || g == 101))
+  }
+
   test("truncated data file fails loudly at split planning") {
     val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("touch_dir_trunc"))
     copyFixture(2, dir, 0)
