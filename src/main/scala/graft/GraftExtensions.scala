@@ -62,6 +62,18 @@ object GraftExtensions {
       info("misra_gries", "misra_gries(col[, k]) - frequent-items (heavy hitters) sketch"),
       (args: Seq[Expression]) => graft.functions.MisraGriesAgg(
         args(0), if (args.length > 1) intArg(args(1), "k") else 16)),
+    ("hll_sketch",
+      info("hll_sketch", "hll_sketch(col[, p]) - HLL register bytes for sketch tables (roll up with hll_merge)"),
+      (args: Seq[Expression]) => graft.functions.HllSketchBytesAgg(
+        args(0), if (args.length > 1) intArg(args(1), "p") else 12)),
+    ("hll_merge",
+      info("hll_merge", "hll_merge(sketch) - roll up hll_sketch register bytes to a distinct estimate"),
+      (args: Seq[Expression]) => graft.functions.HllMergeAgg(args(0))),
+    ("count_min",
+      info("count_min", "count_min(col[, depth[, width]]) - count-min sketch (flattened depth x width cells)"),
+      (args: Seq[Expression]) => graft.functions.CountMinAgg(args(0),
+        if (args.length > 1) intArg(args(1), "depth") else 4,
+        if (args.length > 2) intArg(args(2), "width") else 256)),
     ("bloom_filter",
       info("bloom_filter", "bloom_filter(key[, numBits[, numHashes]]) - bloom filter over a long key column"),
       (args: Seq[Expression]) => graft.functions.BloomFilterAgg(args(0),

@@ -67,7 +67,28 @@ case class HllSketchAgg(
     a
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  override def eval(buf: Array[Byte]): Any = HllCore.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Shared HLL arithmetic for the three aggregate faces. */
+private[functions] object HllCore {
+
+  /** Bias-corrected harmonic-mean estimate with the small-range
+    * linear-counting correction (64-bit hash: no large-range term).
+    */
+  def estimate(buf: Array[Byte]): Long = {
+    val m = buf.length
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -89,15 +110,137 @@ case class HllSketchAgg(
     math.round(corrected)
   }
 
+  def maxInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+}
+
+/** `hll_sketch(col, p)` — the SKETCH-TABLE face of [[HllSketchAgg]]:
+  * identical registers, but `eval` returns the raw 2^p register bytes
+  * instead of the estimate, so sketches can be STORED (a per-partition
+  * / per-day sketch table) and rolled up later by [[HllMergeAgg]]
+  * without touching the raw data again — the standard mergeable-
+  * summaries warehouse pattern (Agarwal et al., PODS'12): at 100 TB the
+  * expensive pass runs once per partition, and any cross-partition
+  * distinct count afterwards is a merge of kilobyte sketches.
+  */
+case class HllSketchBytesAgg(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val m = 1 << p
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType | BooleanType | DateType | TimestampType
+        if p >= 4 && p <= 18 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_sketch expects an atomic-typed column and 4 <= p <= 18, got $t p=$p")
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v, child.dataType, 42L)
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rho = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > buf(idx)) buf(idx) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = HllCore.maxInto(a, b)
+  override def eval(buf: Array[Byte]): Any = buf.clone()
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchBytesAgg =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchBytesAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): HllSketchAgg =
+      newChildren: IndexedSeq[Expression]): HllSketchBytesAgg =
+    copy(child = newChildren.head)
+}
+
+/** `hll_merge(sketch)` — roll up stored [[HllSketchBytesAgg]] sketches
+  * by register max and return the estimate. Because max-merge is
+  * associative/commutative/idempotent, merging per-group sketches
+  * yields the IDENTICAL registers (hence the identical estimate) as
+  * sketching the concatenated raw data — the invariance the rollup
+  * query pins.
+  */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_merge expects a binary sketch column from hll_sketch, got $t")
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_merge"
+
+  // sized lazily from the first sketch seen (p travels with the bytes)
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    child.eval(input) match {
+      case null => buf
+      case sk: Array[Byte] =>
+        if (buf.isEmpty) sk.clone()
+        else {
+          require(buf.length == sk.length,
+            s"hll_merge: register width mismatch (${buf.length} vs ${sk.length}) — " +
+              "sketches built with different p cannot merge")
+          HllCore.maxInto(buf, sk)
+        }
+      case other => throw new IllegalStateException(
+        s"hll_merge expects binary sketches, got $other")
+    }
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"hll_merge: register width mismatch (${a.length} vs ${b.length})")
+      HllCore.maxInto(a, b)
+    }
+
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) 0L else HllCore.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeAgg =
     copy(child = newChildren.head)
 }
 
@@ -107,4 +250,14 @@ object HllSketchAgg {
   def hllDistinct(c: Column, p: Int = 12): Column =
     GraftSqlShim.column(
       HllSketchAgg(GraftSqlShim.expression(c), p).toAggregateExpression())
+
+  /** Sketch-table face: raw registers for storage + later rollup. */
+  def hllSketch(c: Column, p: Int = 12): Column =
+    GraftSqlShim.column(
+      HllSketchBytesAgg(GraftSqlShim.expression(c), p).toAggregateExpression())
+
+  /** Roll up stored sketches (register max) to the estimate. */
+  def hllMerge(c: Column): Column =
+    GraftSqlShim.column(
+      HllMergeAgg(GraftSqlShim.expression(c)).toAggregateExpression())
 }

@@ -218,6 +218,32 @@ object CoreOps {
           (abs(col("est") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
             .as("within_bound"))),
 
+    // Sketch-TABLE rollup (the mergeable-summaries warehouse pattern,
+    // Agarwal et al. PODS'12): build per-group hll_sketch REGISTER
+    // tables, roll them up with hll_merge, and pin that the rollup
+    // estimate EQUALS the direct global sketch's — exact equality, not
+    // a tolerance, because register max-merge is associative, so
+    // per-group-then-merge produces identical registers. At 100 TB this
+    // is the pattern that matters: the raw-data pass runs once per
+    // partition, every later cross-partition distinct is a merge of
+    // 4 KiB sketches. Exact distinct + within-5% bound come along as in
+    // hll_distinct_check.
+    "hll_rollup_check" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perGroup = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.HllSketchAgg.hllSketch(col("l_partkey"), 12).as("sk"))
+      val rollup = perGroup
+        .agg(graft.functions.HllSketchAgg.hllMerge(col("sk")).as("est_rollup"))
+      val direct = li
+        .agg(graft.functions.HllSketchAgg.hllDistinct(col("l_partkey"), 12).as("est_direct"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.crossJoin(broadcast(rollup)).crossJoin(broadcast(direct)) // 1-row sides
+        .select(col("exact_parts"),
+          (col("est_rollup") === col("est_direct")).as("rollup_equals_direct"),
+          (abs(col("est_direct") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
+            .as("within_bound"))
+    }),
+
     // CDC upsert: base ∪ changes → latest version per key, as ONE
     // map-side-combining aggregate (`max(struct(version, payload))` —
     // lexicographic struct max picks the newest row), not a per-key
@@ -410,6 +436,14 @@ object CoreOps {
     "hll_distinct_check" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  CAST(TRUE AS BOOLEAN) AS within_bound
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact distinct from the oracle; both booleans pinned TRUE — the
+    // rollup-equality is exact by merge associativity, so any drift in
+    // the sketch-table path flips the hash
+    "hll_rollup_check" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(TRUE AS BOOLEAN) AS rollup_equals_direct,
+        |  CAST(TRUE AS BOOLEAN) AS within_bound
+        |FROM lineitem""".stripMargin
   )
 }

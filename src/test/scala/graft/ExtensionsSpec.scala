@@ -63,6 +63,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows == Map("x" -> 30L, "y" -> 12L, "z" -> 5L))
   }
 
+  test("count_min aggregates in SQL; row sums equal the stream length") {
+    import spark.implicits._
+    (Seq.fill(30)("x") ++ Seq.fill(12)("y") ++ Seq.fill(5)("z")).toDF("t")
+      .createOrReplaceTempView("cms_in")
+    val cells = spark.sql("SELECT count_min(t, 4, 32) AS c FROM cms_in")
+      .collect().head.getSeq[Long](0)
+    assert(cells.length == 4 * 32)
+    for (i <- 0 until 4) {
+      assert(cells.slice(i * 32, (i + 1) * 32).sum == 47L, s"row $i")
+    }
+    // point estimate via the shared bucket function: min over rows >= exact
+    val estX = (0 until 4).map(i =>
+      cells(i * 32 + graft.functions.CountMinAgg.bucket(i, "x", 32))).min
+    assert(estX >= 30L)
+  }
+
   test("bloom_filter / bloom_might_contain round-trip in SQL") {
     import spark.implicits._
     (1L to 100L).toDF("k").createOrReplaceTempView("bloom_in")

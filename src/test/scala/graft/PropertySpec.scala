@@ -254,6 +254,22 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  test("hll sketch-table rollup: merged per-group sketches equal the direct global sketch") {
+    import spark.implicits._
+    forAll(Gen.listOfN(400, Gen.chooseNum(0L, 5000L)), n = 8) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i % 7, v) }.toDF("g", "k")
+        .repartition(5)
+      val direct = df
+        .agg(graft.functions.HllSketchAgg.hllDistinct(col("k"), 10))
+        .collect().head.getLong(0)
+      val rollup = df.groupBy(col("g"))
+        .agg(graft.functions.HllSketchAgg.hllSketch(col("k"), 10).as("sk"))
+        .agg(graft.functions.HllSketchAgg.hllMerge(col("sk")))
+        .collect().head.getLong(0)
+      assert(rollup == direct, s"rollup $rollup != direct $direct")
+    }
+  }
+
   test("hilbert key: column form equals the scalar reference, unit-step locality") {
     import spark.implicits._
     forAll(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))),
