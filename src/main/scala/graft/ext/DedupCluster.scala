@@ -218,6 +218,27 @@ object DedupCluster {
       val docs = Tables.documents(s, dir)
       canonicalCorpus(docs, Dedup.ngramJaccardPairs(docs, 0.12))
     }),
+    // Quality-priority canonical selection: real curation keeps the
+    // BEST document per near-dup cluster, not the lowest id — here the
+    // one with the most distinct tokens (an integer-exact quality
+    // proxy; richer scores slot into the same argmax), ties to the
+    // smaller doc_id. One integer struct-max per cluster
+    // (max(struct(n_uniq, -doc_id)) — map-side combining, no window)
+    // on top of the same CC labels, so the extra cost over
+    // dedup_canonical_corpus is one equi-join with the per-doc score.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lab = clusterAssignments(docs, Dedup.ngramJaccardPairs(docs, 0.12))
+      val uniq = docs.select(col("doc_id"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_uniq"))
+      lab.join(uniq, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(max(struct(col("n_uniq").as("q"), (-col("doc_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("cluster_id"), (-col("best.neg_id")).as("doc_id"),
+          col("best.q").as("n_uniq"), col("cluster_size"))
+    }),
+
     // Leakage-safe train/valid/test split: hash the CLUSTER id, not the
     // doc id, so a whole near-dup family lands in one split — splitting
     // by doc hash puts near-copies of a training doc in the test set,
@@ -243,6 +264,20 @@ object DedupCluster {
         |FROM (SELECT cluster_id, count(*) AS cluster_size
         |      FROM lab GROUP BY cluster_id) sz
         |JOIN documents d ON d.doc_id = sz.cluster_id""".stripMargin),
+    // per-cluster argmax by (distinct-token count DESC, doc_id ASC)
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes,\n" +
+      """uniq AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT) AS n_uniq
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lab.cluster_id, lab.doc_id, uniq.n_uniq,
+        |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY uniq.n_uniq DESC, lab.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size
+        |  FROM lab JOIN uniq ON uniq.doc_id = lab.doc_id)
+        |SELECT cluster_id, doc_id, n_uniq, cluster_size FROM ranked WHERE rn = 1""".stripMargin),
     "split_cluster_aware" ->
       (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes\n" +
       """SELECT doc_id, cluster_id,

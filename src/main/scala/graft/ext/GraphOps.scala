@@ -116,6 +116,30 @@ object GraphOps {
     (reached, () => { handles.foreach(_.unpersist()); () })
   }
 
+  /** Per-node local clustering coefficient over the same canonical
+    * undirected graph as [[triangleCounts]]: for every node of degree
+    * ≥ 2, `lcc = 2·T(v) / (deg(v)·(deg(v)−1))`, emitted integer-scaled
+    * (×10⁶, floor division — engine-exact) alongside the raw degree
+    * and triangle count. Nodes in no triangle report 0, so the output
+    * covers the full deg ≥ 2 node set — the shape community-quality
+    * audits want. Cost on top of [[triangleCounts]] is one degree
+    * aggregate and one left join keyed on node id.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node_id")).unionAll(und.select(col("v").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(triangleCounts(edges), Seq("node_id"), "left")
+      .select(col("node_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_x1e6",
+        expr("(2000000 * n_triangles) div (deg * (deg - 1))"))
+  }
+
   /** Synchronous label-propagation communities over an undirected edge
     * list: `rounds` fixed synchronized rounds, each node adopting the
     * most frequent label among its NEIGHBORS (ties broken by the
@@ -201,7 +225,11 @@ object GraphOps {
 
     // 3-round deterministic LPA communities over the same graph
     "graph_label_propagation" -> ((s, dir) =>
-      labelPropagation(copurchaseEdges(s, dir), rounds = 3))
+      labelPropagation(copurchaseEdges(s, dir), rounds = 3)),
+
+    // integer-scaled local clustering coefficients, deg >= 2 nodes
+    "graph_clustering_coeff" -> ((s, dir) =>
+      clusteringCoefficients(copurchaseEdges(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -258,6 +286,30 @@ object GraphOps {
         |r3 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
         |l3 AS (SELECT u AS node_id, lbl FROM (
         |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1)
-        |SELECT node_id, lbl AS community FROM l3""".stripMargin
+        |SELECT node_id, lbl AS community FROM l3""".stripMargin,
+
+    // triangles per corner + degrees over the same thresholded graph;
+    // floor division matches Spark's `div` on non-negative operands
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e AS (SELECT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT a AS node_id FROM t
+        |            UNION ALL SELECT b FROM t
+        |            UNION ALL SELECT c FROM t),
+        |tri AS (SELECT node_id, count(*) AS n_triangles FROM corners GROUP BY node_id),
+        |deg AS (SELECT node_id, count(*) AS deg FROM
+        |          (SELECT u AS node_id FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY node_id)
+        |SELECT deg.node_id, deg.deg,
+        |  COALESCE(tri.n_triangles, 0) AS n_triangles,
+        |  (2000000 * COALESCE(tri.n_triangles, 0)) // (deg.deg * (deg.deg - 1)) AS lcc_x1e6
+        |FROM deg LEFT JOIN tri ON tri.node_id = deg.node_id
+        |WHERE deg.deg >= 2""".stripMargin
   )
 }

@@ -44,6 +44,57 @@ object StreamingOps {
         col("event_type"), col("n"))
   }
 
+  /** Streaming APPROXIMATE-DISTINCT windows: per hourly window per
+    * event type, event count + HLL distinct-user estimate via the
+    * custom [[graft.functions.HllSketchAgg]] running INSIDE a streaming
+    * aggregation — the sketch's home turf, because Structured Streaming
+    * does not support exact distinct aggregation at all (state would be
+    * unbounded per group); a 4 KiB register set per window is the
+    * standard fix.
+    *
+    * Oracle strategy (the hll_rollup_check pattern): HLL registers are
+    * deterministic in the value set, so the STREAMED estimate must
+    * EQUAL the batch estimate over the same rows — pinned as an exact
+    * boolean — and sit within max(5%, ±2) of the exact count (absolute
+    * slack covers single-register collisions on small windows, where
+    * 5% of a 20-user window is below one count). The oracle reproduces
+    * the exact counts and pins both booleans TRUE.
+    */
+  def hllWindowToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"shll_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(window(col("ts_event"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.HllSketchAgg.hllDistinct(col("user_id"), 12).as("est_users"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("est_users"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table(name)
+    // Tables.events already exposes `ts` as TIMESTAMP (from the raw
+    // nanos long), so the batch replay windows it directly
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        graft.functions.HllSketchAgg.hllDistinct(col("user_id"), 12).as("batch_est"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("exact_users"), col("batch_est"))
+    streamed.join(batch, Seq("window_start_us", "event_type"))
+      .select(col("window_start_us"), col("event_type"), col("n_events"),
+        col("exact_users"),
+        (col("est_users") === col("batch_est")).as("stream_eq_batch_sketch"),
+        (abs(col("est_users") - col("exact_users")) <=
+          greatest(ceil(col("exact_users") * lit(0.05)), lit(2L))).as("within_bound"))
+  }
+
   /** Run the stream to completion against the static parquet and return
     * the final result (memory sink, complete mode).
     */
@@ -409,6 +460,11 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
 
+    // sketch inside a streaming aggregation (exact distinct is
+    // unsupported there); streamed estimate pinned equal to the batch
+    // sketch, bounded against the oracle's exact counts
+    "streaming_hll_window" -> ((s, dir) => hllWindowToCompletion(s, dir)),
+
     // streaming face of `upsert_latest`, sharing its oracle: the change
     // feed lands in a parquet log via foreachBatch, the view collapses
     // base ∪ log to latest-per-key
@@ -576,6 +632,17 @@ object StreamingOps {
     "streaming_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    // exact per-window counts from the oracle; both sketch booleans
+    // pinned TRUE (stream≡batch registers is exact, the bound has ±2
+    // absolute slack for small windows)
+    "streaming_hll_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  CAST(TRUE AS BOOLEAN) AS stream_eq_batch_sketch,
+        |  CAST(TRUE AS BOOLEAN) AS within_bound
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
     // identical to the batch upsert_latest oracle — the log-backed view

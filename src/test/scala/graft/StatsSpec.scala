@@ -176,6 +176,24 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("clustering coefficients: triangle = 1.0, square = 0, K4 = 1.0, paw graph mixed") {
+    import spark.implicits._
+    def lcc(edges: Seq[(Long, Long)]) =
+      graft.ext.GraphOps.clusteringCoefficients(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // triangle: every node deg 2, 1 triangle, lcc = 2*1/(2*1) = 1.0
+    assert(lcc(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
+      Map(1L -> (2L, 1L, 1000000L), 2L -> (2L, 1L, 1000000L), 3L -> (2L, 1L, 1000000L)))
+    // square: deg 2 everywhere, no triangles → 0
+    assert(lcc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      .values.forall { case (d, t, c) => d == 2L && t == 0L && c == 0L })
+    // paw: triangle 1-2-3 plus pendant edge 3-4; node 3 has deg 3, 1
+    // triangle → 2/(3*2) = 0.333333; node 4 deg 1 → absent
+    val paw = lcc(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(paw(3L) == (3L, 1L, 333333L))
+    assert(!paw.contains(4L))
+  }
+
   private def lpa(edges: Seq[(Long, Long)], rounds: Int, parts: Int = 4): Map[Long, Long] = {
     import spark.implicits._
     graft.ext.GraphOps.labelPropagation(
