@@ -178,6 +178,39 @@ object GraphOps {
     labels.select(col("node_id"), col("lbl").as("community"))
   }
 
+  /** Hop-bounded weighted single-source(-set) shortest paths —
+    * Bellman-Ford as synchronous min-plus relaxation rounds, the
+    * weighted counterpart of [[bfsLayers]]: after `rounds` rounds,
+    * `dist(v)` = the minimum total weight over paths of ≤ `rounds`
+    * edges from any source (sources at 0). Undirected; weights must be
+    * non-negative integers (exact arithmetic end to end).
+    *
+    * 100 TB shape — each round is one join of the CURRENT dist table
+    * against the edge list on the edge key plus one map-side-combining
+    * min-agg; no per-node priority queue (Dijkstra is inherently
+    * sequential), no driver state. Work per round is O(m). The
+    * hop bound is the contract, not a truncation: "reachable within k
+    * legs" is itself the business question (fraud rings, delivery
+    * legs), and it is what makes the result oracle-checkable by k
+    * unrolled CTE rounds.
+    */
+  def ssspBounded(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .where(col("u") =!= col("v"))
+    var dist = sources.select(col("node_id")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.select(col("node_id").as("u"), col("dist")), "u")
+        .select(col("v").as("node_id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node_id")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   /** Support-thresholded co-purchase graph: an edge per part pair seen
     * together in ≥ max(2, ceil(13 ppm of distinct orders)) DISTINCT
     * orders. The floor is what keeps the graph analyzable at any scale:
@@ -206,7 +239,7 @@ object GraphOps {
       .agg(count(lit(1)).as("sup"))
       .crossJoin(broadcast(thr))
       .where(col("sup") >= col("thr"))
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("sup"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -229,7 +262,17 @@ object GraphOps {
 
     // integer-scaled local clustering coefficients, deg >= 2 nodes
     "graph_clustering_coeff" -> ((s, dir) =>
-      clusteringCoefficients(copurchaseEdges(s, dir)))
+      clusteringCoefficients(copurchaseEdges(s, dir))),
+
+    // 3-leg weighted shortest paths; stronger co-purchase = shorter
+    // edge (w = 1e6 div support), integer min-plus relaxation
+    "graph_sssp_weighted" -> ((s, dir) =>
+      ssspBounded(
+        copurchaseEdges(s, dir).withColumn("w", expr("1000000 div sup")),
+        Tables.part(s, dir)
+          .where(col("p_partkey") < 100)
+          .select(col("p_partkey").as("node_id")),
+        rounds = 3))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -310,6 +353,31 @@ object GraphOps {
         |  COALESCE(tri.n_triangles, 0) AS n_triangles,
         |  (2000000 * COALESCE(tri.n_triangles, 0)) // (deg.deg * (deg.deg - 1)) AS lcc_x1e6
         |FROM deg LEFT JOIN tri ON tri.node_id = deg.node_id
-        |WHERE deg.deg >= 2""".stripMargin
+        |WHERE deg.deg >= 2""".stripMargin,
+
+    // 3 unrolled min-plus relaxation rounds over the weighted edges
+    "graph_sssp_weighted" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v, count(*) AS sup
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v, 1000000 // sup AS w FROM e0
+        |      UNION ALL SELECT v, u, 1000000 // sup FROM e0),
+        |d0 AS (SELECT p_partkey AS node_id, CAST(0 AS BIGINT) AS dist
+        |       FROM part WHERE p_partkey < 100),
+        |d1 AS (SELECT node_id, min(dist) AS dist FROM (
+        |  SELECT node_id, dist FROM d0
+        |  UNION ALL SELECT e.v AS node_id, d0.dist + e.w AS dist
+        |  FROM e JOIN d0 ON e.u = d0.node_id) GROUP BY node_id),
+        |d2 AS (SELECT node_id, min(dist) AS dist FROM (
+        |  SELECT node_id, dist FROM d1
+        |  UNION ALL SELECT e.v AS node_id, d1.dist + e.w AS dist
+        |  FROM e JOIN d1 ON e.u = d1.node_id) GROUP BY node_id),
+        |d3 AS (SELECT node_id, min(dist) AS dist FROM (
+        |  SELECT node_id, dist FROM d2
+        |  UNION ALL SELECT e.v AS node_id, d2.dist + e.w AS dist
+        |  FROM e JOIN d2 ON e.u = d2.node_id) GROUP BY node_id)
+        |SELECT node_id, dist FROM d3""".stripMargin
   )
 }

@@ -173,16 +173,43 @@ object TopKPerKey {
           col("l_extendedprice"))
       topKPerKey(li, Seq("l_suppkey"),
         Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), k = 3)
+    }),
+
+    // the SAME query in the standard window FORMULATION, rewritten into
+    // the TopKPerKey plan by the injected optimizer rule (TopKRewrite) —
+    // shares the API form's oracle, so the rewrite's semantics
+    // preservation is hash-checked, and TopKPerKeySpec pins that the
+    // executed plan really is the partial/final heap pair
+    "topk_window_rewrite" -> ((s, dir) => {
+      if (!s.experimental.extraStrategies.contains(TopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ TopKStrategy
+      if (!s.experimental.extraOptimizations.contains(TopKRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ TopKRewrite
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
     })
   )
 
+  private val topkOracle =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |  CAST(row_number() OVER w AS INTEGER) AS rank
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+      |QUALIFY row_number() OVER w <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "topk_per_key" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |  CAST(row_number() OVER w AS INTEGER) AS rank
-        |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
-        |QUALIFY row_number() OVER w <= 3""".stripMargin
+    "topk_per_key" -> topkOracle,
+    // identical semantics by construction — the rewrite must not change
+    // a single row
+    "topk_window_rewrite" -> topkOracle
   )
 }

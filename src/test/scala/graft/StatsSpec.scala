@@ -225,6 +225,24 @@ class StatsSpec extends AnyFunSuite {
     assert(lpa(e, rounds = 3, parts = 1) == lpa(e, rounds = 3, parts = 7))
   }
 
+  test("bounded SSSP: min-plus relaxation takes the cheaper 2-leg path, respects hop bound") {
+    import spark.implicits._
+    // 1 -10- 2 -10- 4 and 1 -100- 4: two legs (20) beat the direct edge
+    val edges = Seq((1L, 2L, 10L), (2L, 4L, 10L), (1L, 4L, 100L), (4L, 5L, 1L))
+      .toDF("u", "v", "w")
+    val src = Seq(1L).toDF("node_id")
+    def run(r: Int) = graft.ext.GraphOps.ssspBounded(edges, src, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 4L -> 100L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 10L, 4L -> 20L, 5L -> 101L))
+    assert(run(3) == Map(1L -> 0L, 2L -> 10L, 4L -> 20L, 5L -> 21L))
+    // undirected: relaxation flows back across an edge when cheaper
+    val back = graft.ext.GraphOps.ssspBounded(
+        Seq((1L, 2L, 5L)).toDF("u", "v", "w"), Seq(2L).toDF("node_id"), 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(back == Map(2L -> 0L, 1L -> 5L))
+  }
+
   test("PMI bigrams: hand-computed two-step integer lift") {
     import spark.implicits._
     // tokens [a b a b]: n_(a,b)=2, n_(b,a)=1, n_a=n_b=2, N=4
