@@ -49,6 +49,9 @@ object GraftExtensions {
     ("simhash64",
       info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
       (args: Seq[Expression]) => graft.functions.SimHash64(args(0))),
+    ("hilbert_key",
+      info("hilbert_key", "hilbert_key(x, y) - Hilbert curve index on the 65536x65536 grid"),
+      (args: Seq[Expression]) => graft.functions.HilbertKey(args(0), args(1))),
     ("sign_lsh_buckets",
       info("sign_lsh_buckets", "sign_lsh_buckets(qvec, rows, bands) - banded hyperplane LSH bucket ids"),
       (args: Seq[Expression]) => graft.functions.SignLshBuckets(

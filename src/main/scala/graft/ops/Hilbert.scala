@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   * Warren, Hacker's Delight §16): for each bit plane s from high to
   * low, the quadrant (rx, ry) contributes s²·((3·rx) XOR ry), then the
   * frame rotates/reflects so the next plane walks ITS quadrant in
-  * curve order. 16 unrolled planes of branch-free bitwise/conditional
-  * arithmetic on built-in codegen'd expressions — no UDF, no custom
-  * Expression — and the oracle runs the IDENTICAL 16 stages as chained
-  * CTEs generated from the same loop, so the key is hash-exact across
-  * engines.
+  * curve order. Computed by the [[graft.functions.HilbertKey]] codegen
+  * expression (a 16-iteration generated loop — see [[withHkey]] for
+  * why the built-in-expression formulations lose); the oracle runs the
+  * identical 16 planes as chained CTEs generated from the same loop
+  * bounds, so the key is hash-exact across engines.
   */
 object Hilbert {
 
@@ -30,64 +30,25 @@ object Hilbert {
   /** Stamp the Hilbert index of (`a`, `b`) on the 65536×65536 grid as
     * column `out`; inputs must already be reduced mod 65536.
     *
-    * Staged as one PROJECTION PER BIT PLANE, not one nested column
-    * expression: each plane reads the previous plane's x/y/d several
-    * times, so a single expression tree grows ~5× per level — 4^16
-    * nodes by the last plane, which OOMs Catalyst's analyzer (measured
-    * here). With a projection per plane every reference is a plain
-    * attribute; CollapseProject keeps the stages separate (it refuses
-    * to duplicate non-cheap conditionals) and whole-stage codegen fuses
-    * them into one pass anyway — the same shape as the oracle's chained
-    * CTEs.
+    * Backed by the [[graft.functions.HilbertKey]] codegen expression —
+    * the third formulation tried, and the measured lesson in the
+    * expression-ladder preference order: ONE nested column expression
+    * grows ~5× per bit plane (4^16 nodes, OOMs the analyzer); one
+    * PROJECTION per plane analyzes fine but fuses into an enormous
+    * generated method (8.2 s for the sf0.1 lineitem layout where
+    * z-order costs 0.55 s — codegen size, not arithmetic); the custom
+    * expression emits the 16-iteration loop directly and runs at
+    * scalar cost. The DuckDB oracle keeps the unrolled-CTE
+    * formulation, so engine-exactness is unchanged.
     */
-  def withHkey(df: DataFrame, a: Column, b: Column, out: String = "hkey"): DataFrame = {
-    var cur = df.withColumn("_hx", a.cast("long"))
-      .withColumn("_hy", b.cast("long"))
-      .withColumn("_hd", lit(0L))
-    var s = N / 2
-    while (s > 0) {
-      val mask = lit(s.toLong)
-      cur = cur
-        .withColumn("_rx", when(col("_hx").bitwiseAND(mask) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("_ry", when(col("_hy").bitwiseAND(mask) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("_hd",
-          col("_hd") + lit(s.toLong * s) * (col("_rx") * 3).bitwiseXOR(col("_ry")))
-        // rotate: ry == 1 keeps the frame, else swap axes, reflecting
-        // both coordinates first when rx == 1
-        .withColumn("_nx",
-          when(col("_ry") === 1, col("_hx"))
-            .when(col("_rx") === 1, lit((N - 1).toLong) - col("_hy"))
-            .otherwise(col("_hy")))
-        .withColumn("_ny",
-          when(col("_ry") === 1, col("_hy"))
-            .when(col("_rx") === 1, lit((N - 1).toLong) - col("_hx"))
-            .otherwise(col("_hx")))
-        .withColumn("_hx", col("_nx"))
-        .withColumn("_hy", col("_ny"))
-      s /= 2
-    }
-    cur.withColumn(out, col("_hd"))
-      .drop("_hx", "_hy", "_hd", "_rx", "_ry", "_nx", "_ny")
-  }
+  def withHkey(df: DataFrame, a: Column, b: Column, out: String = "hkey"): DataFrame =
+    df.withColumn(out,
+      graft.functions.HilbertKey.hilbertKey(a.cast("long"), b.cast("long")))
 
-  /** Reference scalar implementation (the same algorithm on Longs) —
-    * the test oracle for the column form.
+  /** Reference scalar implementation — delegates to the expression's
+    * own interpreter so the two can never drift.
     */
-  def hkeyScalar(x0: Long, y0: Long): Long = {
-    var x = x0; var y = y0; var d = 0L
-    var s = N / 2
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1L else 0L
-      val ry = if ((y & s) > 0) 1L else 0L
-      d += s.toLong * s * ((3 * rx) ^ ry)
-      if (ry == 0) {
-        if (rx == 1) { x = (N - 1) - x; y = (N - 1) - y }
-        val t = x; x = y; y = t
-      }
-      s /= 2
-    }
-    d
-  }
+  def hkeyScalar(x0: Long, y0: Long): Long = graft.functions.HilbertKey.index(x0, y0)
 
   /** Cluster `df` for (a, b) locality: stamp the Hilbert key and
     * range-partition + sort by it — the write-side layout step.

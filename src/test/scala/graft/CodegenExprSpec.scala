@@ -95,6 +95,23 @@ class CodegenExprSpec extends AnyFunSuite {
     }
   }
 
+  test("HilbertKey codegen equals the scalar state machine on arbitrary points") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))) { pts =>
+      {
+        val rows = pts.toDF("x", "y")
+          .select(col("x"), col("y"),
+            graft.functions.HilbertKey.hilbertKey(col("x"), col("y")).as("h"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getLong(2) == graft.functions.HilbertKey.index(r.getLong(0), r.getLong(1)),
+            s"(${r.getLong(0)}, ${r.getLong(1)})")
+        }
+      }
+    }
+  }
+
   test("PosWeightChecksum equals the HOF formulation on arbitrary text") {
     import spark.implicits._
     forSamples(Gen.listOfN(40, textGen)) { texts =>
