@@ -24,23 +24,36 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's TimestampType
-    * (micros) cannot represent; read it as raw nanosecond longs and expose
-    * both the long (`ts_ns`, exact — what oracles compare on via DuckDB
-    * `epoch_ns`) and a micros-truncated TimestampType `ts` for
-    * window/streaming operators.
+  /** `events.ts` has shipped as two different physical types across
+    * driver testdata generations — TIMESTAMP(NANOS) (unrepresentable in
+    * Spark's micros TimestampType; readable only as raw longs via
+    * `nanosAsLong`) and plain `timestamp[us]` (read as TIMESTAMP_NTZ) —
+    * so the loader adapts on the FILE schema and normalizes both to the
+    * same surface: exact micros `ts_us` (what every operator keys on and
+    * every oracle recomputes via DuckDB `epoch_us(ts)`), `ts_ns`
+    * (micros-exact nanos for the legacy consumers), and a TimestampType
+    * `ts` for window/streaming operators.
     *
-    * Deliberately session-global: `nanosAsLong` must still be set when the
-    * lazy DataFrame EXECUTES, so it cannot be set-and-restored around the
-    * `read` call. All nanos-parquet in this engine flows through this
-    * loader, so the long-typed reading is uniform rather than
-    * order-dependent.
+    * `nanosAsLong` is deliberately session-global: it must still be set
+    * when the lazy DataFrame EXECUTES, so it cannot be set-and-restored
+    * around the `read` call. The NTZ branch is exact because every
+    * session in this engine pins `spark.sql.session.timeZone=UTC`, making
+    * the NTZ→LTZ cast the identity on the wall clock — the same
+    * naive-as-UTC reading DuckDB's `epoch_us` uses.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy TIMESTAMP(NANOS)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => // timestamp[us] (NTZ or LTZ)
+        raw.withColumn("ts_us",
+            unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+          .withColumn("ts_ns", col("ts_us") * 1000)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+    }
   }
 }

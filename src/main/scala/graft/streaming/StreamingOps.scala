@@ -26,17 +26,35 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming events source normalized to exact micros `ts_us`,
+    * schema-adaptive the same way [[graft.Tables.events]] is: a file
+    * stream cannot infer its schema, so the BATCH reader footer-sniffs
+    * the actual `ts` physical type (raw nanos long vs `timestamp[us]`)
+    * and the declared stream schema + micros derivation follow it. The
+    * one-file footer read happens at plan time, not per micro-batch.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream
+      .schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
+      case _ => raw.withColumn("ts_us", // session tz is pinned UTC → exact
+        unix_micros(col("ts").cast(TimestampType)))
+    }
+  }
+
   /** Streaming hourly counts per event type. `withWatermark` bounds state;
     * emitted results are compared against the batch oracle in
     * complete-output mode.
     */
   def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, dir)
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
       .withWatermark("ts_event", "1 hour")
       .groupBy(window(col("ts_event"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -61,13 +79,9 @@ object StreamingOps {
     * the exact counts and pins both booleans TRUE.
     */
   def hllWindowToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"shll_${System.nanoTime()}"
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val q = eventsStream(spark, dir)
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
       .withWatermark("ts_event", "1 hour")
       .groupBy(window(col("ts_event"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -226,11 +240,8 @@ object StreamingOps {
     try {
       val sentinels =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-      val fileSrc = spark.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      val fileSrc = eventsStream(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("value"))
         .as[Ev]
       val name = s"sessions_${System.nanoTime()}"
       val q = sessionizeStream(fileSrc.union(sentinels.toDS()),
@@ -339,11 +350,8 @@ object StreamingOps {
     try {
       val sentinels =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEv]
-      val fileSrc = spark.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val fileSrc = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
         .as[FunnelEv]
       val name = s"funnel_${System.nanoTime()}"
       val q = funnelStream(fileSrc.union(sentinels.toDS()),
@@ -383,11 +391,8 @@ object StreamingOps {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = spark.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+      val q = eventsStream(spark, dir)
+        .withColumn("ts_event", timestamp_micros(col("ts_us")))
         .withWatermark("ts_event", "1 hour")
         .groupBy(col("event_type"),
           window(col("ts_event"), "1 hour", "30 minutes"))
@@ -529,14 +534,11 @@ object StreamingOps {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val name = s"sjoin_${System.nanoTime()}"
       try {
-        def src(tpe: String, alias: String) = s.readStream
-          .schema(eventsSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        def src(tpe: String, alias: String) = eventsStream(s, dir)
           .filter(col("event_type") === tpe)
           .select(col("user_id").as(s"${alias}_user"),
             col("event_id").as(s"${alias}_event"),
-            timestamp_micros(expr("ts div 1000")).as(s"${alias}_ts"))
+            timestamp_micros(col("ts_us")).as(s"${alias}_ts"))
           .withWatermark(s"${alias}_ts", "1 hour")
         val q = src("purchase", "p").join(src("click", "c"),
             col("p_user") === col("c_user") &&
@@ -573,12 +575,9 @@ object StreamingOps {
           org.apache.spark.sql.execution.streaming.runtime.MemoryStream[JoinEv]
         val (pSent, cSent) = (mem(), mem())
         def src(tpe: String, alias: String, sent: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[JoinEv]) =
-          s.readStream
-            .schema(eventsSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir)
+          eventsStream(s, dir)
             .filter(col("event_type") === tpe)
-            .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+            .select(col("user_id"), col("event_id"), col("ts_us"))
             .as[JoinEv].union(sent.toDS())
             .select(col("user_id").as(s"${alias}_user"),
               col("event_id").as(s"${alias}_event"),
@@ -610,14 +609,10 @@ object StreamingOps {
     // The static fixture arrives as one micro-batch, so the emitted set
     // equals the batch DISTINCT and the oracle is exact.
     "streaming_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = s"dedup_${System.nanoTime()}"
-      val q = s.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
-        .withColumn("minute", expr("(ts div 1000) div 60000000"))
+      val q = eventsStream(s, dir)
+        .withColumn("ts_event", timestamp_micros(col("ts_us")))
+        .withColumn("minute", expr("ts_us div 60000000"))
         .withWatermark("ts_event", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "minute")
         .select(col("user_id"), col("minute"))
