@@ -36,8 +36,17 @@ object Bench {
   /** Queries whose best-of-2 exceeds this get a third board rep. */
   private val ExtraRepSec = 1.0
 
-  /** A newest-board/previous-board ratio above this marks a mover. */
-  private val MoverRatio = 2.5
+  /** A newest-board/previous-board ratio above this marks a mover
+    * (round-8 audit: 2.5 let five sub-second regressions escape
+    * adjudication; 1.5 over the min-of-reps board is above rep noise).
+    */
+  private val MoverRatio = 1.5
+
+  /** Movers also need this many absolute seconds of delta — a 0.1 s
+    * query drifting to 0.16 s clears the ratio on scheduler noise
+    * alone and would waste an isolated slot.
+    */
+  private val MoverMinDeltaSec = 0.25
 
   /** Isolated-mode target-set ceiling: a globally-contended previous
     * board can mark half the suite as movers; cap the run at the most
@@ -116,9 +125,13 @@ object Bench {
 
   /** Isolated-mode default target set: top-`n` by cost in the newest
     * board record, plus any query whose newest board time exceeds
-    * [[MoverRatio]]× its previous-board time — so a board anomaly on a
-    * mid-cost query is auto-adjudicated instead of waiting for a human
-    * to notice it (the round-7 sequencing gap).
+    * [[MoverRatio]]× its previous-board time by at least
+    * [[MoverMinDeltaSec]] — so a board anomaly on a mid-cost query is
+    * auto-adjudicated instead of waiting for a human to notice it (the
+    * round-7 sequencing gap). Movers are CAP-EXEMPT: the round-8 audit
+    * found five sub-second regressions that the cost-ordered cap
+    * excluded, which is exactly backwards — a regressed query is the
+    * one needing adjudication; the cap trims the top-cost tier first.
     */
   private[graft] def isolatedTargets(repo: java.nio.file.Path, n: Int): Seq[String] = {
     val boards = boardRecords(repo)
@@ -127,17 +140,21 @@ object Bench {
       val top = newest.toSeq.sortBy { case (k, v) => (-v, k) }.take(n).map(_._1)
       val movers = boards.drop(1).headOption.map(boardQueries).map { prev =>
         newest.collect {
-          case (q, t) if prev.get(q).exists(p0 => p0 > 0 && t > MoverRatio * p0) => q
+          case (q, t) if prev.get(q).exists(p0 =>
+            p0 > 0 && t > MoverRatio * p0 && t - p0 > MoverMinDeltaSec) => q
         }.toSeq.sorted
       }.getOrElse(Seq.empty)
       if (movers.nonEmpty)
-        System.err.println(s"[isolated] board movers (> ${MoverRatio}x prev): ${movers.mkString(",")}")
+        System.err.println(s"[isolated] board movers (> ${MoverRatio}x prev, > ${MoverMinDeltaSec}s delta): ${movers.mkString(",")}")
       val all = (top ++ movers).distinct
       if (all.size <= MaxIsolated) all
       else {
-        // keep the most expensive (by newest board) — they dominate the
-        // total the round is graded on
-        val kept = all.sortBy(q => (-newest.getOrElse(q, 0.0), q)).take(MaxIsolated)
+        // movers first (they are why isolated mode exists), then the
+        // most expensive by the newest board — those dominate the total
+        // the round is graded on. Never truncate silently.
+        val moverSet = movers.toSet
+        val kept = all.sortBy(q =>
+          (if (moverSet(q)) 0 else 1, -newest.getOrElse(q, 0.0), q)).take(MaxIsolated)
         System.err.println(s"[isolated] capping ${all.size} targets to $MaxIsolated; " +
           s"dropped: ${all.diff(kept).mkString(",")}")
         kept
@@ -251,19 +268,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     // The driver's BENCH_r{N}.json truncates its tail — persist the full
     // per-query record in-repo so the round audit reads one file. The
     // round number is inferred from the newest driver-written BENCH_r*.json
     // (the driver benches BEFORE writing the round's file, so this run
-    // belongs to the round after the newest one).
+    // belongs to the round after the newest one). BENCH_LATEST.json is
+    // the STABLE path: the driver's stdout scrape has yielded
+    // "parsed": null for two rounds because Spark/sbt log lines
+    // interleave with the JSON line — a fixed filename needs no scraping.
     if (only.isEmpty) {
       repoDir.foreach { repo =>
         java.nio.file.Files.write(
           repo.resolve(f"bench_full_r${currentRound(repo)}%02d.json"),
           json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(
+          repo.resolve("BENCH_LATEST.json"),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
+    // stop BEFORE printing: Spark's shutdown logging (stderr, but merged
+    // with stdout under `2>&1` capture) can no longer interleave with the
+    // record line, so the JSON is the last payload before sbt's trailer
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -751,6 +751,48 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
 
+    // ORACLED companion for the banded simhash path: the banded pair
+    // set is compared against the DIRECT hamming<=3 pair set, computed
+    // brute-force over the 8-byte fingerprints via the same
+    // triangle-replicated blocked grid self-join as
+    // [[embeddingCosineBlockedPairs]] (an EQUI-join on the cell id —
+    // no Cartesian node; the replicated payload is one long per row).
+    // Both deltas are THEOREM-pinned integers, not measured floors:
+    // missed = 0 by the pigeonhole argument (hamming<=3 over 4 bands of
+    // 16 bits forces at least one equal band), spurious = 0 because the
+    // banded path verifies `bit_count(xor) <= 3` itself. The oracle
+    // reproduces the zeros and the boolean, so ANY recall or precision
+    // regression in the fingerprint, banding, or verification flips a
+    // value and fails the driver's hash compare — giving the rows-only
+    // `dedup_simhash`/`dedup_simhash_pairs` a driver-checkable guard.
+    "dedup_simhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val blocks = 16
+      val base = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+        .withColumn("g", pmod(xxhash64(col("doc_id")), lit(blocks)).cast("int"))
+      val lhs = base.select(col("doc_id"), col("simhash"), col("g").as("ci"),
+        explode(sequence(col("g"), lit(blocks - 1))).as("cj"))
+      val rhs = base.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), col("g"))).as("ci"), col("g").as("cj"))
+      val direct = lhs.as("a").join(rhs.as("b"),
+          col("a.ci") === col("b.ci") && col("a.cj") === col("b.cj") &&
+            (col("a.ci") =!= col("a.cj") || col("a.doc_id") < col("b.doc_id")))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"))
+      val banded = simhashPairs(docs, maxHamming = 3).select(col("doc_a"), col("doc_b"))
+      val nMissed = direct.join(banded, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val nSpurious = banded.join(direct, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_spurious"))
+      // 1-row × 1-row cross join — two scalars, never data-sized
+      nMissed.crossJoin(nSpurious)
+        .select(col("n_missed"), col("n_spurious"),
+          (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_equal"))
+    }),
+
     // Exact SUBSTRING duplication (the "repeated 50-token span" dedup of
     // the published substring-dedup method, scaled down to the fixture's
     // document lengths): every word-25-gram occurring in ≥2 documents,
@@ -905,6 +947,13 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE 100 * i.n_common >= 80 * (sa.n + sb.n - i.n_common)""".stripMargin,
+    // the zeros are pinned by theorem (pigeonhole recall + in-path
+    // hamming verification), so DuckDB reproduces the full row without
+    // being able to run xxhash64 — any Spark-side regression flips a
+    // value and the hash compare fails
+    "dedup_simhash_recall" ->
+      """SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_spurious,
+        |  CAST(TRUE AS BOOLEAN) AS sets_equal""".stripMargin,
     "dedup_minhash_recall" ->
       (s"WITH $ngramCtes\n" +
       """SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.7 AS DOUBLE) AS recall_floor,

@@ -21,9 +21,9 @@ import org.apache.spark.sql.types._
   * of (plane, dim) — no RNG state, reproducible across executors and
   * runs, sign matrix cached per (planes, dim).
   *
-  * The interpreted formulation (`aggregate(zip_with(...))` per plane —
-  * `SimSearch.lshBucket`) costs a closure dispatch per element per
-  * plane; this expression is one static call per row running
+  * The interpreted formulation (`aggregate(zip_with(...))` per plane,
+  * since removed from `SimSearch`) cost a closure dispatch per element
+  * per plane; this expression is one static call per row running
   * `bands·rows·dim` primitive multiply-adds inside WholeStageCodegen.
   */
 case class SignLshBuckets(child: Expression, rows: Int, bands: Int)

@@ -47,6 +47,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isolatedTargets(dir2, n = 2) == Seq("a", "b"))
   }
 
+  test("a 1.5x mid-cost mover is included and survives the cap over pricier non-movers") {
+    val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("bench_midmover"))
+    // 40 expensive-but-stable queries + one mid-cost query that drifted
+    // 0.80 -> 1.37 s (the round-8 `snapshot_diff` shape: ratio 1.71,
+    // delta 0.57 — below the old 2.5x ratio AND below the cost cap)
+    val stable = (0 until 40).map(i => f"s$i%02d" -> (5.0 + i * 0.1)).toMap
+    writeBoard(dir, 1, stable + ("mover" -> 0.80))
+    writeBoard(dir, 2, stable + ("mover" -> 1.37))
+    val targets = Bench.isolatedTargets(dir, n = 32)
+    assert(targets.contains("mover"),
+      s"sub-2.5x regression must be adjudicated: $targets")
+    assert(targets.size == 32, s"cap still holds: ${targets.size}")
+    // a ratio-clearing but sub-delta drift (0.10 -> 0.18) stays out
+    val dir2 = java.nio.file.Paths.get(graft.io.TempDirs.create("bench_noise"))
+    writeBoard(dir2, 1, Map("a" -> 2.0, "tiny" -> 0.10))
+    writeBoard(dir2, 2, Map("a" -> 2.0, "tiny" -> 0.18))
+    assert(!Bench.isolatedTargets(dir2, n = 1).contains("tiny"))
+  }
+
   test("a mover flood (globally contended previous board) caps at the most expensive") {
     val dir = java.nio.file.Paths.get(graft.io.TempDirs.create("bench_flood"))
     val qs = (0 until 40).map(i => f"q$i%02d").toSeq

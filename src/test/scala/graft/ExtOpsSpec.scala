@@ -169,9 +169,9 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(mx - mn <= math.max(2L, mx / 10), s"skewed partitions: ${counts.toSeq}")
   }
 
-  test("LSH ANN returns same-bucket candidates with at most k per query") {
+  test("banded LSH ANN returns shared-band candidates with at most k per query") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
-    val res = SimSearch.lshTopK(e, nPlanes = 4, k = 5)
+    val res = SimSearch.lshTopK(e, rows = 4, bands = 8, k = 5)
       .groupBy(col("q_id")).agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
       .collect()
     assert(res.nonEmpty)
