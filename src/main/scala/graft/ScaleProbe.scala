@@ -96,9 +96,9 @@ object ScaleProbe {
 
     // events ×10 with per-replica user_id/event_id offsets (preserving
     // each replica's per-user dedup/session structure, no cross-replica
-    // key collapse), ts verbatim. Read RAW with nanosAsLong (the
-    // TIMESTAMP(NANOS) column arrives as a plain long, exactly the type
-    // the streaming sources' eventsSchema declares) and land it as ONE
+    // key collapse), ts verbatim. Read RAW with nanosAsLong (a legacy
+    // TIMESTAMP(NANOS) column arrives as a plain long; the streaming
+    // sources footer-sniff the same physical type) and land it as ONE
     // FILE named events.parquet — the streaming readers list with
     // `pathGlobFilter=events.parquet`, which matches a file, not the
     // part-files inside a dataset directory.

@@ -44,16 +44,26 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // legacy TIMESTAMP(NANOS)
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_us", expr("ts_ns div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
-      case _ => // timestamp[us] (NTZ or LTZ)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => // timestamp[us]
         raw.withColumn("ts_us",
             unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
           .withColumn("ts_ns", col("ts_us") * 1000)
           .withColumn("ts", timestamp_micros(col("ts_us")))
+      case other => // fail loudly: a silent cast would yield nulls/wrong micros
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other — expected legacy " +
+            "nanos LongType or timestamp[us] (NTZ/LTZ); update Tables.events " +
+            "for the new testdata generation")
     }
+    // one canonical column order regardless of which branch ran — the
+    // branches otherwise place ts/ts_ns in generation-dependent slots
+    val others = raw.columns.filterNot(_ == "ts")
+    normalized.select((others ++ Seq("ts", "ts_us", "ts_ns")).map(col): _*)
   }
 }

@@ -178,6 +178,48 @@ object GraphOps {
     labels.select(col("node_id"), col("lbl").as("community"))
   }
 
+  /** Integer-scaled Newman modularity of a `(node_id, community)`
+    * labeling over the undirected edge list (`(u, v)`, each edge once,
+    * u < v) — "are the communities any good" as one exact number per
+    * community:
+    *
+    *   q_x1e9(c) = e_in(c)·S div m  −  deg_sum(c)²·S div (4·m²),  S = 1e9
+    *
+    * whose sum over communities is the integer-scaled modularity Q.
+    * Floor division per community makes the value engine-reproducible;
+    * long arithmetic is safe while deg_sum < ~96k (√(2⁶³/S)), which the
+    * support-floored co-purchase graph satisfies at any corpus scale by
+    * construction (≈3.5k edges measured at every probe scale).
+    *
+    * Plan shape: two label equi-joins on the edge endpoints (labels are
+    * node-sized), one map-side-combining count per community, and the
+    * edge total as a 1-row cross join — no collect, nothing data-sized
+    * on the driver.
+    */
+  def communityModularity(edges: DataFrame, labels: DataFrame,
+                          scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("node_id"))
+      .unionAll(e.select(col("v").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    val lbl = labels.select(col("node_id"), col("community"))
+    val eIn = e
+      .join(lbl.select(col("node_id").as("u"), col("community").as("cu")), "u")
+      .join(lbl.select(col("node_id").as("v"), col("community").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    deg.join(lbl, "node_id")
+      .groupBy(col("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      .join(eIn, Seq("community"), "left")
+      .crossJoin(m) // 1-row scalar — never data-sized
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (expr(s"coalesce(e_in, 0L) * ${scale}L div m") -
+          expr(s"deg_sum * deg_sum * ${scale}L div (4 * m * m)")).as("q_x1e9"))
+  }
+
   /** Hop-bounded weighted single-source(-set) shortest paths —
     * Bellman-Ford as synchronous min-plus relaxation rounds, the
     * weighted counterpart of [[bfsLayers]]: after `rounds` rounds,
@@ -264,6 +306,13 @@ object GraphOps {
     "graph_clustering_coeff" -> ((s, dir) =>
       clusteringCoefficients(copurchaseEdges(s, dir))),
 
+    // per-community integer-scaled modularity of the 3-round LPA
+    // labeling — the quality loop-closer on graph_label_propagation
+    "graph_modularity" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir)
+      communityModularity(edges, labelPropagation(edges, rounds = 3))
+    }),
+
     // 3-leg weighted shortest paths; stronger co-purchase = shorter
     // edge (w = 1e6 div support), integer min-plus relaxation
     "graph_sssp_weighted" -> ((s, dir) =>
@@ -330,6 +379,43 @@ object GraphOps {
         |l3 AS (SELECT u AS node_id, lbl FROM (
         |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1)
         |SELECT node_id, lbl AS community FROM l3""".stripMargin,
+
+    // the LPA rounds above + the modularity arithmetic; HUGEINT
+    // intermediates (DuckDB sum/products) cast back to BIGINT, floor
+    // division identical to Spark's `div` on the non-negative operands
+    "graph_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node_id, u AS lbl FROM e),
+        |r1 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l0 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l1 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l1 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l2 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l3 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1),
+        |m AS (SELECT count(*) AS m FROM e0),
+        |deg AS (SELECT node_id, count(*) AS deg FROM
+        |          (SELECT u AS node_id FROM e0 UNION ALL SELECT v FROM e0)
+        |        GROUP BY node_id),
+        |ein AS (SELECT lu.lbl AS community, count(*) AS e_in
+        |        FROM e0 JOIN l3 lu ON lu.node_id = e0.u
+        |        JOIN l3 lv ON lv.node_id = e0.v
+        |        WHERE lu.lbl = lv.lbl GROUP BY 1),
+        |ds AS (SELECT l3.lbl AS community, sum(deg.deg) AS deg_sum, count(*) AS n_nodes
+        |       FROM l3 JOIN deg ON deg.node_id = l3.node_id GROUP BY 1)
+        |SELECT ds.community, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(ds.deg_sum AS BIGINT) AS deg_sum,
+        |  CAST(COALESCE(ein.e_in, 0) * 1000000000 // m.m
+        |    - ds.deg_sum * ds.deg_sum * 1000000000 // (4 * m.m * m.m) AS BIGINT) AS q_x1e9
+        |FROM ds CROSS JOIN m LEFT JOIN ein ON ein.community = ds.community""".stripMargin,
 
     // triangles per corner + degrees over the same thresholded graph;
     // floor division matches Spark's `div` on non-negative operands

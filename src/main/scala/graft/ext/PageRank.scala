@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *   r_{t+1}(v) = (15 * scale div 100) div N
   *              + 85 * Σ_{u→v} (r_t(u) div outdeg(u)) div 100
   *
-  * Dangling mass (nodes with no out-edges) is dropped, not
-  * redistributed — deterministic and documented, the common simplified
-  * formulation.
+  * [[pageRankInt]] drops dangling mass (nodes with no out-edges) — the
+  * common simplified formulation; [[pageRankDanglingInt]] redistributes
+  * it uniformly per round (the default of mainstream graph libraries).
+  * Both are registered and oracled.
   *
   * 100 TB shape: each round is ONE edge-keyed shuffle — `edges ⋈ ranks`
   * on src (ranks is node-sized, the small side of the join), then a
@@ -83,6 +84,62 @@ object PageRank {
 
   private val coalesceContrib = "coalesce(contrib, 0L)"
 
+  /** The dangling-mass-REDISTRIBUTING variant — the formulation graph
+    * libraries default to: each round, the total rank held by nodes
+    * with no out-edges is divided uniformly across all nodes before
+    * damping, so rank mass is (floor-division aside) conserved:
+    *
+    *   r_{t+1}(v) = (15 * scale div 100) div N
+    *              + 85 * (Σ_{u→v} (r_t(u) div outdeg(u)) + dangling_t div N) div 100
+    *   dangling_t = Σ_{outdeg(u) = 0} r_t(u)
+    *
+    * `dangling_t` is a 1-row aggregate (an anti-join of ranks against
+    * the out-degree table, then a scalar sum) cross-joined into the
+    * node-sized update — never a collect, never data-sized. Everything
+    * else shares [[pageRankIntStamped]]'s shape: one edge-keyed
+    * shuffle + one map-side-combining sum per round.
+    */
+  def pageRankDanglingInt(edges: DataFrame, iterations: Int,
+                          scale: Long = 1000000L): DataFrame =
+    pageRankDanglingIntStamped(edges, iterations, scale)._1
+
+  /** [[pageRankDanglingInt]] plus the unpersist thunk. */
+  def pageRankDanglingIntStamped(edges: DataFrame, iterations: Int,
+                                 scale: Long = 1000000L): (DataFrame, () => Unit) = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(n)
+      .select(col("node_id"), expr(s"$scale div n_nodes").as("rank"))
+    for (i <- 0 until iterations) {
+      val contrib = e.join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst").as("node_id"), expr("rank div deg").as("c"))
+        .groupBy(col("node_id")).agg(sum(col("c")).as("contrib"))
+      // 1-row scalar: rank mass parked on dangling nodes this round
+      val dangling = ranks
+        .join(outDeg.withColumnRenamed("src", "node_id"), Seq("node_id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dangling"))
+      ranks = nodes.crossJoin(n).crossJoin(dangling)
+        .join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (expr(s"(15 * $scale div 100) div n_nodes") +
+            expr(s"85 * ($coalesceContrib + dangling div n_nodes) div 100")).as("rank"))
+      // tighter cadence than pageRankInt: each round reads `ranks`
+      // TWICE (contrib + dangling), so the un-truncated plan doubles
+      // per round instead of growing linearly
+      if ((i + 1) % 3 == 0 && i + 1 < iterations)
+        ranks = ranks.localCheckpoint(eager = false)
+    }
+    (ranks, () => { e.unpersist(); nodes.unpersist(); () })
+  }
+
   val queries: Map[String, Q] = Map(
     // supplier→part bipartite graph from lineitem (distinct edges; part
     // ids offset into their own id space), 3 integer-exact rounds
@@ -92,6 +149,18 @@ object PageRank {
           (col("l_partkey") + lit(1000000L)).as("dst"))
         .distinct()
       pageRankInt(edges, iterations = 3)
+    }),
+
+    // same bipartite graph, dangling mass redistributed — every part
+    // node is dangling here (parts have no out-edges), so the two
+    // variants differ materially and the oracle pins the redistribution
+    // arithmetic, not just the shared plumbing
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      pageRankDanglingInt(edges, iterations = 3)
     })
   )
 
@@ -125,6 +194,50 @@ object PageRank {
         |r3 AS (SELECT nodes.node_id,
         |         CAST((15 * 1000000 // 100) // n_nodes + 85 * COALESCE(c3.contrib, 0) // 100 AS BIGINT) AS rank
         |       FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.node_id = nodes.node_id)
+        |SELECT node_id, rank FROM r3""".stripMargin,
+
+    // the redistribute variant unrolled: dangling_t is the scalar sum
+    // of rank over nodes absent from the out-degree table, folded into
+    // every node's update before damping
+    "graph_pagerank_dangling" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(l_partkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node_id, CAST(1000000 // n_nodes AS BIGINT) AS rank FROM nodes, n),
+        |c1 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |g1 AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r0
+        |       WHERE node_id NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT nodes.node_id,
+        |         CAST((15 * 1000000 // 100) // n_nodes
+        |           + 85 * (COALESCE(c1.contrib, 0) + dang // n_nodes) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN n CROSS JOIN g1
+        |       LEFT JOIN c1 ON c1.node_id = nodes.node_id),
+        |c2 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |g2 AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r1
+        |       WHERE node_id NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT nodes.node_id,
+        |         CAST((15 * 1000000 // 100) // n_nodes
+        |           + 85 * (COALESCE(c2.contrib, 0) + dang // n_nodes) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN n CROSS JOIN g2
+        |       LEFT JOIN c2 ON c2.node_id = nodes.node_id),
+        |c3 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |g3 AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r2
+        |       WHERE node_id NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT nodes.node_id,
+        |         CAST((15 * 1000000 // 100) // n_nodes
+        |           + 85 * (COALESCE(c3.contrib, 0) + dang // n_nodes) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN n CROSS JOIN g3
+        |       LEFT JOIN c3 ON c3.node_id = nodes.node_id)
         |SELECT node_id, rank FROM r3""".stripMargin
   )
 }

@@ -18,14 +18,6 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema with `ts` as raw nanosecond longs (cannot rely on
-    * runtime inference in a stream; TIMESTAMP(NANOS) needs nanosAsLong).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming events source normalized to exact micros `ts_us`,
     * schema-adaptive the same way [[graft.Tables.events]] is: a file
     * stream cannot infer its schema, so the BATCH reader footer-sniffs
@@ -43,8 +35,13 @@ object StreamingOps {
       .parquet(dir)
     fileSchema("ts").dataType match {
       case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
-      case _ => raw.withColumn("ts_us", // session tz is pinned UTC → exact
-        unix_micros(col("ts").cast(TimestampType)))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts_us", // session tz is pinned UTC → exact
+          unix_micros(col("ts").cast(TimestampType)))
+      case other => // fail loudly, mirroring Tables.events
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other — expected legacy " +
+            "nanos LongType or timestamp[us] (NTZ/LTZ)")
     }
   }
 
