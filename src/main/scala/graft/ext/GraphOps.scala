@@ -178,6 +178,35 @@ object GraphOps {
     labels.select(col("node_id"), col("lbl").as("community"))
   }
 
+  /** WEIGHTED synchronous LPA: identical round structure to
+    * [[labelPropagation]], but each node adopts the label with the
+    * largest TOTAL EDGE WEIGHT among its neighbors (smallest label on
+    * ties) — on a support-weighted co-purchase graph, a node follows
+    * the community it is most strongly bought-with, not merely the one
+    * with the most distinct neighbors. Weights are non-negative longs,
+    * so the argmax (`min(struct(-wsum, lbl))`) stays integer-exact.
+    * Same per-round cost: one edge-keyed join + one map-side-combining
+    * (node, label) SUM + one struct-min.
+    */
+  def labelPropagationWeighted(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var labels = sym.select(col("u").as("node_id")).distinct()
+      .withColumn("lbl", col("node_id"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node_id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("wsum"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("wsum")).as("neg"), col("lbl").as("l"))).as("top"))
+        .select(col("u").as("node_id"), col("top.l").as("lbl"))
+    }
+    labels.select(col("node_id"), col("lbl").as("community"))
+  }
+
   /** Integer-scaled Newman modularity of a `(node_id, community)`
     * labeling over the undirected edge list (`(u, v)`, each edge once,
     * u < v) — "are the communities any good" as one exact number per
@@ -313,6 +342,11 @@ object GraphOps {
       communityModularity(edges, labelPropagation(edges, rounds = 3))
     }),
 
+    // support-weighted LPA over the same graph (w = co-purchase count)
+    "graph_label_propagation_weighted" -> ((s, dir) =>
+      labelPropagationWeighted(
+        copurchaseEdges(s, dir).withColumn("w", col("sup")), rounds = 3)),
+
     // 3-leg weighted shortest paths; stronger co-purchase = shorter
     // edge (w = 1e6 div support), integer min-plus relaxation
     "graph_sssp_weighted" -> ((s, dir) =>
@@ -378,6 +412,27 @@ object GraphOps {
         |r3 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
         |l3 AS (SELECT u AS node_id, lbl FROM (
         |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1)
+        |SELECT node_id, lbl AS community FROM l3""".stripMargin,
+
+    // the weighted rounds: sum(w) replaces count, argmax = row_number
+    // over (wsum DESC, lbl) — the same tie-break as min(struct(-wsum, lbl))
+    "graph_label_propagation_weighted" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v, count(*) AS sup
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v, sup AS w FROM e0 UNION SELECT v, u, sup FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node_id, u AS lbl FROM e),
+        |r1 AS (SELECT e.u, l.lbl, CAST(sum(e.w) AS BIGINT) AS ws FROM e JOIN l0 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l1 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ws DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT e.u, l.lbl, CAST(sum(e.w) AS BIGINT) AS ws FROM e JOIN l1 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l2 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ws DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT e.u, l.lbl, CAST(sum(e.w) AS BIGINT) AS ws FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+        |l3 AS (SELECT u AS node_id, lbl FROM (
+        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ws DESC, lbl) AS rn FROM r3) WHERE rn = 1)
         |SELECT node_id, lbl AS community FROM l3""".stripMargin,
 
     // the LPA rounds above + the modularity arithmetic; HUGEINT

@@ -94,8 +94,13 @@ object Quality {
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // pinParallelism: this final stage is many-keys (every doc) ×
+    // narrow rows, the shape where AQE's byte-based coalescing
+    // serializes a CPU-bound heap merge (measured at the 10x probe:
+    // 1-2 partitions, ratio 2.18 → pinned 1.58; all other stages flat)
     graft.plans.TopKPerKey.topKPerKey(tf.join(df, "term"),
-        Seq("doc_id"), Seq(("tf", true), ("df", false), ("term", false)), k)
+        Seq("doc_id"), Seq(("tf", true), ("df", false), ("term", false)), k,
+        pinParallelism = true)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 

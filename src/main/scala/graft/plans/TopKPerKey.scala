@@ -39,7 +39,8 @@ import org.apache.spark.sql.types.IntegerType
   */
 case class TopKPerKey(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: Attribute, child: LogicalPlan) extends UnaryNode {
+    rankAttr: Attribute, child: LogicalPlan,
+    pinParallelism: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rank is born here, not read from the child
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -50,9 +51,9 @@ case class TopKPerKey(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, rankAttr, child) =>
+    case TopKPerKey(keys, order, k, rankAttr, child, pin) =>
       FinalTopKExec(keys, order, k, rankAttr,
-        PartialTopKExec(keys, order, k, planLater(child))) :: Nil
+        PartialTopKExec(keys, order, k, planLater(child)), pin) :: Nil
     case _ => Nil
   }
 }
@@ -103,10 +104,26 @@ case class PartialTopKExec(
 
 case class FinalTopKExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+    rankAttr: Attribute, child: SparkPlan,
+    pinParallelism: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
+  // `pinParallelism` holds the exchange at the session's shuffle
+  // parallelism: the heap merge is CPU-bound per ROW but its shuffle is
+  // narrow (the partial stage already cut it to <= k rows per key per
+  // partition), so AQE's byte-based coalescing can collapse it to 1-2
+  // partitions and serialize the final stage — measured on
+  // tfidf_top_terms at the 10x probe: 1 partition at sf0.1, 2 at 10x,
+  // ratio 2.18 from lost parallelism alone (every other stage of that
+  // query scales flat; pinned, the ratio is 1.58). OFF by default:
+  // iterative consumers with tiny per-round top-k stages (PQ/IVF
+  // assignment argmax) measured ~50% SLOWER under a blanket pin — for
+  // them the coalescing is the right call, and callers with a
+  // many-keys × narrow-rows final stage opt in per call site.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (pinParallelism)
+      ClusteredDistribution(keys,
+        requiredNumPartitions = Some(conf.numShufflePartitions))
+    else ClusteredDistribution(keys)) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, attrs, kk, out) = (keys, order, child.output, k, output)
     child.execute().mapPartitions { it =>
@@ -134,7 +151,8 @@ object TopKPerKey {
     * the node is constructed fully resolved, no analyzer round trip.
     */
   def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int,
-                 rankName: String = "rank"): DataFrame = {
+                 rankName: String = "rank",
+                 pinParallelism: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -162,7 +180,7 @@ object TopKPerKey {
     }
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     GraftSqlShim.ofRows(spark,
-      TopKPerKey(keyExprs, orderExprs, k, rankAttr, analyzed))
+      TopKPerKey(keyExprs, orderExprs, k, rankAttr, analyzed, pinParallelism))
   }
 
   val queries: Map[String, Q] = Map(

@@ -225,6 +225,29 @@ class StatsSpec extends AnyFunSuite {
     assert(lpa(e, rounds = 3, parts = 1) == lpa(e, rounds = 3, parts = 7))
   }
 
+  private def lpaW(edges: Seq[(Long, Long, Long)], rounds: Int,
+                   parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ext.GraphOps.labelPropagationWeighted(
+        edges.toDF("u", "v", "w").repartition(parts), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted label propagation follows edge weight where unweighted tie-breaks by label") {
+    // star: node 5's neighbors all have singleton labels {1, 8, 9};
+    // the heavy edge points at 9 — weighted LPA adopts 9, while
+    // count-LPA sees three 1-vote labels and tie-breaks to min label 1
+    val heavy9 = Seq((5L, 1L, 1L), (5L, 8L, 1L), (5L, 9L, 10L))
+    assert(lpaW(heavy9, rounds = 1)(5L) == 9L)
+    assert(lpa(heavy9.map(t => (t._1, t._2)), rounds = 1)(5L) == 1L)
+    // equal weights degrade to the count variant's tie-break
+    val flat = Seq((5L, 1L, 2L), (5L, 8L, 2L), (5L, 9L, 2L))
+    assert(lpaW(flat, rounds = 1)(5L) == 1L)
+    // partition invariance (integer sums, no merge-order ambiguity)
+    val e = Seq((8L, 9L, 1L), (5L, 8L, 1L), (5L, 9L, 1L), (5L, 1L, 3L))
+    assert(lpaW(e, rounds = 3, parts = 1) == lpaW(e, rounds = 3, parts = 7))
+  }
+
   test("bounded SSSP: min-plus relaxation takes the cheaper 2-leg path, respects hop bound") {
     import spark.implicits._
     // 1 -10- 2 -10- 4 and 1 -100- 4: two legs (20) beat the direct edge
