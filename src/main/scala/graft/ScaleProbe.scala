@@ -191,7 +191,13 @@ object ScaleProbe {
       // shingle structure; embeddings scale with the corpus while the
       // vec_id<10 query side stays fixed)
       "graph_triangles", "recsys_item_similarity", "dedup_prefix_jaccard",
-      "hybrid_rank_fusion"))
+      "hybrid_rank_fusion",
+      // round-9 additions: the fused-round BPE trainer, the banded
+      // sign-LSH ANN (more candidate work than the old single-bucket
+      // form), the n²-hamming recall companion (grid-blocked), and the
+      // dangling PageRank's per-round scalar anti-join
+      "bpe_train_merges", "ann_lsh_bucketed", "dedup_simhash_recall",
+      "graph_pagerank_dangling"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

@@ -51,6 +51,21 @@ object BpeTrain {
   def bpeTrainMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    trainCore(docs, rounds)._1.toDF("round", "lft", "rgt", "n")
+  }
+
+  /** The token stream AFTER the learned merges — training and greedy
+    * LTR application in one pass (the stream the trainer maintains IS
+    * the applied tokenization): (doc_id, word_id, pos, tok) with pos
+    * re-densified 1-based per word. This is what a tokenize step feeds
+    * downstream (token counting, packing); the oracle replays the same
+    * unrolled rounds and selects the final stream instead of the merge
+    * table, so train and apply share one semantics contract.
+    */
+  def bpeApplyStream(docs: DataFrame, rounds: Int = 5): DataFrame =
+    trainCore(docs, rounds)._2
+
+  private def trainCore(docs: DataFrame, rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val wWord = Window.partitionBy(col("doc_id"), col("word_id")).orderBy(col("pos"))
     var t = docs
       .select(col("doc_id"),
@@ -113,12 +128,17 @@ object BpeTrain {
       merges += ((r, lft, rgt, n))
       }
     }
-    merges.toSeq.toDF("round", "lft", "rgt", "n")
+    (merges.toSeq, t)
   }
 
   val queries: Map[String, Q] = Map(
     "bpe_train_merges" -> ((s, dir) =>
-      bpeTrainMerges(Tables.documents(s, dir), rounds = 5))
+      bpeTrainMerges(Tables.documents(s, dir), rounds = 5)),
+
+    // the applied tokenization after the same 5 merges — shares the
+    // training oracle's CTE chain, selecting the final stream
+    "bpe_apply_merges" -> ((s, dir) =>
+      bpeApplyStream(Tables.documents(s, dir), rounds = 5))
   )
 
   /** One unrolled CTE round of the identical program. */
@@ -151,19 +171,28 @@ object BpeTrain {
        |  WHERE coalesce(prev_m, 0) = 0)""".stripMargin
   }
 
+  private val coreCtes: String =
+    """WITH words AS (
+      |  SELECT doc_id, wi AS word_id, ws[wi] AS word
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      |    UNNEST(generate_series(1, len(ws))) AS t(wi)
+      |  WHERE ws[wi] != ''),
+      |t0 AS (
+      |  SELECT doc_id, word_id, ci AS pos, cs[ci] AS tok
+      |  FROM (SELECT doc_id, word_id, string_split(word, '') AS cs FROM words),
+      |    UNNEST(generate_series(1, len(cs))) AS t(ci)),
+      |""".stripMargin +
+    (1 to 5).map(roundSql).mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
-    "bpe_train_merges" -> (
-      """WITH words AS (
-        |  SELECT doc_id, wi AS word_id, ws[wi] AS word
-        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |    UNNEST(generate_series(1, len(ws))) AS t(wi)
-        |  WHERE ws[wi] != ''),
-        |t0 AS (
-        |  SELECT doc_id, word_id, ci AS pos, cs[ci] AS tok
-        |  FROM (SELECT doc_id, word_id, string_split(word, '') AS cs FROM words),
-        |    UNNEST(generate_series(1, len(cs))) AS t(ci)),
-        |""".stripMargin +
-      (1 to 5).map(roundSql).mkString(",\n") +
+    // the SAME unrolled chain, selecting the final token stream: the
+    // oracle's 1-based word_id aligns to Spark's 0-based posexplode
+    // index by the -1; pos is 1-based on both sides after round >= 1
+    "bpe_apply_merges" -> (coreCtes +
+      "\nSELECT doc_id, CAST(word_id - 1 AS INTEGER) AS word_id, " +
+      "CAST(pos AS INTEGER) AS pos, tok FROM t5"),
+
+    "bpe_train_merges" -> (coreCtes +
       "\nSELECT * FROM (" +
       (1 to 5).map(r =>
         s"SELECT CAST($r AS INTEGER) AS round, lft, rgt, CAST(n AS BIGINT) AS n FROM b$r")

@@ -62,4 +62,24 @@ class BpeTrainSpec extends AnyFunSuite {
     val m = mergesOf(Seq("ab ab"), rounds = 1)
     assert(m == Seq((1, "a", "b", 2L)), m.toString)
   }
+
+  test("applied stream is the greedy LTR tokenization after the learned merges") {
+    import spark.implicits._
+    // "abab ab" after (a,b) then (ab,ab): word 0 → [abab], word 1 → [ab]
+    val docs = Seq((0L, "abab ab")).toDF("doc_id", "text")
+    val t = graft.ext.BpeTrain.bpeApplyStream(docs, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq.sorted
+    assert(t == Seq((0L, 0, 1, "abab"), (0L, 1, 1, "ab")).sorted, t.toString)
+    // round-trip identity: concatenating each word's tokens in pos
+    // order rebuilds the original words
+    val corpus = Seq((0L, "the cat sat"), (1L, "low lower"))
+    val words = corpus.flatMap { case (d, s) =>
+      s.split("\\s+").zipWithIndex.map { case (w, i) => (d, i) -> w } }.toMap
+    val applied = graft.ext.BpeTrain.bpeApplyStream(corpus.toDF("doc_id", "text"), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).mkString }
+    assert(applied == words, s"$applied vs $words")
+  }
 }
