@@ -138,7 +138,27 @@ object BpeTrain {
     // the applied tokenization after the same 5 merges — shares the
     // training oracle's CTE chain, selecting the final stream
     "bpe_apply_merges" -> ((s, dir) =>
-      bpeApplyStream(Tables.documents(s, dir), rounds = 5))
+      bpeApplyStream(Tables.documents(s, dir), rounds = 5)),
+
+    // END-TO-END tokenize → pack: per-doc SUBWORD token counts from the
+    // trained tokenizer (not whitespace words — the count a training
+    // run actually budgets by), zero-filled for empty docs, then the
+    // corpus_pack_shards assignment (md5 shuffle order, exclusive
+    // weighted prefix sum via the distributed two-phase scan, shard =
+    // cum div budget). The oracle composes the BPE chain's t5 with the
+    // same pack windows — one WITH, no drift between the pieces.
+    "pipeline_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = bpeApplyStream(docs, rounds = 5)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val perDoc = docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"))
+      graft.ops.Offsets.globalWeightedPrefix(perDoc,
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          "n_tokens", "cum_tokens")
+        .withColumn("shard_id", expr("cum_tokens div 2000"))
+    })
   )
 
   /** One unrolled CTE round of the identical program. */
@@ -191,6 +211,21 @@ object BpeTrain {
     "bpe_apply_merges" -> (coreCtes +
       "\nSELECT doc_id, CAST(word_id - 1 AS INTEGER) AS word_id, " +
       "CAST(pos AS INTEGER) AS pos, tok FROM t5"),
+
+    // cum in a subquery (the corpus_pack_shards discipline: one window
+    // evaluation, no threaded-window tie hazard)
+    "pipeline_tokenize_pack" -> (coreCtes + """,
+      |cnt AS (SELECT doc_id, count(*) AS n FROM t5 GROUP BY doc_id),
+      |tt AS (
+      |  SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_tokens,
+      |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+      |  FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+      |  FROM tt)
+      |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 2000 AS shard_id FROM c""".stripMargin),
 
     "bpe_train_merges" -> (coreCtes +
       "\nSELECT * FROM (" +

@@ -49,27 +49,26 @@ object ProductQuant {
     * squared distance, ascending, ties to the smaller vec_id.
     * `m`·`dsub` must equal the embedding dimension.
     */
-  def pqShortlist(queries: DataFrame, corpus: DataFrame,
-                  m: Int = 8, dsub: Int = 8, c: Int = 64,
-                  shortlist: Int = 50): DataFrame = {
-    def subvectors(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
-          s => struct(s.cast("int").as("sub"),
-            slice(col("qv"), s * lit(dsub) + lit(1), lit(dsub)).as("sv")))).as("e"))
-        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  private def subvectorsOf(df: DataFrame, m: Int, dsub: Int): DataFrame =
+    df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("int").as("sub"),
+          slice(col("qv"), s * lit(dsub) + lit(1), lit(dsub)).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
 
-    val sv = subvectors(corpus)
+  /** PQ-encoded corpus + the Lloyd-refined codebooks:
+    * ((vec_id, sub, code), (sub, code, cw)) — the seed/assign/update/
+    * encode chain shared by [[pqShortlist]] and [[ivfpqTopK]].
+    */
+  private def encodedCorpus(corpus: DataFrame, m: Int, dsub: Int,
+                            c: Int): (DataFrame, DataFrame) = {
+    val sv = subvectorsOf(corpus, m, dsub)
     val seeds = corpus
       .withColumn("_h", md5(col("vec_id").cast("string")))
       .orderBy(col("_h"), col("vec_id")).limit(c)
       .select(col("vec_id"))
     val cb0 = sv.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
-
-    // nearest codeword per (vector, subspace): broadcast the codebook,
-    // argmin through the partial/final top-k operator (k=1), so only
-    // one row per (vector, subspace) survives each partition
     def encode(cb: DataFrame, promote: Long): DataFrame = {
       val svp = if (promote == 1L) col("sv")
         else transform(col("sv"), x => x * lit(promote))
@@ -80,10 +79,7 @@ object ProductQuant {
           Seq(("d", false), ("code", false)), 1)
         .select(col("vec_id"), col("sub"), col("code"))
     }
-
     val e1 = encode(cb0, 1L)
-    // integer Lloyd update per subspace: exact sums, floor division
-    // promoted to 1e6 scale (the kmeansAssign2 update, keyed by sub too)
     val cb2 = e1.join(sv, Seq("vec_id", "sub"))
       .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("code"), col("pos"))
@@ -92,15 +88,25 @@ object ProductQuant {
       .groupBy(col("sub"), col("code"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
       .select(col("sub"), col("code"), expr("transform(a, x -> x.cv)").as("cw"))
-    val enc = encode(cb2, 1000L)
+    (encode(cb2, 1000L), cb2)
+  }
 
-    // ADC lookup table: nq·m·c rows, broadcast — the query's exact
-    // (promoted) subvectors against every refined codeword
-    val lut = subvectors(queries)
+  /** ADC lookup table for the bounded query set: nq·m·c rows,
+    * broadcast-sized — the query's exact (promoted) subvectors against
+    * every refined codeword.
+    */
+  private def adcLut(queries: DataFrame, cb2: DataFrame, m: Int, dsub: Int): DataFrame =
+    subvectorsOf(queries, m, dsub)
       .withColumn("svp", transform(col("sv"), x => x * lit(1000L)))
       .join(broadcast(cb2), Seq("sub"))
       .select(col("vec_id").as("q_id"), col("sub"), col("code"),
         l2sq(col("svp"), col("cw")).as("d"))
+
+  def pqShortlist(queries: DataFrame, corpus: DataFrame,
+                  m: Int = 8, dsub: Int = 8, c: Int = 64,
+                  shortlist: Int = 50): DataFrame = {
+    val (enc, cb2) = encodedCorpus(corpus, m, dsub, c)
+    val lut = adcLut(queries, cb2, m, dsub)
     val adc = enc.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -138,6 +144,68 @@ object ProductQuant {
       .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
   }
 
+  /** IVF + PQ — the published IVFADC composition, the actual 100 TB
+    * recipe: a coarse quantizer (md5-seeded centroids, dot-product
+    * argmax — NO Lloyd step here, keeping the whole program
+    * integer-exact and hash-oracleable) routes every corpus vector to
+    * one cell; a query probes its `nProbe` best cells and ADC-scores
+    * ONLY the vectors in those cells; the shortlist reranks exact.
+    * vs [[pqTopK]]: the ADC join is restricted by the candidate pair
+    * set, so scored pairs drop from |queries|·|corpus| to
+    * |queries|·(nProbe/nCells)·|corpus| — the multiplier that makes
+    * the page-cache-resident code table searchable at all when the
+    * corpus no longer is.
+    *
+    * Plan shape: centroids broadcast to both assignment joins (the
+    * corpus never shuffles to be assigned), candidate pairs are an
+    * equi-join on the cell id, the LUT is broadcast, and the ADC sum
+    * is one map-side-combining aggregate keyed (q_id, c_id).
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
+                nCells: Int = 32, nProbe: Int = 8,
+                m: Int = 8, dsub: Int = 8, c: Int = 64,
+                shortlist: Int = 50, k: Int = 5): DataFrame = {
+    val cents = corpus
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy(col("_h"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), quantize(col("embedding")).as("cent_qv"))
+    def assign(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val scored = df
+        .select(col("vec_id").as(idCol), quantize(col("embedding")).as("qv"))
+        .join(broadcast(cents), col(idCol) =!= lit(-1L))
+        .withColumn("dc", quantizedDot(col("qv"), col("cent_qv")))
+      graft.plans.TopKPerKey.topKPerKey(scored, Seq(idCol),
+          Seq(("dc", true), ("cent_id", false)), n)
+        .select(col(idCol), col("cent_id").as("cell"))
+    }
+    val cells = assign(corpus, "c_id", 1)
+    val probes = assign(queries, "q_id", nProbe)
+    val cand = probes.join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+
+    val (enc, cb2) = encodedCorpus(corpus, m, dsub, c)
+    val lut = adcLut(queries, cb2, m, dsub)
+    val adc = cand
+      .join(enc.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d")).as("adist"))
+    val short = graft.plans.TopKPerKey.topKPerKey(adc, Seq("q_id"),
+        Seq(("adist", false), ("c_id", false)), shortlist)
+      .select(col("q_id"), col("c_id"))
+    val qvC = corpus.select(col("vec_id").as("c_id"), quantize(col("embedding")).as("qv_c"))
+    val qvQ = queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv_q"))
+    val rer = short
+      .join(broadcast(qvQ), "q_id")
+      .join(qvC, "c_id")
+      .select(col("q_id"), col("c_id"),
+        quantizedDot(col("qv_q"), col("qv_c")).as("dot_q"))
+    graft.plans.TopKPerKey.topKPerKey(rer, Seq("q_id"),
+        Seq(("dot_q", true), ("c_id", false)), k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -157,6 +225,28 @@ object ProductQuant {
         .agg(count(lit(1)).as("n_hits"))
       // 1-row × 1-row cross join — two scalars, never data-sized
       nExact.crossJoin(nHits)
+    }),
+
+    // IVF + PQ (IVFADC): the full composed program is integer-exact —
+    // coarse cells have NO Lloyd step, so the oracle replays every
+    // stage and the result is hash-exact like ann_pq_topk
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      ivfpqTopK(e.filter(col("vec_id") < 10), e)
+    }),
+    // exact recall@5 vs brute force (integer hit count, oracle-exact) —
+    // quantifies what the cell restriction costs vs full-corpus ADC
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = SimSearch.bruteForceTopK(qs, e, k = 5)
+        .select(col("q_id"), col("c_id"))
+      val ivfpq = ivfpqTopK(qs, e).select(col("q_id"), col("c_id"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHits = ivfpq.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      // 1-row × 1-row cross join — two scalars, never data-sized
+      nExact.crossJoin(nHits)
     })
   )
 
@@ -164,10 +254,13 @@ object ProductQuant {
     * (q_id, rank, c_id, dot_q — the reranked top-`k`), shared by the
     * top-k oracle, the exact recall companion, and RankFusion's hybrid
     * oracle. `lead` lets a composing query supply its own WITH and
-    * splice this chain mid-list.
+    * splice this chain mid-list; `adcCte` lets [[ivfpqTopK]]'s oracle
+    * swap the full-corpus ADC for the candidate-restricted one (any
+    * CTEs it needs may precede the `adc` definition inside the string).
     */
   private[ext] def oracleCtesFor(shortlist: Int, k: Int,
-                                 lead: String = "WITH "): String =
+                                 lead: String = "WITH ",
+                                 adcCte: String = defaultAdcCte): String =
       (lead +
       """q AS (
         |  SELECT vec_id, list_transform(embedding,
@@ -215,11 +308,7 @@ object ProductQuant {
         |      i -> (qs.sv[i] * 1000 - cb2.cw[i]) * (qs.sv[i] * 1000 - cb2.cw[i]))) AS BIGINT) AS d
         |  FROM (SELECT * FROM sv WHERE vec_id < 10) qs
         |  JOIN cb2 ON qs.sub = cb2.sub),
-        |adc AS (
-        |  SELECT lut.q_id, enc.vec_id AS c_id, CAST(sum(lut.d) AS BIGINT) AS adist
-        |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
-        |  WHERE enc.vec_id != lut.q_id
-        |  GROUP BY lut.q_id, enc.vec_id),
+        |ADC_CTE
         |short AS (
         |  SELECT q_id, c_id FROM adc
         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) <= SHORTLIST_N),
@@ -236,10 +325,55 @@ object ProductQuant {
         |    c_id, dot_q
         |  FROM rer
         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= TOPK_N)""".stripMargin)
+        .replace("ADC_CTE", adcCte)
         .replace("SHORTLIST_N", shortlist.toString)
         .replace("TOPK_N", k.toString)
 
+  private val defaultAdcCte: String =
+    """adc AS (
+      |  SELECT lut.q_id, enc.vec_id AS c_id, CAST(sum(lut.d) AS BIGINT) AS adist
+      |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      |  WHERE enc.vec_id != lut.q_id
+      |  GROUP BY lut.q_id, enc.vec_id),""".stripMargin
+
+  /** The IVF coarse layer + candidate-restricted ADC: centroids are
+    * the md5-smallest NCELLS vectors, assignment/probing is the
+    * quantized dot argmax (ties to the smaller cent_id), and `adc`
+    * aggregates only pairs routed through a probed cell — the same
+    * restriction [[ivfpqTopK]]'s candidate join applies.
+    */
+  private def ivfAdcCte(nCells: Int, nProbe: Int): String =
+    """cents AS (
+      |  SELECT vec_id AS cent_id, qv AS cent_qv FROM q
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT NCELLS),
+      |cdots AS (
+      |  SELECT c.vec_id, cents.cent_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(c.qv)),
+      |      i -> c.qv[i] * cents.cent_qv[i])) AS BIGINT) AS dc
+      |  FROM q c CROSS JOIN cents),
+      |cells AS (
+      |  SELECT vec_id AS c_id, cent_id AS cell FROM cdots
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dc DESC, cent_id) = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cent_id AS cell FROM cdots
+      |  WHERE vec_id < 10
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dc DESC, cent_id) <= NPROBE),
+      |cand AS (
+      |  SELECT p.q_id, cl.c_id FROM probes p JOIN cells cl ON p.cell = cl.cell
+      |  WHERE cl.c_id != p.q_id),
+      |adc AS (
+      |  SELECT cand.q_id, cand.c_id, CAST(sum(lut.d) AS BIGINT) AS adist
+      |  FROM cand
+      |  JOIN enc ON enc.vec_id = cand.c_id
+      |  JOIN lut ON lut.q_id = cand.q_id AND lut.sub = enc.sub AND lut.code = enc.code
+      |  GROUP BY cand.q_id, cand.c_id),""".stripMargin
+      .replace("NCELLS", nCells.toString)
+      .replace("NPROBE", nProbe.toString)
+
   private val oracleCtes: String = oracleCtesFor(50, 5)
+
+  private val ivfpqOracleCtes: String =
+    oracleCtesFor(50, 5, adcCte = ivfAdcCte(32, 8))
 
   val oracleSql: Map[String, String] = Map(
     // The identical integer program: subspace as data (UNNEST over sub),
@@ -253,6 +387,22 @@ object ProductQuant {
     // recall itself and the driver hash-checks the exact hit count.
     "ann_pq_recall" ->
       (oracleCtes + """,
+        |exact AS (
+        |  SELECT qa.vec_id AS q_id, qc.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qa.qv)),
+        |      i -> qa.qv[i] * qc.qv[i])) AS BIGINT) AS dot
+        |  FROM (SELECT * FROM q WHERE vec_id < 10) qa
+        |  JOIN q qc ON qa.vec_id != qc.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY qa.vec_id ORDER BY dot DESC, qc.vec_id) <= 5)
+        |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM pq JOIN exact USING (q_id, c_id)) AS BIGINT) AS n_hits""".stripMargin),
+
+    // the same chain with the candidate-restricted ADC (cells/probes/
+    // cand CTEs spliced in place of the full-corpus adc)
+    "ann_ivfpq_topk" ->
+      (ivfpqOracleCtes + "\nSELECT q_id, rank, c_id, dot_q FROM pq"),
+    "ann_ivfpq_recall" ->
+      (ivfpqOracleCtes + """,
         |exact AS (
         |  SELECT qa.vec_id AS q_id, qc.vec_id AS c_id,
         |    CAST(list_sum(list_transform(generate_series(1, len(qa.qv)),
