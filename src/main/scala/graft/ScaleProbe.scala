@@ -167,6 +167,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -193,10 +195,12 @@ object ScaleProbe {
       "graph_triangles", "recsys_item_similarity", "dedup_prefix_jaccard",
       "hybrid_rank_fusion",
       // round-9 additions: the fused-round BPE trainer, the banded
-      // sign-LSH ANN (more candidate work than the old single-bucket
-      // form), the n²-hamming recall companion (grid-blocked), and the
-      // dangling PageRank's per-round scalar anti-join
-      "bpe_train_merges", "ann_lsh_bucketed", "dedup_simhash_recall",
+      // sign-LSH ANN (occupancy-adaptive planes), and the dangling
+      // PageRank's per-round scalar anti-join. dedup_simhash_recall is
+      // deliberately NOT probed: its exact side is a Θ(n²) hamming
+      // sweep BY DESIGN (a gate-scale correctness companion, not a
+      // production operator — measured 13.7× at 10×, as n² predicts)
+      "bpe_train_merges", "ann_lsh_bucketed",
       "graph_pagerank_dangling"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {

@@ -38,10 +38,11 @@ import org.apache.spark.sql.expressions.Window
   * exchange + sort instead of each recomputing it; the best pair is
   * ONE collected row per round (bounded by the `rounds` parameter, the
   * kmeans driver-summary regime), inlined as literals into the next
-  * round's filter. Lineage is truncated per round with an eager
-  * localCheckpoint — without it each round embeds the previous one
-  * TWICE (once via the merge stream, once via the collected best pair)
-  * and the logical plan doubles per round.
+  * round's filter. Rounds materialize through a SERIALIZED
+  * persist/unpersist chain (at most one t-level + one pre live at a
+  * time) rather than localCheckpoint — checkpoint blocks of superseded
+  * rounds cannot be freed through any Dataset handle and accumulated
+  * ~17M-row block sets at the 10× probe, turning the run memory-bound.
   */
 object BpeTrain {
 
@@ -66,15 +67,27 @@ object BpeTrain {
     trainCore(docs, rounds)._2
 
   private def trainCore(docs: DataFrame, rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    // SERIALIZED persist + explicit unpersist chain instead of
+    // localCheckpoint: the checkpoint blocks of superseded rounds
+    // cannot be freed through any Dataset handle, so at 10× data the
+    // six ~17M-row block sets accumulated in the BlockManager and the
+    // run went memory-bound (measured: non-monotonic round timings,
+    // 2-3× swings between reps). With the chain, at most two t-levels
+    // + one pre are ever live, each SER-compact, freed the moment the
+    // next level materializes.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val wWord = Window.partitionBy(col("doc_id"), col("word_id")).orderBy(col("pos"))
     var t = docs
       .select(col("doc_id"),
         posexplode(filter(split(col("text"), "\\s+"), w => w =!= "")).as(Seq("word_id", "word")))
       .select(col("doc_id"), col("word_id"),
         posexplode(filter(split(col("word"), ""), c => c =!= "")).as(Seq("pos", "tok")))
-      .localCheckpoint()
+      .persist(ser)
     val wRunning = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // levels superseded LAST round — safe to free only after THIS
+    // round's collect has materialized the current level on top of them
+    var toFree: List[DataFrame] = Nil
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
@@ -84,12 +97,16 @@ object BpeTrain {
       // round (the cached plan's partitioning/ordering carry into the
       // downstream windows, so no re-shuffle on the second read)
       val pre = t.withColumn("nxt", lead(col("tok"), 1).over(wWord))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ONE row — the kmeans-style bounded driver summary
+        .persist(ser)
+      // ONE row — the kmeans-style bounded driver summary. This collect
+      // is ALSO the materializer: it stores pre's blocks (and t's, on
+      // t's first use), which is what lets last round's inputs go
       val bestRows = pre.filter(col("nxt").isNotNull)
         .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
         .collect()
+      toFree.foreach(_.unpersist())
+      toFree = Nil
       if (bestRows.isEmpty) {
         // every word is a single symbol — nothing left to merge
         exhausted = true
@@ -117,17 +134,22 @@ object BpeTrain {
             .otherwise(0))
       // a row is CONSUMED iff its predecessor merged; survivors
       // re-densify pos for the next round
-      t = m.withColumn("prev_m", lag(col("do_merge"), 1).over(wWord))
+      val tNew = m.withColumn("prev_m", lag(col("do_merge"), 1).over(wWord))
         .filter(coalesce(col("prev_m"), lit(0)) === 0)
         .select(col("doc_id"), col("word_id"),
           row_number().over(wWord).as("pos"),
           when(col("do_merge") === 1, concat(col("tok"), col("nxt")))
             .otherwise(col("tok")).as("tok"))
-        .localCheckpoint()
-      pre.unpersist()
+        .persist(ser) // LAZY — the next round's collect materializes it
+      toFree = List(pre, t)
+      t = tNew
       merges += ((r, lft, rgt, n))
       }
     }
+    // the last round's (pre, t) stay persisted: they are the lineage the
+    // caller's first action materializes the returned level through —
+    // released by the harness's per-query clearCache(), the same
+    // contract as every other persisting operator here
     (merges.toSeq, t)
   }
 

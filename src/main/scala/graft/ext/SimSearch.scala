@@ -109,6 +109,25 @@ object SimSearch {
       .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
   }
 
+  /** Occupancy-adaptive planes-per-band: `rows` such that the expected
+    * RANDOM-pair collisions per band bucket stay near `targetOccupancy`
+    * vectors — the sign-LSH face of the relative support floor
+    * (GraphOps.copurchaseEdges): a FIXED `rows` admits a constant
+    * FRACTION of all n² pairs as candidates (p_rand = 2^-rows per
+    * band), which the 10× probe measured as a 22× runtime ratio; rows
+    * growing with log2(n) keeps per-bucket occupancy — and thus
+    * candidate work per vector — scale-invariant. The corpus count is
+    * ONE bounded driver scalar (the kmeans driver-summary regime).
+    * Recall trades down as rows grow; the gate-scale corpus keeps
+    * rows = 4 (measured recall@5 = 0.70), and the scale path for
+    * high-recall top-k is IVF/PQ/IVFPQ, not sign-LSH.
+    */
+  def adaptiveRows(vectors: DataFrame, targetOccupancy: Long = 125L): Int = {
+    val n = vectors.count()
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
+      / math.log(2.0)).toInt)
+  }
+
   /** Bucketed ANN: candidates restricted to vectors sharing at least
     * one of `bands` sign-LSH band keys (`rows` hyperplanes per band —
     * the codegen'd `SignLshBuckets` expression, same hyperplane family
@@ -172,10 +191,14 @@ object SimSearch {
       bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
     // Banded sign-LSH ANN (xxhash64-seeded hyperplanes → rows-only;
-    // the oracled `ann_lsh_recall` companion below is the driver guard).
-    "ann_lsh_bucketed" -> ((s, dir) =>
-      lshTopK(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        rows = 4, bands = 8, k = 5)),
+    // the oracled `ann_lsh_recall` companion below is the driver
+    // guard). Planes per band scale with log2(corpus) so candidate
+    // work per vector stays bounded — rows = 4 at every gate/board
+    // scale (500-2000 vectors), 8 at the 10× probe's 20000.
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      lshTopK(e, rows = adaptiveRows(e), bands = 8, k = 5)
+    }),
     // IVF cell-probe ANN with one Lloyd refinement step (rows-only:
     // approximate; recall vs brute force asserted in ScalaTest).
     // 32 cells: refinement only pays off once cells are fine-grained
@@ -213,7 +236,7 @@ object SimSearch {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") < 10)
       val exact = bruteForceTopK(q, e, k = 5).select(col("q_id"), col("c_id"))
-      val lsh = lshTopK(e, rows = 4, bands = 8, k = 5)
+      val lsh = lshTopK(e, rows = adaptiveRows(e), bands = 8, k = 5)
         .filter(col("q_id") < 10).select(col("q_id"), col("c_id"))
       val nExact = exact.agg(count(lit(1)).as("n_exact"))
       val nHits = lsh.join(exact, Seq("q_id", "c_id"), "left_semi")
