@@ -44,6 +44,8 @@ object SparkEntry {
     (ext.SemDedup.queries, ext.SemDedup.oracleSql),
     (ext.PageRank.queries, ext.PageRank.oracleSql),
     (ext.GraphOps.queries, ext.GraphOps.oracleSql),
+    (ext.KCore.queries, ext.KCore.oracleSql),
+    (ext.Itemsets.queries, ext.Itemsets.oracleSql),
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
     (ext.Collocations.queries, ext.Collocations.oracleSql),

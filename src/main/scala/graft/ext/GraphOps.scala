@@ -297,7 +297,7 @@ object GraphOps {
     * support count is one extra map-side-combining aggregate on the
     * already-shuffled pair key.
     */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[ext] def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String,
                               supportPpm: Int = 13): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
