@@ -45,6 +45,7 @@ object SparkEntry {
     (ext.PageRank.queries, ext.PageRank.oracleSql),
     (ext.GraphOps.queries, ext.GraphOps.oracleSql),
     (ext.KCore.queries, ext.KCore.oracleSql),
+    (ext.EditDistJoin.queries, ext.EditDistJoin.oracleSql),
     (ext.Itemsets.queries, ext.Itemsets.oracleSql),
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
