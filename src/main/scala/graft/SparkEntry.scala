@@ -46,6 +46,8 @@ object SparkEntry {
     (ext.GraphOps.queries, ext.GraphOps.oracleSql),
     (ext.KCore.queries, ext.KCore.oracleSql),
     (ext.EditDistJoin.queries, ext.EditDistJoin.oracleSql),
+    (ext.Bm25.queries, ext.Bm25.oracleSql),
+    (ext.Winnow.queries, ext.Winnow.oracleSql),
     (ext.Itemsets.queries, ext.Itemsets.oracleSql),
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),

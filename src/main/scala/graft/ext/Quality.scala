@@ -104,9 +104,35 @@ object Quality {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Corpus-LM novelty signals — the integer core of n-gram-LM data
+    * selection (the "how surprising is this document to a model of the
+    * corpus" filter, cf. importance-resampling selection à la DSIR):
+    * per doc, the total corpus frequency mass of its bigrams and the
+    * count of bigrams occurring nowhere else. A float LM would take
+    * log-probabilities here; the integer masses rank documents by the
+    * same signal (monotone transforms) and stay oracle-exact. One
+    * bigram-keyed aggregate for the corpus counts, one join back on
+    * the bigram key, one doc-keyed aggregate — all map-side combined.
+    */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), explode(bigrams(toks)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val corpus = bg.groupBy(col("bg")).agg(sum(col("c")).as("corpus_c"))
+    bg.join(corpus, "bg")
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(col("c") * col("corpus_c")).as("bg_mass"),
+        sum(when(col("corpus_c") === col("c"), col("c")).otherwise(lit(0L)))
+          .as("novel_bigrams"))
+  }
+
   val queries: Map[String, Q] = Map(
     "quality_repetition" -> ((s, dir) =>
       repetitionProfile(Tables.documents(s, dir))),
+
+    "lm_bigram_novelty" -> ((s, dir) =>
+      bigramNovelty(Tables.documents(s, dir))),
 
     // the ~10% md5-bucket split doubles as the held-out benchmark here
     "decontaminate_ngrams" -> ((s, dir) =>
@@ -167,6 +193,22 @@ object Quality {
         |       THEN round(b.top_bigram_count / b.n_bigrams, 6)
         |       ELSE 0.0 END AS rep_bigram_frac
         |FROM ustat u LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    "lm_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |      THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |      ELSE [] END) AS bg FROM toks) GROUP BY doc_id, bg),
+        |corpus AS (SELECT bg, CAST(sum(c) AS BIGINT) AS corpus_c FROM bg GROUP BY bg)
+        |SELECT b.doc_id, CAST(sum(b.c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS distinct_bigrams,
+        |  CAST(sum(b.c * corpus.corpus_c) AS BIGINT) AS bg_mass,
+        |  CAST(sum(CASE WHEN corpus.corpus_c = b.c THEN b.c ELSE 0 END) AS BIGINT) AS novel_bigrams
+        |FROM bg b JOIN corpus USING (bg)
+        |GROUP BY b.doc_id""".stripMargin,
     "decontaminate_ngrams" ->
       (s"WITH ${gram8Ctes("toks")},\n" +
       """bench AS (
