@@ -65,13 +65,15 @@ object KCore {
   }
 
   val queries: Map[String, Q] = Map(
-    // 3-core of the relative-support co-purchase graph, 3 peel waves
+    // 2-core of the relative-support co-purchase graph, 3 peel waves
+    // (k=2 keeps the core non-degenerate at every measured scale: the
+    // sf0.1 graph is sparser per node — its 3-core is empty)
     "graph_kcore" -> ((s, dir) =>
-      kcorePeel(GraphOps.copurchaseEdges(s, dir), k = 3, rounds = 3))
+      kcorePeel(GraphOps.copurchaseEdges(s, dir), k = 2, rounds = 3))
   )
 
   // Unrolled peel waves over the same co-purchase CTE chain as
-  // graph_triangles: v1 = deg >= 3 nodes, v2/v3 re-count inside the
+  // graph_triangles: v1 = deg >= 2 nodes, v2/v3 re-count inside the
   // survivor-induced subgraph; the SELECT emits v3's induced degrees.
   val oracleSql: Map[String, String] = Map(
     "graph_kcore" ->
@@ -81,13 +83,13 @@ object KCore {
         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
         |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-        |v1 AS (SELECT u AS node_id FROM e GROUP BY u HAVING count(*) >= 3),
+        |v1 AS (SELECT u AS node_id FROM e GROUP BY u HAVING count(*) >= 2),
         |v2 AS (SELECT e.u AS node_id FROM e
         |       JOIN v1 a ON e.u = a.node_id JOIN v1 b ON e.v = b.node_id
-        |       GROUP BY e.u HAVING count(*) >= 3),
+        |       GROUP BY e.u HAVING count(*) >= 2),
         |v3 AS (SELECT e.u AS node_id FROM e
         |       JOIN v2 a ON e.u = a.node_id JOIN v2 b ON e.v = b.node_id
-        |       GROUP BY e.u HAVING count(*) >= 3)
+        |       GROUP BY e.u HAVING count(*) >= 2)
         |SELECT e.u AS node_id, count(*) AS deg FROM e
         |JOIN v3 a ON e.u = a.node_id JOIN v3 b ON e.v = b.node_id
         |GROUP BY e.u""".stripMargin

@@ -46,10 +46,18 @@ object Quality {
   /** Word-level repetition profile: most-frequent unigram/bigram counts
     * and the repeated-mass fractions the Gopher filters threshold on.
     * Two explode→count→max chains, both keyed on doc_id.
+    *
+    * The token array is MATERIALIZED in its own projection before the
+    * bigram lambda touches it: Spark's subexpression elimination does
+    * not reach inside higher-order-function lambdas, so
+    * `bigrams(tokens(text))` would re-run the regex tokenizer for every
+    * `element_at` — O(tokens²) regex splits per document (measured as
+    * the whole cost of the bigram pass at sf0.1).
     */
   def repetitionProfile(docs: DataFrame): DataFrame = {
     val uni = unigramProfile(docs)
-    val bi = docs.select(col("doc_id"), explode(bigrams(toks)).as("bg"))
+    val tok = docs.select(col("doc_id"), toks.as("t"))
+    val bi = tok.select(col("doc_id"), explode(bigrams(col("t"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(
         sum(col("c")).as("n_bigrams"),
@@ -115,8 +123,14 @@ object Quality {
     * the bigram key, one doc-keyed aggregate — all map-side combined.
     */
   def bigramNovelty(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), explode(bigrams(toks)).as("bg"))
+    // persisted: referenced by both the corpus-count aggregate and the
+    // join back — without the cache each branch re-runs the explode +
+    // first aggregate (harnesses clearCache() per query). Token array
+    // materialized first — see repetitionProfile on lambda re-evaluation.
+    val bg = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(bigrams(col("t"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = bg.groupBy(col("bg")).agg(sum(col("c")).as("corpus_c"))
     bg.join(corpus, "bg")
       .groupBy(col("doc_id")).agg(
