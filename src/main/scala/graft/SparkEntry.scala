@@ -56,6 +56,10 @@ object SparkEntry {
     (ext.RankFusion.queries, ext.RankFusion.oracleSql),
     (ext.RecSys.queries, ext.RecSys.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
+    (ext.LinkPred.queries, ext.LinkPred.oracleSql),
+    (ext.Timeseries.queries, ext.Timeseries.oracleSql),
+    (ext.DataQuality.queries, ext.DataQuality.oracleSql),
+    (ops.Selection.queries, ops.Selection.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),

@@ -1,0 +1,129 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite — the Deequ/"unit tests
+  * for data" pattern (Schelter et al., VLDB'18) as a single operator:
+  * a constraint set over a table evaluates to one small frame of
+  * (constraint, n_violations, n_checked) rows, the artifact a 100 TB
+  * ingest gate stores per batch and alerts on.
+  *
+  * 100 TB shape — constraint classes map to plan shapes, and the suite
+  * fuses everything fusable:
+  *   - ROW-LOCAL predicates (range, set membership, completeness,
+  *     cross-column order) compile to conditional-sum aggregates that
+  *     all ride ONE scan of the table — adding a constraint adds a
+  *     codegen'd sum, not a pass. No shuffle beyond the 1-row agg.
+  *   - UNIQUENESS needs the key's grouped counts (one shuffle on the
+  *     key — the same exchange an exact-dedup pass would pay).
+  *   - REFERENTIAL INTEGRITY needs the FK join; the suite piggybacks
+  *     every parent-child CROSS-TABLE predicate (here: a line must not
+  *     ship before its order date) on that SAME join, so arbitrarily
+  *     many parent-child rules still cost one join.
+  * The result union is a handful of 1-row frames — nothing data-sized
+  * moves after the aggregates.
+  */
+object DataQuality {
+
+  private def one(name: String, violations: org.apache.spark.sql.Column,
+                  checked: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(lit(name).as("check_name"), violations.cast("long").as("n_violations"),
+      checked.cast("long").as("n_checked"))
+
+  /** The suite over the TPC-H-ish lineitem/orders pair. */
+  def lineitemSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+
+    // row-local constraints: one scan, one conditional-sum aggregate
+    val rowLocal = li.agg(
+      one("lineitem.quantity_in_[1,50]",
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)),
+        count(lit(1))).as("c1"),
+      one("lineitem.discount_in_[0,1]",
+        sum(when(!col("l_discount").between(0.0, 1.0), 1L).otherwise(0L)),
+        count(lit(1))).as("c2"),
+      one("lineitem.returnflag_in_{A,N,R}",
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)),
+        count(lit(1))).as("c3"),
+      one("lineitem.shipdate_complete",
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)),
+        count(lit(1))).as("c4"))
+      .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"))).as("c"))
+      .select(col("c.*"))
+
+    // uniqueness of the line key: one shuffle on the key
+    val unique = li.select(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
+      .select(one("lineitem.line_key_unique", col("n") - col("nd"), col("n")).as("c"))
+      .select(col("c.*"))
+
+    // orders-side set membership rides its own single scan
+    val ordLocal = ord.agg(
+      one("orders.status_in_{F,O,P}",
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)),
+        count(lit(1))).as("c"))
+      .select(col("c.*"))
+
+    // FK join: RI + every parent-child predicate on the same exchange
+    val joined = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        Seq("l_orderkey"), "left")
+      .agg(
+        one("lineitem.orderkey_in_orders",
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)),
+          count(lit(1))).as("c1"),
+        one("lineitem.shipdate_on_or_after_orderdate",
+          sum(when(col("o_orderdate").isNotNull &&
+            col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)),
+          count(lit(1))).as("c2"))
+      .select(explode(array(col("c1"), col("c2"))).as("c"))
+      .select(col("c.*"))
+
+    rowLocal.unionByName(unique).unionByName(ordLocal).unionByName(joined)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dq_constraints" -> ((s, dir) => lineitemSuite(s, dir))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dq_constraints" ->
+      """SELECT 'lineitem.quantity_in_[1,50]' AS check_name,
+        |  CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  count(*) AS n_checked FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.discount_in_[0,1]',
+        |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.returnflag_in_{A,N,R}',
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.shipdate_complete',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.line_key_unique',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.status_in_{F,O,P}',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem.orderkey_in_orders',
+        |  CAST(sum(CASE WHEN o.o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*)
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.shipdate_on_or_after_orderdate',
+        |  CAST(sum(CASE WHEN o.o_orderdate IS NOT NULL AND l.l_shipdate < o.o_orderdate
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*)
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,185 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics beyond the windowed aggregates: CUSUM
+  * changepoint detection and linear gap interpolation — the two
+  * monitoring primitives a training-data ingest pipeline runs over its
+  * own arrival streams (drift in a feed's value distribution; dense
+  * reconstructions of sparse per-minute meters).
+  *
+  * Both are integer-exact by construction so the DuckDB oracle
+  * reproduces them bit-for-bit; see each method for the trick.
+  */
+object Timeseries {
+
+  /** Two-sided CUSUM (Page, Biometrika 1954) per key over an ordered
+    * value stream, in EXACT integer arithmetic.
+    *
+    * The textbook recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ) is not a window
+    * aggregate, but its closed form is: with Pᵢ = Σ_{j≤i} dⱼ (P₀ = 0),
+    *
+    *   S⁺ᵢ = Pᵢ − min_{0≤j≤i} Pⱼ      S⁻ᵢ = max_{0≤j≤i} Pⱼ − Pᵢ
+    *
+    * so the whole detector is ONE running sum plus a running min and
+    * max over the same per-key ordered window — a single shuffle on
+    * the key, three frame-shared window aggregates, no recursion and
+    * no driver state. (Proof: unrolling the recursion gives
+    * S⁺ᵢ = max_{j≤i} Σ_{k=j..i} dₖ ∨ 0 = Pᵢ − min(P_{j−1}) ∨ Pᵢ − Pᵢ.)
+    *
+    * Exactness: the deviation dᵢ = xᵢ − mean(x) would need a division;
+    * instead each row carries the n-SCALED deviation n·xᵢ − Σx (long),
+    * which has the same sign structure and scales both CUSUM curves by
+    * the constant n — alarms at threshold h become alarms at n·h, and
+    * every value is a sum/min/max of longs, identical in any engine.
+    * Magnitudes stay in long range while n·Σ|x| < 2⁶³ (≈9e18); per-key
+    * streams beyond ~1e7 rows at cent resolution should switch the two
+    * running aggregates to decimal(38,0) — same plan, wider type.
+    *
+    * Output: one row per event with both scaled curves; the caller
+    * thresholds (an alarm list is a `where` away, but the curves are
+    * the operator).
+    */
+  def cusum(events: DataFrame, key: String, orderCols: Seq[String],
+            valueCol: String): DataFrame = {
+    val stats = events.groupBy(col(key))
+      .agg(count(lit(1)).as("n_key"), sum(col(valueCol)).as("total_key"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .join(broadcast(stats), key) // key-cardinality rows; broadcast stat pair
+      .withColumn("d_scaled", col("n_key") * col(valueCol) - col("total_key"))
+      .withColumn("p", sum(col("d_scaled")).over(w))
+      .withColumn("cusum_pos", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .withColumn("cusum_neg", greatest(lit(0L), max(col("p")).over(w)) - col("p"))
+  }
+
+  /** Dense per-minute linear interpolation per key: every minute from
+    * the key's first to its last OBSERVED minute carries a value —
+    * observed minutes their own aggregate, missing minutes the linear
+    * interpolation between the surrounding observed minutes:
+    *
+    *   v(t) = v_prev + trunc((v_next − v_prev)·(t − t_prev) / (t_next − t_prev))
+    *
+    * (integer division truncating toward zero — the semantics Spark's
+    * `div` and DuckDB's integer `//` share, measured here on negative
+    * numerators: both yield −4 for −13/3 — so the rounded value is
+    * engine-identical on rising and falling segments alike).
+    *
+    * 100 TB shape — the neighbour lookup deliberately avoids
+    * IGNORE-NULLS navigation windows: each grid row gets the RUNNING
+    * COUNT of observed rows at-or-before it (one per-key window), which
+    * IS the index of its predecessor in the observed sequence; the
+    * previous/next observed points then arrive by two equi-joins
+    * against the row_number-indexed observed table on (key, idx) /
+    * (key, idx+1). Windows and joins all share the key partitioning;
+    * grid size is bounded by time span × keys, not event count (the
+    * `timeseries_gap_fill` argument).
+    */
+  def interpolateMinutes(events: DataFrame, key: String,
+                         minuteCol: String, valueCol: String): DataFrame = {
+    val obs = events.groupBy(col(key), col(minuteCol).as("minute"))
+      .agg(sum(col(valueCol)).as("v"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+      .select(col(key), explode(sequence(col("mn"), col("mx"))).as("minute"))
+    val g = grid.join(obs, Seq(key, "minute"), "left")
+      .withColumn("is_observed", col("v").isNotNull)
+    val wRun = Window.partitionBy(col(key)).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = g.withColumn("idx",
+      sum(when(col("is_observed"), 1L).otherwise(0L)).over(wRun))
+    val wObs = Window.partitionBy(col(key)).orderBy(col("minute"))
+    val known = obs
+      .withColumn("k", row_number().over(wObs).cast("long"))
+      .select(col(key), col("k"), col("minute").as("m"), col("v").as("kv"))
+    indexed
+      .join(known.select(col(key), col("k").as("idx"),
+        col("m").as("m_prev"), col("kv").as("v_prev")), Seq(key, "idx"))
+      .join(known.select(col(key), (col("k") - 1L).as("idx"),
+        col("m").as("m_next"), col("kv").as("v_next")), Seq(key, "idx"), "left")
+      .withColumn("num", (col("v_next") - col("v_prev")) * (col("minute") - col("m_prev")))
+      .withColumn("den", col("m_next") - col("m_prev"))
+      .select(col(key), col("minute"),
+        when(col("is_observed"), col("v"))
+          .otherwise(col("v_prev") + expr("num div den")).as("v_interp"),
+        col("is_observed"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // per-type CUSUM drift curves over the event stream, cent-resolution
+    "changepoint_cusum" -> ((s, dir) =>
+      cusum(
+        Tables.events(s, dir).select(col("event_type"), col("event_id"),
+          col("ts_us"), round(col("value") * 100).cast("long").as("cents")),
+        key = "event_type", orderCols = Seq("ts_us", "event_id"),
+        valueCol = "cents")
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          col("cusum_pos"), col("cusum_neg"))),
+
+    // dense per-type minute series, gaps linearly interpolated in cents
+    "timeseries_interpolate" -> ((s, dir) =>
+      interpolateMinutes(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("ts_us div 60000000").as("minute"),
+          round(col("value") * 100).cast("long").as("cents")),
+        key = "event_type", minuteCol = "minute", valueCol = "cents"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "changepoint_cusum" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, count(*) AS n_key, sum(cents) AS total_key
+        |       FROM ev GROUP BY event_type),
+        |d AS (SELECT ev.event_type, event_id, ts_us,
+        |        n_key * cents - total_key AS d_scaled
+        |      FROM ev JOIN st USING (event_type)),
+        |pp AS (SELECT event_type, event_id, ts_us,
+        |         sum(d_scaled) OVER w AS p
+        |       FROM d
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mm AS (SELECT event_type, event_id, ts_us, p,
+        |         min(p) OVER w AS minp, max(p) OVER w AS maxp
+        |       FROM pp
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, ts_us,
+        |  CAST(p - least(0, minp) AS BIGINT) AS cusum_pos,
+        |  CAST(greatest(0, maxp) - p AS BIGINT) AS cusum_neg
+        |FROM mm""".stripMargin,
+
+    "timeseries_interpolate" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |obs AS (SELECT event_type, minute, sum(cents) AS v
+        |        FROM ev GROUP BY event_type, minute),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS minute
+        |         FROM (SELECT event_type, min(minute) AS mn, max(minute) AS mx
+        |               FROM obs GROUP BY event_type)),
+        |g AS (SELECT grid.event_type, grid.minute, obs.v,
+        |        obs.v IS NOT NULL AS is_observed
+        |      FROM grid LEFT JOIN obs USING (event_type, minute)),
+        |idxed AS (SELECT *, sum(CASE WHEN is_observed THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY event_type ORDER BY minute
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idx
+        |          FROM g),
+        |known AS (SELECT event_type,
+        |            CAST(row_number() OVER (PARTITION BY event_type ORDER BY minute) AS BIGINT) AS k,
+        |            minute AS m, v AS kv
+        |          FROM obs)
+        |SELECT i.event_type, i.minute,
+        |  CAST(CASE WHEN i.is_observed THEN i.v
+        |       ELSE p.kv + ((nx.kv - p.kv) * (i.minute - p.m)) // (nx.m - p.m)
+        |  END AS BIGINT) AS v_interp,
+        |  i.is_observed
+        |FROM idxed i
+        |JOIN known p ON p.event_type = i.event_type AND p.k = i.idx
+        |LEFT JOIN known nx ON nx.event_type = i.event_type AND nx.k = i.idx + 1""".stripMargin
+  )
+}

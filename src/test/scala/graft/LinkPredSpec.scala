@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Link prediction: hand-computed scores on a 4-cycle, adjacency
+  * exclusion, and input canonicalization (orientation/duplicates).
+  */
+class LinkPredSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def scores(edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long, Long)] = {
+    import spark.implicits._
+    graft.ext.LinkPred.linkPredictionScores(edges.toDF("u", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+  }
+
+  test("4-cycle: the two diagonals score cn=2, ra=1e6, jaccard=1e6") {
+    // 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) share two degree-2
+    // neighbours each: ra = 2*(1e6 div 2), jaccard = 2e6 div (2+2-2)
+    val r = scores(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(r == Map(
+      (1L, 3L) -> ((2L, 1000000L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L, 1000000L))), r.toString)
+  }
+
+  test("an existing edge is never predicted") {
+    // close one diagonal: (1,3) becomes an edge and must vanish; (2,4)
+    // keeps its two common neighbours (now degree 3 each on 1 and 3)
+    val r = scores(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    assert(!r.contains((1L, 3L)), r.toString)
+    // deg(1)=deg(3)=3, deg(2)=deg(4)=2: ra = 2*(1e6 div 3) = 666666,
+    // jaccard = 2e6 div (2+2-2) = 1e6
+    assert(r((2L, 4L)) == ((2L, 666666L, 1000000L)), r.toString)
+  }
+
+  test("orientation and duplicate edges do not change the result") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val noisy = base.map { case (u, v) => (v, u) } ++ base ++ Seq((2L, 2L))
+    assert(scores(base) == scores(noisy))
+  }
+
+  test("pairs below minCommon are dropped") {
+    // path 1-2-3: (1,3) has exactly one common neighbour -> below 2
+    val r = scores(Seq((1L, 2L), (2L, 3L)))
+    assert(r.isEmpty, r.toString)
+  }
+}
