@@ -60,6 +60,8 @@ object SparkEntry {
     (ext.Timeseries.queries, ext.Timeseries.oracleSql),
     (ext.DataQuality.queries, ext.DataQuality.oracleSql),
     (ops.Selection.queries, ops.Selection.oracleSql),
+    (ext.PpJoin.queries, ext.PpJoin.oracleSql),
+    (ops.Checksum.queries, ops.Checksum.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),

@@ -364,6 +364,89 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  final case class CusumEv(event_type: String, event_id: Long, ts_us: Long,
+                           cents: Long)
+
+  final case class CusumRow(event_type: String, event_id: Long, ts_us: Long,
+                            cusum_pos: Long, cusum_neg: Long)
+
+  /** Stateful streaming CUSUM — the streaming form of
+    * [[graft.ext.Timeseries.cusum]] with the SAME exact oracle: per-key
+    * event buffers in `flatMapGroupsWithState`, the full two-sided
+    * curve emitted once the watermark passes the sentinel flush.
+    *
+    * The buffer is inherent to the SEMANTICS, not a shortcut: this
+    * detector centers on the stream's own mean (dᵢ = n·xᵢ − Σx), which
+    * no prefix of the stream determines, and the curve is order-
+    * sensitive while file/stream arrival order is not event-time order
+    * — so the horizon must close before any row is final. The O(1)-
+    * state variant exists when BOTH relaxations hold (a FIXED reference
+    * instead of the stream mean, in-order delivery): then the textbook
+    * recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ) runs directly in the state
+    * cell. Production monitors usually accept that pair; the harness
+    * query keeps the exact-oracle form.
+    */
+  def cusumStream(events: Dataset[CusumEv]): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "1 hour")
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Long, Long)], CusumRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, evs: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[Vector[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val sorted = buf.sortBy { case (id, ts, _) => (ts, id) }
+            val n = sorted.size.toLong
+            val total = sorted.iterator.map(_._3).sum
+            var p = 0L; var minp = 0L; var maxp = 0L
+            sorted.iterator.map { case (id, ts, c) =>
+              p += n * c - total
+              minp = math.min(minp, p); maxp = math.max(maxp, p)
+              CusumRow(key, id, ts, p - math.min(0L, minp), math.max(0L, maxp) - p)
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Vector.empty) ++
+              evs.map { case (_, id, ts, c, _) => (id, ts, c) }
+            state.update(buf)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run the CUSUM stream over the static events parquet to completion
+    * — the sentinel-flush harness of [[funnelToCompletion]].
+    */
+  def cusumToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val sentinels =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CusumEv]
+      val fileSrc = eventsStream(spark, dir)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[CusumEv]
+      val name = s"cusum_${System.nanoTime()}"
+      val q = cusumStream(fileSrc.union(sentinels.toDS()))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        sentinels.addData(CusumEv(" flush", -1L, FlushTsUs, 0L))
+        q.processAllAvailable()
+        sentinels.addData(CusumEv(" flush", -2L, FlushTsUs + 7200000000L, 0L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).filter(col("event_id") >= 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   private val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -512,6 +595,13 @@ object StreamingOps {
     // flatMapGroupsWithState, finalized once the watermark passes the
     // sentinel flush — one emitted row per funnel entrant.
     "streaming_funnel" -> ((s, dir) => funnelToCompletion(s, dir)),
+
+    // Stateful streaming CUSUM (the streaming form of
+    // `changepoint_cusum`, sharing its exact oracle): per-type event
+    // buffers — inherent to mean-centered + out-of-order semantics, see
+    // cusumStream — flushed by the watermark sentinel into the full
+    // two-sided curve.
+    "streaming_cusum" -> ((s, dir) => cusumToCompletion(s, dir)),
 
     // Stream-stream INNER join with a time-interval condition: each
     // purchase joins the same user's clicks from the preceding hour.
@@ -685,6 +775,7 @@ object StreamingOps {
     // the streaming funnel emits exactly the batch funnel's rows, so it
     // shares funnel_steps' first-match-join oracle verbatim
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
+    "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
 
     // identical to the batch `sessionize` oracle — the flushed stream
     // must reproduce it bit-for-bit

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** PPJoin exactness (result equality with the prefix-filter join and
+  * with brute force), bucket-digest algebra, and streaming-vs-batch
+  * CUSUM parity.
+  */
+class ChecksumPpJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").repartition(4)
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_a", "doc_b", "n_common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def randomDocs(n: Int, seed: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1L to n).map { i =>
+      // half near-dups of the base, half independent
+      val t =
+        if (i % 2 == 0) base.split(" ").map(w =>
+          if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w).mkString(" ")
+        else Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, t)
+    }
+  }
+
+  test("ppjoin equals the prefix-filter join at the same threshold") {
+    val docs = docsDf(randomDocs(40, seed = 3))
+    val (pp, upp) = graft.ext.PpJoin.ppjoinPairsStamped(docs, 85)
+    val (pf, upf) = graft.ext.Dedup.prefixJaccardPairsStamped(docs, 85)
+    try assert(pairSet(pp) == pairSet(pf))
+    finally { upp(); upf() }
+  }
+
+  test("ppjoin equals brute-force threshold Jaccard over shingle sets") {
+    val rows = randomDocs(30, seed = 9)
+    val docs = docsDf(rows)
+    val (pp, upp) = graft.ext.PpJoin.ppjoinPairsStamped(docs, 80)
+    try {
+      def sh(t: String): Set[String] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        sa = sh(ta); sb = sh(tb)
+        inter = (sa & sb).size.toLong
+        if sa.nonEmpty && sb.nonEmpty &&
+          100L * inter >= 80L * (sa.size + sb.size - inter)
+      } yield (ia, ib, inter)).toSet
+      assert(pairSet(pp) == expected)
+    } finally upp()
+  }
+
+  test("bucket digest is invariant to row order and partitioning") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, i % 7, s"s$i", i * 3))
+    val a = rows.toDF("k", "c1", "c2", "c3").repartition(1)
+    val b = Random.shuffle(rows).toDF("k", "c1", "c2", "c3").repartition(17)
+    val da = graft.ops.Checksum.bucketDigest(a, "k", Seq("k", "c1", "c2", "c3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val db = graft.ops.Checksum.bucketDigest(b, "k", Seq("k", "c1", "c2", "c3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(da == db)
+    assert(da.size <= 64 && da.toSeq.map(_._2).sum == 500L)
+  }
+
+  test("a single changed value flips exactly one bucket's digest") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, s"v$i"))
+    val mutated = rows.map { case (k, v) => if (k == 77L) (k, "CHANGED") else (k, v) }
+    val da = graft.ops.Checksum.bucketDigest(rows.toDF("k", "v"), "k", Seq("k", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val db = graft.ops.Checksum.bucketDigest(mutated.toDF("k", "v"), "k", Seq("k", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val differing = da.keySet.union(db.keySet).filter(k => da.get(k) != db.get(k))
+    assert(differing.size == 1, differing.toString)
+    // row COUNT unchanged — only the xor digest moves
+    assert(da(differing.head)._1 == db(differing.head)._1)
+  }
+
+  test("streaming cusum equals the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ext.Timeseries.queries("changepoint_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val streamed = graft.streaming.StreamingOps.cusumToCompletion(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch)
+  }
+}
