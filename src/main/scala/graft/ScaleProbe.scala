@@ -201,7 +201,18 @@ object ScaleProbe {
       // sweep BY DESIGN (a gate-scale correctness companion, not a
       // production operator — measured 13.7× at 10×, as n² predicts)
       "bpe_train_merges", "ann_lsh_bucketed",
-      "graph_pagerank_dangling"))
+      "graph_pagerank_dangling",
+      // round-9 session additions: positional-filter join (prefix
+      // shingle self-join), wedge-enumeration link prediction,
+      // per-key ordered CUSUM windows (key cardinality = the
+      // parallelism bound, 5 types here), grid interpolation (grid is
+      // span-bounded so 10x data densifies observations, not rows),
+      // two-phase selection, and the buffered streaming CUSUM.
+      // table_checksum / dq_constraints are single conditional-sum
+      // scans — plan-trivially linear, left unprobed.
+      "dedup_ppjoin", "graph_link_prediction", "changepoint_cusum",
+      "timeseries_interpolate", "exact_median_selection",
+      "streaming_cusum"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

@@ -111,7 +111,58 @@ object Sampling {
       .select(col("source"), col("quota"), col("rank"), col("doc_id"))
   }
 
+  /** EXACT-total stratified sampling by largest-remainder (Hamilton)
+    * apportionment: quotas proportional to stratum size that sum to
+    * EXACTLY `total` — the property proportional hash sampling can't
+    * give (per-stratum rounding drifts the total by up to the stratum
+    * count) and a training-mix contract usually demands.
+    *
+    *   base_i = ⌊T·n_i/N⌋; the T − Σbase_i leftover seats go to the
+    *   strata with the largest remainders T·n_i mod N (stratum id
+    *   breaking ties) — all integer, so the allocation is
+    *   engine-exact. Requires T < N; then base_i < n_i strictly, so
+    *   every quota (≤ base_i + 1) is satisfiable.
+    *
+    * Plan: one stratum-count aggregate, the seat assignment as a
+    * window over STRATUM-CARDINALITY rows (constant-bounded, the
+    * histogram-bin discipline), then the [[perClassCap]] shape: one
+    * per-stratum md5-order row_number against the broadcast quota
+    * table. Members beyond each quota never survive the filter.
+    */
+  def stratifiedExactSample(docs: DataFrame, stratumCol: String,
+                            total: Long): DataFrame = {
+    val sizes = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(sum(col("n_docs")).as("nn"))
+    val seats = sizes.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"),
+        expr(s"($total * n_docs) div nn").as("base"),
+        expr(s"($total * n_docs) % nn").as("rem"))
+    // seat top-up: rank strata by remainder; strata-cardinality window
+    val wSeat = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(stratumCol))
+    val deficit = seats.agg((lit(total) - sum(col("base"))).as("deficit"))
+    val quotas = seats
+      .withColumn("seat_rank", row_number().over(wSeat).cast("long"))
+      .crossJoin(broadcast(deficit))
+      .select(col(stratumCol),
+        (col("base") + when(col("seat_rank") <= col("deficit"), 1L)
+          .otherwise(0L)).as("quota"))
+    val ranked = docs.select(col(stratumCol), col("doc_id"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .as("rank"))
+    ranked.join(broadcast(quotas), stratumCol)
+      .filter(col("rank") <= col("quota"))
+      .select(col(stratumCol), col("quota"), col("rank"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // largest-remainder language-stratified sample: exactly 200 docs
+    "sample_stratified_exact" -> ((s, dir) =>
+      stratifiedExactSample(Tables.documents(s, dir), "lang", 200L)),
+
     "sample_hash_pct" -> ((s, dir) =>
       hashSample(Tables.documents(s, dir), col("doc_id"), 10.0)
         .select(col("doc_id"), col("lang"))),
@@ -181,6 +232,25 @@ object Sampling {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * 1000
         |  < 65536 * LEAST(n_chars, 1000)""".stripMargin,
+    "sample_stratified_exact" ->
+      """WITH sz AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM sz),
+        |seats AS (SELECT lang, n_docs,
+        |    (200 * n_docs) // nn AS base, (200 * n_docs) % nn AS rem
+        |  FROM sz, tot),
+        |def AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS deficit FROM seats),
+        |q AS (SELECT lang,
+        |    CAST(base + CASE WHEN row_number()
+        |        OVER (ORDER BY rem DESC, lang) <= (SELECT deficit FROM def)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM seats),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank
+        |  FROM documents)
+        |SELECT r.lang, q.quota, r.rank, r.doc_id
+        |FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rank <= q.quota""".stripMargin,
     "sample_temperature_quota" ->
       """WITH sz AS (
         |  SELECT source, count(*) AS n_docs,

@@ -256,10 +256,52 @@ object TextAnalysis {
     "text_normalize" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        normalize(redactPii(col("text"))).as("norm_text")))
+        normalize(redactPii(col("text"))).as("norm_text"))),
+
+    // Integer-exact Flesch reading ease (×1000): 206835 − 1015·W/S −
+    // 84600·V/W with truncating division — the readability gate a
+    // quality pipeline thresholds on. Counts chosen for cross-engine
+    // determinism: sentences = terminal-punctuation CHARS (replace-
+    // length arithmetic, no regex split edge cases), syllable proxy =
+    // vowel GROUPS via two global regexp_replace passes (collapse
+    // [aeiouy]+ to a marker, strip the rest, length) — identical
+    // semantics in any engine with global regex replace. One scan,
+    // all codegen'd string expressions, no shuffle.
+    "text_readability" -> ((s, dir) => {
+      val w = greatest(lit(1L), size(tokens(col("text"))).cast("long"))
+      val s_ = greatest(lit(1L),
+        (length(col("text")) -
+          length(translate(col("text"), ".!?", ""))).cast("long"))
+      val v = length(regexp_replace(
+        regexp_replace(lower(col("text")), "[aeiouy]+", "V"), "[^V]", ""))
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), w.as("n_words"), s_.as("n_sentences"),
+          v.as("n_vowel_groups"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_vowel_groups"),
+          (lit(206835L) - expr("1015L * n_words div n_sentences") -
+            expr("84600L * n_vowel_groups div n_words")).as("flesch_x1000"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(1, len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t != ''))) AS n_words,
+        |    greatest(1, length(text) - length(translate(text, '.!?', '')))
+        |      AS n_sentences,
+        |    length(regexp_replace(regexp_replace(lower(text),
+        |      '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')) AS n_vowel_groups
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_vowel_groups AS BIGINT) AS n_vowel_groups,
+        |  CAST(206835 - (1015 * n_words) // n_sentences
+        |    - (84600 * n_vowel_groups) // n_words AS BIGINT) AS flesch_x1000
+        |FROM c""".stripMargin,
     // exact top-5 token counts from the oracle; the MG-guarantee
     // boolean is pinned TRUE (see the query's Scaladoc)
     "frequent_tokens_check" ->

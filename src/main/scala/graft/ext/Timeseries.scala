@@ -110,6 +110,54 @@ object Timeseries {
         col("is_observed"))
   }
 
+  /** Additive seasonal decomposition v = trend + seasonal + residual
+    * over a DENSE per-minute grid (the classical "decompose" of
+    * monitoring stacks, in exact integer arithmetic):
+    *
+    *   trend(t)    = truncated mean of v over the centered ±`half`
+    *                 minute window (a ROWS frame — the grid is dense,
+    *                 so rows ARE minutes)
+    *   seasonal(s) = truncated mean of v over the key's slot s =
+    *                 minute mod `period`, minus the key's global
+    *                 truncated mean (so seasonal components sum ≈ 0)
+    *   residual    = v − trend − seasonal
+    *
+    * Every division is a truncating div of NON-NEGATIVE sums (counts
+    * of events per minute are ≥ 0), so the decomposition is identical
+    * in any engine. One minute-grid build (the `timeseries_gap_fill`
+    * shape, span-bounded), one per-key ordered window for the trend,
+    * one (key, slot) aggregate broadcast back — the slot table is
+    * key-cardinality × period rows.
+    */
+  def seasonalDecompose(events: DataFrame, key: String, minuteCol: String,
+                        valueCol: String, period: Int = 60,
+                        half: Int = 30): DataFrame = {
+    val obs = events.groupBy(col(key), col(minuteCol).as("minute"))
+      .agg(sum(col(valueCol)).as("v"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+      .select(col(key), explode(sequence(col("mn"), col("mx"))).as("minute"))
+    val dense = grid.join(obs, Seq(key, "minute"), "left")
+      .select(col(key), col("minute"), coalesce(col("v"), lit(0L)).as("v"),
+        (col("minute") % period).as("slot"))
+    val wTrend = Window.partitionBy(col(key)).orderBy(col("minute"))
+      .rowsBetween(-half, half)
+    val glob = dense.groupBy(col(key))
+      .agg(expr("sum(v) div count(1)").as("g"))
+    val slots = dense.groupBy(col(key), col("slot"))
+      .agg(expr("sum(v) div count(1)").as("slot_mean"))
+    dense
+      .withColumn("tsum", sum(col("v")).over(wTrend))
+      .withColumn("tcnt", count(lit(1)).over(wTrend))
+      .withColumn("trend", expr("tsum div tcnt"))
+      .join(broadcast(slots), Seq(key, "slot"))
+      .join(broadcast(glob), Seq(key))
+      .select(col(key), col("minute"), col("v"),
+        col("trend"),
+        (col("slot_mean") - col("g")).as("seasonal"),
+        (col("v") - col("trend") - (col("slot_mean") - col("g"))).as("residual"))
+  }
+
   val queries: Map[String, Q] = Map(
     // per-type CUSUM drift curves over the event stream, cent-resolution
     "changepoint_cusum" -> ((s, dir) =>
@@ -120,6 +168,15 @@ object Timeseries {
         valueCol = "cents")
         .select(col("event_type"), col("event_id"), col("ts_us"),
           col("cusum_pos"), col("cusum_neg"))),
+
+    // trend/seasonal/residual split of the per-type minute meters
+    // (hour-of-day seasonality, +-30-minute trend window)
+    "seasonal_decompose" -> ((s, dir) =>
+      seasonalDecompose(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("ts_us div 60000000").as("minute"),
+          round(col("value") * 100).cast("long").as("cents")),
+        key = "event_type", minuteCol = "minute", valueCol = "cents")),
 
     // dense per-type minute series, gaps linearly interpolated in cents
     "timeseries_interpolate" -> ((s, dir) =>
@@ -153,6 +210,36 @@ object Timeseries {
         |  CAST(p - least(0, minp) AS BIGINT) AS cusum_pos,
         |  CAST(greatest(0, maxp) - p AS BIGINT) AS cusum_neg
         |FROM mm""".stripMargin,
+
+    "seasonal_decompose" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |obs AS (SELECT event_type, minute, sum(cents) AS v
+        |        FROM ev GROUP BY event_type, minute),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS minute
+        |         FROM (SELECT event_type, min(minute) AS mn, max(minute) AS mx
+        |               FROM obs GROUP BY event_type)),
+        |dense AS (SELECT grid.event_type, grid.minute,
+        |            CAST(coalesce(obs.v, 0) AS BIGINT) AS v,
+        |            grid.minute % 60 AS slot
+        |          FROM grid LEFT JOIN obs USING (event_type, minute)),
+        |gm AS (SELECT event_type,
+        |           CAST(sum(v) // count(*) AS BIGINT) AS g
+        |         FROM dense GROUP BY event_type),
+        |slots AS (SELECT event_type, slot,
+        |            CAST(sum(v) // count(*) AS BIGINT) AS slot_mean
+        |          FROM dense GROUP BY event_type, slot),
+        |tr AS (SELECT event_type, minute, v, slot,
+        |         CAST(sum(v) OVER w // count(*) OVER w AS BIGINT) AS trend
+        |       FROM dense
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY minute
+        |                    ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING))
+        |SELECT tr.event_type, tr.minute, tr.v, tr.trend,
+        |  CAST(s.slot_mean - g.g AS BIGINT) AS seasonal,
+        |  CAST(tr.v - tr.trend - (s.slot_mean - g.g) AS BIGINT) AS residual
+        |FROM tr
+        |JOIN slots s ON s.event_type = tr.event_type AND s.slot = tr.slot
+        |JOIN gm g ON g.event_type = tr.event_type""".stripMargin,
 
     "timeseries_interpolate" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,

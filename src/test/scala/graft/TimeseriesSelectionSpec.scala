@@ -122,6 +122,60 @@ class TimeseriesSelectionSpec extends AnyFunSuite {
     assert(median(Seq.fill(17)(42L)) == ((17L, 9L, 42L)))
   }
 
+  // ---- stratified exact sampling ----
+
+  test("largest-remainder quotas sum to exactly the target and stay proportional") {
+    import spark.implicits._
+    val docs = (1L to 377L).map { i =>
+      val lang = if (i % 11 == 0) "de" else if (i % 3 == 0) "fr" else "en"
+      (i, lang)
+    }.toDF("doc_id", "lang").repartition(7)
+    val out = graft.ext.Sampling.stratifiedExactSample(docs, "lang", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.length == 100) // EXACT total — the operator's contract
+    val quotas = out.map(x => x._1 -> x._2).toMap
+    val sizes = Map("de" -> 34L, "fr" -> 114L, "en" -> 229L)
+    assert(sizes.values.sum == 377L)
+    for ((l, q) <- quotas) {
+      val ideal = 100.0 * sizes(l) / 377.0
+      assert(math.abs(q - ideal) <= 1.0, s"$l quota $q vs ideal $ideal")
+    }
+    assert(quotas.values.sum == 100L)
+  }
+
+  // ---- seasonal decomposition ----
+
+  test("decomposition identity holds and a flat series has zero seasonal/residual") {
+    import spark.implicits._
+    val flat = (0L to 239L).map(m => ("k", m, 50L)).toDF("key", "minute", "x")
+    val d = graft.ext.Timeseries.seasonalDecompose(flat, "key", "minute", "x")
+      .collect()
+    assert(d.length == 240)
+    d.foreach { r =>
+      val (v, trend, seasonal, residual) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(v == trend + seasonal + residual) // identity by construction
+      assert(trend == 50L && seasonal == 0L && residual == 0L, r.toString)
+    }
+  }
+
+  test("a pure period-60 seasonal pattern lands in the seasonal component") {
+    import spark.implicits._
+    // 4 full periods of: slot 0 spikes to 120, others 60 — mean is
+    // 61 per minute; trend windows average out the spike except near
+    // the edges, so check the interior rows
+    val rows = (0L to 239L).map(m => ("k", m, if (m % 60 == 0) 120L else 60L))
+    val d = graft.ext.Timeseries.seasonalDecompose(rows.toDF("key", "minute", "x"),
+        "key", "minute", "x")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // slot-0 seasonal = 120 - 61 = 59; other slots 60 - 61 = -1
+    assert(d(60L)._2 == 59L, d(60L).toString)
+    assert(d(61L)._2 == -1L, d(61L).toString)
+    // interior trend = mean of a full 61-minute window containing
+    // exactly one or two spikes: (60*61 + 60 + k*60)/61 with k spikes
+    assert(d(120L)._1 >= 60L && d(120L)._1 <= 62L, d(120L).toString)
+  }
+
   test("selection is partition-invariant") {
     import spark.implicits._
     val vals = (1L to 999L).map(v => v * 7 % 1000)
