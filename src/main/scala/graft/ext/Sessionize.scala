@@ -148,6 +148,25 @@ object Sessionize {
           coalesce(col("c"), lit(0L)).as("n_events"))
     }),
 
+    // SCD2 history build: each user's event stream as slowly-changing-
+    // dimension validity intervals — version n valid over
+    // [valid_from, valid_to), the current version open (null) — the
+    // warehouse companion of upsert_latest/snapshot_diff (which keep
+    // only the latest; this keeps the full history queryable by as-of
+    // time). One keyed window carries both row_number and lead.
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("version"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+          col("cents"))
+    }),
+
     // JSON property extraction (events.props = {"k": N}).
     "json_extract_props" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -240,6 +259,14 @@ object Sessionize {
         |SELECT g.event_type, g.minute, COALESCE(c.c, 0) AS n_events
         |FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.minute = c.minute""".stripMargin,
     "json_extract_props" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "scd2_intervals" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
   )
 }

@@ -69,6 +69,38 @@ object JoinOps {
       .drop("_bin")
   }
 
+  /** INTERVAL × INTERVAL overlap join via the same bin bucketing as
+    * [[rangeBinnedJoin]], with the REPORT-ONCE trick of spatial
+    * partition joins (the "reference point" method — Patel & DeWitt's
+    * PBSM, SIGMOD'96): both sides explode into the fixed-width bins
+    * they cover and equi-join on the bin id; a pair overlapping k
+    * shared bins would surface k times, so instead of a data-sized
+    * `distinct` each surviving pair is emitted ONLY from the bin
+    * containing its overlap's start, max(start_a, start_b) — one
+    * codegen'd comparison per candidate, zero dedup shuffle. Intervals
+    * are half-open [start, end); overlap ⇔ s_a < e_b ∧ s_b < e_a.
+    *
+    * Shuffle cost |A|·(span_A/binWidth) + |B|·(span_B/binWidth);
+    * `binWidth` trades replication against bin-local candidate
+    * quadratics exactly as in the point form.
+    */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val av = a.withColumn("_bin",
+      explode(sequence(expr(s"$aStart div $binWidth"),
+        expr(s"($aEnd - 1) div $binWidth"))))
+    val bv = b.withColumn("_bin",
+      explode(sequence(expr(s"$bStart div $binWidth"),
+        expr(s"($bEnd - 1) div $binWidth"))))
+    av.join(bv, Seq("_bin"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("_bin") ===
+        expr(s"greatest($aStart, $bStart) div $binWidth")) // report-once
+      .drop("_bin")
+  }
+
   /** Bloom-prefiltered semi join — the explicit runtime-filter
     * (sideways-information-passing) pattern: build a bloom filter over
     * the dim side's keys ([[graft.functions.BloomFilterAgg]] — a fixed
@@ -165,6 +197,33 @@ object JoinOps {
           col("ship_day"))
     }),
 
+    // interval × interval: per-(user, day) activity spans against the
+    // hour-long "incident" windows where a type's hourly count reaches
+    // 2× its mean over active hours (a scale-free threshold — the
+    // absolute-cut mistake the co-purchase support floor fixed) —
+    // which user-days ran through which incidents. Day-wide bins:
+    // activity spans explode into ≤2 bins, incidents into 1.
+    "join_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val spans = ev.groupBy(col("user_id"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(min(col("ts_us")).as("a_start"), (max(col("ts_us")) + 1L).as("a_end"))
+      val hourly = ev.select(col("event_type"),
+          expr("ts_us div 3600000000").as("hour"))
+        .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("total"))
+      val incidents = hourly.join(broadcast(stats), "event_type")
+        .where(col("cnt") * col("n_hours") >= lit(2L) * col("total"))
+        .select(col("event_type"), (col("hour") * 3600000000L).as("b_start"),
+          ((col("hour") + 1L) * 3600000000L).as("b_end"))
+      intervalOverlapJoin(spans, "a_start", "a_end",
+          incidents, "b_start", "b_end", binWidth = 86400000000L)
+        .select(col("user_id"), col("day"), col("event_type"),
+          col("b_start").as("incident_start_us"))
+    }),
+
     // As-of: each purchase joined to the user's most recent click at-or-
     // before it. Compared in epoch MICROS on both sides — DuckDB's parquet
     // reader truncates TIMESTAMP(NANOS) to its micro-precision TIMESTAMP,
@@ -217,6 +276,25 @@ object JoinOps {
       """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, n1.n_regionkey AS regionkey
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey""".stripMargin,
+    // direct overlap predicate, no bins — the bin+report-once plan must
+    // reproduce the plain theta join exactly
+    "join_interval_overlap" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |spans AS (SELECT user_id, ts_us // 86400000000 AS day,
+        |            min(ts_us) AS a_start, max(ts_us) + 1 AS a_end
+        |          FROM ev GROUP BY user_id, ts_us // 86400000000),
+        |h AS (SELECT event_type, ts_us // 3600000000 AS hour, count(*) AS cnt
+        |      FROM ev GROUP BY event_type, ts_us // 3600000000),
+        |st AS (SELECT event_type, count(*) AS n_hours, sum(cnt) AS total
+        |       FROM h GROUP BY event_type),
+        |inc AS (SELECT h.event_type, hour * 3600000000 AS b_start,
+        |          (hour + 1) * 3600000000 AS b_end
+        |        FROM h JOIN st USING (event_type)
+        |        WHERE cnt * n_hours >= 2 * total)
+        |SELECT s.user_id, s.day, i.event_type,
+        |  CAST(i.b_start AS BIGINT) AS incident_start_us
+        |FROM spans s JOIN inc i ON s.a_start < i.b_end AND i.b_start < s.a_end""".stripMargin,
+
     "join_range_binned" ->
       """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
         |  CAST(date_diff('day', DATE '1992-01-01', l.l_shipdate) AS INTEGER) AS ship_day

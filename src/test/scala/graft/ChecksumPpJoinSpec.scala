@@ -91,6 +91,29 @@ class ChecksumPpJoinSpec extends AnyFunSuite {
     assert(da(differing.head)._1 == db(differing.head)._1)
   }
 
+  test("interval overlap join: report-once equals brute force, even across many shared bins") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    // spans up to 9 bins wide (binWidth 10) — multi-bin overlaps MUST
+    // surface exactly once
+    val as = (1L to 60L).map { i =>
+      val s = rnd.nextInt(300).toLong; (i, s, s + 1 + rnd.nextInt(90))
+    }
+    val bs = (1L to 60L).map { i =>
+      val s = rnd.nextInt(300).toLong; (i, s, s + 1 + rnd.nextInt(90))
+    }
+    val out = graft.ops.JoinOps.intervalOverlapJoin(
+        as.toDF("a_id", "a_s", "a_e").repartition(5), "a_s", "a_e",
+        bs.toDF("b_id", "b_s", "b_e").repartition(3), "b_s", "b_e", binWidth = 10L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs if s1 < e2 && s2 < e1
+    } yield (ai, bi)
+    assert(out.length == out.distinct.length, "a pair was reported twice")
+    assert(out.toSet == expected.toSet)
+    assert(out.length == expected.length)
+  }
+
   test("streaming cusum equals the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.ext.Timeseries.queries("changepoint_cusum")(spark, dir)
