@@ -61,6 +61,7 @@ object SparkEntry {
     (ext.DataQuality.queries, ext.DataQuality.oracleSql),
     (ops.Selection.queries, ops.Selection.oracleSql),
     (ext.PpJoin.queries, ext.PpJoin.oracleSql),
+    (ext.RandomWalk.queries, ext.RandomWalk.oracleSql),
     (ops.Checksum.queries, ops.Checksum.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),

@@ -49,4 +49,33 @@ class LinkPredSpec extends AnyFunSuite {
     val r = scores(Seq((1L, 2L), (2L, 3L)))
     assert(r.isEmpty, r.toString)
   }
+
+  private def walks(edges: Seq[(Long, Long)], sources: Seq[Long], steps: Int,
+                    parts: Int = 4): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    graft.ext.RandomWalk.deterministicWalks(
+        edges.toDF("u", "v").repartition(parts),
+        sources.toDF("node_id"), steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  test("walks traverse only real edges and are partition-invariant") {
+    val edges = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i, i % 5 + 200L)))
+    val es = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    val a = walks(edges, Seq(1L, 2L, 3L), steps = 5, parts = 1)
+    val b = walks(edges, Seq(1L, 2L, 3L), steps = 5, parts = 13)
+    assert(a.toSet == b.toSet) // md5 argmin has no merge-order ambiguity
+    for (w <- a.map(_._1).distinct) {
+      val path = a.filter(_._1 == w).sortBy(_._2).map(_._3)
+      path.sliding(2).foreach {
+        case Seq(x, y) => assert(es.contains((x, y)), s"walk $w hopped $x->$y")
+        case _ =>
+      }
+    }
+  }
+
+  test("a walk at an isolated source emits only its step-0 row") {
+    val r = walks(Seq((1L, 2L)), Seq(99L), steps = 3)
+    assert(r == Seq((99L, 0L, 99L)), r.toString)
+  }
 }
