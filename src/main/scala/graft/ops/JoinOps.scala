@@ -241,6 +241,40 @@ object JoinOps {
           col("click_event_id"), col("click_ts_us"))
     }),
 
+    // NEAREST as-of: each purchase matched to the user's temporally
+    // CLOSEST click in either direction (ties to the earlier side) —
+    // the sensor-fusion variant of the backward-only asof_join. One
+    // union + ONE keyed ordered window carrying both navigation
+    // aggregates (last-before via the preceding frame, first-after via
+    // the following frame — clicks at the same ts sort before
+    // purchases, making "before" inclusive and "after" strict); no
+    // join at all, so there is nothing to skew. The same plan at 100 TB
+    // is one range-free hash shuffle on the key.
+    "join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("event_type") === "purchase").as("is_p"))
+      val ord = Seq(col("ts_us"), col("is_p"), col("event_id"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ck = when(!col("is_p"), struct(col("ts_us"), col("event_id")))
+      ev
+        .withColumn("prev", last(ck, ignoreNulls = true).over(wPrev))
+        .withColumn("next", first(ck, ignoreNulls = true).over(wNext))
+        .filter(col("is_p"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          when(col("next").isNull ||
+            (col("prev").isNotNull &&
+              col("ts_us") - col("prev.ts_us") <= col("next.ts_us") - col("ts_us")),
+            col("prev")).otherwise(col("next")).as("near"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("near.event_id").as("near_click_id"),
+          col("near.ts_us").as("near_click_ts_us"))
+    }),
+
     // Runtime-filtered semi join: lineitems of urgent orders. The bloom
     // prefilter runs in the lineitem scan stage; the exact semi join
     // removes its false positives, so the oracle is the plain IN.
@@ -276,6 +310,29 @@ object JoinOps {
       """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, n1.n_regionkey AS regionkey
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |              event_type = 'purchase' AS is_p
+        |            FROM events WHERE event_type IN ('purchase', 'click')),
+        |n AS (SELECT user_id, event_id, ts_us, is_p,
+        |        last_value(CASE WHEN NOT is_p THEN ts_us END IGNORE NULLS) OVER wp AS prev_ts,
+        |        last_value(CASE WHEN NOT is_p THEN event_id END IGNORE NULLS) OVER wp AS prev_id,
+        |        first_value(CASE WHEN NOT is_p THEN ts_us END IGNORE NULLS) OVER wn AS next_ts,
+        |        first_value(CASE WHEN NOT is_p THEN event_id END IGNORE NULLS) OVER wn AS next_id
+        |      FROM ev
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN next_ts IS NULL
+        |         OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us)
+        |    THEN prev_id ELSE next_id END AS near_click_id,
+        |  CASE WHEN next_ts IS NULL
+        |         OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us)
+        |    THEN prev_ts ELSE next_ts END AS near_click_ts_us
+        |FROM n WHERE is_p""".stripMargin,
+
     // direct overlap predicate, no bins — the bin+report-once plan must
     // reproduce the plain theta join exactly
     "join_interval_overlap" ->

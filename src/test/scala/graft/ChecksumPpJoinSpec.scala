@@ -114,6 +114,28 @@ class ChecksumPpJoinSpec extends AnyFunSuite {
     assert(out.length == expected.length)
   }
 
+  test("nearest as-of agrees with the backward as-of whenever it picks the past side") {
+    val dir = "/root/testdata/sf0.001"
+    val near = graft.ops.JoinOps.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(2)))).toMap
+    val back = graft.ops.JoinOps.queries("asof_join")(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(near.keySet == back.keySet) // same purchase universe
+    var pastPicks = 0
+    for ((eid, (nearId, nearTs, ts)) <- near) {
+      nearTs.foreach { nts =>
+        if (nts <= ts) { // picked the past side -> must equal backward asof
+          assert(back(eid) == nearId, s"purchase $eid: near=$nearId back=${back(eid)}")
+          pastPicks += 1
+        } else assert(back(eid).isEmpty || nts > ts) // future pick only if closer
+      }
+    }
+    assert(pastPicks > 0) // the agreement set is non-trivial
+  }
+
   test("streaming cusum equals the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.ext.Timeseries.queries("changepoint_cusum")(spark, dir)
