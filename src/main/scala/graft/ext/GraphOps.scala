@@ -314,6 +314,14 @@ object GraphOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // The bipartite→unipartite projection ITSELF as a first-class
+    // operator (every other graph query consumes it): order–part
+    // incidence → support-weighted part–part edges, support-floored
+    // relative to order count so graph density is scale-constant. One
+    // self-join on the order key + one pair aggregate; the floor is a
+    // 1-row broadcast.
+    "graph_bipartite_projection" -> ((s, dir) => copurchaseEdges(s, dir)),
+
     // market-basket graph: relative-support-floored co-purchases
     "graph_triangles" -> ((s, dir) =>
       triangleCounts(copurchaseEdges(s, dir))),
@@ -359,6 +367,13 @@ object GraphOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "graph_bipartite_projection" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li)
+        |SELECT a.pk AS u, b.pk AS v, count(*) AS sup
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)""".stripMargin,
+
     // id-oriented brute force: each triangle found once as a < b < c
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -195,6 +195,25 @@ object Stats {
           (col("cum") * 5 <= col("t") * 4).as("in_pareto_head"))
     }),
 
+    // "top 5 + Other" reporting rollup: keep the 5 highest-revenue
+    // brands by (revenue desc, brand) rank, collapse the tail into one
+    // 'Other' row — the fixed-width report shape dashboards want. Rank
+    // runs over brand-cardinality rows; the re-aggregate is 25 rows.
+    "topk_others_rollup" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          "p_partkey")
+        .groupBy(col("p_brand")).agg(sum(col("cents")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("p_brand"))
+      rev.withColumn("rk", row_number().over(w))
+        .select(when(col("rk") <= 5, col("p_brand")).otherwise(lit("Other"))
+          .as("brand_group"), col("cents"))
+        .groupBy(col("brand_group"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_brands"))
+    }),
+
     // cheapest-and-smallest part frontier
     "skyline_pareto" -> ((s, dir) =>
       skyline2d(
@@ -258,6 +277,17 @@ object Stats {
         |  count(*) AS n, min(c.pc) AS lo, max(c.pc) AS hi
         |FROM c CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+
+    "topk_others_rollup" ->
+      """WITH rev AS (SELECT p.p_brand,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY p.p_brand),
+        |r AS (SELECT p_brand, cents,
+        |    row_number() OVER (ORDER BY cents DESC, p_brand) AS rk FROM rev)
+        |SELECT CASE WHEN rk <= 5 THEN p_brand ELSE 'Other' END AS brand_group,
+        |  CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n_brands
+        |FROM r GROUP BY 1""".stripMargin,
 
     "contribution_pareto" ->
       """WITH rev AS (SELECT p.p_brand,

@@ -24,6 +24,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object CoreOps {
 
+  /** Field-level survivorship over `(user_id, event_id, ts_us, cents,
+    * k)`: overall-latest cents, latest NON-NULL k (a later null never
+    * erases an earlier value), first/last-seen bounds — each rule one
+    * conditional struct-max on a single map-side-combining aggregate.
+    */
+  def goldenRecord(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts_us"), col("event_id"), col("cents"))).as("lv"),
+        max(when(col("k").isNotNull,
+          struct(col("ts_us"), col("event_id"), col("k")))).as("lk"),
+        min(col("ts_us")).as("first_seen_us"),
+        max(col("ts_us")).as("last_seen_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("lv.cents").as("latest_cents"),
+        col("lk.k").as("latest_k"), col("first_seen_us"),
+        col("last_seen_us"), col("n_events"))
+
   val queries: Map[String, Q] = Map(
     // Flagship TPC-H-Q1-style aggregate: map-side partial agg + 1 shuffle
     // on a tiny key space; sums rounded (both sides) to absorb fp
@@ -264,6 +282,19 @@ object CoreOps {
           col("latest.version").as("version"), col("latest.price_c").as("price_c"))
     }),
 
+    // Field-level SURVIVORSHIP (the "golden record" of MDM pipelines):
+    // where upsert_latest keeps the latest whole ROW, this merges each
+    // entity's best value PER FIELD — the overall-latest amount, the
+    // latest NON-NULL enrichment field (a later event with a missing
+    // field must not erase an earlier value), and first/last-seen
+    // bounds. Every rule is one conditional struct-max riding a single
+    // map-side-combining aggregate on the entity key — adding a
+    // survivorship rule adds an aggregate expression, not a pass.
+    "golden_record_survivorship" -> ((s, dir) =>
+      goldenRecord(Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_us"), round(col("value") * 100).cast("long").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")))),
+
     // Snapshot diff — the table-compare every incremental pipeline runs
     // between runs: added / removed / changed rows via ONE full-outer
     // join co-partitioned on the key; payloads compare as md5 of the
@@ -338,6 +369,25 @@ object CoreOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "golden_record_survivorship" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |              CAST(round(value * 100) AS BIGINT) AS cents,
+        |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |            FROM events),
+        |lv AS (SELECT user_id, cents AS latest_cents FROM (
+        |         SELECT user_id, cents, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev) t WHERE rn = 1),
+        |lk AS (SELECT user_id, k AS latest_k FROM (
+        |         SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts_us DESC, event_id DESC) AS rn
+        |         FROM ev WHERE k IS NOT NULL) t WHERE rn = 1),
+        |b AS (SELECT user_id, min(ts_us) AS first_seen_us,
+        |        max(ts_us) AS last_seen_us, count(*) AS n_events
+        |      FROM ev GROUP BY user_id)
+        |SELECT b.user_id, lv.latest_cents, lk.latest_k,
+        |  b.first_seen_us, b.last_seen_us, b.n_events
+        |FROM b JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)""".stripMargin,
+
     "upsert_latest" ->
       """WITH all_rows AS (
         |  SELECT o_orderkey, 0 AS version,

@@ -98,6 +98,23 @@ class TimeseriesSelectionSpec extends AnyFunSuite {
     assert(suite.values.forall { case (v, c) => v >= 0 && v <= c })
   }
 
+  // ---- golden record survivorship ----
+
+  test("a later event with a null field does not erase the earlier value") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 100L, 500L, Some(7L)),   // k=7 at ts=100
+      (1L, 11L, 200L, 600L, None),       // later event, k missing
+      (2L, 20L, 50L, 300L, None)         // never had k
+    ).toDF("user_id", "event_id", "ts_us", "cents", "k").repartition(3)
+    val out = graft.ops.CoreOps.goldenRecord(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((600L, Some(7L), 100L, 200L, 2L)), out.toString)
+    assert(out(2L) == ((300L, None, 50L, 50L, 1L)), out.toString)
+  }
+
   // ---- exact selection ----
 
   private def median(vals: Seq[Long], bins: Int = 16): (Long, Long, Long) = {
