@@ -86,10 +86,37 @@ object DataQuality {
   }
 
   val queries: Map[String, Q] = Map(
-    "dq_constraints" -> ((s, dir) => lineitemSuite(s, dir))
+    "dq_constraints" -> ((s, dir) => lineitemSuite(s, dir)),
+
+    // Join-key skew diagnosis — the report that decides whether a key
+    // needs the salted-join path BEFORE the job hits it: top-20 hottest
+    // keys with integer-scaled share and ratio-to-mean. One keyed
+    // count + a TakeOrdered top-k (never a global sort); the stat pair
+    // is a 1-row broadcast.
+    "dq_skew_profile" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+      counts.orderBy(col("cnt").desc, col("l_orderkey")).limit(20)
+        .crossJoin(broadcast(stats)) // 1-row scalar
+        .select(col("l_orderkey"), col("cnt"),
+          expr("cnt * 1000000L div total").as("share_x1e6"),
+          expr("cnt * n_keys * 1000000L div total").as("ratio_to_mean_x1e6"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_skew_profile" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_orderkey),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT l_orderkey, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, l_orderkey) AS rk FROM c)
+        |SELECT l_orderkey, cnt,
+        |  CAST((cnt * 1000000) // total AS BIGINT) AS share_x1e6,
+        |  CAST((cnt * n_keys * 1000000) // total AS BIGINT) AS ratio_to_mean_x1e6
+        |FROM r, st WHERE rk <= 20""".stripMargin,
+
     "dq_constraints" ->
       """SELECT 'lineitem.quantity_in_[1,50]' AS check_name,
         |  CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,

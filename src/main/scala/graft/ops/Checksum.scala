@@ -31,19 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object Checksum {
 
-  /** 64-bucket digest of a frame: `keyCol` routes the bucket (md5, 8
-    * hex → mod `buckets`), `payload` is the canonical serialization.
+  /** The per-row (bucket, h) projection both the batch and streaming
+    * digests share: `keyCol` routes the bucket (md5, 8 hex → mod
+    * `buckets`), `payload` is the canonical serialization.
     */
-  def bucketDigest(df: DataFrame, keyCol: String,
-                   payloadCols: Seq[String], buckets: Int = 64): DataFrame = {
+  def hashedRows(df: DataFrame, keyCol: String,
+                 payloadCols: Seq[String], buckets: Int = 64): DataFrame = {
     val payload = concat_ws("", payloadCols.map(c => col(c).cast("string")): _*)
     df.select(
-        (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("bucket"),
-        conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("h"))
+      (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("bucket"),
+      conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** 64-bucket digest of a frame. */
+  def bucketDigest(df: DataFrame, keyCol: String,
+                   payloadCols: Seq[String], buckets: Int = 64): DataFrame =
+    hashedRows(df, keyCol, payloadCols, buckets)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("xor_digest"))
-  }
 
   val queries: Map[String, Q] = Map(
     // orders replica digest: 64 buckets over the canonical row form

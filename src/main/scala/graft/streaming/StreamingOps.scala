@@ -438,9 +438,9 @@ object StreamingOps {
       val q = cusumStream(fileSrc.union(sentinels.toDS()))
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try {
-        sentinels.addData(CusumEv(" flush", -1L, FlushTsUs, 0L))
+        sentinels.addData(CusumEv("\u0000flush", -1L, FlushTsUs, 0L))
         q.processAllAvailable()
-        sentinels.addData(CusumEv(" flush", -2L, FlushTsUs + 7200000000L, 0L))
+        sentinels.addData(CusumEv("\u0000flush", -2L, FlushTsUs + 7200000000L, 0L))
         q.processAllAvailable()
       } finally q.stop()
       spark.table(name).filter(col("event_id") >= 0)
@@ -494,6 +494,38 @@ object StreamingOps {
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
     StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  /** Streaming replica digest — [[graft.ops.Checksum.bucketDigest]]'s
+    * streaming twin, sharing its EXACT oracle: the per-row (bucket, h)
+    * projection is the shared [[graft.ops.Checksum.hashedRows]], and
+    * the combiner is BIT_XOR — whose order/merge-invariance is
+    * precisely WHY the incremental micro-batch fold must equal the
+    * batch digest bit-for-bit (a sum-based digest would only agree up
+    * to overflow; XOR agrees algebraically). Complete-mode streaming
+    * aggregation, 64 rows of state total, watermark-free (digests
+    * never expire).
+    */
+  def checksumStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"ckstream_${System.nanoTime()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val orders = spark.readStream
+        .schema(ordersSchema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(dir)
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      val q = graft.ops.Checksum.hashedRows(orders, "o_orderkey",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "price_c"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("xor_digest"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 
   /** Streaming CDC ingest through `foreachBatch` into a DURABLE parquet
     * change log — the production sink pattern the memory-sink harnesses
@@ -602,6 +634,11 @@ object StreamingOps {
     // cusumStream — flushed by the watermark sentinel into the full
     // two-sided curve.
     "streaming_cusum" -> ((s, dir) => cusumToCompletion(s, dir)),
+
+    // Incremental replica digest (shares table_checksum's exact
+    // oracle): XOR's merge-invariance makes the micro-batch fold equal
+    // the batch digest algebraically, not approximately.
+    "streaming_checksum" -> ((s, dir) => checksumStream(s, dir)),
 
     // Stream-stream INNER join with a time-interval condition: each
     // purchase joins the same user's clicks from the preceding hour.
@@ -776,6 +813,7 @@ object StreamingOps {
     // shares funnel_steps' first-match-join oracle verbatim
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
     "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
+    "streaming_checksum" -> graft.ops.Checksum.oracleSql("table_checksum"),
 
     // identical to the batch `sessionize` oracle — the flushed stream
     // must reproduce it bit-for-bit

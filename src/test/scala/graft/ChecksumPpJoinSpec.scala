@@ -136,6 +136,15 @@ class ChecksumPpJoinSpec extends AnyFunSuite {
     assert(pastPicks > 0) // the agreement set is non-trivial
   }
 
+  test("streaming digest equals the batch digest (XOR merge-invariance)") {
+    val dir = "/root/testdata/sf0.001"
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = toMap(graft.ops.Checksum.queries("table_checksum")(spark, dir))
+    val streamed = toMap(graft.streaming.StreamingOps.checksumStream(spark, dir))
+    assert(streamed == batch)
+  }
+
   test("streaming cusum equals the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.ext.Timeseries.queries("changepoint_cusum")(spark, dir)
