@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // rewrite the row_number-filter idiom into the TopKPerKey plan
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // auto-bin interval-overlap theta joins (opt-in via binWidth conf)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
@@ -99,6 +101,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IntervalJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IntervalJoinRewrite
     functions.foreach { case (name, i, builder) =>
       GraftSqlShim.registerFunction(spark, FunctionIdentifier(name), i, builder)
     }

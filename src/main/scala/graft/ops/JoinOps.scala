@@ -241,6 +241,38 @@ object JoinOps {
           col("click_event_id"), col("click_ts_us"))
     }),
 
+    // The SAME interval-overlap query written as the NAIVE theta join a
+    // user would declare — the IntervalJoinRewrite optimizer rule
+    // (opt-in bin width) turns the nested-loop plan into the binned
+    // equi-join + report-once form, so this must reproduce
+    // join_interval_overlap's oracle exactly while never planning a
+    // data×data BroadcastNestedLoopJoin. PlanSpec pins the rewrite.
+    "join_interval_overlap_auto" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.IntervalJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.IntervalJoinRewrite
+      s.conf.set(graft.plans.IntervalJoinRewrite.BinWidthConf, "86400000000")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val spans = ev.groupBy(col("user_id"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(min(col("ts_us")).as("a_start"), (max(col("ts_us")) + 1L).as("a_end"))
+      val hourly = ev.select(col("event_type"),
+          expr("ts_us div 3600000000").as("hour"))
+        .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("total"))
+      val incidents = hourly.join(broadcast(stats), "event_type")
+        .where(col("cnt") * col("n_hours") >= lit(2L) * col("total"))
+        .select(col("event_type"), (col("hour") * 3600000000L).as("b_start"),
+          ((col("hour") + 1L) * 3600000000L).as("b_end"))
+      // the user-declared form: a plain theta join on the overlap
+      spans.join(incidents,
+          col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .select(col("user_id"), col("day"), col("event_type"),
+          col("b_start").as("incident_start_us"))
+    }),
+
     // NEAREST as-of: each purchase matched to the user's temporally
     // CLOSEST click in either direction (ties to the earlier side) —
     // the sensor-fusion variant of the backward-only asof_join. One
@@ -310,6 +342,23 @@ object JoinOps {
       """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, n1.n_regionkey AS regionkey
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey""".stripMargin,
+    "join_interval_overlap_auto" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |spans AS (SELECT user_id, ts_us // 86400000000 AS day,
+        |            min(ts_us) AS a_start, max(ts_us) + 1 AS a_end
+        |          FROM ev GROUP BY user_id, ts_us // 86400000000),
+        |h AS (SELECT event_type, ts_us // 3600000000 AS hour, count(*) AS cnt
+        |      FROM ev GROUP BY event_type, ts_us // 3600000000),
+        |st AS (SELECT event_type, count(*) AS n_hours, sum(cnt) AS total
+        |       FROM h GROUP BY event_type),
+        |inc AS (SELECT h.event_type, hour * 3600000000 AS b_start,
+        |          (hour + 1) * 3600000000 AS b_end
+        |        FROM h JOIN st USING (event_type)
+        |        WHERE cnt * n_hours >= 2 * total)
+        |SELECT s.user_id, s.day, i.event_type,
+        |  CAST(i.b_start AS BIGINT) AS incident_start_us
+        |FROM spans s JOIN inc i ON s.a_start < i.b_end AND i.b_start < s.a_end""".stripMargin,
+
     "join_asof_nearest" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |              event_type = 'purchase' AS is_p

@@ -17,6 +17,34 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("interval-overlap rewrite replaces the nested-loop join with the binned equi-join") {
+    import spark.implicits._
+    def naive(): org.apache.spark.sql.DataFrame = {
+      val a = (1L to 50L).map(i => (i, i * 10, i * 10 + 35)).toDF("a_id", "a_s", "a_e")
+      val b = (1L to 50L).map(i => (i, i * 12, i * 12 + 20)).toDF("b_id", "b_s", "b_e")
+      a.join(b, $"a_s" < $"b_e" && $"b_s" < $"a_e")
+    }
+    // control: without the conf the theta join stays a nested-loop plan
+    val control = naive()
+    control.collect()
+    assert(planOf(control).contains("BroadcastNestedLoopJoin"), planOf(control))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IntervalJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IntervalJoinRewrite
+    spark.conf.set(graft.plans.IntervalJoinRewrite.BinWidthConf, "25")
+    try {
+      val auto = naive()
+      val rows = auto.collect()
+      val plan = planOf(auto)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("Generate"), plan) // the bin explosion is in the plan
+      // observationally identical to the nested-loop result
+      val expected = control.collect().map(_.toSeq).toSet
+      assert(rows.map(_.toSeq).toSet == expected)
+      assert(rows.length == expected.size) // report-once: no duplicate pairs
+    } finally spark.conf.unset(graft.plans.IntervalJoinRewrite.BinWidthConf)
+  }
+
   test("equality filters push down to the parquet scan") {
     val plan = planOf(Tables.lineitem(spark, sf)
       .filter(col("l_orderkey") === 42).select(col("l_linenumber")))
