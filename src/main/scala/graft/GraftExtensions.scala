@@ -65,6 +65,10 @@ object GraftExtensions {
     ("posweight_checksum",
       info("posweight_checksum", "posweight_checksum(text) - order-sensitive sum(codepoint*pos) mod p checksum"),
       (args: Seq[Expression]) => graft.functions.PosWeightChecksum(args(0))),
+    ("kmv_bottomk",
+      info("kmv_bottomk", "kmv_bottomk(col[, k]) - k-minimum-values sketch: k smallest 60-bit md5 hashes (sample + distinct estimator)"),
+      (args: Seq[Expression]) => graft.functions.KmvBottomKAgg(
+        args(0), if (args.length > 1) intArg(args(1), "k") else 64)),
     ("misra_gries",
       info("misra_gries", "misra_gries(col[, k]) - frequent-items (heavy hitters) sketch"),
       (args: Seq[Expression]) => graft.functions.MisraGriesAgg(

@@ -163,6 +163,26 @@ object Sampling {
     "sample_stratified_exact" -> ((s, dir) =>
       stratifiedExactSample(Tables.documents(s, dir), "lang", 200L)),
 
+    // KMV bottom-k per language: a MERGEABLE deterministic sample that
+    // is also a distinct estimator — and, uniquely among the sketches
+    // here, EXACTLY oracle-able (min-k of a set is merge-invariant and
+    // the 60-bit md5 hash is engine-portable). D-hat = (k−1)·2⁶⁰ div
+    // h_k; the product needs 67 bits, so it rides decimal/HUGEINT into
+    // the integral divide on both engines.
+    "sample_bottomk_kmv" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(graft.functions.KmvBottomKAgg
+          .kmvBottomK(col("doc_id").cast("string"), 64).as("ks"))
+        .select(col("lang"), size(col("ks")).cast("long").as("n_kept"),
+          element_at(col("ks"), 1).as("h_min"),
+          element_at(col("ks"), size(col("ks"))).as("h_k"))
+        .select(col("lang"), col("n_kept"), col("h_min"), col("h_k"),
+          when(col("n_kept") < 64, col("n_kept"))
+            .otherwise(expr(
+              "(CAST(63 AS DECIMAL(38,0)) * 1152921504606846976) div h_k"))
+            .as("est_distinct"))),
+
     "sample_hash_pct" -> ((s, dir) =>
       hashSample(Tables.documents(s, dir), col("doc_id"), 10.0)
         .select(col("doc_id"), col("lang"))),
@@ -232,6 +252,20 @@ object Sampling {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * 1000
         |  < 65536 * LEAST(n_chars, 1000)""".stripMargin,
+    "sample_bottomk_kmv" ->
+      """WITH h AS (SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |k AS (SELECT lang, count(*) AS n_kept, min(h) AS h_min, max(h) AS h_k
+        |      FROM r WHERE rn <= 64 GROUP BY lang)
+        |SELECT lang, CAST(n_kept AS BIGINT) AS n_kept, h_min, h_k,
+        |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // h_k
+        |  END AS BIGINT) AS est_distinct
+        |FROM k""".stripMargin,
+
     "sample_stratified_exact" ->
       """WITH sz AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM sz),

@@ -164,6 +164,35 @@ class PropertySpec extends AnyFunSuite {
     assert(grouped.values.forall(v => math.abs(v - 5000.0) / 5000.0 < 0.05), grouped.toString)
   }
 
+  test("KMV bottom-k: exact == serial reference, merge-invariant, estimator sane") {
+    import spark.implicits._
+    import graft.functions.KmvBottomKAgg.kmvBottomK
+    import org.apache.spark.sql.functions._
+    def h60(s: String): Long = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L; for (i <- 0 until 7) h = (h << 8) | (b(i) & 0xffL)
+      (h << 4) | ((b(7) & 0xf0L) >> 4)
+    }
+    val vals = (0 until 5000).map(i => s"v$i")
+    val df = vals.flatMap(v => Seq(v, v)).toDF("v") // duplicates must not matter
+    def sketch(parts: Int): Seq[Long] =
+      df.repartition(parts).agg(kmvBottomK(col("v"), 64).as("ks"))
+        .collect()(0).getSeq[Long](0)
+    val s1 = sketch(1)
+    // equals the serial bottom-64 of distinct hashes, ascending
+    assert(s1 == vals.map(h60).distinct.sorted.take(64))
+    // min-k is merge-invariant: identical under any partitioning
+    assert(sketch(23) == s1)
+    // estimator: (k-1)*2^60/h_k within 3/sqrt(k) ~ 37% of 5000
+    val est = (BigInt(63) * BigInt(2).pow(60) / BigInt(s1.last)).toLong
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"est $est")
+    // below k distinct: the sketch IS the distinct hash set
+    val tiny = (0 until 10).map(i => s"t$i")
+    val ts = tiny.toDF("v").agg(kmvBottomK(col("v"), 64)).collect()(0).getSeq[Long](0)
+    assert(ts == tiny.map(h60).sorted)
+  }
+
   test("z-order key interleaves bits exactly") {
     import spark.implicits._
     import graft.ops.ZOrder
