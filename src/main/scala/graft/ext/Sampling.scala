@@ -183,6 +183,41 @@ object Sampling {
               "(CAST(63 AS DECIMAL(38,0)) * 1152921504606846976) div h_k"))
             .as("est_distinct"))),
 
+    // KMV set algebra: the en↔es VOCABULARY overlap estimated from two
+    // 64-hash sketches alone — K = bottom-64 of the sketch union,
+    // ρ = |K ∩ A ∩ B| / 64 is the Jaccard estimator (Beyer et al.,
+    // SIGMOD'07 §4) — next to the exact relational overlap as the
+    // companion truth. Everything after the two token scans moves ≤64
+    // longs per side; at 100 TB the sketches are the only artifact two
+    // corpora need to exchange to estimate their overlap.
+    "kmv_vocab_overlap" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .where(col("lang").isin("en", "es"))
+        .select(col("lang"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        .distinct()
+      val sk = toks.groupBy(col("lang"))
+        .agg(graft.functions.KmvBottomKAgg.kmvBottomK(col("tok"), 64).as("ks"))
+      val a = sk.where(col("lang") === "en").select(col("ks").as("ka"))
+      val b = sk.where(col("lang") === "es").select(col("ks").as("kb"))
+      val exact = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_langs"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("n_langs") === 2, 1L).otherwise(0L)).as("n_common"))
+      a.crossJoin(b).crossJoin(exact) // three 1-row frames
+        .select(col("n_union"), col("n_common"),
+          expr("n_common * 1000000L div n_union").as("jaccard_exact_x1e6"),
+          expr("slice(array_sort(array_union(ka, kb)), 1, 64)").as("ku"),
+          col("ka"), col("kb"))
+        .select(col("n_union"), col("n_common"), col("jaccard_exact_x1e6"),
+          expr("size(filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h)))")
+            .cast("long").as("kmv_common"),
+          // divide by |K|, not k: below k distinct the union sketch is
+          // the exact union and the estimator degrades to exact Jaccard
+          expr("CAST(size(filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))) AS BIGINT) * 1000000L div size(ku)")
+            .as("jaccard_kmv_x1e6"))
+    }),
+
     "sample_hash_pct" -> ((s, dir) =>
       hashSample(Tables.documents(s, dir), col("doc_id"), 10.0)
         .select(col("doc_id"), col("lang"))),
@@ -252,6 +287,30 @@ object Sampling {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * 1000
         |  < 65536 * LEAST(n_chars, 1000)""".stripMargin,
+    "kmv_vocab_overlap" ->
+      """WITH toks AS (SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, unnest(list_distinct(list_filter(
+        |      string_split_regex(text, '\s+'), t -> t != ''))) AS tok
+        |    FROM documents WHERE lang IN ('en', 'es')) x),
+        |hh AS (SELECT lang, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |       FROM toks),
+        |ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |         FROM (SELECT DISTINCT h FROM hh WHERE lang = 'en') xa) t WHERE rn <= 64),
+        |skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |         FROM (SELECT DISTINCT h FROM hh WHERE lang = 'es') xb) t WHERE rn <= 64),
+        |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |        FROM (SELECT h FROM ska UNION SELECT h FROM skb) u) t WHERE rn <= 64),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+        |         CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |       FROM (SELECT tok, count(DISTINCT lang) AS n FROM toks GROUP BY tok) g),
+        |kc AS (SELECT CAST(count(*) AS BIGINT) AS kmv_common FROM ku
+        |       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+        |SELECT n_union, n_common,
+        |  CAST((n_common * 1000000) // n_union AS BIGINT) AS jaccard_exact_x1e6,
+        |  kmv_common,
+        |  CAST((kmv_common * 1000000) // (SELECT count(*) FROM ku) AS BIGINT) AS jaccard_kmv_x1e6
+        |FROM ex, kc""".stripMargin,
+
     "sample_bottomk_kmv" ->
       """WITH h AS (SELECT DISTINCT lang,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
