@@ -140,6 +140,60 @@ object PageRank {
     (ranks, () => { e.unpersist(); nodes.unpersist(); () })
   }
 
+  /** PERSONALIZED PageRank (random walk with restart to a source SET —
+    * the recommendation-ranking formulation): teleport mass lands only
+    * on `sources`, so rank measures proximity to the set rather than
+    * global centrality:
+    *
+    *   r0(v)      = [v ∈ S] · scale div |S|
+    *   r_{t+1}(v) = [v ∈ S] · (15·scale div 100) div |S|
+    *              + 85 · Σ_{u→v} (r_t(u) div outdeg(u)) div 100
+    *
+    * Same per-round shape as [[pageRankInt]] (one edge-keyed shuffle +
+    * one combine-enabled sum); the source membership flag is a
+    * node-sized left join, |S| a 1-row scalar. Nodes never reached from
+    * S keep rank 0 and are emitted (the caller filters) — keeping the
+    * node universe identical to the global variant keeps the oracle's
+    * CTE chain mechanical.
+    */
+  def pageRankPersonalizedInt(edges: DataFrame, sources: DataFrame,
+                              iterations: Int,
+                              scale: Long = 1000000L): (DataFrame, () => Unit) = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val srcSet = sources.select(col("node_id")).distinct()
+      .withColumn("is_src", lit(true))
+    val ns = srcSet.agg(count(lit(1)).as("n_src"))
+    def teleport(term: String) =
+      when(col("is_src"), expr(term)).otherwise(lit(0L))
+    var ranks = nodes
+      .join(srcSet, Seq("node_id"), "left")
+      .crossJoin(ns)
+      .select(col("node_id"), teleport(s"$scale div n_src").as("rank"))
+    for (i <- 0 until iterations) {
+      val contrib = e.join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst").as("node_id"), expr("rank div deg").as("c"))
+        .groupBy(col("node_id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(srcSet, Seq("node_id"), "left")
+        .crossJoin(ns)
+        .join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (teleport(s"(15 * $scale div 100) div n_src") +
+            expr(s"85 * ${coalesceContrib} div 100")).as("rank"))
+      if ((i + 1) % 5 == 0 && i + 1 < iterations)
+        ranks = ranks.localCheckpoint(eager = false)
+    }
+    (ranks, () => { e.unpersist(); nodes.unpersist(); () })
+  }
+
   val queries: Map[String, Q] = Map(
     // supplier→part bipartite graph from lineitem (distinct edges; part
     // ids offset into their own id space), 3 integer-exact rounds
@@ -149,6 +203,21 @@ object PageRank {
           (col("l_partkey") + lit(1000000L)).as("dst"))
         .distinct()
       pageRankInt(edges, iterations = 3)
+    }),
+
+    // personalized: restart to suppliers 0..19 — ranks parts (and
+    // suppliers) by proximity to that seed set, the recommendation
+    // shape; zero-rank nodes filtered at the edge (caller's choice)
+    "graph_pagerank_personalized" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val sources = Tables.supplier(s, dir)
+        .where(col("s_suppkey") < 20)
+        .select(col("s_suppkey").cast("long").as("node_id"))
+      pageRankPersonalizedInt(edges, sources, iterations = 3)._1
+        .where(col("rank") > 0)
     }),
 
     // same bipartite graph, dangling mass redistributed — every part
@@ -195,6 +264,52 @@ object PageRank {
         |         CAST((15 * 1000000 // 100) // n_nodes + 85 * COALESCE(c3.contrib, 0) // 100 AS BIGINT) AS rank
         |       FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.node_id = nodes.node_id)
         |SELECT node_id, rank FROM r3""".stripMargin,
+
+    // personalized unrolled: the teleport term is gated on source
+    // membership and divided by |S|, everything else is the shared
+    // round arithmetic
+    "graph_pagerank_personalized" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(l_partkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+        |s AS (SELECT CAST(s_suppkey AS BIGINT) AS node_id FROM supplier
+        |      WHERE s_suppkey < 20),
+        |ns AS (SELECT count(*) AS n_src FROM s),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT nodes.node_id,
+        |         CAST(CASE WHEN s.node_id IS NOT NULL
+        |           THEN 1000000 // n_src ELSE 0 END AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN ns LEFT JOIN s ON s.node_id = nodes.node_id),
+        |c1 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node_id,
+        |         CAST(CASE WHEN s.node_id IS NOT NULL
+        |             THEN (15 * 1000000 // 100) // n_src ELSE 0 END
+        |           + 85 * COALESCE(c1.contrib, 0) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN ns LEFT JOIN s ON s.node_id = nodes.node_id
+        |       LEFT JOIN c1 ON c1.node_id = nodes.node_id),
+        |c2 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node_id,
+        |         CAST(CASE WHEN s.node_id IS NOT NULL
+        |             THEN (15 * 1000000 // 100) // n_src ELSE 0 END
+        |           + 85 * COALESCE(c2.contrib, 0) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN ns LEFT JOIN s ON s.node_id = nodes.node_id
+        |       LEFT JOIN c2 ON c2.node_id = nodes.node_id),
+        |c3 AS (SELECT e.dst AS node_id, sum(r.rank // d.deg) AS contrib
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node_id = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node_id,
+        |         CAST(CASE WHEN s.node_id IS NOT NULL
+        |             THEN (15 * 1000000 // 100) // n_src ELSE 0 END
+        |           + 85 * COALESCE(c3.contrib, 0) // 100 AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN ns LEFT JOIN s ON s.node_id = nodes.node_id
+        |       LEFT JOIN c3 ON c3.node_id = nodes.node_id)
+        |SELECT node_id, rank FROM r3 WHERE rank > 0""".stripMargin,
 
     // the redistribute variant unrolled: dangling_t is the scalar sum
     // of rank over nodes absent from the out-degree table, folded into

@@ -81,6 +81,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
 
   private def binned(child: LogicalPlan, start: Attribute, end: Attribute,
                      w: Literal): (LogicalPlan, Attribute) = {
+    // INTERVAL SEMANTICS, enforced not assumed: a row with start >= end
+    // is an empty interval and can never match — but the raw predicate
+    // pair WOULD accept some such rows, and Sequence over an inverted
+    // range silently generates DESCENDING bins, which breaks the
+    // report-once ownership argument. Enabling the binWidth conf is the
+    // caller's assertion that the columns are intervals; the filter
+    // makes the resulting semantics (empty intervals match nothing)
+    // explicit and deterministic either way.
+    val wellFormed = Filter(LessThan(start, end), child)
     // Sequence is TimeZoneAwareExpression: expressions minted inside the
     // optimizer never meet ResolveTimeZone, so the zone must be set here
     // or the plan trips the became-unresolved validation (integral
@@ -90,7 +99,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
       Some(conf.sessionLocalTimeZone)))
     val binAttr = AttributeReference("_graft_bin", LongType, nullable = false)()
     (Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(binAttr), child), binAttr)
+      qualifier = None, generatorOutput = Seq(binAttr), wellFormed), binAttr)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -25,6 +25,9 @@ class PlanSpec extends AnyFunSuite {
       a.join(b, $"a_s" < $"b_e" && $"b_s" < $"a_e")
     }
     // control: without the conf the theta join stays a nested-loop plan
+    // (unset defensively — suite order may have left the auto query's
+    // session-scoped opt-in behind)
+    spark.conf.unset(graft.plans.IntervalJoinRewrite.BinWidthConf)
     val control = naive()
     control.collect()
     assert(planOf(control).contains("BroadcastNestedLoopJoin"), planOf(control))
