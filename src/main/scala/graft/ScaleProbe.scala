@@ -56,9 +56,10 @@ object ScaleProbe {
 
   private def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
-    // V2: round 8 added scaled embeddings + events (the marker bump
-    // invalidates a round-7 dir that raw-copied both)
-    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALED_V2"))) return
+    // V3: round 9 lands orders as one file for the streaming readers
+    // (V2: round 8 added scaled embeddings + events); the marker bump
+    // invalidates stale dirs
+    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALED_V3"))) return
     java.nio.file.Files.createDirectories(fs)
 
     val docs = Tables.documents(spark, srcDir)
@@ -79,11 +80,18 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
+    // orders lands as ONE FILE like events: streaming readers
+    // (streaming_checksum, streaming_cdc_upsert) list with
+    // pathGlobFilter=orders.parquet, which matches a file — a dataset
+    // DIRECTORY of part-files silently reads zero rows (caught by the
+    // round-9 third-wave probe: 64 digest rows at sf0.1, 0 at 10x)
     val ord = Tables.orders(spark, srcDir)
     val maxO = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val ordTmp = s"$outDir/_orders_build"
     (0 until Reps).map(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxO)))
       .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(ordTmp)
 
     // embeddings ×10 with per-replica vec_id offsets, vectors verbatim —
     // ANN cost scales with corpus size and cell occupancy, not vector
@@ -134,6 +142,17 @@ object ScaleProbe {
     java.nio.file.Files.move(evPart, fs.resolve("events.parquet"))
     deleteRecursively(java.nio.file.Paths.get(evTmp))
 
+    deleteRecursively(fs.resolve("orders.parquet"))
+    val ordPart = {
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(ordTmp))
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $ordTmp"))
+      finally listing.close()
+    }
+    java.nio.file.Files.move(ordPart, fs.resolve("orders.parquet"))
+    deleteRecursively(java.nio.file.Paths.get(ordTmp))
+
     // remaining tables pass through unscaled (dimension-sized) as RAW
     // byte copies
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -143,7 +162,7 @@ object ScaleProbe {
       deleteRecursively(dst)
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$srcDir/$t.parquet"), dst)
     }
-    java.nio.file.Files.createFile(fs.resolve("_SUCCESS_SCALED_V2"))
+    java.nio.file.Files.createFile(fs.resolve("_SUCCESS_SCALED_V3"))
   }
 
   /** Operator skeleton of the final executed plan: operator names in
@@ -212,7 +231,14 @@ object ScaleProbe {
       // scans — plan-trivially linear, left unprobed.
       "dedup_ppjoin", "graph_link_prediction", "changepoint_cusum",
       "timeseries_interpolate", "exact_median_selection",
-      "streaming_cusum"))
+      "streaming_cusum",
+      // round-9 third wave: md5-argmin walks + personalized PageRank
+      // (frontier-round shapes), the binned interval-overlap join,
+      // the streaming XOR digest, and seasonal decomposition (grid-
+      // bounded like interpolate)
+      "graph_walk_sampling", "graph_pagerank_personalized",
+      "join_interval_overlap", "streaming_checksum",
+      "seasonal_decompose"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

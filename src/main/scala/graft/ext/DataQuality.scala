@@ -88,6 +88,19 @@ object DataQuality {
   val queries: Map[String, Q] = Map(
     "dq_constraints" -> ((s, dir) => lineitemSuite(s, dir)),
 
+    // k-anonymity audit (privacy gating before a data release): every
+    // quasi-identifier combination must describe ≥ k individuals;
+    // groups below k are re-identification risks the release must
+    // suppress or generalize. One grouped count + a threshold filter —
+    // the audit costs one shuffle on the quasi-identifier key at any
+    // scale. Emits the violating groups (the suppression work-list),
+    // k = 10 over (nation, market segment).
+    "dq_k_anonymity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_n"))
+        .where(col("group_n") < 10)),
+
     // Join-key skew diagnosis — the report that decides whether a key
     // needs the salted-join path BEFORE the job hits it: top-20 hottest
     // keys with integer-scaled share and ratio-to-mean. One keyed
@@ -106,6 +119,12 @@ object DataQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_n
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) < 10""".stripMargin,
+
     "dq_skew_profile" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt
         |           FROM lineitem GROUP BY l_orderkey),

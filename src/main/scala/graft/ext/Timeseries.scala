@@ -51,7 +51,12 @@ object Timeseries {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .join(broadcast(stats), key) // key-cardinality rows; broadcast stat pair
+      // stats is KEY-cardinality — small enough that Catalyst broadcasts
+      // it from stats when keys are few (the events fixture: 5), but a
+      // forced broadcast would be a footgun at 1e9 keys, so the choice
+      // stays with the optimizer; the join shares the window's key
+      // partitioning either way
+      .join(stats, key)
       .withColumn("d_scaled", col("n_key") * col(valueCol) - col("total_key"))
       .withColumn("p", sum(col("d_scaled")).over(w))
       .withColumn("cusum_pos", col("p") - least(lit(0L), min(col("p")).over(w)))
