@@ -163,6 +163,38 @@ object Timeseries {
         (col("v") - col("trend") - (col("slot_mean") - col("g"))).as("residual"))
   }
 
+  /** Anomaly flags over the [[seasonalDecompose]] residuals: a minute
+    * is anomalous when its residual deviates from the key's residual
+    * median by more than `nMads` × MAD — the robust threshold that
+    * survives the anomalies' own influence (mean/stddev do not).
+    *
+    * Integer-exact throughout: medians are LOWER medians selected by
+    * rank (the `exact_median_selection` convention — no interpolation,
+    * so any engine picks the same element), MAD is the lower median of
+    * |r − med|, and the threshold compare is pure long arithmetic with
+    * `greatest(mad, 1)` guarding the all-flat degenerate case. Two
+    * rank-select rounds per key (windows share the key partitioning;
+    * parallelism = key cardinality, the CUSUM note applies).
+    */
+  def seasonalAnomalies(decomposed: DataFrame, key: String,
+                        nMads: Int = 3): DataFrame = {
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col(valueCol), col("minute"))
+      df.withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(key))))
+        .where(col("_rn") === expr("(_n + 1) div 2"))
+        .select(col(key), col(valueCol).as(out))
+    }
+    val med = lowerMedian(decomposed, "residual", "med")
+    val dev = decomposed.join(med, key)
+      .withColumn("adev", abs(col("residual") - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(mad, key)
+      .where(col("adev") > lit(nMads.toLong) * greatest(col("mad"), lit(1L)))
+      .select(col(key), col("minute"), col("v"), col("residual"),
+        col("med"), col("mad"))
+  }
+
   val queries: Map[String, Q] = Map(
     // per-type CUSUM drift curves over the event stream, cent-resolution
     "changepoint_cusum" -> ((s, dir) =>
@@ -183,6 +215,16 @@ object Timeseries {
           round(col("value") * 100).cast("long").as("cents")),
         key = "event_type", minuteCol = "minute", valueCol = "cents")),
 
+    // robust anomaly flags on the decomposition residuals (3-MAD rule)
+    "anomaly_seasonal_residual" -> ((s, dir) =>
+      seasonalAnomalies(
+        seasonalDecompose(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("ts_us div 60000000").as("minute"),
+            round(col("value") * 100).cast("long").as("cents")),
+          key = "event_type", minuteCol = "minute", valueCol = "cents"),
+        key = "event_type")),
+
     // dense per-type minute series, gaps linearly interpolated in cents
     "timeseries_interpolate" -> ((s, dir) =>
       interpolateMinutes(
@@ -191,6 +233,40 @@ object Timeseries {
           round(col("value") * 100).cast("long").as("cents")),
         key = "event_type", minuteCol = "minute", valueCol = "cents"))
   )
+
+  /** Shared DuckDB CTE chain producing `dec(event_type, minute, v,
+    * trend, seasonal, residual)` — the decomposition both its own
+    * oracle and the anomaly oracle build on.
+    */
+  private val decomposeCtes: String =
+    """ev AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+      |                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |obs AS (SELECT event_type, minute, sum(cents) AS v
+      |        FROM ev GROUP BY event_type, minute),
+      |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS minute
+      |         FROM (SELECT event_type, min(minute) AS mn, max(minute) AS mx
+      |               FROM obs GROUP BY event_type)),
+      |dense AS (SELECT grid.event_type, grid.minute,
+      |            CAST(coalesce(obs.v, 0) AS BIGINT) AS v,
+      |            grid.minute % 60 AS slot
+      |          FROM grid LEFT JOIN obs USING (event_type, minute)),
+      |gm AS (SELECT event_type,
+      |           CAST(sum(v) // count(*) AS BIGINT) AS g
+      |         FROM dense GROUP BY event_type),
+      |slots AS (SELECT event_type, slot,
+      |            CAST(sum(v) // count(*) AS BIGINT) AS slot_mean
+      |          FROM dense GROUP BY event_type, slot),
+      |tr AS (SELECT event_type, minute, v, slot,
+      |         CAST(sum(v) OVER w // count(*) OVER w AS BIGINT) AS trend
+      |       FROM dense
+      |       WINDOW w AS (PARTITION BY event_type ORDER BY minute
+      |                    ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)),
+      |dec AS (SELECT tr.event_type, tr.minute, tr.v, tr.trend,
+      |          CAST(s.slot_mean - g.g AS BIGINT) AS seasonal,
+      |          CAST(tr.v - tr.trend - (s.slot_mean - g.g) AS BIGINT) AS residual
+      |        FROM tr
+      |        JOIN slots s ON s.event_type = tr.event_type AND s.slot = tr.slot
+      |        JOIN gm g ON g.event_type = tr.event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "changepoint_cusum" ->
@@ -217,34 +293,28 @@ object Timeseries {
         |FROM mm""".stripMargin,
 
     "seasonal_decompose" ->
-      """WITH ev AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
-        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |obs AS (SELECT event_type, minute, sum(cents) AS v
-        |        FROM ev GROUP BY event_type, minute),
-        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS minute
-        |         FROM (SELECT event_type, min(minute) AS mn, max(minute) AS mx
-        |               FROM obs GROUP BY event_type)),
-        |dense AS (SELECT grid.event_type, grid.minute,
-        |            CAST(coalesce(obs.v, 0) AS BIGINT) AS v,
-        |            grid.minute % 60 AS slot
-        |          FROM grid LEFT JOIN obs USING (event_type, minute)),
-        |gm AS (SELECT event_type,
-        |           CAST(sum(v) // count(*) AS BIGINT) AS g
-        |         FROM dense GROUP BY event_type),
-        |slots AS (SELECT event_type, slot,
-        |            CAST(sum(v) // count(*) AS BIGINT) AS slot_mean
-        |          FROM dense GROUP BY event_type, slot),
-        |tr AS (SELECT event_type, minute, v, slot,
-        |         CAST(sum(v) OVER w // count(*) OVER w AS BIGINT) AS trend
-        |       FROM dense
-        |       WINDOW w AS (PARTITION BY event_type ORDER BY minute
-        |                    ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING))
-        |SELECT tr.event_type, tr.minute, tr.v, tr.trend,
-        |  CAST(s.slot_mean - g.g AS BIGINT) AS seasonal,
-        |  CAST(tr.v - tr.trend - (s.slot_mean - g.g) AS BIGINT) AS residual
-        |FROM tr
-        |JOIN slots s ON s.event_type = tr.event_type AND s.slot = tr.slot
-        |JOIN gm g ON g.event_type = tr.event_type""".stripMargin,
+      s"WITH $decomposeCtes\nSELECT event_type, minute, v, trend, seasonal, residual FROM dec",
+
+    // the decomposition chain + two rank-selected lower medians
+    "anomaly_seasonal_residual" ->
+      (s"WITH $decomposeCtes,\n" +
+      """rmed AS (SELECT event_type, residual AS med FROM (
+        |    SELECT event_type, residual,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY residual, minute) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dec) t WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT d.event_type, d.minute, d.v, d.residual, m.med,
+        |          abs(d.residual - m.med) AS adev
+        |        FROM dec d JOIN rmed m ON m.event_type = d.event_type),
+        |rmad AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev, minute,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY adev, minute) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) t WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.minute, d.v, d.residual, d.med,
+        |  CAST(a.mad AS BIGINT) AS mad
+        |FROM dev d JOIN rmad a ON a.event_type = d.event_type
+        |WHERE d.adev > 3 * greatest(a.mad, 1)""".stripMargin),
 
     "timeseries_interpolate" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
