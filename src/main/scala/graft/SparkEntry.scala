@@ -27,6 +27,7 @@ object SparkEntry {
     (pipelines.TouchToParquet.queries, pipelines.TouchToParquet.oracleSql),
     (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracleSql),
     (ops.Salting.queries, ops.Salting.oracleSql),
+    (ops.Reshape.queries, ops.Reshape.oracleSql),
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracleSql),
     (ops.ZOrder.queries, ops.ZOrder.oracleSql),
     (ops.Hilbert.queries, ops.Hilbert.oracleSql),
@@ -43,6 +44,7 @@ object SparkEntry {
     (ext.KMeans.queries, ext.KMeans.oracleSql),
     (ext.SemDedup.queries, ext.SemDedup.oracleSql),
     (ext.PageRank.queries, ext.PageRank.oracleSql),
+    (ext.Hits.queries, ext.Hits.oracleSql),
     (ext.GraphOps.queries, ext.GraphOps.oracleSql),
     (ext.KCore.queries, ext.KCore.oracleSql),
     (ext.EditDistJoin.queries, ext.EditDistJoin.oracleSql),
@@ -50,8 +52,11 @@ object SparkEntry {
     (ext.Winnow.queries, ext.Winnow.oracleSql),
     (ext.Itemsets.queries, ext.Itemsets.oracleSql),
     (ext.Cohort.queries, ext.Cohort.oracleSql),
+    (ext.Attribution.queries, ext.Attribution.oracleSql),
+    (ext.Rfm.queries, ext.Rfm.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
     (ext.Collocations.queries, ext.Collocations.oracleSql),
+    (ext.TextRank.queries, ext.TextRank.oracleSql),
     (ext.Markov.queries, ext.Markov.oracleSql),
     (ext.RankFusion.queries, ext.RankFusion.oracleSql),
     (ext.RecSys.queries, ext.RecSys.oracleSql),

@@ -231,8 +231,52 @@ object Timeseries {
         Tables.events(s, dir).select(col("event_type"),
           expr("ts_us div 60000000").as("minute"),
           round(col("value") * 100).cast("long").as("cents")),
-        key = "event_type", minuteCol = "minute", valueCol = "cents"))
+        key = "event_type", minuteCol = "minute", valueCol = "cents")),
+
+    // lag-1..7 autocorrelation of the daily event-count series —
+    // integer moments (exact) plus the rounded coefficient. The
+    // lag pairing is an equi-join of the daily series against itself
+    // shifted by an exploded lag column (inner join: gap days pair
+    // with nothing, identically in both engines), so there is no
+    // ordered scan at all — at 100 TB the series table is
+    // calendar-bounded and the join is a broadcast.
+    "timeseries_autocorr" -> ((s, dir) => autocorrMoments(
+      Tables.events(s, dir).select(expr("ts_us div 86400000000").as("day")),
+      maxLag = 7))
   )
+
+  /** Lag-k autocorrelation moments of the daily count series derived
+    * from `days(day)` (one input row per event): per k in 1..maxLag,
+    * the paired-series integer moments (n, Σx, Σy, Σxy, Σx², Σy²) and
+    * the Pearson coefficient `r` rounded to 6 dp. The two denominator
+    * factors are square-rooted SEPARATELY — their product overflows
+    * long at production scale while each factor alone does not.
+    */
+  def autocorrMoments(days: DataFrame, maxLag: Int): DataFrame = {
+    val daily = days.groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val shifted = daily.select(col("day").as("pday"), col("x").as("y"))
+    daily
+      .select(col("day"), col("x"),
+        explode(sequence(lit(1), lit(maxLag))).as("k"))
+      .withColumn("pday", col("day") - col("k"))
+      .join(shifted, "pday")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("d1", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r",
+        when(col("d1") === 0 || col("d2") === 0, lit(null))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))),
+            6)))
+      .select(col("k").cast("long").as("k"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"), col("r"))
+  }
 
   /** Shared DuckDB CTE chain producing `dec(event_type, minute, v,
     * trend, seasonal, residual)` — the decomposition both its own
@@ -342,6 +386,30 @@ object Timeseries {
         |  i.is_observed
         |FROM idxed i
         |JOIN known p ON p.event_type = i.event_type AND p.k = i.idx
-        |LEFT JOIN known nx ON nx.event_type = i.event_type AND nx.k = i.idx + 1""".stripMargin
+        |LEFT JOIN known nx ON nx.event_type = i.event_type AND nx.k = i.idx + 1""".stripMargin,
+
+    "timeseries_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT t.k, a.x, b.x AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS k) t
+        |  JOIN daily b ON b.day = a.day - t.k),
+        |mom AS (
+        |  SELECT k, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY k)
+        |SELECT k, n, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+        |       ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |            (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |             sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM mom""".stripMargin
   )
 }

@@ -330,6 +330,47 @@ object JoinOps {
       val urgent = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
       bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+    }),
+
+    // FULL OUTER: customers ⟗ per-customer order rollup — preserves
+    // both never-ordered customers (null order side) and orphan
+    // custkeys in orders (none in this generator, but the semantics
+    // are pinned by the coalesce columns). Same shuffle as a plain
+    // equi-join: full-outer SMJ on the key, no extra exchange; the
+    // pre-aggregation keeps the right side one row per key so the
+    // output is customer-sized at any scale.
+    "join_full_outer" -> ((s, dir) => {
+      val perCust = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+          (col("c_custkey").isNotNull && col("o_custkey").isNotNull)
+            .as("matched"))
+    }),
+
+    // NULL-SAFE equality (`<=>` / IS NOT DISTINCT FROM): both sides
+    // null out nationkey 13, and the null-keyed groups still pair up —
+    // the semantics a plain `=` join silently drops. Aggregated to one
+    // row per key on each side first, so the null×null match is 1×1,
+    // not a null-key cross-product blowup; at scale the null bucket is
+    // the classic skew key and pre-aggregation is the fix.
+    "join_null_safe" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(nullif(col("c_nationkey").cast("long"), lit(13L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, dir)
+        .select(nullif(col("s_nationkey").cast("long"), lit(13L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, cust("k") <=> supp("k"), "inner")
+        .select(cust("k").as("nationkey_nulled"),
+          col("n_cust"), col("n_supp"))
     })
   )
 
@@ -431,6 +472,27 @@ object JoinOps {
     "join_bloom_prefilter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (
-        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "join_full_outer" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, p.o_custkey) AS custkey,
+        |  coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+        |  coalesce(p.n_orders, 0) AS n_orders,
+        |  coalesce(p.spend_cents, 0) AS spend_cents,
+        |  (c.c_custkey IS NOT NULL AND p.o_custkey IS NOT NULL) AS matched
+        |FROM customer c FULL OUTER JOIN per_cust p
+        |  ON c.c_custkey = p.o_custkey""".stripMargin,
+    "join_null_safe" ->
+      """WITH cust AS (
+        |  SELECT nullif(CAST(c_nationkey AS BIGINT), 13) AS k, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |supp AS (
+        |  SELECT nullif(CAST(s_nationkey AS BIGINT), 13) AS k, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT cust.k AS nationkey_nulled, n_cust, n_supp
+        |FROM cust JOIN supp ON cust.k IS NOT DISTINCT FROM supp.k""".stripMargin
   )
 }
