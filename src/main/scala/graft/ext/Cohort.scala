@@ -36,11 +36,78 @@ object Cohort {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Signup→purchase conversion-delay profile per weekly signup cohort:
+    * (cohort_week, n_converted, min/lower-median/max delay in µs). The
+    * "first purchase AFTER signup" needs the signup time inside the
+    * purchase aggregate, so it is a user-keyed join (signup table is
+    * user-sized, co-partitioned with the purchase scan on user_id) —
+    * never a window over the raw stream. The median is the exact rank
+    * formula (value at rn = (n+1) div 2) over a cohort-keyed window;
+    * parallelism = cohort count, rows per cohort = converted users —
+    * the same per-key bound documented on the cusum family.
+    */
+  def conversionDelay(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val signup = events.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_ts"))
+    val firstPurchase = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(signup, "user_id")
+      .where(col("ts_us") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts_us")).as("purchase_ts"))
+    val delays = firstPurchase.select(
+      expr(s"signup_ts div $weekUs").as("cohort_week"),
+      col("user_id"),
+      (col("purchase_ts") - col("signup_ts")).as("delay_us"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week"))
+      .orderBy(col("delay_us"), col("user_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week"))
+    delays
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("cohort_week"))
+      .agg(max(col("n")).as("n_converted"),
+        min(col("delay_us")).as("min_delay_us"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("delay_us")))
+          .as("median_delay_us"),
+        max(col("delay_us")).as("max_delay_us"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "cohort_retention" -> ((s, dir) => retention(Tables.events(s, dir)))
+    "cohort_retention" -> ((s, dir) => retention(Tables.events(s, dir))),
+    "cohort_conversion_delay" ->
+      ((s, dir) => conversionDelay(Tables.events(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cohort_conversion_delay" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |signup AS (
+        |  SELECT user_id, min(ts_us) AS signup_ts
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, s.signup_ts, min(e.ts_us) AS purchase_ts
+        |  FROM ev e JOIN signup s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= s.signup_ts
+        |  GROUP BY e.user_id, s.signup_ts),
+        |delays AS (
+        |  SELECT signup_ts // 604800000000 AS cohort_week, user_id,
+        |    purchase_ts - signup_ts AS delay_us
+        |  FROM fp),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cohort_week
+        |      ORDER BY delay_us, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_week) AS n
+        |  FROM delays)
+        |SELECT cohort_week, max(n) AS n_converted,
+        |  min(delay_us) AS min_delay_us,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN delay_us END) AS median_delay_us,
+        |  max(delay_us) AS max_delay_us
+        |FROM rk GROUP BY cohort_week""".stripMargin,
     "cohort_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

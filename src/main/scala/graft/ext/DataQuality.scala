@@ -115,6 +115,33 @@ object DataQuality {
         .select(col("l_orderkey"), col("cnt"),
           expr("cnt * 1000000L div total").as("share_x1e6"),
           expr("cnt * n_keys * 1000000L div total").as("ratio_to_mean_x1e6"))
+    }),
+
+    // Benford first-digit audit — the classic fabricated-amounts
+    // screen: natural multi-magnitude amounts follow
+    // P(d) = log10(1+1/d); a uniform or truncated generator does not.
+    // The digit is taken from the cents STRING head (no float log10),
+    // the observed share is integer-scaled, and the expected Benford
+    // shares ship as exact per-mille constants — so the whole audit is
+    // hash-exact. One map-side-combining 9-group aggregate; the total
+    // is a 1-row broadcast.
+    "dq_benford" -> ((s, dir) => {
+      val cents = Tables.orders(s, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        .where(col("c") > 0)
+      val byDigit = cents
+        .groupBy(substring(col("c").cast("string"), 1, 1).as("first_digit"))
+        .agg(count(lit(1)).as("n"))
+      val total = byDigit.agg(sum(col("n")).as("total"))
+      // log10(1+1/d) in per-mille, rounded half-up: exact constants
+      val benfordPm = "CASE first_digit WHEN '1' THEN 301 WHEN '2' THEN 176 " +
+        "WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79 WHEN '6' THEN 67 " +
+        "WHEN '7' THEN 58 WHEN '8' THEN 51 ELSE 46 END"
+      byDigit.crossJoin(broadcast(total))
+        .select(col("first_digit"), col("n"),
+          expr("n * 1000 div total").as("observed_pm"),
+          expr(benfordPm).as("benford_pm"),
+          expr(s"abs(n * 1000 div total - ($benfordPm))").as("abs_dev_pm"))
     })
   )
 
@@ -135,6 +162,25 @@ object DataQuality {
         |  CAST((cnt * 1000000) // total AS BIGINT) AS share_x1e6,
         |  CAST((cnt * n_keys * 1000000) // total AS BIGINT) AS ratio_to_mean_x1e6
         |FROM r, st WHERE rk <= 20""".stripMargin,
+
+    "dq_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders WHERE round(o_totalprice*100) > 0),
+        |d AS (SELECT substring(CAST(c AS VARCHAR), 1, 1) AS first_digit,
+        |        count(*) AS n
+        |      FROM cents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+        |b AS (SELECT first_digit, n,
+        |        CAST(n * 1000 // total AS BIGINT) AS observed_pm,
+        |        CASE first_digit WHEN '1' THEN 301 WHEN '2' THEN 176
+        |          WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79
+        |          WHEN '6' THEN 67 WHEN '7' THEN 58 WHEN '8' THEN 51
+        |          ELSE 46 END AS benford_pm
+        |      FROM d, t)
+        |SELECT first_digit, n, observed_pm, benford_pm,
+        |  abs(observed_pm - benford_pm) AS abs_dev_pm
+        |FROM b""".stripMargin,
 
     "dq_constraints" ->
       """SELECT 'lineitem.quantity_in_[1,50]' AS check_name,

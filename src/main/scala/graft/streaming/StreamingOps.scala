@@ -120,6 +120,34 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming top-k: the windowed counts accumulate INCREMENTALLY in
+    * the streaming aggregation's state (complete mode); the per-window
+    * top-3 rank is a BATCH finisher over the window×type result table —
+    * ranking inside a streaming agg is unsupported by design (a rank is
+    * not incrementally maintainable without retraction), so the correct
+    * production shape is exactly this: stream maintains the monoid
+    * (counts), the consumer ranks the tiny aggregate. Deterministic
+    * tie-break (n desc, event_type).
+    */
+  def topkWindowToCompletion(spark: SparkSession, dir: String,
+                             k: Int = 3): DataFrame = {
+    val name = s"stream_topk_${System.nanoTime()}"
+    val q = hourlyCountsStream(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_us"))
+      .orderBy(col("n").desc, col("event_type"))
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("window_start_us"), col("rk").cast("long").as("rk"),
+        col("event_type"), col("n"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class JoinEv(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(start_us: Long, last_us: Long, n: Long,
@@ -577,6 +605,10 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
 
+    // incremental windowed counts + batch top-k finisher (see
+    // topkWindowToCompletion for why the rank must not be in-stream)
+    "streaming_topk_window" -> ((s, dir) => topkWindowToCompletion(s, dir)),
+
     // sketch inside a streaming aggregation (exact distinct is
     // unsupported there); streamed estimate pinned equal to the batch
     // sketch, bounded against the oracle's exact counts
@@ -753,6 +785,17 @@ object StreamingOps {
         |  event_type, count(*) AS n
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "streaming_topk_window" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start_us
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT window_start_us, CAST(rk AS BIGINT) AS rk, event_type, n
+        |FROM r WHERE rk <= 3""".stripMargin,
     // exact per-window counts from the oracle; both sketch booleans
     // pinned TRUE (stream≡batch registers is exact, the bound has ±2
     // absolute slack for small windows)
