@@ -53,6 +53,7 @@ object SparkEntry {
     (ext.Itemsets.queries, ext.Itemsets.oracleSql),
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Attribution.queries, ext.Attribution.oracleSql),
+    (ext.Growth.queries, ext.Growth.oracleSql),
     (ext.Rfm.queries, ext.Rfm.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
     (ext.Collocations.queries, ext.Collocations.oracleSql),

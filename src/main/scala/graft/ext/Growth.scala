@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-base growth accounting — the standard DAU/WAU decomposition
+  * (new / retained / resurrected / churned per period) plus the
+  * cumulative-users curve. Both are exact integer counts.
+  *
+  * 100 TB shape: everything reduces to the distinct (user, week)
+  * activity table — one user-keyed shuffle — then:
+  *
+  *  - growth accounting is a SELF-JOIN of that table against itself
+  *    shifted one week (full outer on (user, week) vs (user, week+1)),
+  *    classified per row and aggregated per week: no window over the
+  *    raw stream, no per-user state, join keys are (user, week) —
+  *    high-cardinality and balanced;
+  *  - first-seen weeks are a per-user min (map-side combining);
+  *  - the cumulative curve is a running sum over the PER-WEEK new-user
+  *    counts — a series bounded by the calendar, where the
+  *    single-partition window is the documented bounded discipline
+  *    (same as the autocorrelation day series).
+  */
+object Growth {
+
+  private val weekUs = 7L * 86400000000L
+
+  /** (week, n_new, n_retained, n_resurrected, n_churned) — active =
+    * any event in that week; new = first-ever active week; retained =
+    * active this week and the previous; resurrected = active this week,
+    * inactive previous, not new; churned = active previous week,
+    * inactive this (attributed to THIS week).
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), expr(s"ts_us div $weekUs").as("week"))
+      .distinct()
+    val firstSeen = active.groupBy(col("user_id"))
+      .agg(min(col("week")).as("first_week"))
+    val prev = active.select(col("user_id"), (col("week") + 1).as("week"),
+      lit(1).as("was_active"))
+    val cur = active.select(col("user_id"), col("week"), lit(1).as("is_active"))
+    cur.join(prev, Seq("user_id", "week"), "full_outer")
+      .join(firstSeen, "user_id")
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("is_active").isNotNull && col("week") === col("first_week"),
+          1L).otherwise(0L)).as("n_new"),
+        sum(when(col("is_active").isNotNull && col("was_active").isNotNull,
+          1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("is_active").isNotNull && col("was_active").isNull &&
+          col("week") > col("first_week"), 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("is_active").isNull && col("was_active").isNotNull,
+          1L).otherwise(0L)).as("n_churned"))
+  }
+
+  /** (day, n_new_users, cum_users) — distinct-to-date via first-seen
+    * days, no running count-distinct state anywhere.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val firstDay = events
+      .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val perDay = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDay.withColumn("cum_users", sum(col("n_new_users")).over(w))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "growth_accounting" ->
+      ((s, dir) => growthAccounting(Tables.events(s, dir))),
+    "cumulative_distinct_users" ->
+      ((s, dir) => cumulativeUsers(Tables.events(s, dir)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "growth_accounting" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |first_seen AS (
+        |  SELECT user_id, min(week) AS first_week FROM active GROUP BY user_id),
+        |cur AS (SELECT user_id, week, 1 AS is_active FROM active),
+        |prev AS (SELECT user_id, week + 1 AS week, 1 AS was_active FROM active),
+        |j AS (
+        |  SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |    coalesce(c.week, p.week) AS week, c.is_active, p.was_active
+        |  FROM cur c FULL OUTER JOIN prev p
+        |    ON p.user_id = c.user_id AND p.week = c.week)
+        |SELECT j.week,
+        |  CAST(sum(CASE WHEN is_active IS NOT NULL AND j.week = f.first_week
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN is_active IS NOT NULL AND was_active IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN is_active IS NOT NULL AND was_active IS NULL
+        |    AND j.week > f.first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN is_active IS NULL AND was_active IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM j JOIN first_seen f ON f.user_id = j.user_id
+        |GROUP BY j.week""".stripMargin,
+
+    "cumulative_distinct_users" ->
+      """WITH first_day AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY user_id),
+        |per_day AS (
+        |  SELECT day, count(*) AS n_new_users FROM first_day GROUP BY day)
+        |SELECT day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM per_day""".stripMargin
+  )
+}

@@ -46,9 +46,38 @@ object Markov {
       .select(col("from_type"), col("rank"), col("to_type"), col("n"), col("p_ppm"))
   }
 
+  /** Second-order sequential patterns: event-type TRIGRAMS per user
+    * stream with a support floor, each scored against its bigram prefix
+    * (`cont_ppm` = how often (a,b) continues into c) — the cheap
+    * PrefixSpan cut that answers "given the last two actions, what
+    * comes third". Same single user-keyed exchange as the bigram
+    * operator (both leads ride one window ordering); trigram key
+    * cardinality ≤ |types|³, map-side combined.
+    */
+  def trigramPatterns(events: DataFrame, minSupport: Long,
+                      scale: Long = 1000000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tri = events
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(byUser))
+      .withColumn("c", lead(col("a"), 2).over(byUser))
+      .where(col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val prefix = tri.groupBy(col("a"), col("b")).agg(sum(col("n")).as("n_prefix"))
+    tri.join(prefix, Seq("a", "b"))
+      .where(col("n") >= minSupport)
+      .select(col("a"), col("b"), col("c"), col("n"), col("n_prefix"),
+        expr(s"($scale * n) div n_prefix").as("cont_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "markov_transitions" -> ((s, dir) =>
-      transitionTopK(Tables.events(s, dir), k = 5))
+      transitionTopK(Tables.events(s, dir), k = 5)),
+    "session_trigrams" -> ((s, dir) =>
+      trigramPatterns(Tables.events(s, dir), minSupport = 5))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -75,6 +104,26 @@ object Markov {
         |  to_type, n, CAST(p_ppm AS BIGINT) AS p_ppm
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY from_type
-        |  ORDER BY p_ppm DESC, n DESC, to_type) <= 5""".stripMargin
+        |  ORDER BY p_ppm DESC, n DESC, to_type) <= 5""".stripMargin,
+
+    "session_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |t0 AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |tri AS (
+        |  SELECT a, b, c, count(*) AS n
+        |  FROM t0 WHERE c IS NOT NULL GROUP BY a, b, c),
+        |prefix AS (
+        |  SELECT a, b, CAST(sum(n) AS BIGINT) AS n_prefix
+        |  FROM tri GROUP BY a, b)
+        |SELECT t.a, t.b, t.c, t.n, p.n_prefix,
+        |  (1000000 * t.n) // p.n_prefix AS cont_ppm
+        |FROM tri t JOIN prefix p ON p.a = t.a AND p.b = t.b
+        |WHERE t.n >= 5""".stripMargin
   )
 }

@@ -242,8 +242,45 @@ object Timeseries {
     // calendar-bounded and the join is a broadcast.
     "timeseries_autocorr" -> ((s, dir) => autocorrMoments(
       Tables.events(s, dir).select(expr("ts_us div 86400000000").as("day")),
-      maxLag = 7))
+      maxLag = 7)),
+
+    // time-weighted average value per event type (TWAP): each reading
+    // holds until the next one, so its weight is the interval length —
+    // the metric that is robust to irregular sampling where a plain
+    // mean is not. Exact: Σ cents·Δt_ms div Σ Δt_ms, millisecond
+    // weights to keep the weighted sum far from the long boundary
+    // (cents ≤ 1e4 × Δms ≤ 1e8 × rows — audit in Scaladoc). One
+    // user-keyless per-type window (5 keys — the documented per-key
+    // parallelism bound of the cusum family; production keys by
+    // feed × shard).
+    "timeseries_twap" -> ((s, dir) => twapByKey(
+      Tables.events(s, dir).select(col("event_type"), col("ts_us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents")),
+      key = "event_type"))
   )
+
+  /** Time-weighted average per `key`: ordered by (ts_us, event_id),
+    * each row's value holds until the next row; emits (key,
+    * n_intervals, sum_dt_ms, twap_cents = Σ v·Δt_ms div Σ Δt_ms).
+    * Long-range audit: |v|·Δt_ms summed over n rows needs
+    * n · max|v| · maxΔt_ms < 2⁶³ — at cents ≤ 10⁴ and day-scale gaps
+    * (≤ 8.6e7 ms) that is ~10⁷ rows per key; beyond that, lift the
+    * weighted sum to decimal(38,0) or chunk by calendar windows.
+    */
+  def twapByKey(data: DataFrame, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("ts_us"), col("event_id"))
+    data
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .withColumn("dt_ms", expr("(next_ts - ts_us) div 1000"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_ms")).as("sum_dt_ms"),
+        sum(col("cents") * col("dt_ms")).as("wsum"))
+      .select(col(key), col("n_intervals"), col("sum_dt_ms"),
+        expr("wsum div sum_dt_ms").as("twap_cents"))
+  }
 
   /** Lag-k autocorrelation moments of the daily count series derived
     * from `days(day)` (one input row per event): per k in 1..maxLag,
@@ -410,6 +447,22 @@ object Timeseries {
         |            (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
         |             sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
         |  END AS r
-        |FROM mom""".stripMargin
+        |FROM mom""".stripMargin,
+
+    "timeseries_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT event_type, cents,
+        |    (lead(ts_us) OVER (PARTITION BY event_type
+        |       ORDER BY ts_us, event_id) - ts_us) // 1000 AS dt_ms
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  CAST(sum(dt_ms) AS BIGINT) AS sum_dt_ms,
+        |  CAST(sum(cents * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_cents
+        |FROM iv WHERE dt_ms IS NOT NULL
+        |GROUP BY event_type""".stripMargin
   )
 }

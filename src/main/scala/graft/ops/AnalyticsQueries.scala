@@ -49,6 +49,34 @@ object AnalyticsQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(revenue, count(lit(1)).as("n_lines"))
+    }),
+
+    // Percent-of-parent rollup: each nation's order revenue as an
+    // integer ppm share of its region — the hierarchical drill-down
+    // staple. The nation-level aggregate happens FIRST (fact shuffle
+    // keyed by custkey, dims broadcast); the region re-total is a
+    // second aggregate over the 25-row nation table, joined back
+    // broadcast — the parent share costs nothing extra at any scale.
+    // Long-range audit: rev_cents·10⁶ needs nation revenue < 9.2e12
+    // cents (~$92 B); past that, lift the share arithmetic to
+    // decimal(38,0) (the SetWindowOps moment pattern).
+    "share_of_parent" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val byNation = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val byRegion = byNation.groupBy(col("r_name"))
+        .agg(sum(col("rev_cents")).as("region_cents"))
+      byNation.join(broadcast(byRegion), "r_name")
+        .select(col("r_name"), col("n_name"), col("rev_cents"),
+          col("region_cents"),
+          expr("rev_cents * 1000000 div region_cents").as("share_ppm"))
     })
   )
 
@@ -76,6 +104,22 @@ object AnalyticsQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('ASIA', 'EUROPE')
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+    "share_of_parent" ->
+      """WITH by_nation AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |by_region AS (
+        |  SELECT r_name, CAST(sum(rev_cents) AS BIGINT) AS region_cents
+        |  FROM by_nation GROUP BY r_name)
+        |SELECT n.r_name, n.n_name, n.rev_cents, r.region_cents,
+        |  n.rev_cents * 1000000 // r.region_cents AS share_ppm
+        |FROM by_nation n JOIN by_region r ON r.r_name = n.r_name""".stripMargin
   )
 }
