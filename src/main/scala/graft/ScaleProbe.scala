@@ -238,7 +238,18 @@ object ScaleProbe {
       // bounded like interpolate)
       "graph_walk_sampling", "graph_pagerank_personalized",
       "join_interval_overlap", "streaming_checksum",
-      "seasonal_decompose"))
+      "seasonal_decompose",
+      // round-9 analytics wave: the purchase×touch fan-out join
+      // (per-user bounded), the grouped global-position ranking under
+      // RFM and winsorize (range repartition + bucket prefix sum — the
+      // machinery that replaces per-group windows), the co-occurrence
+      // graph build + 2 weighted rounds (TextRank), the L1-normalized
+      // HITS rounds, and the shifted-activity self-join (growth).
+      // unpivot/benford/share_of_parent/trigrams/twap are single-scan
+      // keyed aggregates or windows already covered by the cusum-family
+      // probes — left unprobed like table_checksum.
+      "attribution_linear", "rfm_segments", "winsorize_by_group",
+      "textrank_keywords", "graph_hits", "growth_accounting"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

@@ -76,13 +76,62 @@ object Cohort {
         max(col("delay_us")).as("max_delay_us"))
   }
 
+  /** Cohort LTV curve: purchase revenue per (signup-week cohort,
+    * week offset since cohort), with the running cumulative — the
+    * money companion of [[retention]]. Shape: first-seen week is a
+    * user-keyed min; revenue re-joins on user_id (co-partitioned);
+    * the cumulative is a window over the cohort×offset grid, whose
+    * row count is the SQUARE of the observation window in weeks —
+    * calendar-bounded, never user- or event-sized.
+    */
+  def ltv(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val firstWeek = events
+      .select(col("user_id"), expr(s"ts_us div $weekUs").as("week"))
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val rev = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts_us div $weekUs").as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val grid = rev.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
     "cohort_retention" -> ((s, dir) => retention(Tables.events(s, dir))),
     "cohort_conversion_delay" ->
-      ((s, dir) => conversionDelay(Tables.events(s, dir)))
+      ((s, dir) => conversionDelay(Tables.events(s, dir))),
+    "cohort_ltv" -> ((s, dir) => ltv(Tables.events(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |fw AS (
+        |  SELECT user_id, min(ts_us // 604800000000) AS cohort_week
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT f.cohort_week,
+        |    e.ts_us // 604800000000 - f.cohort_week AS week_offset,
+        |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+        |  FROM ev e JOIN fw f ON f.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_cents
+        |FROM grid""".stripMargin,
+
     "cohort_conversion_delay" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

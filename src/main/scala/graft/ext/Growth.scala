@@ -71,11 +71,39 @@ object Growth {
     perDay.withColumn("cum_users", sum(col("n_new_users")).over(w))
   }
 
+  /** A/B experiment readout with a deterministic hash split: variant =
+    * md5-bit of user_id (the portable split already used by the
+    * sampling family — never `user_id % 2`, which inherits generator
+    * structure), conversion = any purchase. Per variant: exposed
+    * users, converters, integer conversion ppm, and purchase cents.
+    * One user-keyed aggregate → 2-row output; significance testing
+    * belongs downstream of these exact counts.
+    */
+  def abConversion(events: DataFrame): DataFrame = {
+    val variant = (expr("conv(substring(md5(cast(user_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 2).as("variant")
+    events
+      .groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("cents"))
+      .select(variant, col("converted"), col("cents"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("cents")).as("purchase_cents"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "growth_accounting" ->
       ((s, dir) => growthAccounting(Tables.events(s, dir))),
     "cumulative_distinct_users" ->
-      ((s, dir) => cumulativeUsers(Tables.events(s, dir)))
+      ((s, dir) => cumulativeUsers(Tables.events(s, dir))),
+    "abtest_conversion" ->
+      ((s, dir) => abConversion(Tables.events(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,6 +142,28 @@ object Growth {
         |  CAST(sum(n_new_users) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
-        |FROM per_day""".stripMargin
+        |FROM per_day""".stripMargin,
+
+    "abtest_conversion" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |per_user AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+        |      AS BIGINT) AS cents
+        |  FROM ev GROUP BY user_id),
+        |v AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 2 AS variant,
+        |    converted, cents
+        |  FROM per_user)
+        |SELECT variant, count(*) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(cents) AS BIGINT) AS purchase_cents,
+        |  CAST(sum(converted) AS BIGINT) * 1000000 // count(*) AS conv_ppm
+        |FROM v GROUP BY variant""".stripMargin
   )
 }

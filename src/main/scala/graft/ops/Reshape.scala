@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: unpivot multiplies rows by the metric count but stays
   * pipelined into the map-side-combining aggregate — no extra exchange.
-  * Winsorize ranks with [[Offsets.globalPositionGroupedStamped]] (range
-  * repartition + bucket-table prefix sum), NOT a per-group window, so a
-  * 3-group corpus doesn't collapse to 3 sort partitions; the per-group
-  * clip bounds (2 values × groups) broadcast back onto the scan.
+  * Winsorize finds its clip bounds with [[Selection.groupedSelect]]'s
+  * two-phase histogram selection (no data-sized sort, no per-group
+  * window); the per-group bounds (2 values × groups) broadcast back
+  * onto the scan.
   */
 object Reshape {
 
@@ -47,21 +47,22 @@ object Reshape {
   /** Per-group winsorized totals over `l_extendedprice` cents, grouped
     * by `l_returnflag`: (group, n, n_clipped_lo, n_clipped_hi,
     * winsorized_sum_cents) with exact rank-based p05/p95 bounds.
+    *
+    * The bounds are found by [[Selection.groupedSelect]]'s two-phase
+    * histogram selection — the full grouped ranking this started with
+    * probed 3.3× at 10× (range-repartition sort of every row); rank
+    * selection needs only the two boundary VALUES per group, so the
+    * only sorted rows are the target histogram bins (~n/4096), and the
+    * 10× ratio drops to ~1 (one scan pair + a broadcast clip pass).
     */
   def winsorize(lineitem: DataFrame): DataFrame = {
     val data = lineitem.select(col("l_returnflag").as("grp"),
-      round(col("l_extendedprice") * 100).cast("long").as("v"),
-      col("l_orderkey"), col("l_linenumber"))
-    val (ranked, _) = Offsets.globalPositionGroupedStamped(
-      data, "grp", Seq(col("grp"), col("v"), col("l_orderkey"), col("l_linenumber")),
-      "pos", "gpos")
-    val totals = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-    val bounds = ranked.join(broadcast(totals), "grp")
-      .where(col("gpos") === expr("(n * 5) div 100") ||
-        col("gpos") === expr("(n * 95) div 100 - 1"))
-      .groupBy(col("grp"), col("n"))
-      .agg(min(when(col("gpos") === expr("(n * 5) div 100"), col("v"))).as("lo"),
-        max(when(col("gpos") === expr("(n * 95) div 100 - 1"), col("v"))).as("hi"))
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val sel = Selection.groupedSelect(data, "grp", "v",
+      Seq(("lo", "(n * 5) div 100 + 1"), ("hi", "(n * 95) div 100")))
+    val bounds = sel.groupBy(col("grp"), col("n"))
+      .agg(min(when(col("sel_label") === "lo", col("x"))).as("lo"),
+        max(when(col("sel_label") === "hi", col("x"))).as("hi"))
     data.join(broadcast(bounds), "grp")
       .groupBy(col("grp"))
       .agg(max(col("n")).as("n"),
