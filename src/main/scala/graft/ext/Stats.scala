@@ -131,7 +131,40 @@ object Stats {
       .agg(count(lit(1)).as("n"), min(col("pc")).as("lo"), max(col("pc")).as("hi"))
   }
 
+  /** Chi-square test of independence over a two-way contingency table —
+    * the categorical-association screen (is market segment independent
+    * of nation?). Emits ONE ROW PER CELL with the exact observed count,
+    * both margins, the grand total, and the cell's χ² contribution as
+    * `(O·T − R·C)²·10⁶ div (T·R·C)` — algebraically (O−E)²/E scaled by
+    * 10⁶ (multiply through by T²/T²), kept EXACT by squaring in
+    * decimal(38,0): the squared numerator tops 2e19 at gate scale
+    * already, past int64. No float ever aggregates (a float Σ over
+    * cells would be addition-order-dependent across engines); the
+    * consumer sums the integer contributions for the statistic.
+    * Shape: one keyed aggregate + three broadcast margin joins —
+    * margins are |segments| + |nations| + 1 rows at any scale.
+    */
+  def chi2Independence(customer: DataFrame): DataFrame = {
+    val cells = customer
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"))
+      .agg(count(lit(1)).as("o_cnt"))
+    val rowsM = cells.groupBy(col("seg")).agg(sum(col("o_cnt")).as("row_n"))
+    val colsM = cells.groupBy(col("nat")).agg(sum(col("o_cnt")).as("col_n"))
+    val tot = cells.agg(sum(col("o_cnt")).as("total_n"))
+    cells.join(broadcast(rowsM), "seg").join(broadcast(colsM), "nat")
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("nat"), col("o_cnt"), col("row_n"),
+        col("col_n"), col("total_n"),
+        expr("""CAST(o_cnt*total_n - row_n*col_n AS DECIMAL(38,0))
+               * CAST(o_cnt*total_n - row_n*col_n AS DECIMAL(38,0))
+               * 1000000 div (total_n*row_n*col_n)""").as("contrib_x1e6"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "chi2_independence" -> ((s, dir) =>
+      chi2Independence(Tables.customer(s, dir))),
+
     // price_cents on qty_cents per returnflag — 3 fitted lines
     "regression_by_group" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -224,6 +257,21 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+        |    count(*) AS o_cnt
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(sum(o_cnt) AS BIGINT) AS row_n
+        |      FROM cells GROUP BY seg),
+        |c AS (SELECT nat, CAST(sum(o_cnt) AS BIGINT) AS col_n
+        |      FROM cells GROUP BY nat),
+        |t AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS total_n FROM cells)
+        |SELECT seg, nat, o_cnt, row_n, col_n, total_n,
+        |  CAST(CAST(o_cnt*total_n - row_n*col_n AS HUGEINT)
+        |     * CAST(o_cnt*total_n - row_n*col_n AS HUGEINT)
+        |     * 1000000 // (total_n*row_n*col_n) AS BIGINT) AS contrib_x1e6
+        |FROM cells JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t""".stripMargin,
     "regression_by_group" ->
       """WITH c AS (
         |  SELECT l_returnflag,
