@@ -54,6 +54,7 @@ object SparkEntry {
     (ext.Cohort.queries, ext.Cohort.oracleSql),
     (ext.Attribution.queries, ext.Attribution.oracleSql),
     (ext.Growth.queries, ext.Growth.oracleSql),
+    (ext.Drift.queries, ext.Drift.oracleSql),
     (ext.Rfm.queries, ext.Rfm.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
     (ext.Collocations.queries, ext.Collocations.oracleSql),

@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — the ML-ops screen that decides
+  * whether yesterday's model still sees today's data: the event value
+  * distribution of an early window vs a late window, compared two
+  * standard ways.
+  *
+  *  - '''PSI''' (population stability index): equi-width bins over the
+  *    pooled [min, max]; per bin the exact counts, integer ppm shares,
+  *    and the PSI term `(pA−pB)·ln(pA/pB)` as ONE rounded float per
+  *    ROW — no float ever aggregates (a float Σ over bins is
+  *    addition-order-dependent across engines); the consumer sums the
+  *    terms. Zero-count bins take the standard ε = 1-count smoothing,
+  *    spelled out identically on both sides.
+  *  - '''KS''' (Kolmogorov–Smirnov, binned): the max CDF gap at bin
+  *    granularity, cross-multiplied to stay integer-exact —
+  *    `max |cumA·nB − cumB·nA| · 10⁶ div (nA·nB)` — so the whole
+  *    statistic passes the hash gate.
+  *
+  * 100 TB shape: one scan aggregates the pooled stats (1 row,
+  * broadcast); one map-side-combining (bin, side) count; every window
+  * runs over ≤ bins rows (the RangeRle bounded discipline). Nothing
+  * data-sized moves after the first aggregate.
+  */
+object Drift {
+
+  private val bins = 64
+
+  /** Split `events` into early/late halves by median-ish time split
+    * (first vs second half of the observed span), bin `cents` and
+    * emit per-bin drift rows.
+    */
+  private def binned(events: DataFrame): DataFrame = {
+    val v = events.select(col("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val stats = v.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .withColumn("mid", expr("t0 + (t1 - t0) div 2"))
+      .withColumn("width", expr(s"(mx - mn) div $bins + 1"))
+    v.crossJoin(broadcast(stats))
+      .select(expr("(cents - mn) div width").as("bin"),
+        when(col("ts_us") <= col("mid"), "a").otherwise("b").as("side"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"))
+  }
+
+  /** (bin, n_a, n_b, share_a_ppm, share_b_ppm, psi_term) — PSI terms
+    * per bin with ε = 1 smoothing for empty bins; consumer sums.
+    */
+  def psiBins(events: DataFrame): DataFrame = {
+    val b = binned(events)
+    val tot = b.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("sa", expr("greatest(n_a, 1L) * 1000000 div t_a"))
+      .withColumn("sb", expr("greatest(n_b, 1L) * 1000000 div t_b"))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000 div t_a").as("share_a_ppm"),
+        expr("n_b * 1000000 div t_b").as("share_b_ppm"),
+        round((col("sa") - col("sb")).cast("double") / 1e6 *
+          (log(col("sa").cast("double")) - log(col("sb").cast("double"))), 6)
+          .as("psi_term"))
+  }
+
+  /** One row: (n_a, n_b, ks_x1e6) — the binned KS statistic,
+    * integer-exact via cross-multiplied CDF counts. Long-range audit:
+    * `gap·10⁶ ≤ n_a·n_b·10⁶` needs n_a·n_b < 9.2e12 (~3e6 rows per
+    * side); past that lift the cross-products to decimal(38,0).
+    */
+  def ksBinned(events: DataFrame): DataFrame = {
+    val b = binned(events)
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b
+      .withColumn("cum_a", sum(col("n_a")).over(w))
+      .withColumn("cum_b", sum(col("n_b")).over(w))
+    val tot = b.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(expr("abs(cum_a * t_b - cum_b * t_a)").as("gap"),
+        col("t_a"), col("t_b"))
+      .groupBy(col("t_a").as("n_a"), col("t_b").as("n_b"))
+      .agg(expr("max(gap) * 1000000 div (n_a * n_b)").as("ks_x1e6"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "drift_psi_bins" -> ((s, dir) => psiBins(Tables.events(s, dir))),
+    "drift_ks_binned" -> ((s, dir) => ksBinned(Tables.events(s, dir)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "drift_psi_bins" ->
+      """WITH v AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+        |    min(cents) AS mn, max(cents) AS mx,
+        |    min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS mid,
+        |    (max(cents) - min(cents)) // 64 + 1 AS width
+        |  FROM v),
+        |b AS (
+        |  SELECT (cents - mn) // width AS bin,
+        |    CAST(sum(CASE WHEN ts_us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ts_us <= mid THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM v, st GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+        |        CAST(sum(n_b) AS BIGINT) AS t_b FROM b),
+        |s AS (
+        |  SELECT bin, n_a, n_b,
+        |    greatest(n_a, 1) * 1000000 // t_a AS sa,
+        |    greatest(n_b, 1) * 1000000 // t_b AS sb,
+        |    n_a * 1000000 // t_a AS share_a_ppm,
+        |    n_b * 1000000 // t_b AS share_b_ppm
+        |  FROM b, t)
+        |SELECT bin, n_a, n_b, share_a_ppm, share_b_ppm,
+        |  round(CAST(sa - sb AS DOUBLE) / 1e6 *
+        |    (ln(CAST(sa AS DOUBLE)) - ln(CAST(sb AS DOUBLE))), 6) AS psi_term
+        |FROM s""".stripMargin,
+
+    "drift_ks_binned" ->
+      """WITH v AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS mid,
+        |    min(cents) AS mn, (max(cents) - min(cents)) // 64 + 1 AS width
+        |  FROM v),
+        |b AS (
+        |  SELECT (cents - mn) // width AS bin,
+        |    CAST(sum(CASE WHEN ts_us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ts_us <= mid THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM v, st GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n_a, n_b,
+        |    CAST(sum(n_a) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(sum(n_b) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM b),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+        |        CAST(sum(n_b) AS BIGINT) AS t_b FROM b)
+        |SELECT t_a AS n_a, t_b AS n_b,
+        |  CAST(max(abs(cum_a * t_b - cum_b * t_a)) * 1000000 // (t_a * t_b)
+        |    AS BIGINT) AS ks_x1e6
+        |FROM c, t GROUP BY t_a, t_b""".stripMargin
+  )
+}

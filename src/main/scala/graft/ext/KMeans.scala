@@ -46,6 +46,17 @@ object KMeans {
     * the plain form is for harnesses that `clearCache()` per query).
     */
   def kmeansAssign2Stamped(vectors: DataFrame, k: Int = 8): (DataFrame, () => Unit) = {
+    val (out, _, release) = chainStamped(vectors, k)
+    (out.select(col("vec_id"), col("cid").as("cluster_id"),
+      col("dot").as("dot_q")), release)
+  }
+
+  /** The shared two-round chain: returns the round-2 assignment WITH
+    * the quantized vector ((vec_id, qv, cid, dot)), the final centroid
+    * table (cid, cv), and the release thunk.
+    */
+  private def chainStamped(vectors: DataFrame, k: Int)
+      : (DataFrame, DataFrame, () => Unit) = {
     val q = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = q
@@ -81,14 +92,37 @@ object KMeans {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("a"))
       .select(col("cid"), expr("transform(a, x -> x.c)").as("cv"))
-    val out = assign(cents2)
-      .select(col("vec_id"), col("cid").as("cluster_id"), col("dot").as("dot_q"))
-    (out, () => { q.unpersist(); () })
+    (assign(cents2), cents2, () => { q.unpersist(); () })
+  }
+
+  /** Per-cluster inertia — the k-means quality metric, INTEGER-EXACT at
+    * a common 1e12 scale: dist²(v,c) = |v|² − 2⟨v,c⟩ + |c|² with qv at
+    * 1e3 and centroids at 1e6, so `v2·1e6 − 2·dot·1e3 + c2` lands every
+    * term on 1e12. Per-vector terms fit longs (~1e15); the per-cluster
+    * Σ rides decimal(38,0) (60k vectors × 1e15 passes 2⁶³). Same plan
+    * as the assignment (zero-shuffle argmax projection) plus one
+    * broadcast join of the k-row centroid-norm table and a keyed sum.
+    */
+  def kmeansInertia(vectors: DataFrame, k: Int = 8): DataFrame = {
+    val (a, cents2, _) = chainStamped(vectors, k)
+    val cn = cents2.select(col("cid"),
+      quantizedDot(col("cv"), col("cv")).as("c2"))
+    a.withColumn("v2", quantizedDot(col("qv"), col("qv")))
+      .join(broadcast(cn), "cid")
+      .select(col("cid"),
+        (col("v2").cast("decimal(38,0)") * 1000000
+          - col("dot").cast("decimal(38,0)") * 2000
+          + col("c2").cast("decimal(38,0)")).as("d2"))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d2")).cast("decimal(38,0)").as("inertia_x1e12"))
   }
 
   val queries: Map[String, Q] = Map(
     "embedding_kmeans_assign" -> ((s, dir) =>
-      kmeansAssign2(Tables.embeddings(s, dir), 8))
+      kmeansAssign2(Tables.embeddings(s, dir), 8)),
+    "kmeans_inertia" -> ((s, dir) =>
+      kmeansInertia(Tables.embeddings(s, dir), 8))
   )
 
   /** The two-round integer k-means as a DuckDB CTE chain, shared with
@@ -134,6 +168,28 @@ object KMeans {
   val oracleSql: Map[String, String] = Map(
     // The identical integer program, via the shared CTE chain.
     "embedding_kmeans_assign" ->
-      (oracleCtes + "\nSELECT vec_id, cluster_id, dot_q FROM asg")
+      (oracleCtes + "\nSELECT vec_id, cluster_id, dot_q FROM asg"),
+
+    // same chain + vector/centroid norms; the 1e12-scale distance
+    // algebra mirrors the Spark side term for term
+    "kmeans_inertia" ->
+      (oracleCtes +
+        """,
+          |vn AS (
+          |  SELECT vec_id,
+          |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS v2
+          |  FROM q),
+          |cn AS (
+          |  SELECT cid,
+          |    CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS c2
+          |  FROM cent2)
+          |SELECT a.cluster_id, count(*) AS n_vectors,
+          |  CAST(sum(CAST(vn.v2 AS HUGEINT) * 1000000
+          |     - CAST(a.dot_q AS HUGEINT) * 2000
+          |     + CAST(cn.c2 AS HUGEINT)) AS DECIMAL(38,0)) AS inertia_x1e12
+          |FROM asg a
+          |JOIN vn ON vn.vec_id = a.vec_id
+          |JOIN cn ON cn.cid = a.cluster_id
+          |GROUP BY a.cluster_id""".stripMargin)
   )
 }

@@ -138,7 +138,25 @@ object Selection {
         Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("grp"),
             round(col("l_extendedprice") * 100).cast("long").as("cents")),
-        "grp", "cents"))
+        "grp", "cents")),
+
+    // the observability staple: exact P50/P95/P99 value bands per hour —
+    // three PERCENTILE_DISC ranks per group riding one groupedSelect
+    // pass (two scans + target-bin sorts, groups = hours so the
+    // histogram walk is calendar-bounded); pivoted to one row per hour
+    "percentile_bands_hourly" -> ((s, dir) => {
+      val sel = groupedSelect(
+        Tables.events(s, dir).select(
+          expr("ts_us div 3600000000").as("hour"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "hour", "cents",
+        Seq(("p50", "(n * 50 + 99) div 100"), ("p95", "(n * 95 + 99) div 100"),
+          ("p99", "(n * 99 + 99) div 100")))
+      sel.groupBy(col("hour"), col("n"))
+        .agg(min(when(col("sel_label") === "p50", col("x"))).as("p50_cents"),
+          min(when(col("sel_label") === "p95", col("x"))).as("p95_cents"),
+          min(when(col("sel_label") === "p99", col("x"))).as("p99_cents"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -167,6 +185,27 @@ object Selection {
         |   + min(CASE WHEN gpos = n // 2 THEN cents END)) * 50 AS median_x100
         |FROM r
         |WHERE gpos = (n - 1) // 2 OR gpos = n // 2
-        |GROUP BY grp, n""".stripMargin
+        |GROUP BY grp, n""".stripMargin,
+
+    // PERCENTILE_DISC semantics spelled out as 1-based ranks
+    // ceil(p·n) = (n·pct + 99) // 100 — identical to the Spark side
+    "percentile_bands_hourly" ->
+      """WITH v AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT hour, cents,
+        |    row_number() OVER (PARTITION BY hour ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY hour) AS n
+        |  FROM v)
+        |SELECT hour, n,
+        |  min(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95_cents,
+        |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+        |FROM r
+        |WHERE rn = (n * 50 + 99) // 100 OR rn = (n * 95 + 99) // 100
+        |   OR rn = (n * 99 + 99) // 100
+        |GROUP BY hour, n""".stripMargin
   )
 }

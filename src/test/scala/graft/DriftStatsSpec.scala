@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the drift family, chi-square cells,
+  * percentile bands, and the k-means inertia identity.
+  */
+class DriftStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def driftEvents() = {
+    import spark.implicits._
+    // side a: four values at cents 0, ts<=mid; side b: four at 6400
+    val rows = (1 to 4).map(i => (i.toLong * 2, 0.00)) ++
+      (1 to 4).map(i => (90L + i, 64.00))
+    rows.toDF("ts_us", "value")
+  }
+
+  test("binned KS: fully separated halves give KS = 1e6 exactly") {
+    val got = ext.Drift.ksBinned(driftEvents()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 4L, 1000000L), r)
+  }
+
+  test("PSI bins: epsilon smoothing and the exact 0.75·ln4 term") {
+    val got = ext.Drift.psiBins(driftEvents()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.length == 2, got.mkString(","))
+    // both sides: (0.75)·ln(4) rounded to 6 dp
+    assert(got(0) == (0L, 4L, 0L, 1.039721), got(0))
+    assert(got(1)._4 == 1.039721 && got(1)._2 == 0L && got(1)._3 == 4L, got(1))
+  }
+
+  test("chi-square cells: 2x2 hand-computed contributions") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(("X", 1)) ++ Seq.fill(10)(("X", 2)) ++
+      Seq.fill(10)(("Y", 1)) ++ Seq.fill(30)(("Y", 2))
+    val cust = rows.toDF("c_mktsegment", "c_nationkey")
+    val got = ext.Stats.chi2Independence(cust).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.get(6) match {
+        case d: java.math.BigDecimal => d.longValueExact()
+        case l: java.lang.Long => l.longValue()
+      })).toMap
+    assert(got == Map(
+      ("X", 1L) -> 1666666L, ("X", 2L) -> 833333L,
+      ("Y", 1L) -> 833333L, ("Y", 2L) -> 416666L), got)
+  }
+
+  test("percentile bands: disc ranks over 1..100") {
+    import spark.implicits._
+    val ev = (1 to 100).map(i => (i.toLong * 1000, i.toDouble / 100.0))
+      .toDF("ts_us", "value")
+    val sel = ops.Selection.groupedSelect(
+      ev.select(expr("ts_us div 3600000000").as("hour"),
+        round(col("value") * 100).cast("long").as("cents")),
+      "hour", "cents",
+      Seq(("p50", "(n * 50 + 99) div 100"), ("p95", "(n * 95 + 99) div 100"),
+        ("p99", "(n * 99 + 99) div 100")))
+    val got = sel.collect().map(r => (r.getString(1), r.getLong(4))).toSet
+    assert(got == Set(("p50", 50L), ("p95", 95L), ("p99", 99L)), got)
+  }
+
+  test("k-means inertia: identical vectors collapse to zero inertia") {
+    import spark.implicits._
+    val vecs = (1 to 20).map(i => (i.toLong, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = ext.KMeans.kmeansInertia(vecs, k = 2).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(1)).sum == 20L, got.mkString(","))
+    got.foreach { r =>
+      assert(r.getDecimal(2).longValueExact() == 0L, r)
+    }
+    spark.catalog.clearCache()
+  }
+}
