@@ -244,6 +244,48 @@ object Timeseries {
       Tables.events(s, dir).select(expr("ts_us div 86400000000").as("day")),
       maxLag = 7)),
 
+    // longest strictly-increasing run of the daily event-count series
+    // per event type — gaps-and-islands on the sign of the day-over-day
+    // delta: island id = running count of non-increasing steps, longest
+    // island per type wins. One keyed window chain; series length is
+    // calendar-bounded.
+    "longest_increasing_streak" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val wCum = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily
+        .withColumn("up",
+          when(col("x") > lag(col("x"), 1).over(w) &&
+            col("day") === lag(col("day"), 1).over(w) + 1, 0L).otherwise(1L))
+        .withColumn("island", sum(col("up")).over(wCum))
+        .groupBy(col("event_type"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("event_type"))
+        .agg(max(col("len")).as("longest_streak_days"))
+    }),
+
+    // open-interval concurrency curve (sweep line): each order is open
+    // [orderdate, orderdate+7); +1/−1 boundary events aggregate per
+    // day, the running sum is the number of simultaneously-open orders
+    // — the backlog/occupancy curve. The only ordered stage runs over
+    // the per-day delta series (calendar-bounded).
+    "open_intervals_per_day" -> ((s, dir) => {
+      val epoch = lit("1992-01-01").cast("date")
+      val o = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate"), epoch).cast("long").as("d0"))
+      val deltas = o.select(col("d0").as("day"), lit(1L).as("delta"))
+        .unionByName(o.select((col("d0") + 7).as("day"), lit(-1L).as("delta")))
+        .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      deltas.withColumn("open_orders", sum(col("net")).over(w))
+        .where(col("open_orders") > 0 || col("net") =!= 0)
+    }),
+
     // time-weighted average value per event type (TWAP): each reading
     // holds until the next one, so its weight is the interval length —
     // the metric that is robust to irregular sampling where a plain
@@ -448,6 +490,46 @@ object Timeseries {
         |             sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
         |  END AS r
         |FROM mom""".stripMargin,
+
+    "longest_increasing_streak" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT event_type, day, x,
+        |    CASE WHEN x > lag(x) OVER w AND day = lag(day) OVER w + 1
+        |         THEN 0 ELSE 1 END AS up
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |islands AS (
+        |  SELECT event_type,
+        |    sum(up) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT event_type, island, count(*) AS len
+        |  FROM islands GROUP BY event_type, island)
+        |SELECT event_type, CAST(max(len) AS BIGINT) AS longest_streak_days
+        |FROM runs GROUP BY event_type""".stripMargin,
+
+    "open_intervals_per_day" ->
+      """WITH o AS (
+        |  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+        |    AS BIGINT) AS d0
+        |  FROM orders),
+        |deltas AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT d0 AS day, 1 AS delta FROM o
+        |    UNION ALL SELECT d0 + 7, -1 FROM o)
+        |  GROUP BY day),
+        |c AS (
+        |  SELECT day, net,
+        |    CAST(sum(net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS open_orders
+        |  FROM deltas)
+        |SELECT day, net, open_orders FROM c
+        |WHERE open_orders > 0 OR net != 0""".stripMargin,
 
     "timeseries_twap" ->
       """WITH e AS (

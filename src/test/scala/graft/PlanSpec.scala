@@ -249,4 +249,38 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("groupedSelect winsorize: no data-sized range repartition, bounds broadcast back") {
+    val df = graft.ops.Reshape.queries("winsorize_by_group")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the histogram route must not range-repartition the data (that was
+    // the 3.3x-at-10x formulation); the clip pass joins the tiny bounds
+    // table by broadcast
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"winsorize must not sort the data by range:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"clip bounds should broadcast:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("last-touch attribution: one user-keyed window, no join anywhere") {
+    val df = graft.ext.Attribution.queries("attribution_last_touch")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(!plan.contains("Join"), s"last-touch must be join-free:\n$plan")
+  }
+
+  test("HITS half-steps read persisted raw scores (no exponential re-derivation)") {
+    import spark.implicits._
+    val edges = (1L to 40L).flatMap(s => (1L to 5L).map(p => (s, 1000L + (s + p) % 20)))
+      .toDF("src", "dst")
+    val df = graft.ext.Hits.hitsInt(edges, iterations = 2)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"HITS must read cached half-step tables:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
