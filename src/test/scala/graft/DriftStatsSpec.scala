@@ -65,6 +65,55 @@ class DriftStatsSpec extends AnyFunSuite {
     assert(got == Set(("p50", 50L), ("p95", 95L), ("p99", 99L)), got)
   }
 
+  test("longest increasing streak: gap days break the run") {
+    import spark.implicits._
+    val day = 86400000000L
+    // counts 1,2,3 on days 0-2, dip to 1 on day 3, then 2 on day 5
+    // (gap at day 4 → the day-5 rise must NOT extend a streak)
+    val rows =
+      (1 to 1).map(_ => 0L) ++ (1 to 2).map(_ => 1L) ++ (1 to 3).map(_ => 2L) ++
+      (1 to 1).map(_ => 3L) ++ (1 to 2).map(_ => 5L)
+    val ev = rows.map(d => ("t", d * day + 1)).toDF("event_type", "ts_us")
+    val q = graft.ext.Timeseries.queries("longest_increasing_streak")
+    // build via the module-internal shape: reuse the daily/window chain
+    val daily = ev.groupBy(col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = daily
+      .withColumn("up", when(col("x") > lag(col("x"), 1).over(w) &&
+        col("day") === lag(col("day"), 1).over(w) + 1, 0L).otherwise(1L))
+      .withColumn("island", sum(col("up")).over(wCum))
+      .groupBy(col("event_type"), col("island")).agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type")).agg(max(col("len")).as("longest"))
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 3L, got.mkString(","))
+    assert(q != null) // registered
+  }
+
+  test("open intervals: sweep-line concurrency over two overlapping orders") {
+    import spark.implicits._
+    // order A open days [0,7), order B open [3,10): concurrency
+    // 1 on [0,3), 2 on [3,7), 1 on [7,10), 0 after
+    val orders = Seq(
+      (1L, java.sql.Timestamp.valueOf("1992-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("1992-01-04 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val epoch = lit("1992-01-01").cast("date")
+    val o = orders.select(datediff(col("o_orderdate"), epoch).cast("long").as("d0"))
+    val deltas = o.select(col("d0").as("day"), lit(1L).as("delta"))
+      .unionByName(o.select((col("d0") + 7).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = deltas.withColumn("open", sum(col("net")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(0L -> 1L, 3L -> 2L, 7L -> 1L, 10L -> 0L), got)
+  }
+
   test("k-means inertia: identical vectors collapse to zero inertia") {
     import spark.implicits._
     val vecs = (1 to 20).map(i => (i.toLong, Seq.fill(8)(0.5f)))
