@@ -68,9 +68,9 @@ object Drift {
   }
 
   /** One row: (n_a, n_b, ks_x1e6) — the binned KS statistic,
-    * integer-exact via cross-multiplied CDF counts. Long-range audit:
-    * `gap·10⁶ ≤ n_a·n_b·10⁶` needs n_a·n_b < 9.2e12 (~3e6 rows per
-    * side); past that lift the cross-products to decimal(38,0).
+    * integer-exact via cross-multiplied CDF counts. The cross-products
+    * ride decimal(38,0) so the statistic cannot wrap at any row count
+    * (cum·total tops 2⁶³ past ~3e9 rows per side in longs).
     */
   def ksBinned(events: DataFrame): DataFrame = {
     val b = binned(events)
@@ -81,10 +81,13 @@ object Drift {
       .withColumn("cum_b", sum(col("n_b")).over(w))
     val tot = b.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     cum.crossJoin(broadcast(tot))
-      .select(expr("abs(cum_a * t_b - cum_b * t_a)").as("gap"),
+      .select(expr("""abs(CAST(cum_a AS DECIMAL(38,0)) * t_b
+                    - CAST(cum_b AS DECIMAL(38,0)) * t_a)""").as("gap"),
         col("t_a"), col("t_b"))
       .groupBy(col("t_a").as("n_a"), col("t_b").as("n_b"))
-      .agg(expr("max(gap) * 1000000 div (n_a * n_b)").as("ks_x1e6"))
+      .agg(expr("""CAST(max(gap) * 1000000
+                 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+        .as("ks_x1e6"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -147,8 +150,9 @@ object Drift {
         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
         |        CAST(sum(n_b) AS BIGINT) AS t_b FROM b)
         |SELECT t_a AS n_a, t_b AS n_b,
-        |  CAST(max(abs(cum_a * t_b - cum_b * t_a)) * 1000000 // (t_a * t_b)
-        |    AS BIGINT) AS ks_x1e6
+        |  CAST(max(abs(CAST(cum_a AS HUGEINT) * t_b
+        |          - CAST(cum_b AS HUGEINT) * t_a)) * 1000000
+        |    // (CAST(t_a AS HUGEINT) * t_b) AS BIGINT) AS ks_x1e6
         |FROM c, t GROUP BY t_a, t_b""".stripMargin
   )
 }

@@ -304,10 +304,10 @@ object Timeseries {
   /** Time-weighted average per `key`: ordered by (ts_us, event_id),
     * each row's value holds until the next row; emits (key,
     * n_intervals, sum_dt_ms, twap_cents = Σ v·Δt_ms div Σ Δt_ms).
-    * Long-range audit: |v|·Δt_ms summed over n rows needs
-    * n · max|v| · maxΔt_ms < 2⁶³ — at cents ≤ 10⁴ and day-scale gaps
-    * (≤ 8.6e7 ms) that is ~10⁷ rows per key; beyond that, lift the
-    * weighted sum to decimal(38,0) or chunk by calendar windows.
+    * The weighted sum accumulates in decimal(38,0) (per-row products
+    * fit longs; their Σ does not at ~10⁷ day-gapped rows per key), so
+    * the operator cannot wrap at any stream length. Σ Δt_ms itself is
+    * telescoping — it equals the key's time span, never row-scaled.
     */
   def twapByKey(data: DataFrame, key: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -319,9 +319,9 @@ object Timeseries {
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dt_ms")).as("sum_dt_ms"),
-        sum(col("cents") * col("dt_ms")).as("wsum"))
+        sum((col("cents") * col("dt_ms")).cast("decimal(38,0)")).as("wsum"))
       .select(col(key), col("n_intervals"), col("sum_dt_ms"),
-        expr("wsum div sum_dt_ms").as("twap_cents"))
+        expr("CAST(wsum div sum_dt_ms AS BIGINT)").as("twap_cents"))
   }
 
   /** Lag-k autocorrelation moments of the daily count series derived

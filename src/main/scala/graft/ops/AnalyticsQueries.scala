@@ -57,9 +57,8 @@ object AnalyticsQueries {
     // keyed by custkey, dims broadcast); the region re-total is a
     // second aggregate over the 25-row nation table, joined back
     // broadcast — the parent share costs nothing extra at any scale.
-    // Long-range audit: rev_cents·10⁶ needs nation revenue < 9.2e12
-    // cents (~$92 B); past that, lift the share arithmetic to
-    // decimal(38,0) (the SetWindowOps moment pattern).
+    // The share numerator rides decimal(38,0) (the SetWindowOps moment
+    // pattern), so rev_cents·10⁶ cannot wrap at any revenue scale.
     "share_of_parent" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
@@ -76,7 +75,8 @@ object AnalyticsQueries {
       byNation.join(broadcast(byRegion), "r_name")
         .select(col("r_name"), col("n_name"), col("rev_cents"),
           col("region_cents"),
-          expr("rev_cents * 1000000 div region_cents").as("share_ppm"))
+          expr("CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div region_cents")
+            .as("share_ppm"))
     })
   )
 
@@ -119,7 +119,8 @@ object AnalyticsQueries {
         |  SELECT r_name, CAST(sum(rev_cents) AS BIGINT) AS region_cents
         |  FROM by_nation GROUP BY r_name)
         |SELECT n.r_name, n.n_name, n.rev_cents, r.region_cents,
-        |  n.rev_cents * 1000000 // r.region_cents AS share_ppm
+        |  CAST(CAST(n.rev_cents AS HUGEINT) * 1000000 // r.region_cents
+        |    AS BIGINT) AS share_ppm
         |FROM by_nation n JOIN by_region r ON r.r_name = n.r_name""".stripMargin
   )
 }
