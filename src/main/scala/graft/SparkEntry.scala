@@ -40,6 +40,7 @@ object SparkEntry {
     (ext.Quality.queries, ext.Quality.oracleSql),
     (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
+    (ext.NegMining.queries, ext.NegMining.oracleSql),
     (ext.ProductQuant.queries, ext.ProductQuant.oracleSql),
     (ext.KMeans.queries, ext.KMeans.oracleSql),
     (ext.SemDedup.queries, ext.SemDedup.oracleSql),
