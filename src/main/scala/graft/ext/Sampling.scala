@@ -243,6 +243,31 @@ object Sampling {
     "sample_temperature_quota" -> ((s, dir) =>
       temperatureQuotaSample(Tables.documents(s, dir), 200L)),
 
+    // Fixed-mixture rebalancing: every source capped at an EQUAL share
+    // of the corpus (the uniform-mixture downsample; the temperature
+    // quota above is the √-softened variant). Per source:
+    // keep_ppm = min(1e6, N·1e6 div (k·n_s)) and a row survives iff
+    // its md5 bucket clears the integer threshold — deterministic,
+    // growth-stable membership (adding docs never flips survivors in
+    // other sources). One group-count pass + a broadcast threshold
+    // join; emits the audit row per source (before/after/threshold).
+    "mixture_fixed_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bySource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val tot = bySource.agg(sum(col("n_s")).as("n_total"),
+        count(lit(1)).as("k_sources"))
+      val thresholds = bySource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          least(lit(1000000L),
+            expr("n_total * 1000000 div (k_sources * n_s)")).as("keep_ppm"))
+      docs.select(col("source"), col("doc_id"),
+          hashBucket(col("doc_id")).as("bucket"))
+        .join(broadcast(thresholds), "source")
+        .where(col("bucket") * 1000000 < col("keep_ppm") * 65536)
+        .groupBy(col("source"), col("n_s"), col("keep_ppm"))
+        .agg(count(lit(1)).as("n_after"))
+    }),
+
     // Deterministic corpus shuffle: the pre-training permutation as a
     // stable position in md5 order — same engine-portable hash, computed
     // by the two-phase distributed scan (no single-partition stage).
@@ -344,6 +369,26 @@ object Sampling {
         |SELECT r.lang, q.quota, r.rank, r.doc_id
         |FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rank <= q.quota""".stripMargin,
+    "mixture_fixed_weights" ->
+      """WITH by_source AS (
+        |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+        |    count(*) AS k_sources
+        |  FROM by_source),
+        |th AS (
+        |  SELECT source, n_s,
+        |    least(1000000, n_total * 1000000 // (k_sources * n_s)) AS keep_ppm
+        |  FROM by_source, tot),
+        |kept AS (
+        |  SELECT d.source, th.n_s, th.keep_ppm
+        |  FROM documents d JOIN th ON th.source = d.source
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) * 1000000 < th.keep_ppm * 65536)
+        |SELECT source, n_s, CAST(keep_ppm AS BIGINT) AS keep_ppm,
+        |  count(*) AS n_after
+        |FROM kept GROUP BY source, n_s, keep_ppm""".stripMargin,
+
     "sample_temperature_quota" ->
       """WITH sz AS (
         |  SELECT source, count(*) AS n_docs,
