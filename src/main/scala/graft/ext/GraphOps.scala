@@ -116,6 +116,48 @@ object GraphOps {
     (reached, () => { handles.foreach(_.unpersist()); () })
   }
 
+  /** Batched multi-source BFS — [[bfsLayers]] keyed by SOURCE: every
+    * seed runs its own frontier expansion in the same jobs, giving the
+    * per-source hop-distance table (src, node_id, dist) that backs
+    * eccentricity estimates, landmark distances, and k-source
+    * reachability — the all-pairs-lite building block. Each round is
+    * one edge-keyed equi-join + a (src, node) anti-join against the
+    * reached set; the per-round state is k × reachable rows, so k is
+    * the scale dial (landmark counts, not corpus size). Same
+    * persist/checkpoint discipline as the single-set BFS.
+    */
+  def multiSourceBfsStamped(edges: DataFrame, sources: DataFrame,
+                            maxHops: Int): (DataFrame, () => Unit) = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val handles = scala.collection.mutable.ArrayBuffer[DataFrame](sym)
+    var reached = sources.select(col("src")).distinct()
+      .select(col("src"), col("src").as("node_id"), lit(0L).as("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    handles += reached
+    var frontier = reached
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = sym.join(frontier.withColumnRenamed("node_id", "u"), "u")
+        .select(col("src"), col("v").as("node_id"))
+        .distinct()
+        .join(reached.select(col("src"), col("node_id")),
+          Seq("src", "node_id"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+      val nextP = (if (hop % CheckpointEvery == 0) next.localCheckpoint(false) else next)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      handles += nextP
+      reached = reached.unionByName(nextP)
+      frontier = nextP
+      hop += 1
+    }
+    (reached, () => { handles.foreach(_.unpersist()); () })
+  }
+
   /** Per-node local clustering coefficient over the same canonical
     * undirected graph as [[triangleCounts]]: for every node of degree
     * ≥ 2, `lcc = 2·T(v) / (deg(v)·(deg(v)−1))`, emitted integer-scaled
@@ -335,6 +377,16 @@ object GraphOps {
           .select(col("p_partkey").as("node_id")),
         maxHops = 2)),
 
+    // batched multi-source BFS: 8 md5-chosen landmark parts, per-source
+    // 2-hop distance table (the landmark-distance building block)
+    "graph_multi_source_bfs" -> ((s, dir) => {
+      val seeds = Tables.part(s, dir)
+        .orderBy(md5(col("p_partkey").cast("string")), col("p_partkey"))
+        .limit(8)
+        .select(col("p_partkey").cast("long").as("src"))
+      multiSourceBfsStamped(copurchaseEdges(s, dir), seeds, maxHops = 2)._1
+    }),
+
     // 3-round deterministic LPA communities over the same graph
     "graph_label_propagation" -> ((s, dir) =>
       labelPropagation(copurchaseEdges(s, dir), rounds = 3)),
@@ -406,6 +458,32 @@ object GraphOps {
         |SELECT node_id, CAST(0 AS BIGINT) AS dist FROM r0
         |UNION ALL SELECT node_id, 1 FROM f1
         |UNION ALL SELECT node_id, 2 FROM f2""".stripMargin,
+
+    // per-source unrolled frontiers over the same support-floored graph;
+    // dedup keyed by (src, node) via NOT EXISTS — the Spark anti-join
+    "graph_multi_source_bfs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |s AS (SELECT CAST(p_partkey AS BIGINT) AS src FROM part
+        |      ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 8),
+        |d0 AS (SELECT src, src AS node_id FROM s),
+        |n1 AS (SELECT DISTINCT d.src, e.v AS node_id
+        |       FROM e JOIN d0 d ON e.u = d.node_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.src = d.src AND x.node_id = e.v)),
+        |n2 AS (SELECT DISTINCT n.src, e.v AS node_id
+        |       FROM e JOIN n1 n ON e.u = n.node_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.src = n.src AND x.node_id = e.v)
+        |         AND NOT EXISTS (SELECT 1 FROM n1 y
+        |         WHERE y.src = n.src AND y.node_id = e.v))
+        |SELECT src, node_id, CAST(0 AS BIGINT) AS dist FROM d0
+        |UNION ALL SELECT src, node_id, 1 FROM n1
+        |UNION ALL SELECT src, node_id, 2 FROM n2""".stripMargin,
 
     // 3 unrolled synchronized rounds; per-node argmax = row_number over
     // (count DESC, label ASC) — the same (most-frequent, then smallest)

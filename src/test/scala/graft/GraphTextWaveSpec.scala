@@ -56,6 +56,18 @@ class GraphTextWaveSpec extends AnyFunSuite {
       r.getLong(4)) == (0L, 2L, 200L, 200L, 500L), r)
   }
 
+  test("multi-source BFS: per-source frontiers on a path graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val seeds = Seq(1L, 4L).toDF("src")
+    val (got, release) = ext.GraphOps.multiSourceBfsStamped(edges, seeds, maxHops = 2)
+    val m = got.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    release()
+    assert(m == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 5L) -> 1L, (4L, 2L) -> 2L), m)
+  }
+
   test("TextRank: two weighted rounds match the hand-computed longs") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
