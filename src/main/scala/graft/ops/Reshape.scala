@@ -60,7 +60,13 @@ object Reshape {
       round(col("l_extendedprice") * 100).cast("long").as("v"))
     val sel = Selection.groupedSelect(data, "grp", "v",
       Seq(("lo", "(n * 5) div 100 + 1"), ("hi", "(n * 95) div 100")))
-    val bounds = sel.groupBy(col("grp"), col("n"))
+    // groups below 20 rows have no well-defined p95 rank ((n·95) div 100
+    // can reach 0) and are EXCLUDED — without this, the hi bound is NULL
+    // and the engines disagree on least(x, NULL) (Spark propagates,
+    // DuckDB ignores); the floor makes "too small to winsorize" the
+    // defined, engine-identical semantics
+    val bounds = sel.where(col("n") >= 20)
+      .groupBy(col("grp"), col("n"))
       .agg(min(when(col("sel_label") === "lo", col("x"))).as("lo"),
         max(when(col("sel_label") === "hi", col("x"))).as("hi"))
     data.join(broadcast(bounds), "grp")
@@ -113,7 +119,8 @@ object Reshape {
         |    min(CASE WHEN gpos = (n * 5) // 100 THEN v END) AS lo,
         |    max(CASE WHEN gpos = (n * 95) // 100 - 1 THEN v END) AS hi
         |  FROM rk
-        |  WHERE gpos = (n * 5) // 100 OR gpos = (n * 95) // 100 - 1
+        |  WHERE (gpos = (n * 5) // 100 OR gpos = (n * 95) // 100 - 1)
+        |    AND n >= 20
         |  GROUP BY grp, n)
         |SELECT d.grp, max(b.n) AS n,
         |  CAST(sum(CASE WHEN d.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,

@@ -89,6 +89,18 @@ class AnalyticsWaveSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("winsorize: groups below the 20-row floor are excluded, not NULL-clipped") {
+    import spark.implicits._
+    val vals = ((1 to 19).map(_.toLong) :+ 100L).map(("A", _)) ++
+      (1 to 5).map(i => ("B", i.toLong)) // 5 rows: no well-defined p95 rank
+    val li = vals.zipWithIndex.map { case ((g, v), i) =>
+      (g, v.toDouble / 100.0, i.toLong, 1) }
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    val got = ops.Reshape.winsorize(li).collect()
+    assert(got.map(_.getString(0)).toSet == Set("A"), got.mkString(","))
+    spark.catalog.clearCache()
+  }
+
   test("unpivot: four metrics with exact integer encodings") {
     import spark.implicits._
     val li = Seq(
