@@ -38,7 +38,37 @@ object RankFusion {
       .select(col("q_id"), col("rank"), col("c_id"), col("rrf_score"))
   }
 
+  /** NDCG@5 of an approximate ranking against the exact top-5 relevance
+    * set, INTEGER-EXACT: the log2 discount is irrational, so the five
+    * position weights ship as frozen integer constants
+    * `round(1e5 / log2(r+1))` = [100000, 63093, 50000, 43068, 38685]
+    * (ideal DCG = 294846) and the whole metric is integer sums and one
+    * floor division — no float ever computed, unlike a literal NDCG
+    * whose per-query float sum is addition-order-dependent.
+    */
+  def ndcgAt5(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val weight = expr("""CASE rank WHEN 1 THEN 100000L WHEN 2 THEN 63093L
+      WHEN 3 THEN 50000L WHEN 4 THEN 43068L ELSE 38685L END""")
+    approx.select(col("q_id"), col("rank"), col("c_id"))
+      .join(exact.select(col("q_id"), col("c_id"), lit(1).as("rel")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("rel").isNotNull, weight).otherwise(0L))
+        .as("dcg_scaled"))
+      .withColumn("ndcg_x1e5", expr("dcg_scaled * 100000 div 294846"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // ranking QUALITY beside the recall companions: PQ-ADC top-5
+    // scored against the exact top-5 with integer NDCG
+    "ann_ndcg_check" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+      ndcgAt5(
+        ProductQuant.pqTopK(qs, e, shortlist = 50, k = 5),
+        SimSearch.bruteForceTopK(qs, e, k = 5))
+    }),
+
     // exact top-50 ∪ PQ-ADC top-50 → fused top-10 per query
     "hybrid_rank_fusion" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -51,6 +81,32 @@ object RankFusion {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // PQ chain (shortlist 50, k 5) + exact top-5 + the frozen integer
+    // discount weights — the identical arithmetic
+    "ann_ndcg_check" ->
+      (ProductQuant.oracleCtesFor(50, 5) + ",\n" +
+      """bf_d AS (
+        |  SELECT qa.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qa.embedding)),
+        |      i -> CAST(round(CAST(qa.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) qa
+        |  JOIN embeddings c ON qa.vec_id != c.vec_id),
+        |bf AS (
+        |  SELECT q_id, c_id
+        |  FROM bf_d
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5),
+        |scored AS (
+        |  SELECT pq.q_id,
+        |    CASE WHEN bf.c_id IS NOT NULL THEN
+        |      CASE pq.rank WHEN 1 THEN 100000 WHEN 2 THEN 63093
+        |        WHEN 3 THEN 50000 WHEN 4 THEN 43068 ELSE 38685 END
+        |    ELSE 0 END AS w
+        |  FROM pq LEFT JOIN bf ON bf.q_id = pq.q_id AND bf.c_id = pq.c_id)
+        |SELECT q_id, CAST(sum(w) AS BIGINT) AS dcg_scaled,
+        |  CAST(sum(w) * 100000 // 294846 AS BIGINT) AS ndcg_x1e5
+        |FROM scored GROUP BY q_id""".stripMargin),
+
     // the brute-force chain + the full PQ chain (shortlist 50, k 50)
     // spliced into one WITH, fused by the same integer arithmetic
     "hybrid_rank_fusion" ->
