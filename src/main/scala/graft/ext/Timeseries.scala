@@ -320,6 +320,10 @@ object Timeseries {
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dt_ms")).as("sum_dt_ms"),
         sum((col("cents") * col("dt_ms")).cast("decimal(38,0)")).as("wsum"))
+      // a key whose whole span is sub-millisecond has zero total weight:
+      // excluded explicitly (Spark would emit NULL where DuckDB errors
+      // on integer division by zero — pin the engine-identical behavior)
+      .where(col("sum_dt_ms") > 0)
       .select(col(key), col("n_intervals"), col("sum_dt_ms"),
         expr("CAST(wsum div sum_dt_ms AS BIGINT)").as("twap_cents"))
   }
@@ -545,6 +549,7 @@ object Timeseries {
         |  CAST(sum(dt_ms) AS BIGINT) AS sum_dt_ms,
         |  CAST(sum(cents * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_cents
         |FROM iv WHERE dt_ms IS NOT NULL
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type
+        |HAVING sum(dt_ms) > 0""".stripMargin
   )
 }
