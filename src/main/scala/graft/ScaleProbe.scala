@@ -249,7 +249,13 @@ object ScaleProbe {
       // keyed aggregates or windows already covered by the cusum-family
       // probes — left unprobed like table_checksum.
       "attribution_linear", "rfm_segments", "winsorize_by_group",
-      "textrank_keywords", "graph_hits", "growth_accounting"))
+      "textrank_keywords", "graph_hits", "growth_accounting",
+      // fifth mini-wave: the corpus-sized position join under random
+      // negatives, the groupedSelect histogram path on the event
+      // stream, the keyed trigram window, the batched landmark BFS,
+      // and the PQ+exact NDCG composition
+      "contrastive_negative_sampling", "percentile_bands_hourly",
+      "session_trigrams", "graph_multi_source_bfs", "ann_ndcg_check"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

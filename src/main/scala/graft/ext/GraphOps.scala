@@ -387,6 +387,21 @@ object GraphOps {
       multiSourceBfsStamped(copurchaseEdges(s, dir), seeds, maxHops = 2)._1
     }),
 
+    // landmark reachability/eccentricity rollup of the multi-source
+    // BFS: per landmark, how much of the graph is within 2 hops and
+    // the observed max distance (an eccentricity LOWER bound at this
+    // hop budget — the landmark diameter estimator's input)
+    "graph_landmark_ecc" -> ((s, dir) => {
+      val seeds = Tables.part(s, dir)
+        .orderBy(md5(col("p_partkey").cast("string")), col("p_partkey"))
+        .limit(8)
+        .select(col("p_partkey").cast("long").as("src"))
+      multiSourceBfsStamped(copurchaseEdges(s, dir), seeds, maxHops = 2)._1
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"),
+          max(col("dist")).as("ecc_at_2"))
+    }),
+
     // 3-round deterministic LPA communities over the same graph
     "graph_label_propagation" -> ((s, dir) =>
       labelPropagation(copurchaseEdges(s, dir), rounds = 3)),
@@ -484,6 +499,35 @@ object GraphOps {
         |SELECT src, node_id, CAST(0 AS BIGINT) AS dist FROM d0
         |UNION ALL SELECT src, node_id, 1 FROM n1
         |UNION ALL SELECT src, node_id, 2 FROM n2""".stripMargin,
+
+    // the same per-source frontier chain, rolled up per landmark
+    "graph_landmark_ecc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |s AS (SELECT CAST(p_partkey AS BIGINT) AS src FROM part
+        |      ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 8),
+        |d0 AS (SELECT src, src AS node_id FROM s),
+        |n1 AS (SELECT DISTINCT d.src, e.v AS node_id
+        |       FROM e JOIN d0 d ON e.u = d.node_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.src = d.src AND x.node_id = e.v)),
+        |n2 AS (SELECT DISTINCT n.src, e.v AS node_id
+        |       FROM e JOIN n1 n ON e.u = n.node_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.src = n.src AND x.node_id = e.v)
+        |         AND NOT EXISTS (SELECT 1 FROM n1 y
+        |         WHERE y.src = n.src AND y.node_id = e.v)),
+        |all_d AS (
+        |  SELECT src, node_id, CAST(0 AS BIGINT) AS dist FROM d0
+        |  UNION ALL SELECT src, node_id, 1 FROM n1
+        |  UNION ALL SELECT src, node_id, 2 FROM n2)
+        |SELECT src, count(*) AS n_reached,
+        |  CAST(max(dist) AS BIGINT) AS ecc_at_2
+        |FROM all_d GROUP BY src""".stripMargin,
 
     // 3 unrolled synchronized rounds; per-node argmax = row_number over
     // (count DESC, label ASC) — the same (most-frequent, then smallest)
