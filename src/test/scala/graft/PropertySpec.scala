@@ -393,4 +393,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("groupedSelect: value-at-rank equals the sorted reference for every group and rank") {
+    import spark.implicits._
+    val dataGen: Gen[List[(String, Long)]] = for {
+      n <- Gen.chooseNum(1, 150)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.chooseNum(-50L, 50L) // duplicates and negatives likely
+      } yield (g, v))
+    } yield rows
+    forAll(dataGen, n = 15) { rows =>
+      val df = rows.toDF("grp", "v")
+      val ks = Seq(("q1", "(n + 3) div 4"), ("med", "(n + 1) div 2"), ("max", "n"))
+      val got = graft.ops.Selection.groupedSelect(df, "grp", "v", ks, bins = 8)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+      val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      for ((g, vs) <- byGroup; (label, kExpr) <- ks) {
+        val n = vs.length.toLong
+        val k = kExpr match {
+          case "(n + 3) div 4" => (n + 3) / 4
+          case "(n + 1) div 2" => (n + 1) / 2
+          case _ => n
+        }
+        assert(got((g, label)) == vs((k - 1).toInt),
+          s"group $g $label: expected ${vs((k - 1).toInt)} got ${got((g, label))} (n=$n)")
+      }
+    }
+  }
 }
