@@ -93,7 +93,11 @@ object GraftExtensions {
     ("bloom_might_contain",
       info("bloom_might_contain", "bloom_might_contain(key, filter[, numHashes]) - probe a serialized bloom filter"),
       (args: Seq[Expression]) => graft.functions.BloomMightContain(args(0), args(1),
-        if (args.length > 2) intArg(args(2), "numHashes") else 5)))
+        if (args.length > 2) intArg(args(2), "numHashes") else 5)),
+    ("topk_pairs",
+      info("topk_pairs", "topk_pairs(ord, payload[, k]) - exact bounded-heap top-k (ord desc, payload asc) per group"),
+      (args: Seq[Expression]) => graft.functions.TopKAgg(args(0), args(1),
+        if (args.length > 2) intArg(args(2), "k") else 10)))
 
   /** Imperative registration on a live session (extensions configured at
     * build time are not applicable retroactively).

@@ -213,6 +213,24 @@ object TopKPerKey {
           col("l_extendedprice"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
+    }),
+
+    // the AGGREGATE-FUNCTION face (functions.TopKAgg): per-group top-5
+    // prices through the SQL-callable bounded-heap aggregate, exploded
+    // back to rows — exact and merge-order invariant, so unlike the
+    // other sketch aggregates it is fully oracled against the window
+    // formulation
+    "topk_agg_check" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("payload"))
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKAgg.topkPairs(
+          col("cents"), col("payload"), 5).as("top"))
+        .select(col("l_returnflag"), explode(col("top")).as("e"))
+        .select(col("l_returnflag"), col("e.rank").as("rank"),
+          col("e.ord").as("cents"), col("e.payload").as("payload"))
     })
   )
 
@@ -228,6 +246,17 @@ object TopKPerKey {
     "topk_per_key" -> topkOracle,
     // identical semantics by construction — the rewrite must not change
     // a single row
-    "topk_window_rewrite" -> topkOracle
+    "topk_window_rewrite" -> topkOracle,
+    "topk_agg_check" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS payload
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(row_number() OVER w AS INTEGER) AS rank, cents, payload
+        |FROM v
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY cents DESC, payload)
+        |QUALIFY row_number() OVER w <= 5""".stripMargin
   )
 }

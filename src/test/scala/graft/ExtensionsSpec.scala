@@ -92,6 +92,22 @@ class ExtensionsSpec extends AnyFunSuite {
       "no false negatives over the inserted range")
   }
 
+  test("topk_pairs aggregates in SQL; exact, ties broken, invariant to partitioning") {
+    import spark.implicits._
+    // ord ties at 30 → payload ASC decides; k=3 cuts at the tie
+    val rows = Seq((10L, 1L), (30L, 9L), (30L, 2L), (20L, 5L), (5L, 7L))
+    for (parts <- Seq(1, 3, 5)) {
+      rows.toDF("o", "p").repartition(parts).createOrReplaceTempView("tk_in")
+      val got = spark.sql(
+        """SELECT e.rank, e.ord, e.payload
+          |FROM (SELECT topk_pairs(o, p, 3) AS top FROM tk_in)
+          |LATERAL VIEW explode(top) AS e""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1, 30L, 2L), (2, 30L, 9L), (3, 20L, 5L)),
+        s"parts=$parts: $got")
+    }
+  }
+
   test("the extensions class wires the same registrations") {
     // builder-time path: apply to a fresh SparkSessionExtensions and
     // confirm every function injects without error
