@@ -58,7 +58,69 @@ object RankFusion {
       .withColumn("ndcg_x1e5", expr("dcg_scaled * 100000 div 294846"))
   }
 
+  /** MRR of an approximate ranking against the exact top-k relevance
+    * set: per query, `1e6 div rank` of the FIRST relevant hit (0 if
+    * none in the list) — reciprocal rank is exactly representable in
+    * scaled integers, so like [[ndcgAt5]] the metric is hash-exact.
+    */
+  def mrrCheck(approx: DataFrame, exact: DataFrame,
+               scale: Long = 1000000L): DataFrame =
+    approx.select(col("q_id"), col("rank"), col("c_id"))
+      .join(exact.select(col("q_id"), col("c_id"), lit(1).as("rel")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(min(when(col("rel").isNotNull, col("rank"))).as("first_rel_rank"))
+      .select(col("q_id"), col("first_rel_rank"),
+        coalesce(expr(s"$scale div first_rel_rank"), lit(0L)).as("mrr_x1e6"))
+
+  /** Kendall's τ between two rankings of the same query, over the docs
+    * BOTH rank (the top-k intersection): all C(n,2) doc pairs classified
+    * concordant/discordant by the sign product of rank differences (no
+    * ties — row_number ranks are unique), τ·10⁶ by floor division.
+    * Queries with fewer than two common docs are excluded explicitly
+    * (τ undefined; pins the engine-identical behavior instead of a
+    * divide-by-zero NULL/error divergence). Pair fan-out is C(k,2) per
+    * query — constant, never corpus-sized.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame,
+                 scale: Long = 1000000L): DataFrame = {
+    val common = a.select(col("q_id"), col("c_id"), col("rank").as("ra"))
+      .join(b.select(col("q_id"), col("c_id"), col("rank").as("rb")),
+        Seq("q_id", "c_id"))
+    val pairs = common.as("x").join(common.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.c_id") < col("y.c_id"))
+      .select(col("x.q_id").as("q_id"),
+        ((col("x.ra") - col("y.ra")).cast("long") *
+          (col("x.rb") - col("y.rb")).cast("long")).as("sgn"))
+    pairs.groupBy(col("q_id"))
+      .agg(sum(when(col("sgn") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("sgn") < 0, 1L).otherwise(0L)).as("discordant"))
+      .where(col("concordant") + col("discordant") > 0)
+      .select(col("q_id"), col("concordant"), col("discordant"),
+        expr(s"(concordant - discordant) * $scale div (concordant + discordant)")
+          .as("tau_x1e6"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // rank agreement between the exact and PQ top-5 lists
+    "ann_kendall_tau" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+      kendallTau(
+        SimSearch.bruteForceTopK(qs, e, k = 5),
+        ProductQuant.pqTopK(qs, e, shortlist = 50, k = 5))
+    }),
+
+    // first-relevant-hit reciprocal rank beside NDCG: same PQ-vs-exact
+    // composition, integer-exact
+    "ann_mrr_check" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+      mrrCheck(
+        ProductQuant.pqTopK(qs, e, shortlist = 50, k = 5),
+        SimSearch.bruteForceTopK(qs, e, k = 5))
+    }),
+
     // ranking QUALITY beside the recall companions: PQ-ADC top-5
     // scored against the exact top-5 with integer NDCG
     "ann_ndcg_check" -> ((s, dir) => {
@@ -81,6 +143,63 @@ object RankFusion {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both chains WITH ranks; sign-product pair classification
+    "ann_kendall_tau" ->
+      (ProductQuant.oracleCtesFor(50, 5) + ",\n" +
+      """bf_d AS (
+        |  SELECT qa.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qa.embedding)),
+        |      i -> CAST(round(CAST(qa.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) qa
+        |  JOIN embeddings c ON qa.vec_id != c.vec_id),
+        |bf AS (
+        |  SELECT q_id, c_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS ra
+        |  FROM bf_d
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5),
+        |common AS (
+        |  SELECT bf.q_id, bf.c_id, bf.ra, pq.rank AS rb
+        |  FROM bf JOIN pq ON pq.q_id = bf.q_id AND pq.c_id = bf.c_id),
+        |pairs AS (
+        |  SELECT x.q_id,
+        |    CAST(x.ra - y.ra AS BIGINT) * CAST(x.rb - y.rb AS BIGINT) AS sgn
+        |  FROM common x JOIN common y
+        |    ON x.q_id = y.q_id AND x.c_id < y.c_id),
+        |agg AS (
+        |  SELECT q_id,
+        |    CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM pairs GROUP BY q_id)
+        |SELECT q_id, concordant, discordant,
+        |  CAST((concordant - discordant) * 1000000 // (concordant + discordant)
+        |    AS BIGINT) AS tau_x1e6
+        |FROM agg WHERE concordant + discordant > 0""".stripMargin),
+
+    // same spliced chains as the NDCG oracle; reciprocal rank in
+    // scaled integers
+    "ann_mrr_check" ->
+      (ProductQuant.oracleCtesFor(50, 5) + ",\n" +
+      """bf_d AS (
+        |  SELECT qa.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qa.embedding)),
+        |      i -> CAST(round(CAST(qa.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) qa
+        |  JOIN embeddings c ON qa.vec_id != c.vec_id),
+        |bf AS (
+        |  SELECT q_id, c_id
+        |  FROM bf_d
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5),
+        |firsts AS (
+        |  SELECT pq.q_id,
+        |    min(CASE WHEN bf.c_id IS NOT NULL THEN pq.rank END) AS first_rel_rank
+        |  FROM pq LEFT JOIN bf ON bf.q_id = pq.q_id AND bf.c_id = pq.c_id
+        |  GROUP BY pq.q_id)
+        |SELECT q_id, CAST(first_rel_rank AS INTEGER) AS first_rel_rank,
+        |  CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT) AS mrr_x1e6
+        |FROM firsts""".stripMargin),
+
     // PQ chain (shortlist 50, k 5) + exact top-5 + the frozen integer
     // discount weights — the identical arithmetic
     "ann_ndcg_check" ->
