@@ -56,6 +56,7 @@ object SparkEntry {
     (ext.Attribution.queries, ext.Attribution.oracleSql),
     (ext.Growth.queries, ext.Growth.oracleSql),
     (ext.Drift.queries, ext.Drift.oracleSql),
+    (ext.RankStats.queries, ext.RankStats.oracleSql),
     (ext.Rfm.queries, ext.Rfm.oracleSql),
     (ext.Stats.queries, ext.Stats.oracleSql),
     (ext.Collocations.queries, ext.Collocations.oracleSql),

@@ -1,0 +1,121 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank-based statistics over corpus-sized columns — both built on the
+  * two-phase distributed position scan (no single-partition window):
+  *
+  *  - '''ECDF normalization''': each value's empirical quantile as an
+  *    integer ppm (`rank0 · 10⁶ div (n−1)`) — the rank-transform
+  *    feature-engineering step that makes any signal comparable across
+  *    corpora.
+  *  - '''Spearman correlation''' between two per-document signals:
+  *    Pearson on DETERMINISTICALLY TIE-BROKEN ranks (row_number order
+  *    (value, doc_id) — true Spearman averages tied ranks, which is
+  *    fractional; the tie-broken variant is exact, engine-identical,
+  *    and converges to Spearman as ties thin out; the choice is pinned
+  *    here and in the oracle). Ranks are exact integers, so all five
+  *    moments are integer sums (decimal(38,0) for the squares — rank²
+  *    sums pass 2⁶³ near 3e6 docs) and only the final coefficient is
+  *    one mirrored float expression rounded to 6 dp (the
+  *    correlation_by_group discipline).
+  */
+object RankStats {
+
+  /** (doc_id, v, ecdf_ppm) over a long column. */
+  def ecdfNormalize(data: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val pos = graft.ops.Offsets.globalPosition(
+      data.select(col(idCol), col(valueCol).as("v")),
+      Seq(col("v"), col(idCol)), "pos")
+    val n = pos.agg(count(lit(1)).as("n"))
+    pos.crossJoin(broadcast(n))
+      .select(col(idCol), col("v"),
+        expr("CASE WHEN n > 1 THEN pos * 1000000 div (n - 1) ELSE 0L END")
+          .as("ecdf_ppm"))
+  }
+
+  /** One row: (n, s_ra, s_rb, s_rab, s_ra2, s_rb2, spearman) for the
+    * tie-broken rank correlation of two long signals keyed by `idCol`.
+    */
+  def spearmanTieBroken(data: DataFrame, idCol: String,
+                        aCol: String, bCol: String): DataFrame = {
+    val ra = graft.ops.Offsets.globalPosition(
+        data.select(col(idCol), col(aCol).as("a")),
+        Seq(col("a"), col(idCol)), "ra")
+      .select(col(idCol), col("ra"))
+    val rb = graft.ops.Offsets.globalPosition(
+        data.select(col(idCol), col(bCol).as("b")),
+        Seq(col("b"), col(idCol)), "rb")
+      .select(col(idCol), col("rb"))
+    ra.join(rb, idCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("s_ra"), sum(col("rb")).as("s_rb"),
+        sum((col("ra") * col("rb")).cast("decimal(38,0)")).as("s_rab"),
+        sum((col("ra") * col("ra")).cast("decimal(38,0)")).as("s_ra2"),
+        sum((col("rb") * col("rb")).cast("decimal(38,0)")).as("s_rb2"))
+      .withColumn("spearman", round(
+        (col("n").cast("double") * col("s_rab").cast("double") -
+          col("s_ra").cast("double") * col("s_rb").cast("double")) /
+          (sqrt(col("n").cast("double") * col("s_ra2").cast("double") -
+            col("s_ra").cast("double") * col("s_ra").cast("double")) *
+            sqrt(col("n").cast("double") * col("s_rb2").cast("double") -
+              col("s_rb").cast("double") * col("s_rb").cast("double"))), 6))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // rank-transform document length to empirical quantiles
+    "ecdf_normalize" -> ((s, dir) =>
+      ecdfNormalize(Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")),
+
+    // do longer documents carry more tokens? (rank correlation of the
+    // two document size signals — a monotonicity check, near 1.0)
+    "spearman_doc_signals" -> ((s, dir) =>
+      spearmanTieBroken(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_chars", "n_tokens"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ecdf_normalize" ->
+      """WITH pos AS (
+        |  SELECT doc_id, n_chars AS v,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, v,
+        |  CASE WHEN n > 1 THEN pos * 1000000 // (n - 1) ELSE 0 END AS ecdf_ppm
+        |FROM pos""".stripMargin,
+
+    "spearman_doc_signals" ->
+      """WITH sig AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ra AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS ra
+        |  FROM sig),
+        |rb AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rb
+        |  FROM sig),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS s_ra, CAST(sum(rb) AS BIGINT) AS s_rb,
+        |    CAST(sum(CAST(ra AS HUGEINT) * rb) AS DECIMAL(38,0)) AS s_rab,
+        |    CAST(sum(CAST(ra AS HUGEINT) * ra) AS DECIMAL(38,0)) AS s_ra2,
+        |    CAST(sum(CAST(rb AS HUGEINT) * rb) AS DECIMAL(38,0)) AS s_rb2
+        |  FROM ra JOIN rb USING (doc_id))
+        |SELECT n, s_ra, s_rb, s_rab, s_ra2, s_rb2,
+        |  round((CAST(n AS DOUBLE) * CAST(s_rab AS DOUBLE) -
+        |      CAST(s_ra AS DOUBLE) * CAST(s_rb AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(s_ra2 AS DOUBLE) -
+        |        CAST(s_ra AS DOUBLE) * CAST(s_ra AS DOUBLE)) *
+        |      sqrt(CAST(n AS DOUBLE) * CAST(s_rb2 AS DOUBLE) -
+        |        CAST(s_rb AS DOUBLE) * CAST(s_rb AS DOUBLE))), 6) AS spearman
+        |FROM m""".stripMargin
+  )
+}
