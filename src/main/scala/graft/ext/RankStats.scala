@@ -64,7 +64,38 @@ object RankStats {
               col("s_rb").cast("double") * col("s_rb").cast("double"))), 6))
   }
 
+  /** Mann–Whitney U for two samples keyed by a binary `variant` column:
+    * pooled deterministic tie-broken ranks (1-based), then
+    * `U_a = R_a − n_a(n_a+1)/2` — all exact integers (the same
+    * tie-break caveat as [[spearmanTieBroken]], pinned in the oracle).
+    * Emits both U statistics (U_a + U_b = n_a·n_b, asserted by the
+    * arithmetic itself) plus the integer inputs a consumer needs for
+    * the normal approximation.
+    */
+  def mannWhitneyU(data: DataFrame, idCol: String, variantCol: String,
+                   valueCol: String): DataFrame = {
+    val ranked = graft.ops.Offsets.globalPosition(
+        data.select(col(idCol), col(variantCol).as("variant"),
+          col(valueCol).as("v")),
+        Seq(col("v"), col(idCol)), "pos")
+      .select(col("variant"), (col("pos") + 1).as("rank"))
+    ranked.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("rank")).as("rank_sum"))
+      .select(col("variant"), col("n"), col("rank_sum"),
+        expr("rank_sum - n * (n + 1) div 2").as("u_stat"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // two-sample rank test over the md5 A/B split of purchase values
+    "mannwhitney_u" -> ((s, dir) =>
+      mannWhitneyU(
+        Tables.events(s, dir).where(col("event_type") === "purchase")
+          .select(col("event_id"),
+            (expr("conv(substring(md5(cast(user_id AS STRING)), 1, 4), 16, 10)")
+              .cast("long") % 2).as("variant"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_id", "variant", "cents")),
+
     // rank-transform document length to empirical quantiles
     "ecdf_normalize" -> ((s, dir) =>
       ecdfNormalize(Tables.documents(s, dir)
@@ -80,6 +111,22 @@ object RankStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mannwhitney_u" ->
+      """WITH v AS (
+        |  SELECT event_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 2 AS variant,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT variant,
+        |    row_number() OVER (ORDER BY cents, event_id) AS rank
+        |  FROM v)
+        |SELECT variant, count(*) AS n,
+        |  CAST(sum(rank) AS BIGINT) AS rank_sum,
+        |  CAST(sum(rank) - count(*) * (count(*) + 1) // 2 AS BIGINT) AS u_stat
+        |FROM r GROUP BY variant""".stripMargin,
+
     "ecdf_normalize" ->
       """WITH pos AS (
         |  SELECT doc_id, n_chars AS v,
