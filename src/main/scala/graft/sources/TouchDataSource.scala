@@ -277,25 +277,13 @@ private[sources] class TouchTable(path: String, maxBytesPerPartition: Long)
     new TouchScanBuilder(path, indexed, schema(), maxBytesPerPartition)
 }
 
-private[sources] class TouchScanBuilder(path: String,
-    indexed: Seq[TouchDataSource.IndexedFile],
-    fullSchema: StructType, maxBytesPerPartition: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+/** Closed-interval union algebra over `source_node_id` — shared by the
+  * plan-time pushdown (TouchScanBuilder) and the RUNTIME filter path
+  * (TouchScan's SupportsRuntimeV2Filtering face).
+  */
+private[sources] object GidIntervals {
 
-  private var required: StructType = fullSchema
-  private var accepted: Array[sources.Filter] = Array.empty
-  private var gidIntervals: Option[Seq[(Long, Long)]] = None
-  private var countsPushed = 0
-  private var limit: Option[Int] = None
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep the table's field order for a stable layout
-    required = StructType(fullSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
-
-  private def num(v: Any): Option[Long] = v match {
+  def num(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
@@ -304,7 +292,7 @@ private[sources] class TouchScanBuilder(path: String,
   }
 
   /** Sort + merge overlapping/adjacent closed intervals. */
-  private def normalize(iv: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+  def normalize(iv: Seq[(Long, Long)]): Seq[(Long, Long)] = {
     val sorted = iv.filter { case (lo, hi) => lo <= hi }.sortBy(_._1)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     sorted.foreach { case (lo, hi) =>
@@ -318,7 +306,7 @@ private[sources] class TouchScanBuilder(path: String,
   }
 
   /** Intersection of two NORMALIZED interval unions (two-pointer sweep). */
-  private def intersect(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+  def intersect(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {
@@ -338,7 +326,7 @@ private[sources] class TouchScanBuilder(path: String,
     * between the extremes); `And` intersects. `None` = filter unusable
     * for pruning; `Some(Nil)` = provably empty.
     */
-  private def intervalsOf(f: sources.Filter): Option[Seq[(Long, Long)]] = f match {
+  def intervalsOf(f: sources.Filter): Option[Seq[(Long, Long)]] = f match {
     case sources.EqualTo("source_node_id", v) => num(v).map(x => Seq((x, x)))
     case sources.In("source_node_id", vs) =>
       val xs = vs.toSeq.map(num)
@@ -357,6 +345,27 @@ private[sources] class TouchScanBuilder(path: String,
       for { a <- intervalsOf(l); b <- intervalsOf(r) } yield normalize(a ++ b)
     case _ => None
   }
+}
+
+private[sources] class TouchScanBuilder(path: String,
+    indexed: Seq[TouchDataSource.IndexedFile],
+    fullSchema: StructType, maxBytesPerPartition: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var accepted: Array[sources.Filter] = Array.empty
+  private var gidIntervals: Option[Seq[(Long, Long)]] = None
+  private var countsPushed = 0
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the table's field order for a stable layout
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  import GidIntervals.{intersect, intervalsOf, normalize}
 
   /** Gid-range pushdown as SPLIT PRUNING (the Spark face of the
     * reference's `seek(pos)`, touch_reader.cpp:196-228): gid predicates
@@ -479,8 +488,15 @@ private[sources] case class TouchSplit(
 private[sources] class TouchScan(path: String,
     indexed: Seq[TouchDataSource.IndexedFile],
     required: StructType, maxBytesPerPartition: Long,
-    gidIntervals: Option[Seq[(Long, Long)]] = None,
-    limit: Option[Int] = None) extends Scan with Batch {
+    planTimeIntervals: Option[Seq[(Long, Long)]] = None,
+    limit: Option[Int] = None)
+  extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Plan-time pushdown ∩ any runtime filter delivered after planning
+    * (dynamic pruning): [[filter]] narrows this before
+    * [[planInputPartitions]] runs on the executor-side batch.
+    */
+  @volatile private var gidIntervals: Option[Seq[(Long, Long)]] = planTimeIntervals
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -490,6 +506,32 @@ private[sources] class TouchScan(path: String,
       gidIntervals.fold("")(iv =>
         s" PushedGidRanges: ${iv.map { case (a, b) => s"[$a,$b]" }.mkString("∪")}") +
       limit.fold("")(l => s" PushedLimit: $l")
+
+  /** The DYNAMIC face of the gid pushdown (`SupportsRuntimeFiltering`):
+    * when this scan sits under a join on `source_node_id`, Spark can
+    * deliver the build side's key set at RUNTIME (dynamic partition
+    * pruning for V2 sources) — the filter arrives here after planning
+    * but before split enumeration, and intersects into the same
+    * interval algebra the static pushdown uses, so a broadcast-joined
+    * neuron dimension prunes record ranges exactly like a literal
+    * `IN`. Same safety contract as the static path: pruning only skips
+    * I/O — Spark keeps every predicate as a post-scan residual, and a
+    * filter this scan cannot interpret is simply ignored (no pruning,
+    * never a wrong result).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("source_node_id"))
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val ivs = filters.toSeq.flatMap(f => GidIntervals.intervalsOf(f))
+    if (ivs.nonEmpty) {
+      val runtime = ivs.map(GidIntervals.normalize)
+        .reduce(GidIntervals.intersect)
+      gidIntervals = Some(gidIntervals.fold(runtime)(
+        iv => GidIntervals.intersect(GidIntervals.normalize(iv), runtime)))
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // synapse_id is only well-defined across files with disjoint gid
