@@ -490,7 +490,8 @@ private[sources] class TouchScan(path: String,
     required: StructType, maxBytesPerPartition: Long,
     planTimeIntervals: Option[Seq[(Long, Long)]] = None,
     limit: Option[Int] = None)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Plan-time pushdown ∩ any runtime filter delivered after planning
     * (dynamic pruning): [[filter]] narrows this before
@@ -530,6 +531,26 @@ private[sources] class TouchScan(path: String,
         .reduce(GidIntervals.intersect)
       gidIntervals = Some(gidIntervals.fold(runtime)(
         iv => GidIntervals.intersect(GidIntervals.normalize(iv), runtime)))
+    }
+  }
+
+  /** EXACT statistics from the fixed record width — the planned record
+    * total (after any static/runtime gid pruning and limit) and its
+    * byte size, so Catalyst's join planning sees the PRUNED size of a
+    * touch side: a scan narrowed to a few neuron blocks becomes
+    * broadcast-eligible instead of being costed at directory size.
+    * Row width for the size estimate is the FULL record (decode cost is
+    * I/O-bound on the record, not the projected columns).
+    */
+  override def estimateStatistics(): Statistics = {
+    val recSize = indexed.head.index.version.recordSize
+    val n = planInputPartitions()
+      .map(_.asInstanceOf[TouchSplit].numRecords).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * recSize)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
     }
   }
 

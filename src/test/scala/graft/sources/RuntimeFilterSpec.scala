@@ -75,4 +75,16 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(freshScan().filterAttributes()
       .map(_.fieldNames.mkString(".")).toSeq == Seq("source_node_id"))
   }
+
+  test("reported statistics track the pruned record total exactly") {
+    val scan = freshScan()
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 60L)
+    assert(st.sizeInBytes().getAsLong == 60L * 40)
+    scan.filter(Array[sources.Filter](
+      sources.In("source_node_id", Array(103))))
+    val pruned = scan.estimateStatistics()
+    assert(pruned.numRows().getAsLong == 10L, "stats must follow runtime pruning")
+    assert(pruned.sizeInBytes().getAsLong == 10L * 40)
+  }
 }
