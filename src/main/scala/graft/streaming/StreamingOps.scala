@@ -70,10 +70,15 @@ object StreamingOps {
     * Oracle strategy (the hll_rollup_check pattern): HLL registers are
     * deterministic in the value set, so the STREAMED estimate must
     * EQUAL the batch estimate over the same rows — pinned as an exact
-    * boolean — and sit within max(5%, ±2) of the exact count (absolute
-    * slack covers single-register collisions on small windows, where
-    * 5% of a 20-user window is below one count). The oracle reproduces
-    * the exact counts and pins both booleans TRUE.
+    * boolean — and sit within max(5%, ±5) of the exact count. The
+    * absolute floor is sized for the FLEET of window cells, not one
+    * cell: small windows estimate by linear counting, whose error is
+    * the register-collision count c ~ Poisson(n²/2m) — at n≈30,
+    * m=4096, P(c ≥ 3) ≈ 2e-4 per cell, so across the ~3k
+    * (window, type) cells of a sf0.1 run ONE 3-collision cell is
+    * expected (union bound) and a ±2 floor fails it; P(c ≥ 6) ≈ 2e-9
+    * keeps ±5 safe past 10⁵ cells. The oracle reproduces the exact
+    * counts and pins both booleans TRUE.
     */
   def hllWindowToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"shll_${System.nanoTime()}"
@@ -103,7 +108,7 @@ object StreamingOps {
         col("exact_users"),
         (col("est_users") === col("batch_est")).as("stream_eq_batch_sketch"),
         (abs(col("est_users") - col("exact_users")) <=
-          greatest(ceil(col("exact_users") * lit(0.05)), lit(2L))).as("within_bound"))
+          greatest(ceil(col("exact_users") * lit(0.05)), lit(5L))).as("within_bound"))
   }
 
   /** Run the stream to completion against the static parquet and return
@@ -797,8 +802,8 @@ object StreamingOps {
         |SELECT window_start_us, CAST(rk AS BIGINT) AS rk, event_type, n
         |FROM r WHERE rk <= 3""".stripMargin,
     // exact per-window counts from the oracle; both sketch booleans
-    // pinned TRUE (stream≡batch registers is exact, the bound has ±2
-    // absolute slack for small windows)
+    // pinned TRUE (stream≡batch registers is exact; the fleet-sized ±5
+    // absolute slack for small windows is derived in the Scaladoc)
     "streaming_hll_window" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, count(*) AS n_events,
