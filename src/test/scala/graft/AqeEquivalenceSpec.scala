@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AQE must never change RESULTS, only plans — pinned for the
+  * session's most plan-sensitive operators (grouped selection, the
+  * position-scan ranking, the shifted-activity self-join, HITS'
+  * persisted half-steps): each runs with adaptive execution disabled
+  * and re-enabled, and the row multisets must match exactly.
+  */
+class AqeEquivalenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val out = df.collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    out
+  }
+
+  test("AQE on/off produces identical rows for the plan-sensitive operators") {
+    val targets = Seq("winsorize_by_group", "rfm_segments",
+      "growth_accounting", "graph_hits", "grouped_median_exact")
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      val withAqe = targets.map(n => n -> rows(n)).toMap
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      targets.foreach { n =>
+        assert(rows(n) == withAqe(n), s"$n drifted with AQE off")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+}
