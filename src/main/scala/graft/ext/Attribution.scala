@@ -42,6 +42,15 @@ object Attribution {
 
   /** (channel, n_purchases, attributed_cents) — purchase value credited
     * to the most recent click/view by the same user ≤ 7 days before.
+    *
+    * PINNED lookback-boundary rule: the window orders by
+    * (ts_us, event_id) with a `1 PRECEDING` upper bound, so a touch at
+    * the SAME microsecond as the purchase is credited iff its event_id
+    * sorts lower — whereas [[linear]] strictly excludes same-ts touches
+    * (`t_ts < p_ts`). The two models intentionally disagree on that
+    * boundary (last-touch is "the latest signal known at purchase
+    * time", linear is "signals strictly before"); both engines mirror
+    * each rule exactly, so the oracle gate pins both.
     */
   def lastTouch(events: DataFrame): DataFrame = {
     val enc = when(col("event_type") === "click", col("ts_us") * 8 + 1)

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    and the PSI term `(pA−pB)·ln(pA/pB)` as ONE rounded float per
   *    ROW — no float ever aggregates (a float Σ over bins is
   *    addition-order-dependent across engines); the consumer sums the
-  *    terms. Zero-count bins take the standard ε = 1-count smoothing,
+  *    terms. Sparse bins take share-level ε smoothing (floor 1 ppm),
   *    spelled out identically on both sides.
   *  - '''KS''' (Kolmogorov–Smirnov, binned): the max CDF gap at bin
   *    granularity, cross-multiplied to stay integer-exact —
@@ -51,14 +51,19 @@ object Drift {
   }
 
   /** (bin, n_a, n_b, share_a_ppm, share_b_ppm, psi_term) — PSI terms
-    * per bin with ε = 1 smoothing for empty bins; consumer sums.
+    * per bin with share-level ε smoothing (floor 1 ppm); consumer sums.
     */
   def psiBins(events: DataFrame): DataFrame = {
     val b = binned(events)
     val tot = b.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    // Smoothing happens at the SHARE level (floor 1 ppm), not the count
+    // level: `greatest(n,1)*1e6 div t` floors to 0 once t > 1e6 rows,
+    // and ln(0) is an engine divergence (Spark log() → NULL, DuckDB
+    // ln() → error). `greatest(n*1e6 div t, 1)` is scale-proof: every
+    // bin share is ≥ 1 ppm at any corpus size.
     b.crossJoin(broadcast(tot))
-      .withColumn("sa", expr("greatest(n_a, 1L) * 1000000 div t_a"))
-      .withColumn("sb", expr("greatest(n_b, 1L) * 1000000 div t_b"))
+      .withColumn("sa", expr("greatest(n_a * 1000000 div t_a, 1L)"))
+      .withColumn("sb", expr("greatest(n_b * 1000000 div t_b, 1L)"))
       .select(col("bin"), col("n_a"), col("n_b"),
         expr("n_a * 1000000 div t_a").as("share_a_ppm"),
         expr("n_b * 1000000 div t_b").as("share_b_ppm"),
@@ -116,8 +121,8 @@ object Drift {
         |        CAST(sum(n_b) AS BIGINT) AS t_b FROM b),
         |s AS (
         |  SELECT bin, n_a, n_b,
-        |    greatest(n_a, 1) * 1000000 // t_a AS sa,
-        |    greatest(n_b, 1) * 1000000 // t_b AS sb,
+        |    greatest(n_a * 1000000 // t_a, 1) AS sa,
+        |    greatest(n_b * 1000000 // t_b, 1) AS sb,
         |    n_a * 1000000 // t_a AS share_a_ppm,
         |    n_b * 1000000 // t_b AS share_b_ppm
         |  FROM b, t)

@@ -102,6 +102,10 @@ object KMeans {
     * Σ rides decimal(38,0) (60k vectors × 1e15 passes 2⁶³). Same plan
     * as the assignment (zero-shuffle argmax projection) plus one
     * broadcast join of the k-row centroid-norm table and a keyed sum.
+    * The Σ rides decimal(38,0) INTERNALLY only; the output column is
+    * cast back to BIGINT (max inertia ≈ 6.8e13 at sf0.1 — >10⁵×
+    * headroom) because the driver's hash canonicalizes DECIMAL output
+    * columns differently from its value compare (round-9 finding).
     */
   def kmeansInertia(vectors: DataFrame, k: Int = 8): DataFrame = {
     val (a, cents2, _) = chainStamped(vectors, k)
@@ -115,7 +119,7 @@ object KMeans {
           + col("c2").cast("decimal(38,0)")).as("d2"))
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_vectors"),
-        sum(col("d2")).cast("decimal(38,0)").as("inertia_x1e12"))
+        sum(col("d2")).cast("long").as("inertia_x1e12"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -186,7 +190,7 @@ object KMeans {
           |SELECT a.cluster_id, count(*) AS n_vectors,
           |  CAST(sum(CAST(vn.v2 AS HUGEINT) * 1000000
           |     - CAST(a.dot_q AS HUGEINT) * 2000
-          |     + CAST(cn.c2 AS HUGEINT)) AS DECIMAL(38,0)) AS inertia_x1e12
+          |     + CAST(cn.c2 AS HUGEINT)) AS BIGINT) AS inertia_x1e12
           |FROM asg a
           |JOIN vn ON vn.vec_id = a.vec_id
           |JOIN cn ON cn.cid = a.cluster_id

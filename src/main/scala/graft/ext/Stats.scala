@@ -156,9 +156,21 @@ object Stats {
       .crossJoin(broadcast(tot))
       .select(col("seg"), col("nat"), col("o_cnt"), col("row_n"),
         col("col_n"), col("total_n"),
-        expr("""CAST(o_cnt*total_n - row_n*col_n AS DECIMAL(38,0))
-               * CAST(o_cnt*total_n - row_n*col_n AS DECIMAL(38,0))
-               * 1000000 div (total_n*row_n*col_n)""").as("contrib_x1e6"))
+        // every product rides decimal(38,0) BEFORE multiplying: at
+        // sf100-class counts (T≈1.5e7, R≈3e6, C≈6e5) both o_cnt·total_n
+        // inside the difference and the denominator T·R·C (~2.7e19) pass
+        // 2⁶³ — a bigint product would silently wrap in non-ANSI Spark
+        // while DuckDB raises, defeating the oracle gate at exactly the
+        // scale this screen targets. `div` (IntegralDivide) accepts
+        // decimal operands and returns BIGINT, keeping the output schema
+        // decimal-free.
+        expr("""(CAST(o_cnt AS DECIMAL(38,0)) * total_n
+                 - CAST(row_n AS DECIMAL(38,0)) * col_n)
+               * (CAST(o_cnt AS DECIMAL(38,0)) * total_n
+                 - CAST(row_n AS DECIMAL(38,0)) * col_n)
+               * 1000000
+               div (CAST(total_n AS DECIMAL(38,0)) * row_n * col_n)""")
+          .as("contrib_x1e6"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -268,9 +280,9 @@ object Stats {
         |      FROM cells GROUP BY nat),
         |t AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS total_n FROM cells)
         |SELECT seg, nat, o_cnt, row_n, col_n, total_n,
-        |  CAST(CAST(o_cnt*total_n - row_n*col_n AS HUGEINT)
-        |     * CAST(o_cnt*total_n - row_n*col_n AS HUGEINT)
-        |     * 1000000 // (total_n*row_n*col_n) AS BIGINT) AS contrib_x1e6
+        |  CAST((CAST(o_cnt AS HUGEINT)*total_n - CAST(row_n AS HUGEINT)*col_n)
+        |     * (CAST(o_cnt AS HUGEINT)*total_n - CAST(row_n AS HUGEINT)*col_n)
+        |     * 1000000 // (CAST(total_n AS HUGEINT)*row_n*col_n) AS BIGINT) AS contrib_x1e6
         |FROM cells JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t""".stripMargin,
     "regression_by_group" ->
       """WITH c AS (

@@ -198,11 +198,12 @@ object JoinOps {
     }),
 
     // interval × interval: per-(user, day) activity spans against the
-    // hour-long "incident" windows where a type's hourly count reaches
-    // 2× its mean over active hours (a scale-free threshold — the
-    // absolute-cut mistake the co-purchase support floor fixed) —
-    // which user-days ran through which incidents. Day-wide bins:
-    // activity spans explode into ≤2 bins, incidents into 1.
+    // hour-long "incident" windows where a type's hourly count spikes
+    // ≥3σ above its mean over active hours (σ-based, NOT a 2×-mean
+    // multiplicative cut — that one emptied under Poisson concentration
+    // at sf0.1+, see the inline note) — which user-days ran through
+    // which incidents. Day-wide bins: activity spans explode into ≤2
+    // bins, incidents into 1.
     "join_interval_overlap" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts_us"))

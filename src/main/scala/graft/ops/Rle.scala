@@ -46,11 +46,49 @@ object Rle {
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("node_key"), col("l_quantity")))
       ranges(withPos, "node_key", "pos")
+    }),
+
+    // The SAME computation routed through the fused single-range-shuffle
+    // RangeRle operator (per-partition imperative run detection +
+    // driver boundary merge — the reference's actual design) instead of
+    // the declarative window form above. Registered side by side (the
+    // `sessionize`/`sessionize_native` pattern) with the identical
+    // oracle because the 10× probe measured the window form at ratio
+    // 2.17 same-plan — the hash-partition + per-key sort cost — while
+    // the fused form pays one range shuffle and no window sort. The
+    // returnflag key rides as its ascii code (RangeRle keys on longs).
+    "rle_group_ranges_native" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("node_key"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"))
+      val withPos = Offsets.globalPosition(li,
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("node_key"), col("l_quantity")))
+      val (r, _) = RangeRle.numberedRanges(
+        withPos.select(lit(0).as("dir"),
+          ascii(col("node_key")).cast("long").as("node_id"), col("pos")))
+      r.select(expr("chr(node_id)").as("node_key"),
+        col("range_start"), col("range_end"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
     "rle_group_ranges" ->
+      """WITH pos AS (
+        |  SELECT l_returnflag AS node_key,
+        |         ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |           l_returnflag, l_quantity) - 1 AS pos
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT node_key, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY node_key ORDER BY pos) AS grp
+        |  FROM pos)
+        |SELECT node_key, min(pos) AS range_start, max(pos) + 1 AS range_end
+        |FROM g GROUP BY node_key, grp""".stripMargin,
+
+    // identical semantics, identical oracle — only the physical route
+    // differs (fused RangeRle vs window form)
+    "rle_group_ranges_native" ->
       """WITH pos AS (
         |  SELECT l_returnflag AS node_key,
         |         ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber,

@@ -531,8 +531,18 @@ private[sources] class TouchScan(path: String,
         .reduce(GidIntervals.intersect)
       gidIntervals = Some(gidIntervals.fold(runtime)(
         iv => GidIntervals.intersect(GidIntervals.normalize(iv), runtime)))
+      cachedStats = None // pruning state changed → stale record total
     }
   }
+
+  /** Catalyst may ask a V2 scan for statistics several times while
+    * costing join alternatives, and each call would otherwise re-run
+    * full split enumeration (including the disjoint-gid-range walk over
+    * every file index) — O(files) repeated driver work on large
+    * directories. Memoized per pruning state; [[filter]] invalidates
+    * when a runtime gid filter narrows the intervals.
+    */
+  @volatile private var cachedStats: Option[Statistics] = None
 
   /** EXACT statistics from the fixed record width — the planned record
     * total (after any static/runtime gid pruning and limit) and its
@@ -542,16 +552,18 @@ private[sources] class TouchScan(path: String,
     * Row width for the size estimate is the FULL record (decode cost is
     * I/O-bound on the record, not the projected columns).
     */
-  override def estimateStatistics(): Statistics = {
+  override def estimateStatistics(): Statistics = cachedStats.getOrElse {
     val recSize = indexed.head.index.version.recordSize
     val n = planInputPartitions()
       .map(_.asInstanceOf[TouchSplit].numRecords).sum
-    new Statistics {
+    val st = new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(n * recSize)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(n)
     }
+    cachedStats = Some(st)
+    st
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -208,6 +208,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sign-LSH bucketed ANN joins: BHJ at small scale, SMJ once broadcast is off (the 10x probe's flip)") {
+    // the round-9 probe observed ann_lsh_bucketed's candidate/fetch
+    // joins flip BHJ→SMJ at 10x data (same_plan=false, board 1.11→1.69s)
+    // — the identical stats-driven pattern already pinned for
+    // dedup_ngram_jaccard: at 100 TB the corpus side is NOT
+    // broadcastable, so sort-merge on the bucket/id keys is the plan
+    // you'd want, chosen by stats. Pin BOTH regimes so neither can
+    // silently regress: small inputs broadcast; with the threshold
+    // forced off (standing in for "stats say too big") the same query
+    // sort-merges.
+    def planFor(): String = {
+      val df = SparkEntry.queries("ann_lsh_bucketed")(spark, sf)
+      df.collect() // finalize AQE — runtime sizes decide the join strategy
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      spark.catalog.clearCache()
+      p
+    }
+    val small = planFor()
+    assert(small.contains("BroadcastHashJoin"), small)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = planFor()
+      assert(big.contains("SortMergeJoin"),
+        s"candidate/fetch joins must sort-merge when broadcast is off:\n$big")
+      assert(!big.contains("CartesianProduct") &&
+        !big.contains("BroadcastNestedLoopJoin"),
+        s"the bucket self-join must stay an equi-join in either regime:\n$big")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("explicit bloomSemiJoin: probe filter in the fact scan stage, result equals plain semi join") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
