@@ -73,6 +73,10 @@ object SparkEntry {
     (ext.RandomWalk.queries, ext.RandomWalk.oracleSql),
     (ops.Checksum.queries, ops.Checksum.oracleSql),
     (ext.Sampling.queries, ext.Sampling.oracleSql),
+    (ext.Agreement.queries, ext.Agreement.oracleSql),
+    (ext.Uplift.queries, ext.Uplift.oracleSql),
+    (ext.Survival.queries, ext.Survival.oracleSql),
+    (ext.Sq8.queries, ext.Sq8.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)

@@ -1,0 +1,103 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inter-rater agreement — the label-quality screen a supervised or
+  * RLHF data pipeline runs before trusting annotations: when two
+  * raters (human, heuristic, or model) label the same items, how much
+  * do they agree BEYOND chance?
+  *
+  * '''Cohen's kappa''' for two binary raters is computed as ONE exact
+  * rational: with the 2×2 confusion counts (n11, n10, n01, n00),
+  * margins r1 = n11+n10, c1 = n11+n01 (rater A / rater B positives)
+  * and n the total,
+  *
+  *   kappa = (po − pe) / (1 − pe)
+  *         = (n·(n11+n00) − r1·c1 − r0·c0) / (n² − r1·c1 − r0·c0)
+  *
+  * — numerator and denominator are integers, so the statistic is an
+  * integer ppm after one integral division. Products ride
+  * decimal(38,0) (n² · 10⁶ passes 2⁶³ near 3e6 items); the division
+  * is plain `div` — Spark's `div` and DuckDB's `//` both truncate
+  * toward zero, so a negative kappa (worse than chance) divides
+  * identically on both sides.
+  *
+  * 100 TB shape: one keyed aggregate over the items produces the four
+  * counts (map-side combined); everything after is arithmetic on one
+  * row. The demo raters are two deterministic document-length signals
+  * ("long by chars" vs "long by tokens") — agreement between the two
+  * length notions, a real curation QA question.
+  */
+object Agreement {
+
+  /** One row: (n, n11, n10, n01, n00, po_ppm, pe_ppm, kappa_ppm) for
+    * two boolean rater columns over any DataFrame.
+    */
+  def cohensKappa(data: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    data.select(raterA.cast("int").as("a"), raterB.cast("int").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1) - col("b"))).as("n10"),
+        sum((lit(1) - col("a")) * col("b")).as("n01"),
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"))
+      // the rational's numerator/denominator on decimal(38,0) — n²·10⁶
+      // passes 2⁶³ near 3e6 items in plain longs
+      .withColumn("_knum", expr(
+        """(CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+          | - (n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+          | - (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))) * 1000000""".stripMargin))
+      .withColumn("_kden", expr(
+        """CAST(n AS DECIMAL(38,0)) * n
+          | - (n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+          | - (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))""".stripMargin))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+        expr("""CAST(((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+               + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))) * 1000000
+               div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("pe_ppm"),
+        // plain `div`: both engines truncate toward zero, so a
+        // negative kappa (worse than chance) divides identically
+        expr("CAST(_knum div _kden AS BIGINT)").as("kappa_ppm"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // do "long by chars" and "long by tokens" agree on which documents
+    // are long? (two deterministic raters over the documents table)
+    "cohens_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      cohensKappa(docs, col("n_chars") >= 500, col("n_tokens") >= 80)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cohens_kappa" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) >= 80 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM r)
+        |SELECT n, n11, n10, n01, n00,
+        |  (n11 + n00) * 1000000 // n AS po_ppm,
+        |  CAST(((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+        |      + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) * 1000000
+        |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+        |  CAST((CAST(n AS HUGEINT) * (n11 + n00)
+        |      - (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+        |      - (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) * 1000000
+        |    // (CAST(n AS HUGEINT) * n
+        |      - (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+        |      - (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) AS BIGINT) AS kappa_ppm
+        |FROM m""".stripMargin
+  )
+}

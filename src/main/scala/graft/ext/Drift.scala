@@ -72,6 +72,30 @@ object Drift {
           .as("psi_term"))
   }
 
+  /** (bin, n_a, n_b, js_term) — per-bin Jensen–Shannon divergence
+    * terms (the SYMMETRIC, bounded drift measure PSI isn't):
+    * `½·pa·ln(2pa/(pa+pb)) + ½·pb·ln(2pb/(pa+pb))` with the same
+    * 1 ppm share-level smoothing as [[psiBins]], one rounded float per
+    * ROW (no float aggregates — the consumer sums; Σ is bounded by
+    * ln 2). Identical plan shape to PSI: one pooled-stats broadcast,
+    * one (bin, side) count, bin-bounded arithmetic after.
+    */
+  def jsBins(events: DataFrame): DataFrame = {
+    val b = binned(events)
+    val tot = b.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("sa", expr("greatest(n_a * 1000000 div t_a, 1L)"))
+      .withColumn("sb", expr("greatest(n_b * 1000000 div t_b, 1L)"))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(
+          col("sa").cast("double") / 2e6 *
+            log(lit(2.0) * col("sa").cast("double") /
+              (col("sa") + col("sb")).cast("double")) +
+          col("sb").cast("double") / 2e6 *
+            log(lit(2.0) * col("sb").cast("double") /
+              (col("sa") + col("sb")).cast("double")), 6).as("js_term"))
+  }
+
   /** One row: (n_a, n_b, ks_x1e6) — the binned KS statistic,
     * integer-exact via cross-multiplied CDF counts. The cross-products
     * ride decimal(38,0) so the statistic cannot wrap at any row count
@@ -97,7 +121,8 @@ object Drift {
 
   val queries: Map[String, Q] = Map(
     "drift_psi_bins" -> ((s, dir) => psiBins(Tables.events(s, dir))),
-    "drift_ks_binned" -> ((s, dir) => ksBinned(Tables.events(s, dir)))
+    "drift_ks_binned" -> ((s, dir) => ksBinned(Tables.events(s, dir))),
+    "drift_js_bins" -> ((s, dir) => jsBins(Tables.events(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -129,6 +154,34 @@ object Drift {
         |SELECT bin, n_a, n_b, share_a_ppm, share_b_ppm,
         |  round(CAST(sa - sb AS DOUBLE) / 1e6 *
         |    (ln(CAST(sa AS DOUBLE)) - ln(CAST(sb AS DOUBLE))), 6) AS psi_term
+        |FROM s""".stripMargin,
+
+    "drift_js_bins" ->
+      """WITH v AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS mid,
+        |    min(cents) AS mn, (max(cents) - min(cents)) // 64 + 1 AS width
+        |  FROM v),
+        |b AS (
+        |  SELECT (cents - mn) // width AS bin,
+        |    CAST(sum(CASE WHEN ts_us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ts_us <= mid THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM v, st GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+        |        CAST(sum(n_b) AS BIGINT) AS t_b FROM b),
+        |s AS (
+        |  SELECT bin, n_a, n_b,
+        |    greatest(n_a * 1000000 // t_a, 1) AS sa,
+        |    greatest(n_b * 1000000 // t_b, 1) AS sb
+        |  FROM b, t)
+        |SELECT bin, n_a, n_b,
+        |  round(CAST(sa AS DOUBLE) / 2e6 *
+        |      ln(2.0 * CAST(sa AS DOUBLE) / CAST(sa + sb AS DOUBLE)) +
+        |    CAST(sb AS DOUBLE) / 2e6 *
+        |      ln(2.0 * CAST(sb AS DOUBLE) / CAST(sa + sb AS DOUBLE)), 6) AS js_term
         |FROM s""".stripMargin,
 
     "drift_ks_binned" ->

@@ -122,11 +122,59 @@ object KMeans {
         sum(col("d2")).cast("long").as("inertia_x1e12"))
   }
 
+  /** Per-cluster SIMPLIFIED silhouette (Kaufman–Rousseeuw's centroid
+    * variant, on SQUARED distances — the pinned flavor): per vector
+    * a² = dist²(v, own centroid), b² = min over OTHER centroids, and
+    * s = (b²−a²)/max(a²,b²) as an integer ppm. The whole per-vector
+    * computation is again a zero-shuffle projection against the
+    * literal centroid array (k·dim longs); the only exchange is the
+    * k-row final aggregate.
+    *
+    * Exactness discipline: a²/b² are first scaled down by 1e6, keeping
+    * `(b²−a²)·10⁶` inside int64 with ~10³ headroom; the ratio and the
+    * per-cluster mean are plain `div` — Spark's `div` and DuckDB's
+    * `//` BOTH truncate toward zero (PLANS.md round-9; negative
+    * silhouettes confirmed this empirically), so no floor identity is
+    * needed or wanted.
+    */
+  def kmeansSilhouette(vectors: DataFrame, k: Int = 8): DataFrame =
+    silhouettePerVector(vectors, k)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("s_ppm")).as("_s"))
+      .select(col("cluster_id"), col("n_vectors"),
+        expr("_s div n_vectors").as("mean_silhouette_ppm"))
+
+  private[graft] def silhouettePerVector(vectors: DataFrame, k: Int): DataFrame = {
+    val (a, cents2, _) = chainStamped(vectors, k)
+    val centLit = array(cents2.collect().map { r =>
+      struct(lit(r.getLong(0)).as("ccid"),
+        array(r.getSeq[Long](1).map(lit): _*).as("cv"))
+    }.toIndexedSeq: _*)
+    a.withColumn("v2", quantizedDot(col("qv"), col("qv")))
+      .withColumn("ds", transform(centLit, c => struct(
+        (col("v2") * lit(1000000L)
+          - quantizedDot(col("qv"), c.getField("cv")) * lit(2000L)
+          + quantizedDot(c.getField("cv"), c.getField("cv"))).as("d2"),
+        c.getField("ccid").as("ccid"))))
+      .withColumn("a2",
+        expr("element_at(filter(ds, x -> x.ccid = cid), 1).d2 div 1000000"))
+      .withColumn("b2",
+        expr("array_min(transform(filter(ds, x -> x.ccid != cid), x -> x.d2)) div 1000000"))
+      // plain `div`: both Spark's div and DuckDB's // TRUNCATE toward
+      // zero (PLANS.md round-9, re-confirmed empirically this round —
+      // a pmod "floor" identity here was off by 1 on negative ratios)
+      .withColumn("s_ppm",
+        expr("(b2 - a2) * 1000000 div greatest(greatest(a2, b2), 1L)"))
+      .select(col("vec_id"), col("cid"), col("a2"), col("b2"), col("s_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "embedding_kmeans_assign" -> ((s, dir) =>
       kmeansAssign2(Tables.embeddings(s, dir), 8)),
     "kmeans_inertia" -> ((s, dir) =>
-      kmeansInertia(Tables.embeddings(s, dir), 8))
+      kmeansInertia(Tables.embeddings(s, dir), 8)),
+    "kmeans_silhouette" -> ((s, dir) =>
+      kmeansSilhouette(Tables.embeddings(s, dir), 8))
   )
 
   /** The two-round integer k-means as a DuckDB CTE chain, shared with
@@ -194,6 +242,44 @@ object KMeans {
           |FROM asg a
           |JOIN vn ON vn.vec_id = a.vec_id
           |JOIN cn ON cn.cid = a.cluster_id
-          |GROUP BY a.cluster_id""".stripMargin)
+          |GROUP BY a.cluster_id""".stripMargin),
+
+    // same chain + the full vector×centroid distance matrix (k rows per
+    // vector); a²/b² scaled down by 1e6 before the ratio; `//` and
+    // Spark's `div` both truncate toward zero, so they mirror directly
+    "kmeans_silhouette" ->
+      (oracleCtes +
+        """,
+          |vn AS (
+          |  SELECT vec_id,
+          |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS v2
+          |  FROM q),
+          |cn AS (
+          |  SELECT cid,
+          |    CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS c2
+          |  FROM cent2),
+          |dmat AS (
+          |  SELECT a.vec_id, a.cluster_id, c.cid,
+          |    (CAST(vn.v2 AS HUGEINT) * 1000000
+          |      - 2000 * CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+          |          i -> q.qv[i] * c.cv[i])) AS HUGEINT)
+          |      + cn.c2) AS d2
+          |  FROM asg a
+          |  JOIN q ON q.vec_id = a.vec_id
+          |  JOIN vn ON vn.vec_id = a.vec_id
+          |  CROSS JOIN cent2 c
+          |  JOIN cn ON cn.cid = c.cid),
+          |ab AS (
+          |  SELECT vec_id, cluster_id,
+          |    CAST(max(CASE WHEN cid = cluster_id THEN d2 END) // 1000000 AS BIGINT) AS a2,
+          |    CAST(min(CASE WHEN cid != cluster_id THEN d2 END) // 1000000 AS BIGINT) AS b2
+          |  FROM dmat GROUP BY vec_id, cluster_id),
+          |sp AS (
+          |  SELECT cluster_id,
+          |    (b2 - a2) * 1000000 // greatest(greatest(a2, b2), 1) AS s_ppm
+          |  FROM ab)
+          |SELECT cluster_id, count(*) AS n_vectors,
+          |  CAST(CAST(sum(s_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_silhouette_ppm
+          |FROM sp GROUP BY cluster_id""".stripMargin)
   )
 }

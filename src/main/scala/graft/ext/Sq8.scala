@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization of the embedding corpus — the standard
+  * 4×-compression tier between full floats and PQ codes (FAISS's
+  * `ScalarQuantizer(QT_8bit)`): per DIMENSION, learn (min, max) over
+  * the corpus, encode each component as an 8-bit code
+  * `c = (x − min)·255 div (max − min)`, and report the reconstruction
+  * error the codebook would pay.
+  *
+  * All arithmetic is on the 1e3-quantized integer grid (the
+  * [[graft.functions.QuantizedDot]] convention), so codes and errors
+  * are integer-exact and the whole table hash-checks: codes and
+  * reconstructions are nonneg integer ops (`div` = floor on both
+  * engines).
+  *
+  * 100 TB shape: per-dim ranges are ONE map-side-combined aggregate
+  * (dim-bounded rows — the `embedding_dim_stats` plan); the encode +
+  * error pass re-reads the corpus with the dim-bounded range table
+  * broadcast. No data-sized structure ever sits on the driver.
+  */
+object Sq8 {
+
+  import graft.functions.QuantizedDot.quantize
+
+  /** (dim, mn_q, mx_q, n, sum_abs_err, max_abs_err) — the SQ8 codebook
+    * parameters per dimension plus the corpus reconstruction error on
+    * the 1e3 grid.
+    */
+  def sq8DimStats(vectors: DataFrame): DataFrame = {
+    val ex = vectors
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("dim", "x")))
+    val ranges = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn_q"), max(col("x")).as("mx_q"))
+    ex.join(broadcast(ranges), "dim")
+      .withColumn("c",
+        expr("(x - mn_q) * 255 div greatest(mx_q - mn_q, 1L)"))
+      .withColumn("recon",
+        expr("mn_q + c * (mx_q - mn_q) div 255"))
+      .groupBy(col("dim"))
+      .agg(min(col("mn_q")).as("mn_q"), min(col("mx_q")).as("mx_q"),
+        count(lit(1)).as("n"),
+        sum(abs(col("x") - col("recon"))).as("sum_abs_err"),
+        max(abs(col("x") - col("recon"))).as("max_abs_err"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "embedding_sq8_stats" -> ((s, dir) =>
+      sq8DimStats(Tables.embeddings(s, dir)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embedding_sq8_stats" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+        |r AS (
+        |  SELECT dim, min(x) AS mn_q, max(x) AS mx_q FROM q GROUP BY dim),
+        |e AS (
+        |  SELECT q.dim, q.x, r.mn_q, r.mx_q,
+        |    (q.x - r.mn_q) * 255 // greatest(r.mx_q - r.mn_q, 1) AS c
+        |  FROM q JOIN r USING (dim))
+        |SELECT dim, min(mn_q) AS mn_q, min(mx_q) AS mx_q, count(*) AS n,
+        |  CAST(sum(abs(x - (mn_q + c * (mx_q - mn_q) // 255))) AS BIGINT) AS sum_abs_err,
+        |  CAST(max(abs(x - (mn_q + c * (mx_q - mn_q) // 255))) AS BIGINT) AS max_abs_err
+        |FROM e GROUP BY dim""".stripMargin
+  )
+}

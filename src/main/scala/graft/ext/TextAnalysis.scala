@@ -113,6 +113,27 @@ object TextAnalysis {
           nTok).cast("long").as("avg_token_len_x100"))
     }),
 
+    // Per-doc ASCII character-class census — the mojibake/garbage
+    // screen quality filters cut on (a doc that is 40% punctuation or
+    // 30% "other" is markup, tables, or encoding damage, not prose).
+    // Classes are pinned to explicit ASCII ranges so Java regex and
+    // RE2 agree; counts are length deltas after class-targeted
+    // regexp_replace — one projection, no explode, integer-exact.
+    "doc_char_classes" -> ((s, dir) => {
+      def cnt(cls: String) =
+        length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+      val letters = cnt("[A-Za-z]")
+      val digits = cnt("[0-9]")
+      val spaces = cnt("[ \\t\\n\\r]")
+      val punct = cnt("[!-/:-@\\[-`{-~]")
+      Tables.documents(s, dir).select(
+        col("doc_id"), length(col("text")).as("n_chars2"),
+        letters.as("n_letters"), digits.as("n_digits"),
+        spaces.as("n_spaces"), punct.as("n_punct"),
+        (length(col("text")) - letters - digits - spaces - punct)
+          .as("n_other"))
+    }),
+
     // Heuristic language ID from function-word hits, fixed priority on
     // ties (en > de > fr > es). The testdata text is synthetic
     // English-ish word salad, so this classifies most rows 'en' — the
@@ -349,6 +370,19 @@ object TextAnalysis {
         |  CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 100 / len(toks)) AS BIGINT)
         |    AS avg_token_len_x100
         |FROM t""".stripMargin,
+    "doc_char_classes" ->
+      """SELECT doc_id, length(text) AS n_chars2,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letters,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_spaces,
+        |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |  length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |    + length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    + length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+        |    + length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+        |    - 3 * length(text) AS n_other
+        |FROM documents""".stripMargin,
+
     "lang_id_ngram" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pad FROM documents),
         |s AS (SELECT doc_id,

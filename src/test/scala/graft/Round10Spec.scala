@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.{Agreement, Drift, KMeans, Sq8, Survival, Uplift}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 additions: agreement, uplift, survival, SQ8, silhouette,
+  * JS drift, char classes.
+  */
+class Round10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cohens kappa: perfect agreement is 1e6 ppm, perfect disagreement is negative") {
+    import spark.implicits._
+    val perfect = Seq((1, 1), (0, 0), (1, 1), (0, 0), (1, 1))
+      .toDF("a", "b")
+    val k1 = Agreement.cohensKappa(perfect, col("a") === 1, col("b") === 1)
+      .head()
+    assert(k1.getAs[Long]("kappa_ppm") == 1000000L, k1.toString)
+    assert(k1.getAs[Long]("po_ppm") == 1000000L)
+    // systematic disagreement: every pair differs → kappa < 0
+    val opposite = Seq((1, 0), (0, 1), (1, 0), (0, 1)).toDF("a", "b")
+    val k2 = Agreement.cohensKappa(opposite, col("a") === 1, col("b") === 1)
+      .head()
+    assert(k2.getAs[Long]("kappa_ppm") < 0L, k2.toString)
+    assert(k2.getAs[Long]("po_ppm") == 0L)
+  }
+
+  test("lift/gains deciles: top decile of a perfectly ranking score has maximal lift") {
+    import spark.implicits._
+    // 100 users, score = id, responders = exactly the 10 top-scored
+    val users = (1 to 100).map(i => (i.toLong, i.toLong, if (i > 90) 1L else 0L))
+      .toDF("id", "score", "responded")
+    val g = Uplift.liftGainsDeciles(users).orderBy("decile").collect()
+    assert(g.length == 10)
+    val top = g.head
+    assert(top.getAs[Long]("decile") == 0L)
+    assert(top.getAs[Long]("n_users") == 10L)
+    assert(top.getAs[Long]("n_resp") == 10L)
+    // all 10% responders in the top 10% → lift = 10× = 10,000,000 ppm
+    assert(top.getAs[Long]("cum_lift_ppm") == 10000000L, top.toString)
+    // the bottom row's cumulative lift is exactly 1× by construction
+    assert(g.last.getAs[Long]("cum_lift_ppm") == 1000000L)
+  }
+
+  test("kaplan-meier: risk sets shrink monotonically and factors are exact") {
+    import spark.implicits._
+    // 4 users: lifetimes 0,0,2,5 days; end = max last; users 1,2
+    // churn (last far from end), user 4 defines the end (censored),
+    // user 3 censored iff within 14 days of end
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 0L),                       // lifetime 0, old → churn
+      (2L, 1 * day), (2L, 1 * day),             // lifetime 0, old → churn
+      (3L, 20 * day), (3L, 22 * day),           // lifetime 2, near end → censored
+      (4L, 10 * day), (4L, 15 * day)            // lifetime 5, near end → censored
+    ).toDF("user_id", "ts_us")
+    val km = Survival.kaplanMeier(ev, censorDays = 14).orderBy("t_days").collect()
+    val byT = km.map(r => r.getAs[Long]("t_days") ->
+      (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"))).toMap
+    assert(byT(0L) == ((4L, 2L, 0L)), byT.toString)  // all 4 at risk, 2 churn at t=0
+    assert(byT(2L) == ((2L, 0L, 1L)))                 // 2 remain, censor at t=2
+    assert(byT(5L) == ((1L, 0L, 1L)))
+    val f0 = km.head.getAs[Long]("factor_ppm")
+    assert(f0 == 500000L, s"(4-2)/4 = 0.5 → $f0")     // (4−2)·1e6/4
+  }
+
+  test("sq8: codes stay in [0,255] and reconstruction error is bounded by the step size") {
+    val stats = Sq8.sq8DimStats(Tables.embeddings(spark, sf)).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("mn_q"), r.getAs[Long]("mx_q"))
+      val step = math.max((mx - mn) / 255L, 1L)
+      assert(r.getAs[Long]("max_abs_err") <= step + 1,
+        s"dim ${r.getAs[Int]("dim")}: err ${r.getAs[Long]("max_abs_err")} vs step $step")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("silhouette: ppm values bounded, one row per cluster, counts match assignments") {
+    val sil = KMeans.kmeansSilhouette(Tables.embeddings(spark, sf), 4).collect()
+    assert(sil.length == 4, sil.mkString(","))
+    sil.foreach { r =>
+      val m = r.getAs[Long]("mean_silhouette_ppm")
+      assert(m >= -1000000L && m <= 1000000L, r.toString)
+    }
+    val n = sil.map(_.getAs[Long]("n_vectors")).sum
+    val assigned = KMeans.kmeansAssign2(Tables.embeddings(spark, sf), 4).count()
+    assert(n == assigned)
+    spark.catalog.clearCache()
+  }
+
+  test("JS drift terms are nonnegative and bounded by ln2/2 per bin (log-sum inequality)") {
+    val js = Drift.jsBins(Tables.events(spark, sf)).collect()
+    assert(js.nonEmpty)
+    js.foreach { r =>
+      val t = r.getAs[Double]("js_term")
+      assert(t >= -1e-6, r.toString) // rounding can dip a true 0 to -0.0
+      assert(t <= math.log(2.0), r.toString)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("char classes partition the document exactly") {
+    val cc = SparkEntry.queries("doc_char_classes")(spark, sf).collect()
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      val total = r.getAs[Int]("n_letters") + r.getAs[Int]("n_digits") +
+        r.getAs[Int]("n_spaces") + r.getAs[Int]("n_punct") + r.getAs[Int]("n_other")
+      assert(total == r.getAs[Int]("n_chars2"), r.toString)
+      assert(r.getAs[Int]("n_other") >= 0, r.toString)
+    }
+  }
+}
