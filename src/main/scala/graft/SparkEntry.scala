@@ -77,6 +77,7 @@ object SparkEntry {
     (ext.Uplift.queries, ext.Uplift.oracleSql),
     (ext.Survival.queries, ext.Survival.oracleSql),
     (ext.Sq8.queries, ext.Sq8.oracleSql),
+    (ext.Bootstrap.queries, ext.Bootstrap.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)

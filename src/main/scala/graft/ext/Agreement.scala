@@ -62,6 +62,21 @@ object Agreement {
         expr("CAST(_knum div _kden AS BIGINT)").as("kappa_ppm"))
   }
 
+  /** McNemar's test for PAIRED binary outcomes — "did the two raters
+    * (or model versions) disagree symmetrically?": only the discordant
+    * cells matter, χ² = (n10 − n01)²/(n10 + n01), emitted as an exact
+    * integer ×10⁶ (the squared difference is ≤ n², rides decimal).
+    * Same one-aggregate shape as kappa.
+    */
+  def mcnemar(data: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    data.select(raterA.cast("int").as("a"), raterB.cast("int").as("b"))
+      .agg(sum(col("a") * (lit(1) - col("b"))).as("n10"),
+        sum((lit(1) - col("a")) * col("b")).as("n01"))
+      .select(col("n10"), col("n01"),
+        expr("""CAST((n10 - n01) * CAST(n10 - n01 AS DECIMAL(38,0)) * 1000000
+               div greatest(n10 + n01, 1L) AS BIGINT)""").as("mcnemar_x1e6"))
+  }
+
   val queries: Map[String, Q] = Map(
     // do "long by chars" and "long by tokens" agree on which documents
     // are long? (two deterministic raters over the documents table)
@@ -70,6 +85,15 @@ object Agreement {
         .select(col("doc_id"), col("n_chars"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       cohensKappa(docs, col("n_chars") >= 500, col("n_tokens") >= 80)
+    }),
+
+    // the paired-disagreement companion on the same two raters: is the
+    // char-rater systematically more generous than the token-rater?
+    "mcnemar_test" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      mcnemar(docs, col("n_chars") >= 500, col("n_tokens") >= 80)
     })
   )
 
@@ -98,6 +122,21 @@ object Agreement {
         |    // (CAST(n AS HUGEINT) * n
         |      - (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
         |      - (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) AS BIGINT) AS kappa_ppm
+        |FROM m""".stripMargin,
+
+    "mcnemar_test" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) >= 80 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01
+        |  FROM r)
+        |SELECT n10, n01,
+        |  CAST((n10 - n01) * CAST(n10 - n01 AS HUGEINT) * 1000000
+        |    // greatest(n10 + n01, 1) AS BIGINT) AS mcnemar_x1e6
         |FROM m""".stripMargin
   )
 }

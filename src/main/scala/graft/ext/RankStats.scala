@@ -70,6 +70,27 @@ object RankStats {
               col("s_rb").cast("double") * col("s_rb").cast("double"))), 6))
   }
 
+  /** Quantile normalization — map signal `fromCol` onto the empirical
+    * distribution of signal `ontoCol` (the cross-corpus feature
+    * alignment trick: after mapping, the two signals have IDENTICAL
+    * marginals). Rank both signals with the deterministic tie-broken
+    * two-phase scan and join on rank: row with the r-th smallest
+    * `from` value receives the r-th smallest `onto` value. Two range
+    * shuffles + one equi-join on the dense rank — exact integers
+    * throughout, no single-partition stage.
+    */
+  def quantileNormalize(data: DataFrame, idCol: String,
+                        fromCol: String, ontoCol: String): DataFrame = {
+    val ra = graft.ops.Offsets.globalPosition(
+      data.select(col(idCol), col(fromCol).as("v")),
+      Seq(col("v"), col(idCol)), "pos")
+    val rb = graft.ops.Offsets.globalPosition(
+        data.select(col(idCol), col(ontoCol).as("w")),
+        Seq(col("w"), col(idCol)), "pos")
+      .select(col("pos"), col("w").as("qnorm"))
+    ra.join(rb, "pos").select(col(idCol), col("v"), col("qnorm"))
+  }
+
   /** Mann–Whitney U for two samples keyed by a binary `variant` column:
     * pooled deterministic tie-broken ranks (1-based), then
     * `U_a = R_a − n_a(n_a+1)/2` — all exact integers (the same
@@ -107,6 +128,16 @@ object RankStats {
       ecdfNormalize(Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")),
 
+    // map each document's char count onto the token-count distribution
+    // — after this, "length in chars" is measured in token units
+    "quantile_normalize" -> ((s, dir) =>
+      quantileNormalize(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_chars", "n_tokens")
+        .withColumnRenamed("v", "n_chars")
+        .withColumnRenamed("qnorm", "qnorm_tokens")),
+
     // do longer documents carry more tokens? (rank correlation of the
     // two document size signals — a monotonicity check, near 1.0)
     "spearman_doc_signals" -> ((s, dir) =>
@@ -142,6 +173,23 @@ object RankStats {
         |SELECT doc_id, v,
         |  CASE WHEN n > 1 THEN pos * 1000000 // (n - 1) ELSE 0 END AS ecdf_ppm
         |FROM pos""".stripMargin,
+
+    "quantile_normalize" ->
+      """WITH sig AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ra AS (
+        |  SELECT doc_id, n_chars AS v,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+        |  FROM sig),
+        |rb AS (
+        |  SELECT row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS pos,
+        |    n_tokens AS qnorm
+        |  FROM sig)
+        |SELECT doc_id, v AS n_chars, qnorm AS qnorm_tokens
+        |FROM ra JOIN rb USING (pos)""".stripMargin,
 
     "spearman_doc_signals" ->
       """WITH sig AS (

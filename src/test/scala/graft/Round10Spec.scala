@@ -104,6 +104,49 @@ class Round10Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mcnemar: symmetric disagreement scores 0, one-sided disagreement grows with the gap") {
+    import spark.implicits._
+    val sym = Seq((1, 0), (0, 1), (1, 0), (0, 1), (1, 1)).toDF("a", "b")
+    val m1 = Agreement.mcnemar(sym, col("a") === 1, col("b") === 1).head()
+    assert(m1.getAs[Long]("mcnemar_x1e6") == 0L, m1.toString)
+    val oneSided = Seq((1, 0), (1, 0), (1, 0), (1, 0), (0, 0)).toDF("a", "b")
+    val m2 = Agreement.mcnemar(oneSided, col("a") === 1, col("b") === 1).head()
+    // b=4, c=0 → 16/4 = 4 → 4e6
+    assert(m2.getAs[Long]("mcnemar_x1e6") == 4000000L, m2.toString)
+  }
+
+  test("quantile normalization makes the mapped marginal identical to the target") {
+    import spark.implicits._
+    val data = Seq((1L, 1000L, 7L), (2L, 5L, 90L), (3L, 500L, 12L), (4L, 50L, 40L))
+      .toDF("id", "from_v", "onto_v")
+    val qn = ext.RankStats.quantileNormalize(data, "id", "from_v", "onto_v")
+      .collect()
+    // the multiset of qnorm values IS the multiset of onto values
+    assert(qn.map(_.getAs[Long]("qnorm")).sorted.toSeq == Seq(7L, 12L, 40L, 90L))
+    // rank preservation: the largest from_v (id 1) gets the largest onto
+    assert(qn.find(_.getAs[Long]("id") == 1L).get.getAs[Long]("qnorm") == 90L)
+    assert(qn.find(_.getAs[Long]("id") == 2L).get.getAs[Long]("qnorm") == 7L)
+    spark.catalog.clearCache()
+  }
+
+  test("poisson bootstrap: deterministic across runs, replicate sizes concentrate near n") {
+    import spark.implicits._
+    val data = (1 to 400).map(i => (i.toLong, 100L + (i % 7))).toDF("id", "cents")
+    val r1 = ext.Bootstrap.poissonBootstrapMeans(data, "id", "cents", reps = 20)
+      .orderBy("b").collect()
+    val r2 = ext.Bootstrap.poissonBootstrapMeans(data, "id", "cents", reps = 20)
+      .orderBy("b").collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    assert(r1.length == 20)
+    // Poisson(1) weights: E[n_eff] = 400, sd = 20 → all reps within 5 sd
+    r1.foreach { r =>
+      val n = r.getAs[Long]("n_eff")
+      assert(n > 300 && n < 500, r.toString)
+      val m = r.getAs[Long]("mean_cents")
+      assert(m >= 100 && m <= 106, r.toString)
+    }
+  }
+
   test("char classes partition the document exactly") {
     val cc = SparkEntry.queries("doc_char_classes")(spark, sf).collect()
     assert(cc.nonEmpty)
