@@ -255,7 +255,16 @@ object ScaleProbe {
       // stream, the keyed trigram window, the batched landmark BFS,
       // and the PQ+exact NDCG composition
       "contrastive_negative_sampling", "percentile_bands_hourly",
-      "session_trigrams", "graph_multi_source_bfs", "ann_ndcg_check"))
+      "session_trigrams", "graph_multi_source_bfs", "ann_ndcg_check",
+      // round-10 additions: the fused RangeRle route (vs the window
+      // form probed above), the 100-replicate Poisson bootstrap (the
+      // map-side explode must stay map-side), the double rank scan
+      // under quantile normalization, and the rank+10-row-window gains
+      // table. kappa/mcnemar/sq8/silhouette/js/char-classes are
+      // single-aggregate or dim-bounded scans — plan-trivially linear,
+      // left unprobed like table_checksum.
+      "rle_group_ranges_native", "bootstrap_poisson_means",
+      "quantile_normalize", "lift_gains_deciles"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

@@ -35,13 +35,22 @@ object Drift {
     * (first vs second half of the observed span), bin `cents` and
     * emit per-bin drift rows.
     */
+  /** The 1-row binning configuration (mid, mn, width) — in production
+    * a static baseline config; here derived from the batch table so
+    * the streaming monitor bins IDENTICALLY to the batch query.
+    */
+  private[graft] def binStats(events: DataFrame): DataFrame =
+    events.select(col("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .withColumn("mid", expr("t0 + (t1 - t0) div 2"))
+      .withColumn("width", expr(s"(mx - mn) div $bins + 1"))
+
   private def binned(events: DataFrame): DataFrame = {
     val v = events.select(col("ts_us"),
       round(col("value") * 100).cast("long").as("cents"))
-    val stats = v.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
-      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
-      .withColumn("mid", expr("t0 + (t1 - t0) div 2"))
-      .withColumn("width", expr(s"(mx - mn) div $bins + 1"))
+    val stats = binStats(events)
     v.crossJoin(broadcast(stats))
       .select(expr("(cents - mn) div width").as("bin"),
         when(col("ts_us") <= col("mid"), "a").otherwise("b").as("side"))
@@ -53,8 +62,15 @@ object Drift {
   /** (bin, n_a, n_b, share_a_ppm, share_b_ppm, psi_term) — PSI terms
     * per bin with share-level ε smoothing (floor 1 ppm); consumer sums.
     */
-  def psiBins(events: DataFrame): DataFrame = {
-    val b = binned(events)
+  def psiBins(events: DataFrame): DataFrame = psiFromBinned(binned(events))
+
+  /** The PSI term arithmetic over an already-binned (bin, n_a, n_b)
+    * table — shared by the batch query above and the STREAMING drift
+    * monitor (streaming/StreamingOps `streaming_drift_psi`), which
+    * produces the same binned counts incrementally and hands them here
+    * for the bounded-size share/term step.
+    */
+  private[graft] def psiFromBinned(b: DataFrame): DataFrame = {
     val tot = b.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     // Smoothing happens at the SHARE level (floor 1 ppm), not the count
     // level: `greatest(n,1)*1e6 div t` floors to 0 once t > 1e6 rows,

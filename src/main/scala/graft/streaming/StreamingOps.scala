@@ -607,8 +607,44 @@ object StreamingOps {
         col("latest.version").as("version"), col("latest.price_c").as("price_c"))
   }
 
+  /** Streaming distribution-drift monitor — the PSI face of the drift
+    * family run INCREMENTALLY: the (bin, side) counts accumulate in a
+    * streaming aggregation (complete mode; state = one row per
+    * occupied bin, bounded by the bin count), binned against a STATIC
+    * 1-row baseline config joined into the stream (in production the
+    * baseline is a config table; here derived from the same batch
+    * table so the result is comparable bit-for-bit to the batch
+    * `drift_psi_bins`, whose oracle this query reuses). The share/term
+    * arithmetic runs batch-side on the final bin table — the same
+    * bounded step [[graft.ext.Drift.psiFromBinned]] the batch query
+    * uses.
+    */
+  private def driftPsiToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sdrift_${System.nanoTime()}"
+    val stats = graft.ext.Drift.binStats(graft.Tables.events(spark, dir))
+      .withColumn("_k", lit(1))
+    val q = eventsStream(spark, dir)
+      .select(col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        lit(1).as("_k"))
+      .join(stats, "_k") // stream-static inner equi-join on the dummy key
+      .select(expr("(cents - mn) div width").as("bin"),
+        when(col("ts_us") <= col("mid"), 1L).otherwise(0L).as("is_a"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_a")).as("n_a"), sum(lit(1L) - col("is_a")).as("n_b"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.Drift.psiFromBinned(spark.table(name))
+  }
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    // incremental PSI drift: streamed (bin, side) counts + the batch
+    // share/term step, sharing drift_psi_bins' oracle
+    "streaming_drift_psi" -> ((s, dir) => driftPsiToCompletion(s, dir)),
 
     // incremental windowed counts + batch top-k finisher (see
     // topkWindowToCompletion for why the rank must not be in-stream)
@@ -861,6 +897,7 @@ object StreamingOps {
     // shares funnel_steps' first-match-join oracle verbatim
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
     "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
+    "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
     "streaming_checksum" -> graft.ops.Checksum.oracleSql("table_checksum"),
 
     // identical to the batch `sessionize` oracle — the flushed stream

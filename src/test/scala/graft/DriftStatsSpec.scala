@@ -26,14 +26,16 @@ class DriftStatsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 4L, 1000000L), r)
   }
 
-  test("PSI bins: epsilon smoothing and the exact 0.75·ln4 term") {
+  test("PSI bins: share-level 1 ppm smoothing and the exact (1-1e-6)·ln(1e6) term") {
     val got = ext.Drift.psiBins(driftEvents()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
       .sortBy(_._1)
     assert(got.length == 2, got.mkString(","))
-    // both sides: (0.75)·ln(4) rounded to 6 dp
-    assert(got(0) == (0L, 4L, 0L, 1.039721), got(0))
-    assert(got(1)._4 == 1.039721 && got(1)._2 == 0L && got(1)._3 == 4L, got(1))
+    // empty side floors at the 1 ppm SHARE (round-10: count-level ε
+    // floored to ln(0) past 1e6 rows/side): occupied share 1e6 ppm,
+    // empty share 1 ppm → (1e6−1)/1e6 · ln(1e6/1) = 13.815497 at 6 dp
+    assert(got(0) == (0L, 4L, 0L, 13.815497), got(0))
+    assert(got(1)._4 == 13.815497 && got(1)._2 == 0L && got(1)._3 == 4L, got(1))
   }
 
   test("chi-square cells: 2x2 hand-computed contributions") {
@@ -122,7 +124,7 @@ class DriftStatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got.map(_.getLong(1)).sum == 20L, got.mkString(","))
     got.foreach { r =>
-      assert(r.getDecimal(2).longValueExact() == 0L, r)
+      assert(r.getLong(2) == 0L, r) // BIGINT output since round 10
     }
     spark.catalog.clearCache()
   }

@@ -22,6 +22,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming PSI drift equals the batch drift_psi_bins bit for bit") {
+    val streamed = SparkEntry.queries("streaming_drift_psi")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ext.Drift.psiBins(Tables.events(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("CDC upsert with an EMPTY change feed serves the base unchanged (no missing-log throw)") {
     // craft a fixture whose orders have NO keys divisible by 10 — the
     // change-feed filter matches zero rows, foreachBatch never creates
