@@ -78,6 +78,7 @@ object SparkEntry {
     (ext.Survival.queries, ext.Survival.oracleSql),
     (ext.Sq8.queries, ext.Sq8.oracleSql),
     (ext.Bootstrap.queries, ext.Bootstrap.oracleSql),
+    (ext.CorpusStats.queries, ext.CorpusStats.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)

@@ -147,6 +147,35 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("corpus duplication rate counts repeated 10-grams exactly") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ") // 3 10-grams
+    val docs = Seq(
+      (1L, base, "crawl_a"),
+      (2L, base, "crawl_b"),                            // exact dup of 1
+      (3L, (20 to 30).map(i => s"u$i").mkString(" "), "crawl_a"))
+      .toDF("doc_id", "text", "source")
+    val r = ext.CorpusStats.duplicationRate(docs, 10).head()
+    // 3 + 3 + 2 grams total; distinct = 3 + 2 → 3 dups of 8
+    assert(r.getAs[Long]("n_grams") == 8L, r.toString)
+    assert(r.getAs[Long]("n_distinct") == 5L, r.toString)
+    assert(r.getAs[Long]("dup_ppm") == 375000L, r.toString)
+  }
+
+  test("source overlap jaccard: mirrored sources overlap fully, disjoint ones never pair") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "a"), (2L, base, "b"),                 // a and b mirror
+      (3L, (50 to 61).map(i => s"z$i").mkString(" "), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = ext.CorpusStats.sourceOverlap(docs, 10).collect()
+    assert(got.length == 1, got.mkString(","))          // only (a,b) share grams
+    val r = got.head
+    assert((r.getAs[String]("source_a"), r.getAs[String]("source_b")) == ("a", "b"))
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L, r.toString)
+  }
+
   test("char classes partition the document exactly") {
     val cc = SparkEntry.queries("doc_char_classes")(spark, sf).collect()
     assert(cc.nonEmpty)
