@@ -77,7 +77,51 @@ object Agreement {
                div greatest(n10 + n01, 1L) AS BIGINT)""").as("mcnemar_x1e6"))
   }
 
+  /** Fleiss' kappa for r = 3 binary raters — multi-rater agreement
+    * beyond chance, again as ONE exact integer rational. With per-item
+    * positive-counts n_i ∈ {0..3}, N items, and S = Σn_i:
+    *
+    *   A_i   = n_i² + (3−n_i)² − 3          (pairwise-agreement numerator)
+    *   kappa = (3N·ΣA − 2S² − 2(3N−S)²) / (18N² − 2S² − 2(3N−S)²)
+    *
+    * (derived by clearing Po = ΣA/(6N), Pe = (S² + (3N−S)²)/(9N²) over
+    * the common denominator 18N²). All terms are integer; products ride
+    * decimal(38,0); one truncating division lands kappa_ppm.
+    */
+  def fleissKappa3(data: DataFrame, r1: Column, r2: Column, r3: Column): DataFrame = {
+    data.select((r1.cast("int") + r2.cast("int") + r3.cast("int"))
+        .cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("pos")).as("s_pos"),
+        sum(col("pos") * col("pos")
+          + (lit(3L) - col("pos")) * (lit(3L) - col("pos")) - lit(3L)).as("sum_a"))
+      .select(col("n_items"), col("s_pos"), col("sum_a"),
+        expr("""CAST((3 * CAST(n_items AS DECIMAL(38,0)) * sum_a
+               - 2 * CAST(s_pos AS DECIMAL(38,0)) * s_pos
+               - 2 * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)
+                   * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos))
+               * 1000000
+               div (18 * CAST(n_items AS DECIMAL(38,0)) * n_items
+               - 2 * CAST(s_pos AS DECIMAL(38,0)) * s_pos
+               - 2 * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)
+                   * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos))
+               AS BIGINT)""").as("kappa_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // three deterministic "is this document substantial" raters:
+    // chars, tokens, distinct tokens — multi-rater agreement on the
+    // same curation question the two-rater kappa asks
+    "fleiss_kappa" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_uniq"))
+      fleissKappa3(docs, col("n_chars") >= 500, col("n_tokens") >= 80,
+        col("n_uniq") >= 60)
+    }),
+
     // do "long by chars" and "long by tokens" agree on which documents
     // are long? (two deterministic raters over the documents table)
     "cohens_kappa" -> ((s, dir) => {
@@ -98,6 +142,31 @@ object Agreement {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x != '')) >= 80 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(list_distinct(list_filter(
+        |        string_split_regex(text, '\s+'), x -> x != ''))) >= 60
+        |      THEN 1 ELSE 0 END) AS pos
+        |  FROM documents),
+        |m AS (
+        |  SELECT count(*) AS n_items,
+        |    CAST(sum(pos) AS BIGINT) AS s_pos,
+        |    CAST(sum(pos * pos + (3 - pos) * (3 - pos) - 3) AS BIGINT) AS sum_a
+        |  FROM r)
+        |SELECT n_items, s_pos, sum_a,
+        |  CAST((3 * CAST(n_items AS HUGEINT) * sum_a
+        |      - 2 * CAST(s_pos AS HUGEINT) * s_pos
+        |      - 2 * (3 * CAST(n_items AS HUGEINT) - s_pos)
+        |          * (3 * CAST(n_items AS HUGEINT) - s_pos)) * 1000000
+        |    // (18 * CAST(n_items AS HUGEINT) * n_items
+        |      - 2 * CAST(s_pos AS HUGEINT) * s_pos
+        |      - 2 * (3 * CAST(n_items AS HUGEINT) - s_pos)
+        |          * (3 * CAST(n_items AS HUGEINT) - s_pos)) AS BIGINT) AS kappa_ppm
+        |FROM m""".stripMargin,
+
     "cohens_kappa" ->
       """WITH r AS (
         |  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,

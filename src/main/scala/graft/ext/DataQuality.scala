@@ -88,6 +88,38 @@ object DataQuality {
   val queries: Map[String, Q] = Map(
     "dq_constraints" -> ((s, dir) => lineitemSuite(s, dir)),
 
+    // Referential-integrity audit across the FK chain — orphan child
+    // rows per relationship (the join-rot check a warehouse runs after
+    // every load). Each relationship is one LEFT ANTI join counted
+    // against the child total: anti-joins shuffle (or broadcast, for
+    // dimension parents) on the FK — never a full outer materialize.
+    // The testdata is consistent, so the pinned expectation is zero
+    // orphans — the query's value is that any ingest regression flips
+    // the ppm and fails the hash gate.
+    "dq_referential" -> ((s, dir) => {
+      def rel(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+        val total = child.agg(count(lit(1)).as("n_child"))
+        val orphans = child
+          .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        total.crossJoin(orphans) // 1-row × 1-row
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_orphans"),
+            expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+      }
+      rel("lineitem->orders",
+          Tables.lineitem(s, dir).select(col("l_orderkey")), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(rel("orders->customer",
+          Tables.orders(s, dir).select(col("o_custkey")), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .unionByName(rel("customer->nation",
+          Tables.customer(s, dir).select(col("c_nationkey")), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"))
+    }),
+
     // k-anonymity audit (privacy gating before a data release): every
     // quasi-identifier combination must describe ≥ k individuals;
     // groups below k are re-identification risks the release must
@@ -146,6 +178,37 @@ object DataQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_referential" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |  (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |    * 1000000 // (SELECT count(*) FROM lineitem) AS orphan_ppm
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |    * 1000000 // (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                       WHERE n.n_nationkey = c.c_nationkey)),
+        |  (SELECT count(*) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                       WHERE n.n_nationkey = c.c_nationkey))
+        |    * 1000000 // (SELECT count(*) FROM customer)""".stripMargin,
+
     "dq_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_n
         |FROM customer

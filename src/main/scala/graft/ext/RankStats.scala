@@ -91,6 +91,29 @@ object RankStats {
     ra.join(rb, "pos").select(col(idCol), col("v"), col("qnorm"))
   }
 
+  /** Gini coefficient of a nonnegative value column — revenue/activity
+    * concentration ("do 1% of users carry 60% of spend?"), the scalar
+    * the Pareto table summarizes. Rank form on the deterministic
+    * two-phase scan:
+    *
+    *   gini = (2·Σ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx),  ranks 1..n asc
+    *
+    * — integer-exact ppm; the rank-weighted sum rides decimal(38,0)
+    * (rank·x tops 2⁶³ beyond ~10⁶ rows × 10⁷ cents). One range
+    * shuffle + one aggregate.
+    */
+  def giniCoefficient(data: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val pos = graft.ops.Offsets.globalPosition(
+      data.select(col(idCol), col(valueCol).as("x")),
+      Seq(col("x"), col(idCol)), "pos")
+    pos.agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+        sum((col("pos") + 1).cast("decimal(38,0)") * col("x")).as("_rx"))
+      .select(col("n"), col("sum_x"),
+        expr("""CAST((2 * _rx - (n + 1) * CAST(sum_x AS DECIMAL(38,0)))
+               * 1000000 div (CAST(n AS DECIMAL(38,0)) * sum_x)
+               AS BIGINT)""").as("gini_ppm"))
+  }
+
   /** Mann–Whitney U for two samples keyed by a binary `variant` column:
     * pooled deterministic tie-broken ranks (1-based), then
     * `U_a = R_a − n_a(n_a+1)/2` — all exact integers (the same
@@ -127,6 +150,14 @@ object RankStats {
     "ecdf_normalize" -> ((s, dir) =>
       ecdfNormalize(Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")),
+
+    // how concentrated is purchase revenue across users?
+    "gini_coefficient" -> ((s, dir) =>
+      giniCoefficient(
+        Tables.events(s, dir).where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "user_id", "cents")),
 
     // map each document's char count onto the token-count distribution
     // — after this, "length in chars" is measured in token units
@@ -173,6 +204,24 @@ object RankStats {
         |SELECT doc_id, v,
         |  CASE WHEN n > 1 THEN pos * 1000000 // (n - 1) ELSE 0 END AS ecdf_ppm
         |FROM pos""".stripMargin,
+
+    "gini_coefficient" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (
+        |  SELECT cents AS x,
+        |    row_number() OVER (ORDER BY cents, user_id) AS rnk
+        |  FROM u),
+        |m AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(CAST(rnk AS HUGEINT) * x) AS HUGEINT) AS rx
+        |  FROM r)
+        |SELECT n, sum_x,
+        |  CAST((2 * rx - (n + 1) * CAST(sum_x AS HUGEINT)) * 1000000
+        |    // (CAST(n AS HUGEINT) * sum_x) AS BIGINT) AS gini_ppm
+        |FROM m""".stripMargin,
 
     "quantile_normalize" ->
       """WITH sig AS (

@@ -147,6 +147,34 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("fleiss kappa: unanimous raters score 1e6, coin-flip-ish patterns score near 0") {
+    import spark.implicits._
+    val unanimous = Seq((1, 1, 1), (0, 0, 0), (1, 1, 1), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val k1 = Agreement.fleissKappa3(unanimous,
+      col("a") === 1, col("b") === 1, col("c") === 1).head()
+    assert(k1.getAs[Long]("kappa_ppm") == 1000000L, k1.toString)
+    // every item gets exactly 2/3 positives → all pairwise agreement is
+    // the chance level's neighborhood; kappa must be well below 1
+    val twoOfThree = Seq((1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 0))
+      .toDF("a", "b", "c")
+    val k2 = Agreement.fleissKappa3(twoOfThree,
+      col("a") === 1, col("b") === 1, col("c") === 1).head()
+    assert(k2.getAs[Long]("kappa_ppm") < 250000L, k2.toString)
+  }
+
+  test("gini: equal values give 0, total concentration gives (n-1)/n") {
+    import spark.implicits._
+    val equal = (1 to 10).map(i => (i.toLong, 500L)).toDF("id", "cents")
+    val g1 = ext.RankStats.giniCoefficient(equal, "id", "cents").head()
+    assert(g1.getAs[Long]("gini_ppm") == 0L, g1.toString)
+    val concentrated = ((1 to 9).map(i => (i.toLong, 0L)) :+ (10L, 1000L))
+      .toDF("id", "cents")
+    val g2 = ext.RankStats.giniCoefficient(concentrated, "id", "cents").head()
+    assert(g2.getAs[Long]("gini_ppm") == 900000L, g2.toString) // (n−1)/n = 0.9
+    spark.catalog.clearCache()
+  }
+
   test("corpus duplication rate counts repeated 10-grams exactly") {
     import spark.implicits._
     val base = (1 to 12).map(i => s"w$i").mkString(" ") // 3 10-grams
