@@ -402,6 +402,23 @@ object GraphOps {
           max(col("dist")).as("ecc_at_2"))
     }),
 
+    // harmonic centrality (hop-budgeted) per landmark: Σ 1/dist over
+    // reached nodes as an exact integer ×1e6 — the centrality variant
+    // that handles disconnection natively (unreached nodes contribute
+    // 0, no infinite closeness denominators). Same frontier chain as
+    // the eccentricity rollup, one different final aggregate.
+    "graph_harmonic_landmarks" -> ((s, dir) => {
+      val seeds = Tables.part(s, dir)
+        .orderBy(md5(col("p_partkey").cast("string")), col("p_partkey"))
+        .limit(8)
+        .select(col("p_partkey").cast("long").as("src"))
+      multiSourceBfsStamped(copurchaseEdges(s, dir), seeds, maxHops = 2)._1
+        .groupBy(col("src"))
+        .agg(sum(when(col("dist") > 0, lit(1L)).otherwise(0L)).as("n_reached"),
+          sum(when(col("dist") > 0, expr("1000000 div dist")).otherwise(0L))
+            .as("harmonic_x1e6"))
+    }),
+
     // 3-round deterministic LPA communities over the same graph
     "graph_label_propagation" -> ((s, dir) =>
       labelPropagation(copurchaseEdges(s, dir), rounds = 3)),
@@ -527,6 +544,36 @@ object GraphOps {
         |  UNION ALL SELECT src, node_id, 2 FROM n2)
         |SELECT src, count(*) AS n_reached,
         |  CAST(max(dist) AS BIGINT) AS ecc_at_2
+        |FROM all_d GROUP BY src""".stripMargin,
+
+    // same frontier chain, harmonic rollup (Σ 1e6 // dist, dist > 0)
+    "graph_harmonic_landmarks" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |s AS (SELECT CAST(p_partkey AS BIGINT) AS src FROM part
+        |      ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 8),
+        |d0 AS (SELECT src, src AS node_id FROM s),
+        |n1 AS (SELECT DISTINCT d.src, e.v AS node_id
+        |       FROM e JOIN d0 d ON e.u = d.node_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.src = d.src AND x.node_id = e.v)),
+        |n2 AS (SELECT DISTINCT n.src, e.v AS node_id
+        |       FROM e JOIN n1 n ON e.u = n.node_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.src = n.src AND x.node_id = e.v)
+        |         AND NOT EXISTS (SELECT 1 FROM n1 y
+        |         WHERE y.src = n.src AND y.node_id = e.v)),
+        |all_d AS (
+        |  SELECT src, node_id, CAST(0 AS BIGINT) AS dist FROM d0
+        |  UNION ALL SELECT src, node_id, 1 FROM n1
+        |  UNION ALL SELECT src, node_id, 2 FROM n2)
+        |SELECT src,
+        |  CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+        |  CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END) AS BIGINT) AS harmonic_x1e6
         |FROM all_d GROUP BY src""".stripMargin,
 
     // 3 unrolled synchronized rounds; per-node argmax = row_number over

@@ -268,6 +268,45 @@ object Sampling {
         .agg(count(lit(1)).as("n_after"))
     }),
 
+    // Distribution matching by importance resampling — make every
+    // source's LENGTH distribution match the reference source's (the
+    // domain-matching step that stops a web-scrape source from skewing
+    // the length mix): 10 equi-width length bins, reference = the
+    // largest source, per-(source, bin) keep probability
+    // min(1, ref_share/src_share) as exact ppm, acceptance by the same
+    // 16-bit md5 bucket rule as mixture_fixed_weights. Emits the
+    // per-cell audit (n_cell, keep_ppm, n_kept). All thresholds ride a
+    // bins×sources broadcast; the corpus is touched by one binning
+    // projection and one filtered count.
+    "length_match_resample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val st = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .withColumn("width", expr("(mx - mn) div 10 + 1"))
+      val binned = docs.crossJoin(broadcast(st))
+        .select(col("doc_id"), col("source"),
+          expr("(n_chars - mn) div width").as("bin"),
+          hashBucket(col("doc_id")).as("bucket"))
+      val cells = binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_cell"))
+      val tots = cells.groupBy(col("source")).agg(sum(col("n_cell")).as("n_src"))
+      val shares = cells.join(broadcast(tots), "source")
+        .withColumn("share_ppm", expr("n_cell * 1000000 div n_src"))
+      val target = tots.orderBy(col("n_src").desc, col("source")).limit(1)
+        .select(col("source").as("_tsrc"))
+      val tgt = shares.join(broadcast(target), col("source") === col("_tsrc"))
+        .select(col("bin"), col("share_ppm").as("tgt_ppm"))
+      val keep = shares.join(broadcast(tgt), Seq("bin"), "left")
+        .select(col("source"), col("bin"), col("n_cell"),
+          least(lit(1000000L),
+            expr("coalesce(tgt_ppm, 0L) * 1000000 div greatest(share_ppm, 1L)"))
+            .as("keep_ppm"))
+      binned.join(broadcast(keep), Seq("source", "bin"))
+        .where(col("bucket") * 1000000 < col("keep_ppm") * 65536)
+        .groupBy(col("source"), col("bin"), col("n_cell"), col("keep_ppm"))
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
     // Deterministic corpus shuffle: the pre-training permutation as a
     // stable position in md5 order — same engine-portable hash, computed
     // by the two-phase distributed scan (no single-partition stage).
@@ -369,6 +408,37 @@ object Sampling {
         |SELECT r.lang, q.quota, r.rank, r.doc_id
         |FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rank <= q.quota""".stripMargin,
+    "length_match_resample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |st AS (SELECT min(n_chars) AS mn,
+        |    (max(n_chars) - min(n_chars)) // 10 + 1 AS width FROM d),
+        |b AS (
+        |  SELECT doc_id, source, (n_chars - mn) // width AS bin,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS bucket
+        |  FROM d, st),
+        |cells AS (SELECT source, bin, count(*) AS n_cell FROM b GROUP BY 1, 2),
+        |tots AS (SELECT source, CAST(sum(n_cell) AS BIGINT) AS n_src
+        |         FROM cells GROUP BY source),
+        |shares AS (
+        |  SELECT c.source, c.bin, c.n_cell,
+        |    c.n_cell * 1000000 // t.n_src AS share_ppm
+        |  FROM cells c JOIN tots t ON t.source = c.source),
+        |tgt AS (
+        |  SELECT s.bin, s.share_ppm AS tgt_ppm FROM shares s
+        |  WHERE s.source = (SELECT source FROM tots
+        |                    ORDER BY n_src DESC, source LIMIT 1)),
+        |keep AS (
+        |  SELECT s.source, s.bin, s.n_cell,
+        |    least(1000000, coalesce(t.tgt_ppm, 0) * 1000000
+        |      // greatest(s.share_ppm, 1)) AS keep_ppm
+        |  FROM shares s LEFT JOIN tgt t ON t.bin = s.bin)
+        |SELECT b.source, b.bin, k.n_cell,
+        |  CAST(k.keep_ppm AS BIGINT) AS keep_ppm, count(*) AS n_kept
+        |FROM b JOIN keep k ON k.source = b.source AND k.bin = b.bin
+        |WHERE b.bucket * 1000000 < k.keep_ppm * 65536
+        |GROUP BY b.source, b.bin, k.n_cell, k.keep_ppm""".stripMargin,
+
     "mixture_fixed_weights" ->
       """WITH by_source AS (
         |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),

@@ -47,9 +47,31 @@ object Sq8 {
         max(abs(col("x") - col("recon"))).as("max_abs_err"))
   }
 
+  /** Upper-triangular second-moment table of the embedding corpus —
+    * the input to covariance/whitening/PCA preprocessing: per dim pair
+    * (i ≤ j), exact integer (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ) on the 1e3 grid
+    * (cov = Σxᵢxⱼ/n − ΣxᵢΣxⱼ/n² downstream). The pair expansion is a
+    * NESTED EXPLODE over each vector's own array — map-side only, no
+    * self-join — and partial aggregation shrinks the shuffle to
+    * d(d+1)/2 rows per task regardless of corpus size. Σxᵢxⱼ stays in
+    * int64 to ~10¹² rows at |x| ≤ 2e3.
+    */
+  def covarianceMoments(vectors: DataFrame): DataFrame = {
+    vectors.select(quantize(col("embedding")).as("qv"))
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(expr("slice(qv, i + 1, size(qv) - i)")).as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"), col("xi"), col("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s_i"),
+        sum(col("xj")).as("s_j"), sum(col("xi") * col("xj")).as("s_ij"))
+  }
+
   val queries: Map[String, Q] = Map(
     "embedding_sq8_stats" -> ((s, dir) =>
-      sq8DimStats(Tables.embeddings(s, dir)))
+      sq8DimStats(Tables.embeddings(s, dir))),
+    "embedding_covariance" -> ((s, dir) =>
+      covarianceMoments(Tables.embeddings(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -67,6 +89,22 @@ object Sq8 {
         |SELECT dim, min(mn_q) AS mn_q, min(mx_q) AS mx_q, count(*) AS n,
         |  CAST(sum(abs(x - (mn_q + c * (mx_q - mn_q) // 255))) AS BIGINT) AS sum_abs_err,
         |  CAST(max(abs(x - (mn_q + c * (mx_q - mn_q) // 255))) AS BIGINT) AS max_abs_err
-        |FROM e GROUP BY dim""".stripMargin
+        |FROM e GROUP BY dim""".stripMargin,
+
+    "embedding_covariance" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT ti.i - 1 AS i, tj.j - 1 AS j, qv[ti.i] AS xi, qv[tj.j] AS xj
+        |  FROM q,
+        |    UNNEST(generate_series(1, len(qv))) AS ti(i),
+        |    UNNEST(generate_series(1, len(qv))) AS tj(j)
+        |  WHERE tj.j >= ti.i)
+        |SELECT i, j, count(*) AS n,
+        |  CAST(sum(xi) AS BIGINT) AS s_i, CAST(sum(xj) AS BIGINT) AS s_j,
+        |  CAST(sum(xi * xj) AS BIGINT) AS s_ij
+        |FROM p GROUP BY i, j""".stripMargin
   )
 }

@@ -161,6 +161,34 @@ object TextAnalysis {
     // BPE-ish token counting: letter runs, single digits, and punctuation
     // as separate tokens (the shape of GPT-style pre-tokenizers), via a
     // regex restricted to constructs Java and RE2 interpret identically.
+    // Confusion matrix of the heuristic lang-ID against the table's
+    // labeled `lang` column — the evaluation artifact a classifier
+    // ships with: per (actual, predicted) cell counts plus each cell's
+    // share of its actual-language row (the per-class recall readout,
+    // integer ppm). One grouped count + a lang-keyed margin join.
+    "langid_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("_padded", concat(lit(" "), col("text"), lit(" ")))
+      def score(kws: Seq[String]): Column =
+        kws.map(occurrences).reduce(_ + _)
+      val en = score(Seq(" the ", " and ", " of "))
+      val de = score(Seq(" der ", " und ", " die "))
+      val fr = score(Seq(" le ", " et ", " la "))
+      val es = score(Seq(" el ", " y ", " los "))
+      val guessed = docs.select(col("lang"),
+        when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("lang_guess"))
+      val cells = guessed.groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+      cells.join(broadcast(rowTot), "lang")
+        .select(col("lang"), col("lang_guess"), col("n"),
+          expr("n * 1000000 div row_n").as("row_share_ppm"))
+    }),
+
     "text_bpe_tokens" -> ((s, dir) => {
       val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
       Tables.documents(s, dir).select(
@@ -408,6 +436,35 @@ object TextAnalysis {
         |       WHEN s_es > 0 THEN 'es'
         |       ELSE 'und' END AS lang_guess
         |FROM s""".stripMargin,
+    "langid_confusion" ->
+      """WITH p AS (SELECT lang, ' ' || text || ' ' AS pad FROM documents),
+        |s AS (SELECT lang,
+        |  (length(pad) - length(replace(pad, ' the ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' and ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' of ', ''))) / 4 AS s_en,
+        |  (length(pad) - length(replace(pad, ' der ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' und ', ''))) / 5
+        |    + (length(pad) - length(replace(pad, ' die ', ''))) / 5 AS s_de,
+        |  (length(pad) - length(replace(pad, ' le ', ''))) / 4
+        |    + (length(pad) - length(replace(pad, ' et ', ''))) / 4
+        |    + (length(pad) - length(replace(pad, ' la ', ''))) / 4 AS s_fr,
+        |  (length(pad) - length(replace(pad, ' el ', ''))) / 4
+        |    + (length(pad) - length(replace(pad, ' y ', ''))) / 3
+        |    + (length(pad) - length(replace(pad, ' los ', ''))) / 5 AS s_es
+        |  FROM p),
+        |g AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_guess
+        |  FROM s),
+        |c AS (SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY lang)
+        |SELECT c.lang, c.lang_guess, c.n,
+        |  c.n * 1000000 // t.row_n AS row_share_ppm
+        |FROM c JOIN t ON t.lang = c.lang""".stripMargin,
+
     // list_sum(BIGINT) yields HUGEINT in DuckDB — cast the final value
     // back to BIGINT so the dtype matches Spark's int64
     "doc_fingerprint" ->

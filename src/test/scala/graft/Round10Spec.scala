@@ -204,6 +204,55 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getAs[Long]("jaccard_ppm") == 1000000L, r.toString)
   }
 
+  test("harmonic landmark rollup: path graph scores 1/1 + 1/2") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("src")
+    val (bfs, done) = ext.GraphOps.multiSourceBfsStamped(edges, seeds, maxHops = 2)
+    val h = bfs.groupBy(col("src"))
+      .agg(sum(when(col("dist") > 0, expr("1000000 div dist")).otherwise(0L))
+        .as("harmonic_x1e6")).head()
+    assert(h.getAs[Long]("harmonic_x1e6") == 1500000L, h.toString)
+    done()
+  }
+
+  test("covariance moments: hand-computed 2-dim corpus") {
+    import spark.implicits._
+    // qv rows: (1000, 2000) and (3000, 4000) after 1e3 quantization
+    val vecs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val m = ext.Sq8.covarianceMoments(vecs).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
+        (r.getAs[Long]("s_i"), r.getAs[Long]("s_j"), r.getAs[Long]("s_ij")))).toMap
+    assert(m((0, 0)) == ((4000L, 4000L, 10000000L)), m.toString)   // 1e6+9e6
+    assert(m((0, 1)) == ((4000L, 6000L, 14000000L)), m.toString)   // 2e6+12e6
+    assert(m((1, 1)) == ((6000L, 6000L, 20000000L)), m.toString)   // 4e6+16e6
+    assert(m.size == 3)
+  }
+
+  test("langid confusion: row shares of each actual language sum to ~1e6") {
+    val cc = SparkEntry.queries("langid_confusion")(spark, sf).collect()
+    assert(cc.nonEmpty)
+    cc.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val s = rows.map(_.getAs[Long]("row_share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$lang: $s")
+    }
+  }
+
+  test("length matching: the reference source keeps everything, others never exceed their cell") {
+    val r = SparkEntry.queries("length_match_resample")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_cell"), row.toString)
+    }
+    // at least one source is the reference: keep_ppm = 1e6 everywhere it appears
+    val full = r.filter(_.getAs[Long]("keep_ppm") == 1000000L)
+    assert(full.nonEmpty)
+    full.foreach { row =>
+      assert(row.getAs[Long]("n_kept") == row.getAs[Long]("n_cell"), row.toString)
+    }
+  }
+
   test("char classes partition the document exactly") {
     val cc = SparkEntry.queries("doc_char_classes")(spark, sf).collect()
     assert(cc.nonEmpty)
