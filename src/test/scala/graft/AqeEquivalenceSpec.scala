@@ -23,7 +23,10 @@ class AqeEquivalenceSpec extends AnyFunSuite {
 
   test("AQE on/off produces identical rows for the plan-sensitive operators") {
     val targets = Seq("winsorize_by_group", "rfm_segments",
-      "growth_accounting", "graph_hits", "grouped_median_exact")
+      "growth_accounting", "graph_hits", "grouped_median_exact",
+      // round-10 position-scan consumers: deciles and ranks must not
+      // shift if AQE coalesces the range exchange differently
+      "lift_gains_deciles", "gini_coefficient", "quantile_normalize")
     val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       val withAqe = targets.map(n => n -> rows(n)).toMap
