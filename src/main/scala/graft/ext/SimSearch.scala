@@ -190,6 +190,19 @@ object SimSearch {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
+
+    // Embedding-space outlier scores — the noisy-sample/contamination
+    // screen (SemDedup's pruning criterion inverted): a vector whose
+    // 5th-nearest neighbor is FAR (low dot) sits in no semantic
+    // cluster. Exact for the bounded audit set (vec_id < 50) via the
+    // brute-force heap operator; the corpus-wide scale path is the IVF
+    // shortlist feeding the same rank-5 selection.
+    "embedding_outlier_score" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
+        .where(col("rank") === 5)
+        .select(col("q_id").as("vec_id"), col("dot_q").as("knn5_dot_q"))
+    }),
     // Banded sign-LSH ANN (xxhash64-seeded hyperplanes → rows-only;
     // the oracled `ann_lsh_recall` companion below is the driver
     // guard). Planes per band scale with log2(corpus) so candidate
@@ -283,6 +296,20 @@ object SimSearch {
         |  c_id, dot_q
         |FROM d
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin,
+    // the 5th-NN similarity per audit vector (rank 5 of the same
+    // brute-force program) — low dot = embedding-space outlier
+    "embedding_outlier_score" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id)
+        |SELECT q_id AS vec_id, dot_q AS knn5_dot_q
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) = 5""".stripMargin,
+
     // same contract as ann_ivf_recall below: the oracle reproduces
     // n_exact with its own brute-force top-k and PINS meets_floor —
     // DuckDB cannot run the xxhash64-seeded LSH, so the approximate

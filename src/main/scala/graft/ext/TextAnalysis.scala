@@ -232,6 +232,24 @@ object TextAnalysis {
         .select(col("token_id"), col("token"), col("tf_total"), col("df"))
     }),
 
+    // Frequency-of-frequencies spectrum of the vocabulary — the
+    // Zipf/Heaps audit (how many tokens occur exactly k times) that
+    // decides vocabulary truncation and smoothing mass (Good–Turing's
+    // N_k): two keyed aggregates, the second over vocabulary-sized
+    // input with distinct-count-bounded output, plus each row's share
+    // of the vocabulary as exact ppm.
+    "vocab_spectrum" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val spec = counts.groupBy(col("tf").as("occurrences"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val tot = spec.agg(sum(col("n_tokens")).as("vocab_n"))
+      spec.crossJoin(broadcast(tot))
+        .select(col("occurrences"), col("n_tokens"),
+          expr("n_tokens * 1000000 div vocab_n").as("vocab_share_ppm"))
+    }),
+
     // Heavy hitters over the token stream via the Misra–Gries
     // TypedImperativeAggregate: ≤ k counters per partial cross the
     // shuffle however large the vocabulary — the bounded-memory
@@ -480,6 +498,19 @@ object TextAnalysis {
         |SELECT ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id,
         |  token, count(*) AS tf_total, count(DISTINCT doc_id) AS df
         |FROM p GROUP BY token""".stripMargin,
+    "vocab_spectrum" ->
+      """WITH p AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS tf FROM p GROUP BY token),
+        |s AS (SELECT tf AS occurrences, count(*) AS n_tokens
+        |      FROM c GROUP BY tf),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS vocab_n FROM s)
+        |SELECT occurrences, n_tokens,
+        |  n_tokens * 1000000 // vocab_n AS vocab_share_ppm
+        |FROM s, t""".stripMargin,
+
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
