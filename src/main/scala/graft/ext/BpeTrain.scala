@@ -200,19 +200,39 @@ object BpeTrain {
     // weighted prefix sum via the distributed two-phase scan, shard =
     // cum div budget). The oracle composes the BPE chain's t5 with the
     // same pack windows — one WITH, no drift between the pieces.
-    "pipeline_tokenize_pack" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val counts = bpeApplyStream(docs, rounds = 5)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val perDoc = docs.select(col("doc_id"))
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"))
-      graft.ops.Offsets.globalWeightedPrefix(perDoc,
-          Seq(md5(col("doc_id").cast("string")), col("doc_id")),
-          "n_tokens", "cum_tokens")
-        .withColumn("shard_id", expr("cum_tokens div 2000"))
-    })
+    "pipeline_tokenize_pack" -> ((s, dir) =>
+      tokenizePack(Tables.documents(s, dir))),
+
+    // Packing-efficiency audit of the same pipeline: per shard, how
+    // many documents landed, their token total, and the fill as ppm of
+    // the 2000-token budget — the utilization readout that tells a
+    // training run whether its shard packing wastes context windows.
+    // Straddling documents (assigned by their STARTING offset) can
+    // push a shard past 100% and leave the next under — exactly what
+    // the audit is for. Shard-bounded rollup of the pack table.
+    "pack_fill_audit" -> ((s, dir) =>
+      tokenizePack(Tables.documents(s, dir))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .select(col("shard_id"), col("n_docs"), col("tokens"),
+          expr("tokens * 1000000 div 2000").as("fill_ppm")))
   )
+
+  /** The shared tokenize→pack chain: per-doc SUBWORD counts from the
+    * trained tokenizer, zero-filled, md5-shuffled, weighted-prefix
+    * packed into 2000-token shards.
+    */
+  private def tokenizePack(docs: DataFrame): DataFrame = {
+    val counts = bpeApplyStream(docs, rounds = 5)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val perDoc = docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"))
+    graft.ops.Offsets.globalWeightedPrefix(perDoc,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        "n_tokens", "cum_tokens")
+      .withColumn("shard_id", expr("cum_tokens div 2000"))
+  }
 
   /** One unrolled CTE round of the identical program. */
   private def roundSql(r: Int): String = {
@@ -279,6 +299,24 @@ object BpeTrain {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
       |  FROM tt)
       |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 2000 AS shard_id FROM c""".stripMargin),
+
+    // the pack chain in a subquery, rolled up per shard
+    "pack_fill_audit" -> ("SELECT shard_id, count(*) AS n_docs, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS tokens, " +
+      "CAST(sum(n_tokens) AS BIGINT) * 1000000 // 2000 AS fill_ppm FROM (" +
+      coreCtes + """,
+      |cnt AS (SELECT doc_id, count(*) AS n FROM t5 GROUP BY doc_id),
+      |tt AS (
+      |  SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_tokens,
+      |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+      |  FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+      |  FROM tt)
+      |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 2000 AS shard_id FROM c
+      |) GROUP BY shard_id""".stripMargin),
 
     "bpe_train_merges" -> (coreCtes +
       "\nSELECT * FROM (" +
