@@ -91,6 +91,28 @@ object RankStats {
     ra.join(rb, "pos").select(col(idCol), col("v"), col("qnorm"))
   }
 
+  /** Recency-weighted (time-decayed) revenue per user with INTEGER
+    * half-life decay: weight = 2^(−age/halflife) realized as
+    * `1024 div 2^k` with k = age div halflife capped at 10 — a
+    * power-of-2 decay needs no transcendental, so the whole decayed
+    * score is hash-exact at the 1024 scale. The standard recency
+    * feature in ranking/churn models, minus the float drift. One
+    * 1-row broadcast ("now") + one user-keyed aggregate.
+    */
+  def timeDecayRevenue(events: DataFrame, halflifeDays: Int = 7): DataFrame = {
+    val hlUs = halflifeDays * 86400000000L
+    val now = events.agg(max(col("ts_us")).as("now_us"))
+    events.crossJoin(broadcast(now))
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        least(expr(s"(now_us - ts_us) div $hlUs"), lit(10L)).as("k"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents_total"),
+        sum(expr("cents * 1024 div shiftleft(1L, CAST(k AS INT))"))
+          .as("decayed_cents_x1024"))
+  }
+
   /** Gini coefficient of a nonnegative value column — revenue/activity
     * concentration ("do 1% of users carry 60% of spend?"), the scalar
     * the Pareto table summarizes. Rank form on the deterministic
@@ -151,6 +173,13 @@ object RankStats {
       ecdfNormalize(Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")),
 
+    // recency-weighted purchase value per user, 7-day half-life
+    "time_decay_revenue" -> ((s, dir) =>
+      timeDecayRevenue(
+        Tables.events(s, dir).where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("value")),
+        halflifeDays = 7)),
+
     // how concentrated is purchase revenue across users?
     "gini_coefficient" -> ((s, dir) =>
       giniCoefficient(
@@ -204,6 +233,21 @@ object RankStats {
         |SELECT doc_id, v,
         |  CASE WHEN n > 1 THEN pos * 1000000 // (n - 1) ELSE 0 END AS ecdf_ppm
         |FROM pos""".stripMargin,
+
+    "time_decay_revenue" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |n AS (SELECT max(ts_us) AS now_us FROM v),
+        |k AS (
+        |  SELECT user_id, cents,
+        |    least((now_us - ts_us) // 604800000000, 10) AS k
+        |  FROM v, n)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  CAST(sum(cents * 1024 // (1 << k)) AS BIGINT) AS decayed_cents_x1024
+        |FROM k GROUP BY user_id""".stripMargin,
 
     "gini_coefficient" ->
       """WITH u AS (
