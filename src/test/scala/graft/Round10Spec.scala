@@ -253,6 +253,30 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("plan pins: covariance never joins, bootstrap explode stays map-side, length-match joins broadcast") {
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      spark.catalog.clearCache()
+      p
+    }
+    // the nested-explode pair expansion must not plan any join at all
+    val cov = plan("embedding_covariance")
+    assert(!cov.contains("Join"), cov)
+    // Poisson bootstrap: the 100x explode is map-side; the only
+    // exchange is the replicate-keyed aggregate's
+    val boot = plan("bootstrap_poisson_means")
+    assert(!boot.contains("Join"), boot)
+    assert("Exchange".r.findAllIn(boot).length <= 2, boot) // partial/final agg pair
+    // distribution matching: every threshold-table join broadcasts —
+    // a sort-merge join against a bins-x-sources table would be wrong
+    val lm = plan("length_match_resample")
+    assert(!lm.contains("SortMergeJoin"), lm)
+    assert(lm.contains("BroadcastHashJoin"), lm)
+  }
+
   test("char classes partition the document exactly") {
     val cc = SparkEntry.queries("doc_char_classes")(spark, sf).collect()
     assert(cc.nonEmpty)
