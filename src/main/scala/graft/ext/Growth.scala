@@ -97,13 +97,64 @@ object Growth {
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check on the same md5 A/B split —
+    * experimentation QA step zero: a 50/50 split whose realized counts
+    * deviate beyond chance means the assignment (or logging) is broken
+    * and every downstream readout is invalid. χ² vs the expected even
+    * split as an exact integer ×10⁶:
+    * `Σ (2·nᵥ − N)² · 10⁶ div (2·N)` over the two variants
+    * (= Σ(nᵥ−N/2)²/(N/2) with the halves cleared). One 2-row
+    * aggregate; the verdict boolean pins χ² < 3.84·10⁶ (the 5% level).
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val variant = (expr("conv(substring(md5(cast(user_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 2).as("variant")
+    events.select(col("user_id")).distinct()
+      .select(variant)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_total"), col("n_a"), col("n_b"),
+        expr("""((2 * n_a - n_total) * CAST(2 * n_a - n_total AS DECIMAL(38,0))
+               + (2 * n_b - n_total) * CAST(2 * n_b - n_total AS DECIMAL(38,0)))
+               * 1000000 div (2 * CAST(n_total AS DECIMAL(38,0)))""")
+          .as("chi2_x1e6"))
+      .withColumn("srm_ok", col("chi2_x1e6") < 3841459L)
+  }
+
+  /** DAU/WAU stickiness per day — "what fraction of this week's users
+    * showed up today": daily actives joined against the trailing-7-day
+    * distinct actives, ratio as exact ppm. The weekly side reuses the
+    * daily distinct table exploded to the 7 days each activity covers
+    * (activity × 7 rows — bounded fan-out, map-side), so no distinct
+    * runs over a sliding window.
+    */
+  def dauWauStickiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "growth_accounting" ->
       ((s, dir) => growthAccounting(Tables.events(s, dir))),
     "cumulative_distinct_users" ->
       ((s, dir) => cumulativeUsers(Tables.events(s, dir))),
     "abtest_conversion" ->
-      ((s, dir) => abConversion(Tables.events(s, dir)))
+      ((s, dir) => abConversion(Tables.events(s, dir))),
+    "abtest_srm_check" ->
+      ((s, dir) => srmCheck(Tables.events(s, dir))),
+    "dau_wau_stickiness" ->
+      ((s, dir) => dauWauStickiness(Tables.events(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -131,6 +182,40 @@ object Growth {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
         |FROM j JOIN first_seen f ON f.user_id = j.user_id
         |GROUP BY j.week""".stripMargin,
+
+    "abtest_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) % 2 AS variant
+        |  FROM u),
+        |m AS (
+        |  SELECT count(*) AS n_total,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM v)
+        |SELECT n_total, n_a, n_b,
+        |  CAST(((2 * n_a - n_total) * CAST(2 * n_a - n_total AS HUGEINT)
+        |      + (2 * n_b - n_total) * CAST(2 * n_b - n_total AS HUGEINT))
+        |    * 1000000 // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) AS chi2_x1e6,
+        |  CAST(((2 * n_a - n_total) * CAST(2 * n_a - n_total AS HUGEINT)
+        |      + (2 * n_b - n_total) * CAST(2 * n_b - n_total AS HUGEINT))
+        |    * 1000000 // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) < 3841459
+        |    AS srm_ok
+        |FROM m""".stripMargin,
+
+    "dau_wau_stickiness" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day),
+        |wau AS (
+        |  SELECT d2.day, count(DISTINCT daily.user_id) AS wau
+        |  FROM daily, UNNEST(generate_series(daily.day, daily.day + 6)) AS d2(day)
+        |  GROUP BY d2.day)
+        |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     "cumulative_distinct_users" ->
       """WITH first_day AS (
