@@ -196,6 +196,21 @@ object Timeseries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Hour-of-day × day-of-week traffic fingerprint — the seasonality
+    // profile capacity planning and anomaly baselines start from: per
+    // (dow, hour) cell, the event count and its exact ppm share of the
+    // week grid. Pure epoch arithmetic (day 0 = Thursday, pinned), one
+    // map-side-combined aggregate + a 1-row total broadcast.
+    "seasonality_profile" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(expr("pmod(ts_us div 86400000000 + 4, 7)").as("dow"),
+          expr("pmod(ts_us, 86400000000) div 3600000000").as("hour"))
+        .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n"),
+          expr("n * 1000000 div n_total").as("share_ppm"))
+    }),
     // per-type CUSUM drift curves over the event stream, cent-resolution
     "changepoint_cusum" -> ((s, dir) =>
       cusum(
@@ -396,6 +411,17 @@ object Timeseries {
       |        JOIN gm g ON g.event_type = tr.event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "seasonality_profile" ->
+      """WITH v AS (SELECT epoch_us(ts) AS ts_us FROM events),
+        |c AS (
+        |  SELECT ((ts_us // 86400000000 + 4) % 7 + 7) % 7 AS dow,
+        |    (ts_us % 86400000000 + 86400000000) % 86400000000 // 3600000000 AS hour,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT dow, hour, n, n * 1000000 // n_total AS share_ppm
+        |FROM c, t""".stripMargin,
+
     "changepoint_cusum" ->
       """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
