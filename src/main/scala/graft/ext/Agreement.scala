@@ -53,13 +53,18 @@ object Agreement {
           | - (n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
           | - (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))""".stripMargin))
       .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+        expr("(n11 + n00) * 1000000 div greatest(n, 1L)").as("po_ppm"),
         expr("""CAST(((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
                + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))) * 1000000
-               div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("pe_ppm"),
+               div greatest(CAST(n AS DECIMAL(38,0)) * n, 1) AS BIGINT)""").as("pe_ppm"),
         // plain `div`: both engines truncate toward zero, so a
-        // negative kappa (worse than chance) divides identically
-        expr("CAST(_knum div _kden AS BIGINT)").as("kappa_ppm"))
+        // negative kappa (worse than chance) divides identically.
+        // Degenerate-input guard (round-10 advice): pe = 1 (both raters
+        // unanimous) zeroes the denominator, where Spark `div` yields
+        // NULL but DuckDB `//` hard-errors — pin the undefined case to
+        // an explicit NULL on BOTH sides instead of diverging.
+        expr("CASE WHEN _kden = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(_knum div _kden AS BIGINT) END").as("kappa_ppm"))
   }
 
   /** McNemar's test for PAIRED binary outcomes — "did the two raters
@@ -95,17 +100,21 @@ object Agreement {
         sum(col("pos")).as("s_pos"),
         sum(col("pos") * col("pos")
           + (lit(3L) - col("pos")) * (lit(3L) - col("pos")) - lit(3L)).as("sum_a"))
+      // same degenerate-input guard as cohensKappa: Pe = 1 (all items
+      // unanimous) zeroes the denominator — emit an explicit NULL on
+      // both sides rather than diverge (Spark div→NULL, DuckDB //→error)
+      .withColumn("_fden", expr(
+        """18 * CAST(n_items AS DECIMAL(38,0)) * n_items
+          | - 2 * CAST(s_pos AS DECIMAL(38,0)) * s_pos
+          | - 2 * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)
+          |     * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)""".stripMargin))
       .select(col("n_items"), col("s_pos"), col("sum_a"),
-        expr("""CAST((3 * CAST(n_items AS DECIMAL(38,0)) * sum_a
+        expr("""CASE WHEN _fden = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST((3 * CAST(n_items AS DECIMAL(38,0)) * sum_a
                - 2 * CAST(s_pos AS DECIMAL(38,0)) * s_pos
                - 2 * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)
                    * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos))
-               * 1000000
-               div (18 * CAST(n_items AS DECIMAL(38,0)) * n_items
-               - 2 * CAST(s_pos AS DECIMAL(38,0)) * s_pos
-               - 2 * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)
-                   * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos))
-               AS BIGINT)""").as("kappa_ppm"))
+               * 1000000 div _fden AS BIGINT) END""").as("kappa_ppm"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -156,16 +165,20 @@ object Agreement {
         |    CAST(sum(pos) AS BIGINT) AS s_pos,
         |    CAST(sum(pos * pos + (3 - pos) * (3 - pos) - 3) AS BIGINT) AS sum_a
         |  FROM r)
+        |, d AS (
+        |  SELECT *, 18 * CAST(n_items AS HUGEINT) * n_items
+        |      - 2 * CAST(s_pos AS HUGEINT) * s_pos
+        |      - 2 * (3 * CAST(n_items AS HUGEINT) - s_pos)
+        |          * (3 * CAST(n_items AS HUGEINT) - s_pos) AS fden
+        |  FROM m)
         |SELECT n_items, s_pos, sum_a,
-        |  CAST((3 * CAST(n_items AS HUGEINT) * sum_a
+        |  CASE WHEN fden = 0 THEN NULL
+        |  ELSE CAST((3 * CAST(n_items AS HUGEINT) * sum_a
         |      - 2 * CAST(s_pos AS HUGEINT) * s_pos
         |      - 2 * (3 * CAST(n_items AS HUGEINT) - s_pos)
         |          * (3 * CAST(n_items AS HUGEINT) - s_pos)) * 1000000
-        |    // (18 * CAST(n_items AS HUGEINT) * n_items
-        |      - 2 * CAST(s_pos AS HUGEINT) * s_pos
-        |      - 2 * (3 * CAST(n_items AS HUGEINT) - s_pos)
-        |          * (3 * CAST(n_items AS HUGEINT) - s_pos)) AS BIGINT) AS kappa_ppm
-        |FROM m""".stripMargin,
+        |    // fden AS BIGINT) END AS kappa_ppm
+        |FROM d""".stripMargin,
 
     "cohens_kappa" ->
       """WITH r AS (
@@ -180,18 +193,22 @@ object Agreement {
         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
         |  FROM r)
+        |, d AS (
+        |  SELECT *, CAST(n AS HUGEINT) * n
+        |      - (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+        |      - (n01 + n00) * CAST(n10 + n00 AS HUGEINT) AS kden
+        |  FROM m)
         |SELECT n, n11, n10, n01, n00,
-        |  (n11 + n00) * 1000000 // n AS po_ppm,
+        |  (n11 + n00) * 1000000 // greatest(n, 1) AS po_ppm,
         |  CAST(((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
         |      + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) * 1000000
-        |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
-        |  CAST((CAST(n AS HUGEINT) * (n11 + n00)
+        |    // greatest(CAST(n AS HUGEINT) * n, 1) AS BIGINT) AS pe_ppm,
+        |  CASE WHEN kden = 0 THEN NULL
+        |  ELSE CAST((CAST(n AS HUGEINT) * (n11 + n00)
         |      - (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
         |      - (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) * 1000000
-        |    // (CAST(n AS HUGEINT) * n
-        |      - (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
-        |      - (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) AS BIGINT) AS kappa_ppm
-        |FROM m""".stripMargin,
+        |    // kden AS BIGINT) END AS kappa_ppm
+        |FROM d""".stripMargin,
 
     "mcnemar_test" ->
       """WITH r AS (

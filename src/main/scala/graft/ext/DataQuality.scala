@@ -107,7 +107,10 @@ object DataQuality {
         total.crossJoin(orphans) // 1-row × 1-row
           .select(lit(name).as("relationship"), col("n_child"),
             col("n_orphans"),
-            expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+            // greatest guard (round-10 advice): an empty child table
+            // zeroes n_child — Spark div→NULL vs DuckDB //→error
+            expr("n_orphans * 1000000 div greatest(n_child, 1L)")
+              .as("orphan_ppm"))
       }
       rel("lineitem->orders",
           Tables.lineitem(s, dir).select(col("l_orderkey")), "l_orderkey",
@@ -187,7 +190,7 @@ object DataQuality {
         |  (SELECT count(*) FROM lineitem l
         |     WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                       WHERE o.o_orderkey = l.l_orderkey))
-        |    * 1000000 // (SELECT count(*) FROM lineitem) AS orphan_ppm
+        |    * 1000000 // greatest((SELECT count(*) FROM lineitem), 1) AS orphan_ppm
         |UNION ALL
         |SELECT 'orders->customer',
         |  (SELECT count(*) FROM orders),
@@ -197,7 +200,7 @@ object DataQuality {
         |  (SELECT count(*) FROM orders o
         |     WHERE NOT EXISTS (SELECT 1 FROM customer c
         |                       WHERE c.c_custkey = o.o_custkey))
-        |    * 1000000 // (SELECT count(*) FROM orders)
+        |    * 1000000 // greatest((SELECT count(*) FROM orders), 1)
         |UNION ALL
         |SELECT 'customer->nation',
         |  (SELECT count(*) FROM customer),
@@ -207,7 +210,7 @@ object DataQuality {
         |  (SELECT count(*) FROM customer c
         |     WHERE NOT EXISTS (SELECT 1 FROM nation n
         |                       WHERE n.n_nationkey = c.c_nationkey))
-        |    * 1000000 // (SELECT count(*) FROM customer)""".stripMargin,
+        |    * 1000000 // greatest((SELECT count(*) FROM customer), 1)""".stripMargin,
 
     "dq_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_n

@@ -115,9 +115,12 @@ object Growth {
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
       .select(col("n_total"), col("n_a"), col("n_b"),
+        // greatest(...,1) guard (round-10 advice): an empty input zeroes
+        // 2·N, where Spark div yields NULL but DuckDB // errors — the
+        // established mcnemar/bootstrap guard, mirrored in the oracle
         expr("""((2 * n_a - n_total) * CAST(2 * n_a - n_total AS DECIMAL(38,0))
                + (2 * n_b - n_total) * CAST(2 * n_b - n_total AS DECIMAL(38,0)))
-               * 1000000 div (2 * CAST(n_total AS DECIMAL(38,0)))""")
+               * 1000000 div greatest(2 * CAST(n_total AS DECIMAL(38,0)), 1)""")
           .as("chi2_x1e6"))
       .withColumn("srm_ok", col("chi2_x1e6") < 3841459L)
   }
@@ -198,11 +201,12 @@ object Growth {
         |SELECT n_total, n_a, n_b,
         |  CAST(((2 * n_a - n_total) * CAST(2 * n_a - n_total AS HUGEINT)
         |      + (2 * n_b - n_total) * CAST(2 * n_b - n_total AS HUGEINT))
-        |    * 1000000 // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) AS chi2_x1e6,
+        |    * 1000000 // greatest(2 * CAST(n_total AS HUGEINT), 1) AS BIGINT)
+        |    AS chi2_x1e6,
         |  CAST(((2 * n_a - n_total) * CAST(2 * n_a - n_total AS HUGEINT)
         |      + (2 * n_b - n_total) * CAST(2 * n_b - n_total AS HUGEINT))
-        |    * 1000000 // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) < 3841459
-        |    AS srm_ok
+        |    * 1000000 // greatest(2 * CAST(n_total AS HUGEINT), 1) AS BIGINT)
+        |    < 3841459 AS srm_ok
         |FROM m""".stripMargin,
 
     "dau_wau_stickiness" ->

@@ -49,18 +49,29 @@ object RankStats {
         data.select(col(idCol), col(bCol).as("b")),
         Seq(col("b"), col(idCol)), "rb")
       .select(col(idCol), col("rb"))
-    // rank² sums accumulate on decimal(38,0) (they pass 2⁶³ near 3e6
-    // docs on the SUMMAND side if longs overflowed mid-multiply), but
-    // the OUTPUT columns are cast back to BIGINT — at any testdata
-    // scale the totals fit with >100× headroom, and the driver's hash
-    // canonicalizes DECIMAL output columns differently from its value
-    // compare (round-9 finding: no DECIMAL in output schemas).
+    // rank² sums accumulate on decimal(38,0), but the OUTPUT columns
+    // are cast back to BIGINT (round-9 finding: no DECIMAL in output
+    // schemas). CEILING (round-10 advice): Σrank² ≈ n³/3 exceeds 2⁶³
+    // past ~3.0e6 joined rows — NOT a comfortable margin — and Spark's
+    // non-ANSI cast would wrap SILENTLY there while DuckDB's
+    // CAST(HUGEINT AS BIGINT) hard-errors. The checked cast below makes
+    // the Spark side fail as loudly as the oracle side: past the
+    // ceiling, rescale the signals (coarser rank buckets) upstream.
+    def checkedLong(c: String, name: String) =
+      when(abs(col(c)) > lit(Long.MaxValue).cast("decimal(38,0)"),
+        raise_error(lit(s"spearman: $name exceeds BIGINT (n ≳ 3e6 joined " +
+          "rows) — rescale the rank sums upstream")))
+        .otherwise(col(c).cast("long"))
     ra.join(rb, idCol)
       .agg(count(lit(1)).as("n"),
         sum(col("ra")).as("s_ra"), sum(col("rb")).as("s_rb"),
-        sum((col("ra") * col("rb")).cast("decimal(38,0)")).cast("long").as("s_rab"),
-        sum((col("ra") * col("ra")).cast("decimal(38,0)")).cast("long").as("s_ra2"),
-        sum((col("rb") * col("rb")).cast("decimal(38,0)")).cast("long").as("s_rb2"))
+        sum((col("ra") * col("rb")).cast("decimal(38,0)")).as("_rab"),
+        sum((col("ra") * col("ra")).cast("decimal(38,0)")).as("_ra2"),
+        sum((col("rb") * col("rb")).cast("decimal(38,0)")).as("_rb2"))
+      .select(col("n"), col("s_ra"), col("s_rb"),
+        checkedLong("_rab", "s_rab").as("s_rab"),
+        checkedLong("_ra2", "s_ra2").as("s_ra2"),
+        checkedLong("_rb2", "s_rb2").as("s_rb2"))
       .withColumn("spearman", round(
         (col("n").cast("double") * col("s_rab").cast("double") -
           col("s_ra").cast("double") * col("s_rb").cast("double")) /
@@ -131,8 +142,12 @@ object RankStats {
     pos.agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
         sum((col("pos") + 1).cast("decimal(38,0)") * col("x")).as("_rx"))
       .select(col("n"), col("sum_x"),
+        // greatest(...,1) guard (round-10 advice): an empty or all-zero
+        // input zeroes n·Σx, where Spark div yields NULL but DuckDB //
+        // errors — the established mcnemar/bootstrap guard, mirrored in
+        // the oracle
         expr("""CAST((2 * _rx - (n + 1) * CAST(sum_x AS DECIMAL(38,0)))
-               * 1000000 div (CAST(n AS DECIMAL(38,0)) * sum_x)
+               * 1000000 div greatest(CAST(n AS DECIMAL(38,0)) * sum_x, 1)
                AS BIGINT)""").as("gini_ppm"))
   }
 
@@ -264,7 +279,7 @@ object RankStats {
         |  FROM r)
         |SELECT n, sum_x,
         |  CAST((2 * rx - (n + 1) * CAST(sum_x AS HUGEINT)) * 1000000
-        |    // (CAST(n AS HUGEINT) * sum_x) AS BIGINT) AS gini_ppm
+        |    // greatest(CAST(n AS HUGEINT) * sum_x, 1) AS BIGINT) AS gini_ppm
         |FROM m""".stripMargin,
 
     "quantile_normalize" ->

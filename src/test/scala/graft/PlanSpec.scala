@@ -243,6 +243,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("item-similarity joins: BHJ at small scale, SMJ once broadcast is off (the 10x probe's flip)") {
+    // the round-10 probe observed recsys_item_similarity's basket
+    // self-join and per-item size joins flip BHJ→SMJ at 10x data
+    // (same_plan=false, ratio 2.36) — the third instance of the
+    // stats-driven pattern already pinned for dedup_ngram_jaccard and
+    // ann_lsh_bucketed: at 100 TB neither the distinct basket table nor
+    // the per-item counts broadcast, so sort-merge on the basket/item
+    // keys is the plan you'd want, chosen by stats. Pin BOTH regimes.
+    def planFor(): String = {
+      val df = SparkEntry.queries("recsys_item_similarity")(spark, sf)
+      df.collect() // finalize AQE — runtime sizes decide the join strategy
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      spark.catalog.clearCache()
+      p
+    }
+    val small = planFor()
+    assert(small.contains("BroadcastHashJoin"), small)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = planFor()
+      assert(big.contains("SortMergeJoin"),
+        s"basket/size joins must sort-merge when broadcast is off:\n$big")
+      assert(!big.contains("CartesianProduct") &&
+        !big.contains("BroadcastNestedLoopJoin"),
+        s"the basket self-join must stay an equi-join in either regime:\n$big")
+      // the top-k must still ride the partial/final heap, not a window
+      assert(big.contains("PartialTopK") && big.contains("FinalTopK"), big)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("explicit bloomSemiJoin: probe filter in the fact scan stage, result equals plain semi join") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
