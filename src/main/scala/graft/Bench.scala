@@ -61,6 +61,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Every action stringifies its plan for the SQL-UI event
+      // (SQLExecution.withNewExecutionId → explainString), and plans
+      // whose lineage nests persisted frames (the BPE chain, the
+      // two-phase position scans) print their CACHED CHILDREN
+      // recursively — measured 3-5 s of pure driver tree-walk per
+      // action on pack_fill_audit with execution itself at 1 s
+      // (round-11 adjudication of the round-10 "+2.1 s unexplained
+      // delta"). Cap the description; the computation is untouched.
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark

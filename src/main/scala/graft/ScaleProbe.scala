@@ -45,7 +45,23 @@ import scala.jdk.CollectionConverters._
   */
 object ScaleProbe {
 
-  private val Reps = 10
+  /** Default probe scale; `SPARK_GRAFT_SCALE=100` switches to the
+    * 100× mode (round-10 verdict item 6): same replica-offset/word-tag
+    * construction, 100 replicas, restricted to the top-cost families —
+    * the families whose 100 TB story previously rested on 10× evidence
+    * alone. The 100× build skips events/embeddings (none of the target
+    * families read them) and the query list is PINNED to families whose
+    * inputs are all scaled — probing anything else at 100× would
+    * silently read 1× side tables and report an artifact ratio.
+    */
+  private val DefaultReps = 10
+
+  private val Scale100Queries = Seq(
+    "bpe_train_merges",          // documents — the Heaps-sublinear claim
+    "dedup_cluster_cc",          // documents — CC rounds vs component diameter
+    "pipeline_curate_corpus",    // documents — the 2.19@10× watch item
+    "graph_pagerank_personalized", // lineitem — frontier rounds on a support-floored graph
+    "streaming_checksum")        // orders (single file) — the split-scan fix
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
@@ -54,12 +70,19 @@ object ScaleProbe {
   private def tagWords(text: org.apache.spark.sql.Column, rep: Int) =
     concat_ws(" ", transform(split(text, " "), w => concat(w, lit(s"·$rep"))))
 
-  private def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  /** `full = false` (the 100× build) skips events + embeddings — none
+    * of [[Scale100Queries]] read them, and at 100 reps the single-file
+    * rewrite of events alone would dominate the build.
+    */
+  private def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+                          Reps: Int, full: Boolean): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
     // V3: round 9 lands orders as one file for the streaming readers
     // (V2: round 8 added scaled embeddings + events); the marker bump
     // invalidates stale dirs
-    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALED_V3"))) return
+    val marker =
+      if (Reps == DefaultReps) "_SUCCESS_SCALED_V3" else s"_SUCCESS_SCALED_${Reps}x_V1"
+    if (java.nio.file.Files.exists(fs.resolve(marker))) return
     java.nio.file.Files.createDirectories(fs)
 
     val docs = Tables.documents(spark, srcDir)
@@ -93,6 +116,17 @@ object ScaleProbe {
       .coalesce(1)
       .write.mode("overwrite").parquet(ordTmp)
 
+    val deleteRecursively: java.nio.file.Path => Unit = { p =>
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+    }
+
+    if (full) {
     // embeddings ×10 with per-replica vec_id offsets, vectors verbatim —
     // ANN cost scales with corpus size and cell occupancy, not vector
     // content; the fixed `vec_id < 10` query set stays 10 queries
@@ -122,15 +156,6 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .coalesce(1)
       .write.mode("overwrite").parquet(evTmp)
-    val deleteRecursively: java.nio.file.Path => Unit = { p =>
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
-    }
     deleteRecursively(fs.resolve("events.parquet"))
     val evPart = {
       val listing = java.nio.file.Files.list(java.nio.file.Paths.get(evTmp))
@@ -141,6 +166,7 @@ object ScaleProbe {
     }
     java.nio.file.Files.move(evPart, fs.resolve("events.parquet"))
     deleteRecursively(java.nio.file.Paths.get(evTmp))
+    } // full
 
     deleteRecursively(fs.resolve("orders.parquet"))
     val ordPart = {
@@ -162,7 +188,7 @@ object ScaleProbe {
       deleteRecursively(dst)
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$srcDir/$t.parquet"), dst)
     }
-    java.nio.file.Files.createFile(fs.resolve("_SUCCESS_SCALED_V3"))
+    java.nio.file.Files.createFile(fs.resolve(marker))
   }
 
   /** Operator skeleton of the final executed plan: operator names in
@@ -188,16 +214,32 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
+      // cap per-action plan-description generation (see Bench.newSession)
+      // — but generously: skeleton() compares executedPlan.toString
+      // across scales, and a tight cap would truncate both skeletons to
+      // an identical prefix and blind the same-plan check
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "262144"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", DefaultReps.toString).toInt
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
-      "/root/repo/target/scaled_sf1")
-    System.err.println(s"[scaleprobe] building 10x inputs under $sf1 (cached if present)")
-    buildScaled(spark, sf01, sf1)
+      if (scale == DefaultReps) "/root/repo/target/scaled_sf1"
+      else s"/root/repo/target/scaled_x$scale")
+    System.err.println(s"[scaleprobe] building ${scale}x inputs under $sf1 (cached if present)")
+    buildScaled(spark, sf01, sf1, scale, full = scale == DefaultReps)
 
-    val names = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Seq(
+    val names =
+      if (scale != DefaultReps) {
+        val asked = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+          .getOrElse(Scale100Queries)
+        val bad = asked.filterNot(Scale100Queries.contains)
+        require(bad.isEmpty, s"at ${scale}x only ${Scale100Queries.mkString(",")} have " +
+          s"fully scaled inputs (events/embeddings are not built); got: ${bad.mkString(",")}")
+        asked
+      } else sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Seq(
       "edges_to_sonata", "dedup_canonical_corpus", "dedup_cluster_cc",
       "dedup_ngram_jaccard", "pipeline_curate_corpus", "rle_group_ranges",
       // round-8 additions: the remaining expensive families (banded
@@ -284,17 +326,17 @@ object ScaleProbe {
       val (tBig, skBig, nBig) = timeOne(name, sf1)
       val samePlan = skSmall == skBig
       System.err.println(f"[scaleprobe] $name%-28s sf0.1 ${tSmall}%6.2f s ($nSmall%d rows)  " +
-        f"10x ${tBig}%6.2f s ($nBig%d rows)  ratio ${tBig / tSmall}%5.2f  samePlan=$samePlan")
+        f"${scale}x ${tBig}%6.2f s ($nBig%d rows)  ratio ${tBig / tSmall}%5.2f  samePlan=$samePlan")
       if (!samePlan) {
         System.err.println(s"[scaleprobe]   sf0.1 plan: $skSmall")
-        System.err.println(s"[scaleprobe]   10x   plan: $skBig")
+        System.err.println(s"[scaleprobe]   ${scale}x   plan: $skBig")
       }
       (name, tSmall, tBig, samePlan)
     }
     val qs = results.map { case (k, a, b, p) =>
-      s""""$k":{"sf01_sec":$a,"x10_sec":$b,"ratio":${b / a},"same_plan":$p}"""
+      s""""$k":{"sf01_sec":$a,"x${scale}_sec":$b,"ratio":${b / a},"same_plan":$p}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe_10x","unit":"sec","queries":$qs}""")
+    println(s"""{"metric":"scale_probe_${scale}x","unit":"sec","queries":$qs}""")
     spark.stop()
   }
 }

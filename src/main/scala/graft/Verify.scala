@@ -12,8 +12,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cap per-action plan-description generation (see Bench.newSession)
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the plan-string cap fires a WARN per truncated stringify —
+    // thousands per run over the big-lineage queries; the cap is
+    // deliberate, so the reminder is pure noise here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.util.StringUtils",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_VERIFY_ONLY=a,b,c dumps only
     // those queries (the driver never sets it — absent means all).

@@ -58,12 +58,33 @@ object RangeRle {
     * internal cache (call after the consuming actions complete).
     */
   def numberedRanges(pairs: DataFrame): (DataFrame, () => Unit) = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val sorted: Dataset[(Int, Long, Long, Int)] = pairs
+    fromSorted(pairs
       .select(col("dir").cast("int"), col("node_id").cast("long"), col("pos").cast("long"))
       .repartitionByRange(col("dir"), col("node_id"), col("pos"))
-      .sortWithinPartitions(col("dir"), col("node_id"), col("pos"))
+      .sortWithinPartitions(col("dir"), col("node_id"), col("pos")))
+  }
+
+  /** [[numberedRanges]] for input that is ALREADY range-partitioned and
+    * sorted by `(dir, node_id, pos)` with non-overlapping partition key
+    * ranges in partition-id order — skips the range exchange entirely,
+    * so the RLE runs as a narrow stage over the caller's layout. The
+    * canonical producer is the persisted frame of
+    * [[Offsets.globalPositionStamped]] when its sort order leads with
+    * the node key: `pos` is stamped in exactly that partition layout,
+    * so position order, node clustering, and partition-id order all
+    * agree by construction (the CsrIndex fused path). The precondition
+    * is NOT checked row-by-row (that would cost the pass the caller is
+    * saving); feeding an unsorted frame yields garbage ranges — use
+    * [[numberedRanges]] unless the layout is yours.
+    */
+  def numberedRangesPresorted(pairs: DataFrame): (DataFrame, () => Unit) =
+    fromSorted(pairs
+      .select(col("dir").cast("int"), col("node_id").cast("long"), col("pos").cast("long")))
+
+  private def fromSorted(prepared: DataFrame): (DataFrame, () => Unit) = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val sorted: Dataset[(Int, Long, Long, Int)] = prepared
       .withColumn("_pid", spark_partition_id())
       .as[(Int, Long, Long, Int)]
       .persist(StorageLevel.MEMORY_AND_DISK)

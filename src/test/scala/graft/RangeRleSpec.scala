@@ -49,6 +49,27 @@ class RangeRleSpec extends AnyFunSuite {
     check(df((0L until 1000L).map(p => (0, 7L, p))))
   }
 
+  test("presorted route over a globalPositionStamped layout equals the general route") {
+    // the CsrIndex fused path: pos stamped in an order LEADING with the
+    // node key, then RLE without a second exchange. Skewed key sizes +
+    // enough rows that runs straddle the range-partition boundaries.
+    val rows = (0L until 2000L).map(i => (i % 50, i / 50)) // (node, seq) — node sizes 40
+    import spark.implicits._
+    val base = rows.toDF("node_id", "seq")
+    val (withPos, frame) = Offsets.globalPositionStamped(
+      base, Seq(col("node_id"), col("seq")))
+    val pre = withPos.select(lit(0).as("dir"), col("node_id"), col("pos"))
+    val (ranges, done) = RangeRle.numberedRangesPresorted(pre)
+    val got = ranges.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    done(); frame.unpersist()
+    // reference result from the general (self-shuffling) route
+    val expect = fused(withPos.select(lit(0).as("dir"), col("node_id"), col("pos")))
+    assert(got == expect)
+    // node keys lead the order, so every node is exactly one range here
+    assert(got.size == 50)
+  }
+
   test("alternating keys — every row its own run") {
     check(df((0L until 500L).map(p => (0, p % 5, p))))
   }
