@@ -80,8 +80,14 @@ object ScaleProbe {
     // V3: round 9 lands orders as one file for the streaming readers
     // (V2: round 8 added scaled embeddings + events); the marker bump
     // invalidates stale dirs
+    // V4: single-file tables (orders, events) now land with 8 MB parquet
+    // row groups — the V3 coalesce(1) write produced ONE row group, and
+    // parquet splits are row-group-aligned, so every streaming/batch
+    // scan of those files ran as a single task however big the file
+    // grew (the round-10 "streaming_checksum 3.1x" curve was exactly
+    // this artifact, adjudicated round 11 by per-task metrics)
     val marker =
-      if (Reps == DefaultReps) "_SUCCESS_SCALED_V3" else s"_SUCCESS_SCALED_${Reps}x_V1"
+      if (Reps == DefaultReps) "_SUCCESS_SCALED_V4" else s"_SUCCESS_SCALED_${Reps}x_V1"
     if (java.nio.file.Files.exists(fs.resolve(marker))) return
     java.nio.file.Files.createDirectories(fs)
 
@@ -114,7 +120,9 @@ object ScaleProbe {
     (0 until Reps).map(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxO)))
       .reduce(_ unionByName _)
       .coalesce(1)
-      .write.mode("overwrite").parquet(ordTmp)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(ordTmp)
 
     val deleteRecursively: java.nio.file.Path => Unit = { p =>
       if (java.nio.file.Files.exists(p)) {
@@ -155,7 +163,9 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(i * maxEvent)))
       .reduce(_ unionByName _)
       .coalesce(1)
-      .write.mode("overwrite").parquet(evTmp)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(evTmp)
     deleteRecursively(fs.resolve("events.parquet"))
     val evPart = {
       val listing = java.nio.file.Files.list(java.nio.file.Paths.get(evTmp))

@@ -272,9 +272,185 @@ object Multimodal {
     })
   }
 
+  final case class ChannelStats(doc_id: Long, r_sum: Long, g_sum: Long,
+      b_sum: Long, r_max: Int, g_max: Int, b_max: Int)
+
+  /** BMP round trip + per-channel statistics — the channel split is
+    * where a BGR/RGB order bug becomes visible even when the total sum
+    * survives (the complement of the weighted checksum).
+    */
+  def bmpChannelStats(spark: SparkSession, dir: String): Dataset[ChannelStats] = {
+    import spark.implicits._
+    docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val w = (1 + nChars % 17).toInt
+      val h = (1 + nChars % 13).toInt
+      val a = ((docId * 7) % 256).toInt
+      val img = graft.io.MediaCodec.decodeBmp(
+        graft.io.MediaCodec.encodeBmp24(w, h, synthPixels(a, w * h * 3)))
+      val sums = new Array[Long](3); val maxs = new Array[Int](3)
+      var i = 0
+      while (i < img.pixels.length) {
+        val v = img.pixels(i) & 0xff; val c = i % 3
+        sums(c) += v; if (v > maxs(c)) maxs(c) = v
+        i += 1
+      }
+      ChannelStats(docId, sums(0), sums(1), sums(2), maxs(0), maxs(1), maxs(2))
+    })
+  }
+
+  /** Exact dedup over the BINARY media column: md5 the encoded
+    * container bytes, group identical payloads into families, emit the
+    * family-size distribution. The synthesized image depends only on
+    * (n_chars mod 17, n_chars mod 13, doc_id·7 mod 256), so distinct
+    * documents genuinely collide into dup families; the oracle derives
+    * the SAME distribution from that parameter triple — any encoder
+    * nondeterminism (a stray timestamp, an uninitialized pad byte)
+    * splits a family and flips the hash. The md5 itself never crosses
+    * an engine boundary, so the check stays exact. 100 TB shape: one
+    * map-side md5 projection + two keyed aggregates; payload bytes
+    * never shuffle (only the 16-byte digest does).
+    */
+  def mediaDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // COARSE parameter space (5·3·16 = 240 classes) so genuine dup
+    // families exist at every scale — a dedup query whose input has no
+    // duplicates verifies nothing (the round-9 interval-overlap lesson)
+    val hashed = docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val w = (1 + nChars % 5).toInt
+      val h = (1 + nChars % 3).toInt
+      val a = ((docId % 16) * 16).toInt
+      val payload = graft.io.MediaCodec.encodeBmp24(w, h, synthPixels(a, w * h * 3))
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      (docId, md.map("%02x".format(_)).mkString)
+    }).toDF("doc_id", "payload_md5")
+    hashed.groupBy(col("payload_md5")).agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size")).agg(count(lit(1)).as("n_families"))
+  }
+
+  // ------------------------------------------------------------------
+  // Image perceptual near-dup: average-hash (aHash) over decoded
+  // thumbnails, banded like SimHash. The synth corpus has genuine
+  // near-dup structure: images share a base class (coarse params) with
+  // a small per-doc pixel perturbation, so same-class pairs land at
+  // hamming 0-8 while cross-class hashes are pseudo-random (the pixel
+  // formula multiplies by 131 mod 251 — a RAMP would give every image
+  // the same half-set hash and explode the pair graph into n²).
+  //
+  // 100 TB shape: identical to dedup_simhash — per-doc decode is
+  // map-side; only (doc_id, band, value) rows enter the bucket join;
+  // candidates are collision-bounded; hamming verify reads four 16-bit
+  // bands, never pixels.
+  // ------------------------------------------------------------------
+
+  private def ahashPixel(a: Int, tweak: Int, i: Int): Int = {
+    val base = (a + (i * 131) % 251) % 256
+    if (i < 3 * tweak) 255 - base else base
+  }
+
+  /** 64-bit aHash as four 16-bit bands from a decoded 8×8 thumbnail:
+    * gray(cell) = mean of RGB, bit = gray > mean-of-64.
+    */
+  private[graft] def ahashBands(img: graft.io.MediaCodec.ImagePixels): Array[Int] = {
+    val t = graft.io.MediaCodec.resizeNearest(img, 8, 8)
+    val grays = new Array[Int](64)
+    var c = 0
+    while (c < 64) {
+      grays(c) = ((t.pixels(c * 3) & 0xff) + (t.pixels(c * 3 + 1) & 0xff) +
+        (t.pixels(c * 3 + 2) & 0xff)) / 3
+      c += 1
+    }
+    val mean = grays.sum / 64
+    val bands = new Array[Int](4)
+    c = 0
+    while (c < 64) {
+      if (grays(c) > mean) bands(c / 16) |= 1 << (c % 16)
+      c += 1
+    }
+    bands
+  }
+
+  /** (doc_a, doc_b, hamming ≤ maxHamming) candidate pairs sharing a
+    * 16-bit aHash band, verified on the four bands.
+    */
+  def imageAhashPairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    val hashed = docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val w = (4 + nChars % 5).toInt
+      val h = (4 + nChars % 3).toInt
+      val a = ((docId % 24) * 8).toInt
+      val tweak = ((docId / 24) % 3).toInt
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) { px(i) = ahashPixel(a, tweak, i).toByte; i += 1 }
+      val img = graft.io.MediaCodec.decodeBmp(
+        graft.io.MediaCodec.encodeBmp24(w, h, px))
+      val b = ahashBands(img)
+      (docId, b(0), b(1), b(2), b(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "value")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  final case class SilenceRun(doc_id: Long, run_start: Int, run_end: Int)
+
+  /** Silence-run detection over DECODED audio — the connectome RLE
+    * (gaps-and-islands) reused on a media column: synth mono WAV whose
+    * sample stream alternates silent blocks (amplitude 0) with loud
+    * blocks (amplitude ≥ 100), decode, flag |s| < 50, collapse
+    * consecutive silent samples into half-open runs. Per-doc window
+    * keyed on doc_id — the exchange is doc-keyed, run state is O(1).
+    */
+  def wavSilenceRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val samples = docDims(spark, dir).flatMap { case (docId, nChars) =>
+      val n = (64 + nChars % 50).toInt
+      val a = ((docId * 19) % 100).toInt
+      val arr = new Array[Short](n)
+      var k = 0
+      while (k < n) {
+        arr(k) = if ((k / 8) % 3 == 0) 0 else (100 + (a + 5 * k) % 100).toShort
+        k += 1
+      }
+      val dec = graft.io.MediaCodec.decodeWav(
+        graft.io.MediaCodec.encodeWavPcm16(1, 16000, arr))
+      dec.samples.iterator.zipWithIndex.map { case (s, k2) => (docId, k2, s.toInt) }
+    }.toDF("doc_id", "k", "amp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("k"))
+    samples.filter(abs(col("amp")) < 50)
+      .withColumn("_island", col("k") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("k")).as("run_start"), (max(col("k")) + 1).as("run_end"))
+      .select(col("doc_id"), col("run_start").cast("int"),
+        col("run_end").cast("int"))
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> ((s, dir) =>
       extractFeatures(blobTable(s, dir)).toDF()),
+    "multimodal_channel_stats" -> ((s, dir) => bmpChannelStats(s, dir).toDF()),
+    "multimodal_dedup_exact" -> ((s, dir) => mediaDedupExact(s, dir)),
+    "multimodal_image_ahash_pairs" -> ((s, dir) => imageAhashPairs(s, dir)),
+    "multimodal_wav_silence_runs" -> ((s, dir) => wavSilenceRuns(s, dir)),
     "multimodal_decode_bmp" -> ((s, dir) => bmpRoundTrip(s, dir).toDF()),
     "multimodal_decode_ppm" -> ((s, dir) => ppmRoundTrip(s, dir).toDF()),
     "multimodal_decode_wav" -> ((s, dir) => wavRoundTrip(s, dir).toDF()),
@@ -295,6 +471,97 @@ object Multimodal {
   // went pixels → real container bytes → decoder → stats, so agreement
   // means the codec round-tripped every byte in order.
   val oracleSql: Map[String, String] = Map(
+    // full aHash replica: pixel list → 64 thumbnail grays (1-based list
+    // indexing; J = source byte offset of cell c) → integer mean →
+    // four 16-bit bands → OR-banded candidate pairs → banded hamming
+    "multimodal_image_ahash_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + (n_chars % 5) AS w, 4 + (n_chars % 3) AS h,
+        |    (doc_id % 24) * 8 AS a, (doc_id // 24) % 3 AS tweak
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(generate_series(0, w * h * 3 - 1), x ->
+        |      CASE WHEN x < 3 * tweak
+        |        THEN 255 - ((a + (x * 131) % 251) % 256)
+        |        ELSE (a + (x * 131) % 251) % 256 END) AS pxl
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), c ->
+        |      (pxl[(((c // 8) * h) // 8) * w * 3 + (((c % 8) * w) // 8) * 3 + 1]
+        |     + pxl[(((c // 8) * h) // 8) * w * 3 + (((c % 8) * w) // 8) * 3 + 2]
+        |     + pxl[(((c // 8) * h) // 8) * w * 3 + (((c % 8) * w) // 8) * 3 + 3]) // 3)
+        |      AS grays
+        |  FROM px),
+        |m AS (SELECT doc_id, grays, list_sum(grays) // 64 AS mean FROM g),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), c ->
+        |      CASE WHEN grays[c + 1] > mean THEN (1 << c) ELSE 0 END)) AS INTEGER) AS b0,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), c ->
+        |      CASE WHEN grays[c + 17] > mean THEN (1 << c) ELSE 0 END)) AS INTEGER) AS b1,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), c ->
+        |      CASE WHEN grays[c + 33] > mean THEN (1 << c) ELSE 0 END)) AS INTEGER) AS b2,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), c ->
+        |      CASE WHEN grays[c + 49] > mean THEN (1 << c) ELSE 0 END)) AS INTEGER) AS b3
+        |  FROM m)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        |      AS INTEGER) AS hamming
+        |  FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
+        |    AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+        |WHERE hamming <= 8""".stripMargin,
+
+    // silent blocks are analytic: blocks m ≡ 0 (mod 3) of width 8,
+    // truncated at n — the decode+RLE must recover exactly these runs
+    "multimodal_wav_silence_runs" ->
+      """WITH p AS (
+        |  SELECT doc_id, 64 + n_chars % 50 AS n FROM documents)
+        |SELECT doc_id, CAST(8 * m AS INTEGER) AS run_start,
+        |  CAST(least(n, 8 * m + 8) AS INTEGER) AS run_end
+        |FROM p, UNNEST(generate_series(0, (n - 1) // 8)) AS t(m)
+        |WHERE m % 3 = 0""".stripMargin,
+
+    // channel c holds pixel indices i ≡ c (mod 3); value (a + i) % 256
+    "multimodal_channel_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + (n_chars % 17) AS w, 1 + (n_chars % 13) AS h,
+        |    (doc_id * 7) % 256 AS a
+        |  FROM documents),
+        |e AS (SELECT doc_id, w * h * 3 AS n, a FROM p),
+        |s AS (SELECT doc_id, n, a,
+        |  list_transform(generate_series(0, n - 1), i -> (a + i) % 256) AS px
+        |  FROM e)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, n - 1),
+        |    i -> CASE WHEN i % 3 = 0 THEN (a + i) % 256 ELSE 0 END)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(generate_series(0, n - 1),
+        |    i -> CASE WHEN i % 3 = 1 THEN (a + i) % 256 ELSE 0 END)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(generate_series(0, n - 1),
+        |    i -> CASE WHEN i % 3 = 2 THEN (a + i) % 256 ELSE 0 END)) AS BIGINT) AS b_sum,
+        |  CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+        |    i -> CASE WHEN i % 3 = 0 THEN (a + i) % 256 ELSE -1 END), 'max') AS INTEGER) AS r_max,
+        |  CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+        |    i -> CASE WHEN i % 3 = 1 THEN (a + i) % 256 ELSE -1 END), 'max') AS INTEGER) AS g_max,
+        |  CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+        |    i -> CASE WHEN i % 3 = 2 THEN (a + i) % 256 ELSE -1 END), 'max') AS INTEGER) AS b_max
+        |FROM s""".stripMargin,
+
+    // families are exactly the (w, h, a) parameter classes — identical
+    // parameters produce byte-identical containers, distinct parameters
+    // produce differing first pixels/headers, so the distribution over
+    // md5-equality (Spark side) equals the distribution over the triple
+    "multimodal_dedup_exact" ->
+      """WITH fam AS (
+        |  SELECT 1 + (n_chars % 5) AS w, 1 + (n_chars % 3) AS h,
+        |    (doc_id % 16) * 16 AS a, count(*) AS family_size
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT family_size, count(*) AS n_families
+        |FROM fam GROUP BY family_size""".stripMargin,
+
     "multimodal_decode_bmp" ->
       """WITH p AS (
         |  SELECT doc_id, 1 + (n_chars % 17) AS w, 1 + (n_chars % 13) AS h,

@@ -541,17 +541,17 @@ object StreamingOps {
   def checksumStream(spark: SparkSession, dir: String): DataFrame = {
     val name = s"ckstream_${System.nanoTime()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevMpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    // The input is ONE parquet file (pathGlobFilter matches a file, not a
-    // dataset directory), and the default 128 MB maxPartitionBytes gives
-    // the micro-batch scan a single task however big the file grows —
-    // the round-10 probe measured the digest 3.1× at 10× data on an
-    // unchanged plan because the whole scan ran serially. 4 MB splits
-    // restore scan parallelism (the digest is row-order-invariant by
-    // construction, so split count cannot change the result); at 100 TB
-    // the input is many files and the default splitting already wins.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+    // Round-11 adjudication of the 3.1×@10× probe curve: per-task
+    // metrics showed ONE of the scan tasks doing all the work — the
+    // scaled single-file input had been written as a SINGLE PARQUET ROW
+    // GROUP, and parquet splits are row-group-aligned, so no split
+    // setting can parallelize it (a 4 MB maxPartitionBytes override was
+    // tried and measured no change before the row-group count was
+    // checked). The operator is sound; the probe INPUT was the
+    // serializer — ScaleProbe now writes its single-file tables with
+    // 8 MB row groups. At 100 TB inputs are many files/row groups and
+    // the default splitting parallelizes the scan on its own.
     try {
       val orders = spark.readStream
         .schema(ordersSchema)
@@ -567,10 +567,7 @@ object StreamingOps {
       try q.processAllAvailable()
       finally q.stop()
       spark.table(name)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Streaming CDC ingest through `foreachBatch` into a DURABLE parquet
