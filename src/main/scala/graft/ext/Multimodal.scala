@@ -388,6 +388,9 @@ object Multimodal {
       val b = ahashBands(img)
       (docId, b(0), b(1), b(2), b(3))
     }).toDF("doc_id", "b0", "b1", "b2", "b3")
+      // released by the harness's per-query clearCache (the registry
+      // contract; see the Rle.scala note) — read by the band explode
+      // and both sides of the hamming verify
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
@@ -444,6 +447,37 @@ object Multimodal {
         col("run_end").cast("int"))
   }
 
+  /** Mixed-corpus media catalog — the first query a lake of opaque
+    * blobs answers: per DETECTED container type (magic-byte sniff, not
+    * trusted metadata), document count and total payload bytes. The
+    * synth corpus routes doc_id mod 3 → BMP / WAV / raw text, so the
+    * sniffer's verdicts and the encoders' exact container sizes
+    * (headers + row padding + chunk layout) are both under the oracle:
+    * a padding miscount of ONE byte per row shifts total_bytes.
+    */
+  def mediaCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val payload: Array[Byte] = (docId % 3) match {
+        case 0 =>
+          val w = (1 + nChars % 17).toInt; val h = (1 + nChars % 13).toInt
+          graft.io.MediaCodec.encodeBmp24(w, h,
+            synthPixels(((docId * 7) % 256).toInt, w * h * 3))
+        case 1 =>
+          val n = (64 + nChars % 50).toInt
+          val a = ((docId * 11) % 256).toInt
+          val samples = Array.tabulate[Short](n)(k => (((a + 3 * k) % 256) - 128).toShort)
+          graft.io.MediaCodec.encodeWavPcm16(1, 16000, samples)
+        case _ =>
+          new Array[Byte](nChars.toInt) // opaque payload, no magic
+      }
+      val kind = graft.io.MediaCodec.sniff(payload).getOrElse("opaque")
+      (docId, kind, payload.length.toLong)
+    }).toDF("doc_id", "kind", "n_bytes")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> ((s, dir) =>
       extractFeatures(blobTable(s, dir)).toDF()),
@@ -451,6 +485,7 @@ object Multimodal {
     "multimodal_dedup_exact" -> ((s, dir) => mediaDedupExact(s, dir)),
     "multimodal_image_ahash_pairs" -> ((s, dir) => imageAhashPairs(s, dir)),
     "multimodal_wav_silence_runs" -> ((s, dir) => wavSilenceRuns(s, dir)),
+    "multimodal_catalog" -> ((s, dir) => mediaCatalog(s, dir)),
     "multimodal_decode_bmp" -> ((s, dir) => bmpRoundTrip(s, dir).toDF()),
     "multimodal_decode_ppm" -> ((s, dir) => ppmRoundTrip(s, dir).toDF()),
     "multimodal_decode_wav" -> ((s, dir) => wavRoundTrip(s, dir).toDF()),
@@ -514,6 +549,23 @@ object Multimodal {
         |  FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
         |    AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
         |WHERE hamming <= 8""".stripMargin,
+
+    // exact container-size arithmetic: BMP = 54 + padded-row·h
+    // (row = ((w·3+3)//4)·4), WAV = 44 + 2·n_samples, opaque = n_chars
+    "multimodal_catalog" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+        |         WHEN doc_id % 3 = 1 THEN 'wav'
+        |         ELSE 'opaque' END AS kind,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      54 + (((1 + n_chars % 17) * 3 + 3) // 4) * 4 * (1 + n_chars % 13)
+        |    WHEN doc_id % 3 = 1 THEN 44 + 2 * (64 + n_chars % 50)
+        |    ELSE n_chars END AS n_bytes
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM k GROUP BY kind""".stripMargin,
 
     // silent blocks are analytic: blocks m ≡ 0 (mod 3) of width 8,
     // truncated at n — the decode+RLE must recover exactly these runs

@@ -172,7 +172,37 @@ object RankStats {
         expr("rank_sum - n * (n + 1) div 2").as("u_stat"))
   }
 
+  /** AUC as the normalized Mann–Whitney U — the standard identity
+    * AUC = U₁/(n₀·n₁): "probability a random variant-1 value ranks
+    * above a random variant-0 value", the model-evaluation readout
+    * (here over an A/A-style md5 split, so ≈ 0.5 — a null-test
+    * calibration). Exact integer ppm; the product rides decimal
+    * (n₀·n₁·10⁶ passes 2⁶³ near 3e6 rows/side).
+    */
+  def aucMannWhitney(data: DataFrame, idCol: String, variantCol: String,
+                     valueCol: String): DataFrame = {
+    mannWhitneyU(data, idCol, variantCol, valueCol)
+      .agg(sum(when(col("variant") === 1, col("n"))).as("n1"),
+        sum(when(col("variant") === 0, col("n"))).as("n0"),
+        sum(when(col("variant") === 1, col("u_stat"))).as("u1"))
+      .select(col("n1"), col("n0"),
+        expr("""CAST(CAST(u1 AS DECIMAL(38,0)) * 1000000
+               div greatest(CAST(n1 AS DECIMAL(38,0)) * n0, 1)
+               AS BIGINT)""").as("auc_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // AUC of purchase value separating the md5 A/B arms (≈ 0.5 — the
+    // null-test calibration every experimentation stack should run)
+    "abtest_auc" -> ((s, dir) =>
+      aucMannWhitney(
+        Tables.events(s, dir).where(col("event_type") === "purchase")
+          .select(col("event_id"),
+            (expr("conv(substring(md5(cast(user_id AS STRING)), 1, 4), 16, 10)")
+              .cast("long") % 2).as("variant"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_id", "variant", "cents")),
+
     // two-sample rank test over the md5 A/B split of purchase values
     "mannwhitney_u" -> ((s, dir) =>
       mannWhitneyU(
@@ -223,6 +253,30 @@ object RankStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "abtest_auc" ->
+      """WITH v AS (
+        |  SELECT event_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 2 AS variant,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT variant,
+        |    row_number() OVER (ORDER BY cents, event_id) AS rank
+        |  FROM v),
+        |u AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(sum(rank) - count(*) * (count(*) + 1) // 2 AS BIGINT) AS u_stat
+        |  FROM r GROUP BY variant)
+        |SELECT
+        |  CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+        |  CAST(CAST(sum(CASE WHEN variant = 1 THEN u_stat END) AS HUGEINT)
+        |    * 1000000
+        |    // greatest(CAST(sum(CASE WHEN variant = 1 THEN n END) AS HUGEINT)
+        |        * sum(CASE WHEN variant = 0 THEN n END), 1) AS BIGINT) AS auc_ppm
+        |FROM u""".stripMargin,
+
     "mannwhitney_u" ->
       """WITH v AS (
         |  SELECT event_id,
