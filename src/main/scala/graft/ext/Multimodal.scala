@@ -447,6 +447,103 @@ object Multimodal {
         col("run_end").cast("int"))
   }
 
+  /** BMP stats through a PARQUET BINARY-COLUMN round trip — the
+    * storage leg of the media pipeline: encoded containers land in a
+    * parquet `binary` column (their own column, so pruning skips them
+    * for metadata-only reads), get read back, and only then decoded.
+    * Registered under the IDENTICAL oracle as `multimodal_decode_bmp`
+    * (the rle/sessionize side-by-side pattern): any byte the
+    * parquet writer/reader mangles in a blob flips the same hash the
+    * in-memory round trip pins.
+    */
+  def bmpParquetRoundTrip(spark: SparkSession, dir: String): Dataset[ImgStats] = {
+    import spark.implicits._
+    val out = graft.io.TempDirs.create("blobrt")
+    docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val w = (1 + nChars % 17).toInt
+      val h = (1 + nChars % 13).toInt
+      val a = ((docId * 7) % 256).toInt
+      (docId, graft.io.MediaCodec.encodeBmp24(w, h, synthPixels(a, w * h * 3)))
+    }).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(s"$out/blobs")
+    spark.read.parquet(s"$out/blobs")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, payload) =>
+        imgStats(docId, graft.io.MediaCodec.decodeBmp(payload))
+      })
+  }
+
+  /** WAV decimation resample (16 kHz → 8 kHz by dropping every other
+    * frame) with a full re-encode: decode → decimate → encode at the
+    * new rate → decode again → stats. The oracle keeps only even k of
+    * the generating formula, so both the decimation arithmetic and the
+    * second container round trip sit inside the hash gate.
+    */
+  def wavResample(spark: SparkSession, dir: String): Dataset[WavStats] = {
+    import spark.implicits._
+    docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val n = (64 + nChars % 50).toInt
+      val a = ((docId * 11) % 256).toInt
+      val samples = Array.tabulate[Short](n)(k => (((a + 3 * k) % 256) - 128).toShort)
+      val src = graft.io.MediaCodec.decodeWav(
+        graft.io.MediaCodec.encodeWavPcm16(1, 16000, samples))
+      val half = Array.tabulate[Short]((src.samples.length + 1) / 2)(j =>
+        src.samples(2 * j))
+      val out = graft.io.MediaCodec.decodeWav(
+        graft.io.MediaCodec.encodeWavPcm16(1, src.sampleRate / 2, half))
+      var sum = 0L; var wsum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < out.samples.length) {
+        val v = out.samples(i).toInt
+        sum += v; wsum += i.toLong * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      WavStats(docId, out.channels, out.sampleRate, out.samples.length,
+        sum, mn, mx, wsum)
+    })
+  }
+
+  /** Media shard packing — the training-data packer applied to BINARY
+    * payloads: shards budgeted by BYTES (256 KiB) instead of tokens,
+    * assignment by the same exclusive weighted prefix scan
+    * ([[graft.ops.Offsets.globalWeightedPrefix]]) in md5 shuffle
+    * order. Emits the per-shard manifest (doc count, byte total, fill
+    * ppm). The weights are the encoders' EXACT container sizes, so the
+    * oracle recomputes the whole packing analytically — and at 100 TB
+    * the scan's only data-sized structure is the per-partition running
+    * sum (the blobs themselves never shuffle; the manifest carries
+    * ids + sizes).
+    */
+  def mediaPackShards(spark: SparkSession, dir: String,
+                      budgetBytes: Long = 262144L): DataFrame = {
+    import spark.implicits._
+    val sized = docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val payload: Array[Byte] = (docId % 3) match {
+        case 0 =>
+          val w = (1 + nChars % 17).toInt; val h = (1 + nChars % 13).toInt
+          graft.io.MediaCodec.encodeBmp24(w, h,
+            synthPixels(((docId * 7) % 256).toInt, w * h * 3))
+        case 1 =>
+          val n = (64 + nChars % 50).toInt
+          val a = ((docId * 11) % 256).toInt
+          graft.io.MediaCodec.encodeWavPcm16(1, 16000,
+            Array.tabulate[Short](n)(k => (((a + 3 * k) % 256) - 128).toShort))
+        case _ => new Array[Byte](nChars.toInt)
+      }
+      (docId, payload.length.toLong)
+    }).toDF("doc_id", "n_bytes")
+    graft.ops.Offsets.globalWeightedPrefix(sized,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        "n_bytes", "cum_bytes")
+      .withColumn("shard_id", expr(s"cum_bytes div $budgetBytes"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("bytes"))
+      .select(col("shard_id"), col("n_docs"), col("bytes"),
+        expr(s"bytes * 1000000 div $budgetBytes").as("fill_ppm"))
+  }
+
   /** Mixed-corpus media catalog — the first query a lake of opaque
     * blobs answers: per DETECTED container type (magic-byte sniff, not
     * trusted metadata), document count and total payload bytes. The
@@ -486,6 +583,9 @@ object Multimodal {
     "multimodal_image_ahash_pairs" -> ((s, dir) => imageAhashPairs(s, dir)),
     "multimodal_wav_silence_runs" -> ((s, dir) => wavSilenceRuns(s, dir)),
     "multimodal_catalog" -> ((s, dir) => mediaCatalog(s, dir)),
+    "multimodal_blob_roundtrip" -> ((s, dir) => bmpParquetRoundTrip(s, dir).toDF()),
+    "multimodal_wav_resample" -> ((s, dir) => wavResample(s, dir).toDF()),
+    "multimodal_pack_shards" -> ((s, dir) => mediaPackShards(s, dir)),
     "multimodal_decode_bmp" -> ((s, dir) => bmpRoundTrip(s, dir).toDF()),
     "multimodal_decode_ppm" -> ((s, dir) => ppmRoundTrip(s, dir).toDF()),
     "multimodal_decode_wav" -> ((s, dir) => wavRoundTrip(s, dir).toDF()),
@@ -505,7 +605,31 @@ object Multimodal {
   // oracles recompute the generating formulas in SQL: the Spark side
   // went pixels → real container bytes → decoder → stats, so agreement
   // means the codec round-tripped every byte in order.
+  /** Shared by `multimodal_decode_bmp` AND `multimodal_blob_roundtrip`
+    * (identical semantics; only the physical route differs — in-memory
+    * vs through a parquet binary column).
+    */
+  private val bmpStatsOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, 1 + (n_chars % 17) AS w, 1 + (n_chars % 13) AS h,
+      |    (doc_id * 7) % 256 AS a
+      |  FROM documents),
+      |e AS (SELECT doc_id, w, h, w * h * 3 AS n, a FROM p),
+      |s AS (SELECT doc_id, w, h, n, a,
+      |  list_transform(generate_series(0, n - 1), i -> (a + i) % 256) AS px
+      |  FROM e)
+      |SELECT doc_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(3 AS INTEGER) AS channels, CAST(n AS INTEGER) AS n_bytes,
+      |  CAST(list_sum(px) AS BIGINT) AS pix_sum,
+      |  CAST(list_aggregate(px, 'min') AS INTEGER) AS pix_min,
+      |  CAST(list_aggregate(px, 'max') AS INTEGER) AS pix_max,
+      |  CAST(list_sum(list_transform(generate_series(0, n - 1),
+      |    i -> i * ((a + i) % 256))) AS BIGINT) AS pix_wsum
+      |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "multimodal_blob_roundtrip" -> bmpStatsOracle,
     // full aHash replica: pixel list → 64 thumbnail grays (1-based list
     // indexing; J = source byte offset of cell c) → integer mean →
     // four 16-bit bands → OR-banded candidate pairs → banded hamming
@@ -549,6 +673,49 @@ object Multimodal {
         |  FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
         |    AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
         |WHERE hamming <= 8""".stripMargin,
+
+    // decimation keeps source even indices: output j = s(2j) =
+    // ((a + 6j) % 256) − 128 over m = (n+1)//2 samples at half rate
+    "multimodal_wav_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id, 64 + n_chars % 50 AS n, (doc_id * 11) % 256 AS a
+        |  FROM documents),
+        |q AS (SELECT doc_id, a, (n + 1) // 2 AS m FROM p),
+        |s AS (SELECT doc_id, m, a,
+        |  list_transform(generate_series(0, m - 1),
+        |    j -> ((a + 6 * j) % 256) - 128) AS sm
+        |  FROM q)
+        |SELECT doc_id, CAST(1 AS INTEGER) AS channels,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(m AS INTEGER) AS n_samples,
+        |  CAST(list_sum(sm) AS BIGINT) AS amp_sum,
+        |  CAST(list_aggregate(sm, 'min') AS INTEGER) AS amp_min,
+        |  CAST(list_aggregate(sm, 'max') AS INTEGER) AS amp_max,
+        |  CAST(list_sum(list_transform(generate_series(0, m - 1),
+        |    j -> j * (((a + 6 * j) % 256) - 128))) AS BIGINT) AS amp_wsum
+        |FROM s""".stripMargin,
+
+    // the packer replayed analytically: exact container sizes as
+    // weights, md5-order exclusive prefix, byte-budget shards
+    "multimodal_pack_shards" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      54 + (((1 + n_chars % 17) * 3 + 3) // 4) * 4 * (1 + n_chars % 13)
+        |    WHEN doc_id % 3 = 1 THEN 44 + 2 * (64 + n_chars % 50)
+        |    ELSE n_chars END AS n_bytes
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(COALESCE(SUM(n_bytes) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_bytes
+        |  FROM sized)
+        |SELECT cum_bytes // 262144 AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS bytes,
+        |  CAST(sum(n_bytes) AS BIGINT) * 1000000 // 262144 AS fill_ppm
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // exact container-size arithmetic: BMP = 54 + padded-row·h
     // (row = ((w·3+3)//4)·4), WAV = 44 + 2·n_samples, opaque = n_chars
@@ -614,24 +781,7 @@ object Multimodal {
         |SELECT family_size, count(*) AS n_families
         |FROM fam GROUP BY family_size""".stripMargin,
 
-    "multimodal_decode_bmp" ->
-      """WITH p AS (
-        |  SELECT doc_id, 1 + (n_chars % 17) AS w, 1 + (n_chars % 13) AS h,
-        |    (doc_id * 7) % 256 AS a
-        |  FROM documents),
-        |e AS (SELECT doc_id, w, h, w * h * 3 AS n, a FROM p),
-        |s AS (SELECT doc_id, w, h, n, a,
-        |  list_transform(generate_series(0, n - 1), i -> (a + i) % 256) AS px
-        |  FROM e)
-        |SELECT doc_id,
-        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-        |  CAST(3 AS INTEGER) AS channels, CAST(n AS INTEGER) AS n_bytes,
-        |  CAST(list_sum(px) AS BIGINT) AS pix_sum,
-        |  CAST(list_aggregate(px, 'min') AS INTEGER) AS pix_min,
-        |  CAST(list_aggregate(px, 'max') AS INTEGER) AS pix_max,
-        |  CAST(list_sum(list_transform(generate_series(0, n - 1),
-        |    i -> i * ((a + i) % 256))) AS BIGINT) AS pix_wsum
-        |FROM s""".stripMargin,
+    "multimodal_decode_bmp" -> bmpStatsOracle,
 
     "multimodal_decode_ppm" ->
       """WITH p AS (

@@ -173,9 +173,33 @@ object Stats {
           .as("contrib_x1e6"))
   }
 
+  /** Cramér's V — the [0,1] effect-size normalization of the χ²
+    * screen: V = √(χ² / (N·(min(r,c)−1))). Everything aggregates as
+    * exact integers (the cell contributions above); only the final
+    * scalar is ONE mirrored float expression (√ and ÷ are
+    * IEEE-correctly-rounded, the correlation_by_group discipline),
+    * rounded to 6 dp on both engines. One more 1-row reduction over
+    * the cell table — no new shuffle of data.
+    */
+  def cramersV(customer: DataFrame): DataFrame = {
+    chi2Independence(customer)
+      .agg(count_distinct(col("seg")).as("r_dim"),
+        count_distinct(col("nat")).as("c_dim"),
+        max(col("total_n")).as("total_n"), // constant across cells
+        sum(col("contrib_x1e6")).as("chi2_x1e6"))
+      .select(col("r_dim"), col("c_dim"), col("total_n"), col("chi2_x1e6"),
+        round(sqrt(col("chi2_x1e6").cast("double") / lit(1000000.0) /
+          (col("total_n").cast("double") *
+            (least(col("r_dim"), col("c_dim")) - lit(1)).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   val queries: Map[String, Q] = Map(
     "chi2_independence" -> ((s, dir) =>
       chi2Independence(Tables.customer(s, dir))),
+
+    "cramers_v" -> ((s, dir) =>
+      cramersV(Tables.customer(s, dir))),
 
     // price_cents on qty_cents per returnflag — 3 fitted lines
     "regression_by_group" -> ((s, dir) => {
@@ -284,6 +308,36 @@ object Stats {
         |     * (CAST(o_cnt AS HUGEINT)*total_n - CAST(row_n AS HUGEINT)*col_n)
         |     * 1000000 // (CAST(total_n AS HUGEINT)*row_n*col_n) AS BIGINT) AS contrib_x1e6
         |FROM cells JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t""".stripMargin,
+
+    "cramers_v" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+        |    count(*) AS o_cnt
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(sum(o_cnt) AS BIGINT) AS row_n
+        |      FROM cells GROUP BY seg),
+        |c AS (SELECT nat, CAST(sum(o_cnt) AS BIGINT) AS col_n
+        |      FROM cells GROUP BY nat),
+        |t AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS total_n FROM cells),
+        |contrib AS (
+        |  SELECT seg, nat, total_n,
+        |    CAST((CAST(o_cnt AS HUGEINT)*total_n - CAST(row_n AS HUGEINT)*col_n)
+        |       * (CAST(o_cnt AS HUGEINT)*total_n - CAST(row_n AS HUGEINT)*col_n)
+        |       * 1000000 // (CAST(total_n AS HUGEINT)*row_n*col_n) AS BIGINT)
+        |      AS contrib_x1e6
+        |  FROM cells JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t),
+        |agg AS (
+        |  SELECT CAST(count(DISTINCT seg) AS BIGINT) AS r_dim,
+        |    CAST(count(DISTINCT nat) AS BIGINT) AS c_dim,
+        |    max(total_n) AS total_n,
+        |    CAST(sum(contrib_x1e6) AS BIGINT) AS chi2_x1e6
+        |  FROM contrib)
+        |SELECT r_dim, c_dim, total_n, chi2_x1e6,
+        |  round(sqrt(CAST(chi2_x1e6 AS DOUBLE) / 1000000.0 /
+        |    (CAST(total_n AS DOUBLE) *
+        |      CAST(least(r_dim, c_dim) - 1 AS DOUBLE))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+
     "regression_by_group" ->
       """WITH c AS (
         |  SELECT l_returnflag,

@@ -26,7 +26,13 @@ class AqeEquivalenceSpec extends AnyFunSuite {
       "growth_accounting", "graph_hits", "grouped_median_exact",
       // round-10 position-scan consumers: deciles and ranks must not
       // shift if AQE coalesces the range exchange differently
-      "lift_gains_deciles", "gini_coefficient", "quantile_normalize")
+      "lift_gains_deciles", "gini_coefficient", "quantile_normalize",
+      // round-11 join-heavy media ops: the aHash banded candidate join
+      // + two-sided hamming fetch, the md5-family double aggregate, and
+      // the fused single-shuffle CSR route (partition-id arithmetic
+      // must survive whatever AQE does around the persisted layout)
+      "multimodal_image_ahash_pairs", "multimodal_dedup_exact",
+      "csr_secondary_index")
     val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       val withAqe = targets.map(n => n -> rows(n)).toMap
