@@ -61,7 +61,11 @@ object ScaleProbe {
     "dedup_cluster_cc",          // documents — CC rounds vs component diameter
     "pipeline_curate_corpus",    // documents — the 2.19@10× watch item
     "graph_pagerank_personalized", // lineitem — frontier rounds on a support-floored graph
-    "streaming_checksum")        // orders (single file) — the split-scan fix
+    "streaming_checksum",        // orders (single file) — the split-scan fix
+    // second wave (documents-only inputs, so already fully scaled):
+    // the banded-minhash candidate path, the df-capped shingle join,
+    // and the TopKPerKey TF-IDF rollup
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "tfidf_top_terms")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity

@@ -544,6 +544,36 @@ object Multimodal {
         expr(s"bytes * 1000000 div $budgetBytes").as("fill_ppm"))
   }
 
+  /** Decode-error quarantine — the robustness leg every production
+    * media pipeline needs: a deterministic subset of payloads arrives
+    * CORRUPTED (doc_id ≡ 0 mod 7 gets its magic bytes zeroed), the
+    * strict decoder raises, and the pipeline routes the failure into a
+    * quarantine verdict instead of killing the job. Emits one row per
+    * document (status ∈ ok|quarantined + the recovered pixel sum, −1
+    * for quarantined) — the oracle knows the corrupt set analytically,
+    * so BOTH failure routing and the survivors' decode stay in the
+    * hash gate. A decoder that "recovers" garbage from a corrupt
+    * header (instead of raising) flips status AND sum.
+    */
+  def decodeQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val w = (1 + nChars % 17).toInt
+      val h = (1 + nChars % 13).toInt
+      val a = ((docId * 7) % 256).toInt
+      val payload = graft.io.MediaCodec.encodeBmp24(w, h, synthPixels(a, w * h * 3))
+      if (docId % 7 == 0) { payload(0) = 0; payload(1) = 0 } // corrupt magic
+      try {
+        val img = graft.io.MediaCodec.decodeBmp(payload)
+        var sum = 0L; var i = 0
+        while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+        (docId, "ok", sum)
+      } catch {
+        case _: IllegalArgumentException => (docId, "quarantined", -1L)
+      }
+    }).toDF("doc_id", "status", "pix_sum")
+  }
+
   /** Mixed-corpus media catalog — the first query a lake of opaque
     * blobs answers: per DETECTED container type (magic-byte sniff, not
     * trusted metadata), document count and total payload bytes. The
@@ -586,6 +616,7 @@ object Multimodal {
     "multimodal_blob_roundtrip" -> ((s, dir) => bmpParquetRoundTrip(s, dir).toDF()),
     "multimodal_wav_resample" -> ((s, dir) => wavResample(s, dir).toDF()),
     "multimodal_pack_shards" -> ((s, dir) => mediaPackShards(s, dir)),
+    "multimodal_decode_quarantine" -> ((s, dir) => decodeQuarantine(s, dir)),
     "multimodal_decode_bmp" -> ((s, dir) => bmpRoundTrip(s, dir).toDF()),
     "multimodal_decode_ppm" -> ((s, dir) => ppmRoundTrip(s, dir).toDF()),
     "multimodal_decode_wav" -> ((s, dir) => wavRoundTrip(s, dir).toDF()),
@@ -673,6 +704,21 @@ object Multimodal {
         |  FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
         |    AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
         |WHERE hamming <= 8""".stripMargin,
+
+    // corrupt set is analytic (doc_id mod 7); survivors reuse the
+    // pixel-sum formula of the bmp round trip
+    "multimodal_decode_quarantine" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + (n_chars % 17) AS w, 1 + (n_chars % 13) AS h,
+        |    (doc_id * 7) % 256 AS a
+        |  FROM documents),
+        |e AS (SELECT doc_id, w * h * 3 AS n, a FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 7 = 0 THEN -1
+        |  ELSE CAST(list_sum(list_transform(generate_series(0, n - 1),
+        |    i -> (a + i) % 256)) AS BIGINT) END AS pix_sum
+        |FROM e""".stripMargin,
 
     // decimation keeps source even indices: output j = s(2j) =
     // ((a + 6j) % 256) − 128 over m = (n+1)//2 samples at half rate
