@@ -544,6 +544,51 @@ object Multimodal {
         expr(s"bytes * 1000000 div $budgetBytes").as("fill_ppm"))
   }
 
+  /** Image-feature similarity — the bridge from the media column into
+    * the ANN stack: decoded 8×8 thumbnail grays projected through a
+    * FIXED deterministic ±3 projection matrix (R(c,j) = ((c·131 +
+    * j·37) mod 7) − 3 — the integer stand-in for a learned encoder;
+    * swapping in real model features changes only this function) into
+    * a 16-dim integer vector, then exact top-k by integer dot through
+    * the same broadcast-queries + TopKPerKey shape as
+    * `ann_bruteforce_topk`. The corpus never shuffles; the dot runs as
+    * the codegen'd zip_with/aggregate HOF pair.
+    */
+  def imageEmbedTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val feats = docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
+      val w = (1 + nChars % 17).toInt
+      val h = (1 + nChars % 13).toInt
+      val a = ((docId * 7) % 256).toInt
+      val img = graft.io.MediaCodec.decodeBmp(
+        graft.io.MediaCodec.encodeBmp24(w, h, synthPixels(a, w * h * 3)))
+      val t = graft.io.MediaCodec.resizeNearest(img, 8, 8)
+      val grays = Array.tabulate(64)(c =>
+        ((t.pixels(c * 3) & 0xff) + (t.pixels(c * 3 + 1) & 0xff) +
+          (t.pixels(c * 3 + 2) & 0xff)) / 3)
+      val feat = Array.tabulate(16) { j =>
+        var s = 0L; var c = 0
+        while (c < 64) { s += grays(c).toLong * (((c * 131 + j * 37) % 7) - 3); c += 1 }
+        s
+      }
+      (docId, feat)
+    }).toDF("doc_id", "feat")
+      // queries and corpus both read it; released by the harness's
+      // per-query clearCache (registry contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(feats.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("feat").as("q_feat")))
+    val joined = q.join(
+        feats.select(col("doc_id").as("c_id"), col("feat").as("c_feat")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("dot_q", expr(
+        "aggregate(zip_with(q_feat, c_feat, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .select(col("q_id"), col("c_id"), col("dot_q"))
+    graft.plans.TopKPerKey.topKPerKey(joined, Seq("q_id"),
+        Seq(("dot_q", true), ("c_id", false)), k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
+  }
+
   /** Decode-error quarantine — the robustness leg every production
     * media pipeline needs: a deterministic subset of payloads arrives
     * CORRUPTED (doc_id ≡ 0 mod 7 gets its magic bytes zeroed), the
@@ -617,6 +662,7 @@ object Multimodal {
     "multimodal_wav_resample" -> ((s, dir) => wavResample(s, dir).toDF()),
     "multimodal_pack_shards" -> ((s, dir) => mediaPackShards(s, dir)),
     "multimodal_decode_quarantine" -> ((s, dir) => decodeQuarantine(s, dir)),
+    "multimodal_image_embed_topk" -> ((s, dir) => imageEmbedTopK(s, dir)),
     "multimodal_decode_bmp" -> ((s, dir) => bmpRoundTrip(s, dir).toDF()),
     "multimodal_decode_ppm" -> ((s, dir) => ppmRoundTrip(s, dir).toDF()),
     "multimodal_decode_wav" -> ((s, dir) => wavRoundTrip(s, dir).toDF()),
@@ -704,6 +750,38 @@ object Multimodal {
         |  FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
         |    AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
         |WHERE hamming <= 8""".stripMargin,
+
+    // the feature pipeline replayed: synth pixels → 8×8 nearest
+    // resample → integer grays → fixed ±3 projection → exact dot top-5
+    "multimodal_image_embed_topk" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + (n_chars % 17) AS w, 1 + (n_chars % 13) AS h,
+        |    (doc_id * 7) % 256 AS a
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), c ->
+        |      ((a + ((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8)) * 3) % 256
+        |     + (a + ((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8)) * 3 + 1) % 256
+        |     + (a + ((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8)) * 3 + 2) % 256) // 3)
+        |      AS grays
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 15), j ->
+        |      list_sum(list_transform(generate_series(0, 63), c ->
+        |        grays[c + 1] * (((c * 131 + j * 37) % 7) - 3)))) AS feat
+        |  FROM g),
+        |d AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |      t -> q.feat[t] * c.feat[t])) AS BIGINT) AS dot_q
+        |  FROM f q JOIN f c ON q.doc_id < 10 AND q.doc_id != c.doc_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
+        |  c_id, dot_q
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin,
 
     // corrupt set is analytic (doc_id mod 7); survivors reuse the
     // pixel-sum formula of the bmp round trip
