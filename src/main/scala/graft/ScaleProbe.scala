@@ -320,7 +320,13 @@ object ScaleProbe {
       // single-aggregate or dim-bounded scans — plan-trivially linear,
       // left unprobed like table_checksum.
       "rle_group_ranges_native", "bootstrap_poisson_means",
-      "quantile_normalize", "lift_gains_deciles"))
+      "quantile_normalize", "lift_gains_deciles",
+      // round-11 additions: the fused single-shuffle CSR route, the
+      // banded aHash image near-dup (pair graph must stay
+      // collision-bounded as classes fill), and the byte-weighted
+      // media shard packer (two-phase scan over analytic sizes)
+      "csr_secondary_index", "multimodal_image_ahash_pairs",
+      "multimodal_pack_shards"))
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

@@ -35,6 +35,14 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(img.pixels.sameElements(expectPixels(7, 5)))
   }
 
+  test("golden: BITMAPV5HEADER (124-byte info header) decodes via the data offset") {
+    // real-world BMPs often carry V4/V5 headers; the decoder must trust
+    // bfOffBits + biSize >= 40 rather than assume the 54-byte layout
+    val img = MediaCodec.decodeBmp(fixture("bmp_v5_5x3.bmp"))
+    assert(img.width == 5 && img.height == 3)
+    assert(img.pixels.sameElements(expectPixels(5, 3)))
+  }
+
   test("golden: negative-height BMP decodes top-down") {
     val img = MediaCodec.decodeBmp(fixture("bmp_topdown_3x2.bmp"))
     assert(img.width == 3 && img.height == 2)
