@@ -342,8 +342,15 @@ object Multimodal {
   // bands, never pixels.
   // ------------------------------------------------------------------
 
+  /** Pixel generator for the aHash corpus. MULTIPLICATIVE in the class
+    * parameter `a` — an additive formula (`a + noise(i)`) shifts every
+    * pixel by the same constant, and aHash is SHIFT-INVARIANT (gray and
+    * mean move together), so all 256 a-classes of a given (w,h)
+    * collapsed into one hash bucket and the pair graph went quadratic
+    * (measured: 5M pairs at 10× on the density-stable corpus).
+    */
   private def ahashPixel(a: Int, tweak: Int, i: Int): Int = {
-    val base = (a + (i * 131) % 251) % 256
+    val base = ((a + 3) * ((i * 131) % 251 + 1)) % 256
     if (i < 3 * tweak) 255 - base else base
   }
 
@@ -371,15 +378,29 @@ object Multimodal {
 
   /** (doc_a, doc_b, hamming ≤ maxHamming) candidate pairs sharing a
     * 16-bit aHash band, verified on the four bands.
+    *
+    * Corpus construction is DENSITY-STABLE (the 10× probe caught the
+    * first version measuring an artifact: a FIXED 360-class space made
+    * family sizes grow linearly with the corpus and the pair graph
+    * quadratically — 7M pairs at 10×, the exact trap the ScaleProbe
+    * word-tagging note documents): the family count now scales with
+    * the corpus (`nFam = max(240, n_docs/14)`), every image parameter
+    * derives from the family id, and each family splits into 3 tweak
+    * variants — so docs-per-family, and therefore pairs-per-doc, are
+    * scale-invariant and the pair graph grows LINEARLY like a real
+    * corpus's near-dup structure. The 1-row `count()` is the standard
+    * bounded driver scalar.
     */
   def imageAhashPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 8): DataFrame = {
     import spark.implicits._
-    val hashed = docDims(spark, dir).mapPartitions(_.map { case (docId, nChars) =>
-      val w = (4 + nChars % 5).toInt
-      val h = (4 + nChars % 3).toInt
-      val a = ((docId % 24) * 8).toInt
-      val tweak = ((docId / 24) % 3).toInt
+    val nFam = math.max(240L, Tables.documents(spark, dir).count() / 14)
+    val hashed = docDims(spark, dir).mapPartitions(_.map { case (docId, _) =>
+      val f = docId % nFam
+      val w = (4 + f % 5).toInt
+      val h = (4 + f % 3).toInt
+      val a = ((f * 53) % 256).toInt
+      val tweak = ((docId / nFam) % 3).toInt
       val px = new Array[Byte](w * h * 3)
       var i = 0
       while (i < px.length) { px(i) = ahashPixel(a, tweak, i).toByte; i += 1 }
@@ -711,16 +732,19 @@ object Multimodal {
     // indexing; J = source byte offset of cell c) → integer mean →
     // four 16-bit bands → OR-banded candidate pairs → banded hamming
     "multimodal_image_ahash_pairs" ->
-      """WITH p AS (
-        |  SELECT doc_id, 4 + (n_chars % 5) AS w, 4 + (n_chars % 3) AS h,
-        |    (doc_id % 24) * 8 AS a, (doc_id // 24) % 3 AS tweak
-        |  FROM documents),
+      """WITH nf AS (SELECT greatest(240, count(*) // 14) AS nfam FROM documents),
+        |p AS (
+        |  SELECT doc_id, 4 + ((doc_id % nfam) % 5) AS w,
+        |    4 + ((doc_id % nfam) % 3) AS h,
+        |    ((doc_id % nfam) * 53) % 256 AS a,
+        |    (doc_id // nfam) % 3 AS tweak
+        |  FROM documents, nf),
         |px AS (
         |  SELECT doc_id, w, h,
         |    list_transform(generate_series(0, w * h * 3 - 1), x ->
         |      CASE WHEN x < 3 * tweak
-        |        THEN 255 - ((a + (x * 131) % 251) % 256)
-        |        ELSE (a + (x * 131) % 251) % 256 END) AS pxl
+        |        THEN 255 - (((a + 3) * ((x * 131) % 251 + 1)) % 256)
+        |        ELSE ((a + 3) * ((x * 131) % 251 + 1)) % 256 END) AS pxl
         |  FROM p),
         |g AS (
         |  SELECT doc_id,

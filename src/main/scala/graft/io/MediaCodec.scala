@@ -99,6 +99,17 @@ object MediaCodec {
     val bitCount = buf.getShort(28).toInt
     val compression = buf.getInt(30)
     require(width > 0 && height > 0, s"bad dims ${width}x$rawHeight")
+    // strict-decode contract: EVERY malformed input must raise
+    // IllegalArgumentException (the quarantine path catches exactly
+    // that) — so bound the header-supplied offset and the dimension
+    // product BEFORE any array arithmetic, or a hostile header would
+    // surface as an index/negative-size error and kill the job instead
+    // of quarantining
+    require(dataOffset >= BmpFileHeaderLen + BmpInfoHeaderLen &&
+      dataOffset <= bytes.length,
+      s"bad bfOffBits $dataOffset for a ${bytes.length}-byte file")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"pixel array ${width}x$height exceeds addressable size")
     require(bitCount == 24, s"unsupported biBitCount $bitCount (24 only)")
     require(compression == 0, s"unsupported biCompression $compression (BI_RGB only)")
     val rowSize = bmpRowSize(width)
@@ -161,6 +172,9 @@ object MediaCodec {
         val c = bytes(pos)
         require(c >= '0'.toByte && c <= '9'.toByte, s"bad PPM header byte $c")
         v = v * 10 + (c - '0'.toByte)
+        // strict-decode contract: a hostile header number must raise
+        // here, not wrap int and corrupt the size arithmetic below
+        require(v <= 100000000, "PPM header number too large")
         pos += 1
       }
       v
@@ -169,6 +183,8 @@ object MediaCodec {
     val height = nextToken()
     val maxval = nextToken()
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"pixel array ${width}x$height exceeds addressable size")
     require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval (8-bit only)")
     pos += 1 // exactly one whitespace byte after maxval
     val n = width * height * 3

@@ -111,6 +111,19 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmp.take(40)))    // truncated
     intercept[IllegalArgumentException](MediaCodec.decodeBmp("XXjunk".getBytes))
     intercept[IllegalArgumentException](MediaCodec.decodePpm("P6\n4 3\n65535\n".getBytes)) // 16-bit maxval
+    // hostile headers must raise IAE (the quarantine contract), never
+    // escape as index/negative-size errors: negative data offset,
+    // overflowing dimension product, overflowing PPM header number
+    val badOff = bmp.clone()
+    java.nio.ByteBuffer.wrap(badOff).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, -1000)
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badOff))
+    val hugeDims = bmp.clone()
+    java.nio.ByteBuffer.wrap(hugeDims).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 1 << 20).putInt(22, 1 << 20)
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(hugeDims))
+    intercept[IllegalArgumentException](
+      MediaCodec.decodePpm("P6\n99999999999 3\n255\n".getBytes))
     val wav = fixture("wav_stereo16.wav")
     val nonPcm = wav.clone()
     nonPcm(20) = 3 // audioFormat = IEEE float

@@ -26,7 +26,10 @@ class MultimodalCodecQuerySpec extends AnyFunSuite {
   }
 
   test("ahash pairs: identical images collide at hamming 0; the corpus has real families") {
-    val df = Multimodal.imageAhashPairs(spark, "/root/testdata/sf0.001")
+    // sf0.01: with the density-stable construction (nFam floor 240),
+    // the 500-doc corpus puts ~2 docs per family — the 50-doc sf0.001
+    // corpus would be all singletons and verify nothing
+    val df = Multimodal.imageAhashPairs(spark, "/root/testdata/sf0.01")
     val rows = df.collect()
     assert(rows.nonEmpty, "synthetic corpus must contain near-dup pairs")
     assert(rows.exists(_.getInt(2) == 0), "exact-class pairs must land at hamming 0")
