@@ -79,6 +79,8 @@ object SparkEntry {
     (ext.Sq8.queries, ext.Sq8.oracleSql),
     (ext.Bootstrap.queries, ext.Bootstrap.oracleSql),
     (ext.CorpusStats.queries, ext.CorpusStats.oracleSql),
+    (ext.Calibration.queries, ext.Calibration.oracleSql),
+    (ext.ClassifierEval.queries, ext.ClassifierEval.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)

@@ -1,0 +1,146 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multiclass classifier evaluation — the per-class readout a labeling
+  * or distillation pipeline runs on every model revision: confusion
+  * margins, precision / recall / F1 per class, and the full
+  * precision-recall curve by score threshold.
+  *
+  * House exactness style (Agreement/Calibration precedent): every rate
+  * is an integer ppm via one truncating `div`, F1 folds to the single
+  * rational 2·tp / (n_pred + n_true) so it needs no nested division,
+  * and zero margins are guarded with greatest(·,1) identically on both
+  * engines.
+  *
+  * 100 TB shape: `multiclassPrf` is THREE map-side-combined aggregates
+  * on the class key (|classes| rows each) joined on ≤|classes| rows —
+  * the joins are broadcast-trivial and everything after the aggregates
+  * is arithmetic on a frame the size of the label alphabet.
+  * `prCurve` aggregates to one row per distinct score (the score
+  * alphabet, 50 values here) and runs its cumulative sums in a window
+  * over that BOUNDED frame — the unbounded-window-over-data
+  * anti-pattern never appears; a continuous score would be binned
+  * first (equidepth_bins exists for exactly that).
+  */
+object ClassifierEval {
+
+  /** Per-class (class, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    * f1_ppm) for a true-label column vs a predicted-label column.
+    */
+  def multiclassPrf(data: DataFrame, trueCol: Column, predCol: Column): DataFrame = {
+    val tp = data.select(trueCol.as("t"), predCol.as("p"))
+    val byTrue = tp.groupBy(col("t").as("class"))
+      .agg(count(lit(1)).as("n_true"))
+    val byPred = tp.groupBy(col("p").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val diag = tp.where(col("t") === col("p"))
+      .groupBy(col("t").as("class")).agg(count(lit(1)).as("tp"))
+    byTrue.join(byPred, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        expr("tp * 1000000 div greatest(n_pred, 1L)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(n_true, 1L)").as("recall_ppm"),
+        // F1 = 2PR/(P+R) = 2·tp/(n_pred + n_true): one exact rational
+        expr("2 * tp * 1000000 div greatest(n_pred + n_true, 1L)").as("f1_ppm"))
+      .orderBy("class")
+  }
+
+  /** Precision-recall curve over an INTEGER score: one row per distinct
+    * score threshold t with the counts and rates of the classifier
+    * "positive iff score ≥ t". The cumulative sums run score-descending
+    * over the distinct-score frame (bounded by the score alphabet).
+    */
+  def prCurve(data: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val byScore = data
+      .select(scoreCol.cast("long").as("threshold"),
+        labelCol.cast("long").as("y"))
+      .groupBy("threshold")
+      .agg(sum(col("y")).as("_pos"), sum(lit(1L) - col("y")).as("_neg"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("tp", sum(col("_pos")).over(w))
+      .withColumn("fp", sum(col("_neg")).over(w))
+      .withColumn("_npos", sum(col("_pos")).over(Window.partitionBy()))
+      .select(col("threshold"), col("tp"), col("fp"),
+        expr("tp * 1000000 div greatest(tp + fp, 1L)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(_npos, 1L)").as("recall_ppm"))
+      .orderBy(col("threshold").desc)
+  }
+
+  /** Deterministic demo predictor: quantity terciles → returnflag
+    * class (a signal with no real predictive power — the diagonal of
+    * the confusion matrix quantifies exactly how little).
+    */
+  private val predFromQuantity: Column =
+    when(col("l_quantity") <= 17, "A")
+      .when(col("l_quantity") <= 34, "N")
+      .otherwise("R")
+
+  val queries: Map[String, Q] = Map(
+    // per-class precision/recall/F1 of the naive quantity-tercile
+    // predictor against the actual returnflag
+    "multiclass_prf" -> ((s, dir) =>
+      multiclassPrf(Tables.lineitem(s, dir),
+        col("l_returnflag"), predFromQuantity)),
+
+    // the full PR curve of "predict returned when quantity ≥ t"
+    "pr_curve_by_threshold" -> ((s, dir) =>
+      prCurve(Tables.lineitem(s, dir), col("l_quantity"),
+        (col("l_returnflag") === "R").cast("int")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "multiclass_prf" ->
+      """WITH tp AS (
+        |  SELECT l_returnflag AS t,
+        |    CASE WHEN l_quantity <= 17 THEN 'A'
+        |         WHEN l_quantity <= 34 THEN 'N' ELSE 'R' END AS p
+        |  FROM lineitem),
+        |bt AS (SELECT t AS class, count(*) AS n_true FROM tp GROUP BY 1),
+        |bp AS (SELECT p AS class, count(*) AS n_pred FROM tp GROUP BY 1),
+        |dg AS (SELECT t AS class, count(*) AS tp FROM tp WHERE t = p GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(bt.class, bp.class, dg.class) AS class,
+        |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+        |    coalesce(tp, 0) AS tp
+        |  FROM bt FULL OUTER JOIN bp USING (class)
+        |    FULL OUTER JOIN dg USING (class))
+        |SELECT class, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+        |  CAST(tp * 1000000 // greatest(n_pred, 1) AS BIGINT) AS precision_ppm,
+        |  CAST(tp * 1000000 // greatest(n_true, 1) AS BIGINT) AS recall_ppm,
+        |  CAST(2 * tp * 1000000 // greatest(n_pred + n_true, 1) AS BIGINT)
+        |    AS f1_ppm
+        |FROM m ORDER BY class""".stripMargin,
+
+    "pr_curve_by_threshold" ->
+      """WITH s AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS threshold,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT threshold, sum(y) AS pos, sum(1 - y) AS neg
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT threshold,
+        |    sum(pos) OVER (ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(neg) OVER (ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |    sum(pos) OVER () AS npos
+        |  FROM g)
+        |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+        |  CAST(tp * 1000000 // greatest(npos, 1) AS BIGINT) AS recall_ppm
+        |FROM c ORDER BY threshold DESC""".stripMargin
+  )
+}
