@@ -327,6 +327,12 @@ object ScaleProbe {
       // media shard packer (two-phase scan over analytic sizes)
       "csr_secondary_index", "multimodal_image_ahash_pairs",
       "multimodal_pack_shards"))
+      // round-11 session wave (calibration_reliability/ece_brier,
+      // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
+      // keyed aggregates on bin/class/score-alphabet keys — ad-hoc
+      // probed once (same plan at 10x, sub-second absolute at both
+      // scales, warmup-dominated), left off the record like
+      // table_checksum / kappa
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
       // t0 wraps CONSTRUCTION + count: several queries do their real

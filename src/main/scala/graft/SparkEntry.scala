@@ -81,6 +81,7 @@ object SparkEntry {
     (ext.CorpusStats.queries, ext.CorpusStats.oracleSql),
     (ext.Calibration.queries, ext.Calibration.oracleSql),
     (ext.ClassifierEval.queries, ext.ClassifierEval.oracleSql),
+    (ext.Fairness.queries, ext.Fairness.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)

@@ -42,27 +42,42 @@ object Calibration {
   private val labelY: Column =
     when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")
 
+  /** (score_ppm, y) projection of lineitem — shared with the streaming
+    * face (streaming_calibration) so the two can never diverge.
+    */
+  private[graft] def scoreLabel(lineitem: DataFrame): DataFrame =
+    lineitem.select(scorePpm, labelY)
+
   private def scored(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select(scorePpm, labelY)
+    scoreLabel(Tables.lineitem(spark, dir))
 
   /** Reliability diagram over 10 equal-width score bins: per bin the
     * support, mean confidence (ppm), empirical positive rate (ppm),
     * and |confidence − accuracy| gap (ppm).
     */
-  def reliability(data: DataFrame): DataFrame = {
+  def reliability(data: DataFrame): DataFrame =
+    reliabilityFinish(binned(data))
+
+  /** The incremental (bin, n, Σscore, n_pos) aggregate — the part a
+    * streaming complete-mode aggregation can maintain.
+    */
+  private[graft] def binned(data: DataFrame): DataFrame =
     data
       .withColumn("bin", expr("least(score_ppm div 100000, 9L)"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(col("score_ppm")).as("_sum_score"),
         sum(col("y")).as("n_pos"))
+
+  /** Batch finisher over the binned aggregate (arithmetic on ≤10 rows). */
+  private[graft] def reliabilityFinish(bins: DataFrame): DataFrame =
+    bins
       .select(col("bin"), col("n"), col("n_pos"),
         expr("_sum_score div n").as("conf_ppm"),
         expr("n_pos * 1000000 div n").as("acc_ppm"),
         expr("abs(_sum_score div n - n_pos * 1000000 div n)").as("gap_ppm"))
       .orderBy("bin")
-  }
 
   /** One row: expected calibration error (support-weighted mean bin
     * gap, ppm) and the Brier score (mean squared forecast error,

@@ -649,8 +649,35 @@ object StreamingOps {
     graft.ext.Drift.psiFromBinned(spark.table(name))
   }
 
+  /** Incremental reliability diagram: the streamed complete-mode
+    * (bin, n, Σscore, n_pos) aggregate + the batch ≤10-row finisher,
+    * BOTH lifted verbatim from ext.Calibration (scoreLabel/binned/
+    * reliabilityFinish), sharing calibration_reliability's oracle
+    * bit-for-bit — the drift_psi pattern: a scored event stream keeps
+    * its calibration readout current without a batch replay.
+    */
+  private def calibrationToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"scal_${System.nanoTime()}"
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir).schema
+    val stream = spark.readStream
+      .schema(fileSchema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val q = graft.ext.Calibration.binned(graft.ext.Calibration.scoreLabel(stream))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.Calibration.reliabilityFinish(spark.table(name))
+  }
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    // incremental reliability diagram sharing calibration_reliability's
+    // oracle (the drift_psi share-the-batch-oracle pattern)
+    "streaming_calibration" -> ((s, dir) => calibrationToCompletion(s, dir)),
 
     // incremental PSI drift: streamed (bin, side) counts + the batch
     // share/term step, sharing drift_psi_bins' oracle
@@ -908,6 +935,8 @@ object StreamingOps {
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
     "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
+    "streaming_calibration" ->
+      graft.ext.Calibration.oracleSql("calibration_reliability"),
     "streaming_checksum" -> graft.ops.Checksum.oracleSql("table_checksum"),
 
     // identical to the batch `sessionize` oracle — the flushed stream

@@ -30,6 +30,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming calibration equals the batch reliability diagram bit for bit") {
+    val streamed = SparkEntry.queries("streaming_calibration")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("calibration_reliability")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.length == 10)
+  }
+
   test("CDC upsert with an EMPTY change feed serves the base unchanged (no missing-log throw)") {
     // craft a fixture whose orders have NO keys divisible by 10 — the
     // change-feed filter matches zero rows, foreachBatch never creates
