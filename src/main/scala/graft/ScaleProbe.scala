@@ -65,7 +65,16 @@ object ScaleProbe {
     // second wave (documents-only inputs, so already fully scaled):
     // the banded-minhash candidate path, the df-capped shingle join,
     // and the TopKPerKey TF-IDF rollup
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "tfidf_top_terms")
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "tfidf_top_terms",
+    // third wave: the rolling-hash winnowing scan (documents — the
+    // "linear in corpus chars" claim), the tokenize→pack pipeline
+    // (documents — range shuffle + broadcast offsets on top of the
+    // 100×-proven BPE chain), and the basket itemset miner (lineitem
+    // scaled; `part` stays a 1× DIMENSION like region/nation, which is
+    // the honest 100-TB shape — a fixed catalog under growing sales,
+    // so the pair/rule alphabet is bounded while support counts ride
+    // the fact table)
+    "fingerprint_winnow", "pipeline_tokenize_pack", "assoc_rules_lift")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity

@@ -128,6 +128,12 @@ object Calibration {
   def welch(data: DataFrame, measure: Column, cohortA: Column,
             cohortB: Column): DataFrame = {
     data
+      // filter FIRST with the raw cohort predicates: a CASE-WHEN-null
+      // filter after the projection is not a pushable parquet
+      // predicate, while `cohortA or cohortB` (e.g. an IN list) reaches
+      // PushedFilters and prunes row groups at the scan — at 100 TB
+      // that's the difference between reading 2/3 and 3/3 of the table
+      .where(cohortA || cohortB)
       .select(measure.cast("long").as("x"),
         when(cohortA, 1L).when(cohortB, 2L).as("g"))
       .where(col("g").isNotNull)

@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * and zero margins are guarded with greatest(·,1) identically on both
   * engines.
   *
-  * 100 TB shape: `multiclassPrf` is THREE map-side-combined aggregates
-  * on the class key (|classes| rows each) joined on ≤|classes| rows —
-  * the joins are broadcast-trivial and everything after the aggregates
-  * is arithmetic on a frame the size of the label alphabet.
+  * 100 TB shape: `multiclassPrf` is ONE map-side-combined
+  * confusion-matrix aggregate (|classes|² rows) whose margins and
+  * diagonal are re-aggregated from that bounded frame — the fact table
+  * is scanned exactly once, and everything after the first aggregate
+  * is arithmetic on frames the size of the label alphabet.
   * `prCurve` aggregates to one row per distinct score (the score
   * alphabet, 50 values here) and runs its cumulative sums in a window
   * over that BOUNDED frame — the unbounded-window-over-data
@@ -32,15 +33,23 @@ object ClassifierEval {
     * f1_ppm) for a true-label column vs a predicted-label column.
     */
   def multiclassPrf(data: DataFrame, trueCol: Column, predCol: Column): DataFrame = {
-    val tp = data.select(trueCol.as("t"), predCol.as("p"))
-    val byTrue = tp.groupBy(col("t").as("class"))
-      .agg(count(lit(1)).as("n_true"))
-    val byPred = tp.groupBy(col("p").as("class"))
-      .agg(count(lit(1)).as("n_pred"))
-    val diag = tp.where(col("t") === col("p"))
-      .groupBy(col("t").as("class")).agg(count(lit(1)).as("tp"))
+    // ONE fact-table scan: the |classes|² confusion-matrix aggregate
+    // (map-side combined), then margins derived from that bounded
+    // frame. The diagonal rides the true-margin aggregate as a
+    // CONDITIONAL SUM, not a filter — a `where(t === p)` on group keys
+    // gets pushed below the aggregate by Catalyst, which changes the
+    // scan subtree and defeats ReuseExchange (measured: a second full
+    // fact scan); with the condition inside the aggregate both margin
+    // branches hang off the SAME (t,p) exchange and the plan shows one
+    // FileScan + one ReusedExchange.
+    val cm = data.select(trueCol.as("t"), predCol.as("p"))
+      .groupBy("t", "p").agg(count(lit(1)).as("c"))
+    val byTrue = cm.groupBy(col("t").as("class"))
+      .agg(sum(col("c")).as("n_true"),
+        sum(when(col("t") === col("p"), col("c")).otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy(col("p").as("class"))
+      .agg(sum(col("c")).as("n_pred"))
     byTrue.join(byPred, Seq("class"), "full_outer")
-      .join(diag, Seq("class"), "full_outer")
       .select(col("class"),
         coalesce(col("n_true"), lit(0L)).as("n_true"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
