@@ -92,6 +92,35 @@ class CalibrationSpec extends AnyFunSuite {
     assert(wc.isNullAt(wc.fieldIndex("t2_ppm")))
   }
 
+  test("property: welch matches an exact driver-side integer replay on random cohorts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 10).foreach { _ =>
+      val n1 = 2 + rnd.nextInt(200); val n2 = 2 + rnd.nextInt(200)
+      val xs1 = Array.fill(n1)(rnd.nextInt(1000).toLong)
+      val xs2 = Array.fill(n2)(rnd.nextInt(1000).toLong)
+      val df = (xs1.map((_, "a")) ++ xs2.map((_, "b"))).toSeq.toDF("x", "g")
+      val w = Calibration.welch(df, col("x"), col("g") === "a",
+        col("g") === "b").head()
+      // replay the staged truncating arithmetic exactly (BigInt = the
+      // decimal(38,0) ride; / on positive BigInt truncates like div)
+      def varX1e6(n: Long, xs: Array[Long]): BigInt = {
+        val s = BigInt(xs.sum); val q = BigInt(xs.map(x => x * x).sum)
+        (BigInt(n) * q - s * s) * 1000000 / (BigInt(n) * (n - 1))
+      }
+      val v1 = varX1e6(n1, xs1); val v2 = varX1e6(n2, xs2)
+      assert(w.getAs[Long]("var1_x1e6") == v1.toLong)
+      assert(w.getAs[Long]("var2_x1e6") == v2.toLong)
+      def tdiv(a: BigInt, b: BigInt): BigInt = // Spark div truncates toward 0
+        if (b == 0) BigInt(0) else { val q = a.abs / b.abs; if (a.sign * b.sign < 0) -q else q }
+      val dm = tdiv(BigInt(xs1.sum) * 1000000, n1) - tdiv(BigInt(xs2.sum) * 1000000, n2)
+      assert(w.getAs[Long]("dm_ppm") == dm.toLong)
+      val a1 = tdiv(v1, n1); val a2 = tdiv(v2, n2)
+      if (a1 + a2 != 0)
+        assert(w.getAs[Long]("t2_ppm") == tdiv(dm * dm, a1 + a2).toLong)
+    }
+  }
+
   test("registered queries: shapes and invariants on testdata") {
     val rel = Calibration.queries("calibration_reliability")(spark, sf).collect()
     assert(rel.length == 10)

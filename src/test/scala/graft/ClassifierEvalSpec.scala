@@ -65,6 +65,47 @@ class ClassifierEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: margins, diagonal bounds, and F1 ordering hold on random confusions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val classes = Array("w", "x", "y", "z")
+    (0 until 8).foreach { _ =>
+      val n = 50 + rnd.nextInt(300)
+      val rows = Seq.fill(n)((classes(rnd.nextInt(4)), classes(rnd.nextInt(4))))
+      val m = ClassifierEval.multiclassPrf(rows.toDF("t", "p"),
+        col("t"), col("p")).collect()
+      assert(m.map(_.getAs[Long]("n_true")).sum == n)
+      assert(m.map(_.getAs[Long]("n_pred")).sum == n)
+      m.foreach { r =>
+        val tp = r.getAs[Long]("tp")
+        assert(tp <= math.min(r.getAs[Long]("n_true"), r.getAs[Long]("n_pred")))
+        // F1 is the harmonic mean: bounded by min/max of P and R
+        // (truncation can undershoot the min by at most 1 ppm)
+        val p = r.getAs[Long]("precision_ppm"); val rc = r.getAs[Long]("recall_ppm")
+        val f1 = r.getAs[Long]("f1_ppm")
+        assert(f1 <= math.max(p, rc) && f1 + 1 >= math.min(p, rc) - 0,
+          r.toString)
+        assert(f1 <= (p + rc + 1) / 2, r.toString) // HM <= AM
+      }
+      // PR curve on the same data with a random integer score
+      val scored = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(2)))
+      val c = ClassifierEval.prCurve(scored.toDF("s", "y"), col("s"), col("y"))
+        .orderBy(col("threshold").desc).collect()
+      val nPos = scored.count(_._2 == 1)
+      // tp and fp are monotone down the sweep; the last row captures all
+      c.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tp") <= b.getAs[Long]("tp"))
+          assert(a.getAs[Long]("fp") <= b.getAs[Long]("fp"))
+        case _ =>
+      }
+      if (c.nonEmpty) {
+        assert(c.last.getAs[Long]("tp") == nPos)
+        assert(c.last.getAs[Long]("fp") == n - nPos)
+      }
+    }
+  }
+
   test("registered queries: shapes and monotonicity on testdata") {
     val m = ClassifierEval.queries("multiclass_prf")(spark, sf).collect()
     assert(m.map(_.getAs[String]("class")).toSet == Set("A", "N", "R"))

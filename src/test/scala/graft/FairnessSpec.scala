@@ -44,6 +44,30 @@ class FairnessSpec extends AnyFunSuite {
     assert(b.forall(_.getAs[Long]("tpr_gap_ppm") == 0L))
   }
 
+  test("property: rates replay exactly and gaps equal max-min on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 8).foreach { _ =>
+      val n = 40 + rnd.nextInt(300)
+      val rows = Seq.fill(n)((s"g${rnd.nextInt(5)}", rnd.nextInt(2), rnd.nextInt(2)))
+      val df = rows.toDF("g", "y", "p")
+      val par = Fairness.parityGap(df, col("g"), col("p")).collect()
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> (rs.map(_._3.toLong).sum * 1000000L / rs.length)
+      }
+      par.foreach { r =>
+        assert(r.getAs[Long]("accept_ppm") == expect(r.getAs[String]("grp")))
+      }
+      assert(par.head.getAs[Long]("parity_gap_ppm") ==
+        expect.values.max - expect.values.min)
+      val eo = Fairness.equalizedOdds(df, col("g"), col("y"), col("p")).collect()
+      val tprs = eo.map(_.getAs[Long]("tpr_ppm"))
+      val fprs = eo.map(_.getAs[Long]("fpr_ppm"))
+      assert(eo.head.getAs[Long]("tpr_gap_ppm") == tprs.max - tprs.min)
+      assert(eo.head.getAs[Long]("fpr_gap_ppm") == fprs.max - fprs.min)
+    }
+  }
+
   test("registered queries: one row per source, gaps replicated and consistent") {
     val p = Fairness.queries("fairness_parity_gap")(spark, sf).collect()
     assert(p.length > 1)

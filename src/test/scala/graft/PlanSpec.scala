@@ -342,6 +342,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"last-touch must be join-free:\n$plan")
   }
 
+  test("multiclass_prf scans the fact table ONCE (margins reuse the confusion exchange)") {
+    val df = graft.ext.ClassifierEval.queries("multiclass_prf")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    // the FINAL plan section only — the printed tree appends the AQE
+    // initial plan, which legitimately shows the pre-reuse scans
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1,
+      s"expected exactly one fact scan (got $scans) — a where(t=p) diagonal " +
+        s"pushes below the aggregate and defeats ReuseExchange:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"the pred-margin branch must reuse the (t,p) exchange:\n$finalPlan")
+  }
+
   test("HITS half-steps read persisted raw scores (no exponential re-derivation)") {
     import spark.implicits._
     val edges = (1L to 40L).flatMap(s => (1L to 5L).map(p => (s, 1000L + (s + p) % 20)))
