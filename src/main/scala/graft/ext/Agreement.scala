@@ -117,6 +117,41 @@ object Agreement {
                * 1000000 div _fden AS BIGINT) END""").as("kappa_ppm"))
   }
 
+  /** Krippendorff's alpha for r = 3 binary raters (nominal metric) —
+    * the agreement coefficient built on DISAGREEMENT rather than
+    * chance-corrected agreement, and the third face of the family
+    * beside Cohen (2 raters) and Fleiss (marginal-chance Pe). With
+    * per-item positive counts n_i ∈ {0..3} over N items, m = 3, total
+    * positives S and pooled values Nm:
+    *
+    *   D_o ∝ Σᵢ n_i·(m−n_i)            (within-item disagreeing pairs)
+    *   D_e ∝ S·(Nm−S)                  (pooled-margin disagreeing pairs)
+    *   alpha = 1 − (Nm−1)·Σ n_i(m−n_i) / ((m−1)·S·(Nm−S))
+    *
+    * — one exact integer rational (Krippendorff 2004, the bivalent
+    * special case). Note the pooled margin: unlike Fleiss, alpha's
+    * expected disagreement uses Nm−1 in the numerator, which is what
+    * makes it consistent for small N. Same degenerate guard as the
+    * kappas: a unanimous pool (S = 0 or S = Nm) zeroes the
+    * denominator → pinned NULL on both engines. Same one-aggregate
+    * 100 TB shape as [[fleissKappa3]].
+    */
+  def krippendorffAlpha3(data: DataFrame, r1: Column, r2: Column, r3: Column): DataFrame = {
+    data.select((r1.cast("int") + r2.cast("int") + r3.cast("int"))
+        .cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("pos")).as("s_pos"),
+        sum(col("pos") * (lit(3L) - col("pos"))).as("d_obs"))
+      // (m−1)·S·(Nm−S) with m = 3: 2·S·(3N−S), on decimal(38,0)
+      .withColumn("_aden", expr(
+        """2 * CAST(s_pos AS DECIMAL(38,0))
+          | * (3 * CAST(n_items AS DECIMAL(38,0)) - s_pos)""".stripMargin))
+      .select(col("n_items"), col("s_pos"), col("d_obs"),
+        expr("""CASE WHEN _aden = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST((_aden - (3 * CAST(n_items AS DECIMAL(38,0)) - 1) * d_obs)
+                 * 1000000 div _aden AS BIGINT) END""").as("alpha_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     // three deterministic "is this document substantial" raters:
     // chars, tokens, distinct tokens — multi-rater agreement on the
@@ -140,6 +175,19 @@ object Agreement {
       cohensKappa(docs, col("n_chars") >= 500, col("n_tokens") >= 80)
     }),
 
+    // the same three raters as fleiss_kappa under the
+    // disagreement-based coefficient — alpha vs kappa on identical
+    // inputs is the standard annotation-QA cross-check
+    "krippendorff_alpha" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_uniq"))
+      krippendorffAlpha3(docs, col("n_chars") >= 500, col("n_tokens") >= 80,
+        col("n_uniq") >= 60)
+    }),
+
     // the paired-disagreement companion on the same two raters: is the
     // char-rater systematically more generous than the token-rater?
     "mcnemar_test" -> ((s, dir) => {
@@ -151,6 +199,30 @@ object Agreement {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "krippendorff_alpha" ->
+      """WITH r AS (
+        |  SELECT (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x != '')) >= 80 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(list_distinct(list_filter(
+        |        string_split_regex(text, '\s+'), x -> x != ''))) >= 60
+        |      THEN 1 ELSE 0 END) AS pos
+        |  FROM documents),
+        |m AS (
+        |  SELECT count(*) AS n_items,
+        |    CAST(sum(pos) AS BIGINT) AS s_pos,
+        |    CAST(sum(pos * (3 - pos)) AS BIGINT) AS d_obs
+        |  FROM r),
+        |d AS (
+        |  SELECT *, 2 * CAST(s_pos AS HUGEINT)
+        |      * (3 * CAST(n_items AS HUGEINT) - s_pos) AS aden
+        |  FROM m)
+        |SELECT n_items, s_pos, d_obs,
+        |  CASE WHEN aden = 0 THEN NULL
+        |  ELSE CAST((aden - (3 * CAST(n_items AS HUGEINT) - 1) * d_obs)
+        |    * 1000000 // aden AS BIGINT) END AS alpha_ppm
+        |FROM d""".stripMargin,
+
     "fleiss_kappa" ->
       """WITH r AS (
         |  SELECT (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END

@@ -85,6 +85,40 @@ object ClassifierEval {
       .orderBy(col("threshold").desc)
   }
 
+  /** Matthews correlation coefficient for a binary classifier — the
+    * single-number confusion summary that stays honest under class
+    * imbalance (accuracy and F1 both saturate on a 99:1 split; MCC
+    * does not). Emitted without the square root: `mcc_num =
+    * tp·tn − fp·fn` carries the exact sign, and
+    * `mcc2_x1e6 = num²·10⁶ div ((tp+fp)(tp+fn)(tn+fp)(tn+fn))` is the
+    * exact squared magnitude — the consumer's MCC is
+    * sign(num)·√(mcc2/10⁶), its one float op. A zero margin makes MCC
+    * undefined: pinned NULL on both engines (the kappa guard).
+    * Products ride decimal(38,0); n⁴·10⁶ passes 38 digits near 5e7
+    * rows — document-level evaluation never gets near it, and past it
+    * the margins themselves need re-bucketing anyway.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate produces the four
+    * cells; everything after is arithmetic on one row.
+    */
+  def matthewsCorr(data: DataFrame, labelCol: Column, predCol: Column): DataFrame = {
+    data.select(labelCol.cast("int").as("y"), predCol.cast("int").as("p"))
+      .agg(sum(expr("y * p")).as("tp"),
+        sum(expr("(1 - y) * p")).as("fp"),
+        sum(expr("y * (1 - p)")).as("fn"),
+        sum(expr("(1 - y) * (1 - p)")).as("tn"))
+      .withColumn("_den", expr(
+        """CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+          | * (tn + fp) * (tn + fn)""".stripMargin))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn AS BIGINT)")
+          .as("mcc_num"),
+        expr("""CASE WHEN _den = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST((CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn)
+                 * (CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn)
+                 * 1000000 div _den AS BIGINT) END""").as("mcc2_x1e6"))
+  }
+
   /** Deterministic demo predictor: quantity terciles → returnflag
     * class (a signal with no real predictive power — the diagonal of
     * the confusion matrix quantifies exactly how little).
@@ -104,7 +138,15 @@ object ClassifierEval {
     // the full PR curve of "predict returned when quantity ≥ t"
     "pr_curve_by_threshold" -> ((s, dir) =>
       prCurve(Tables.lineitem(s, dir), col("l_quantity"),
-        (col("l_returnflag") === "R").cast("int")))
+        (col("l_returnflag") === "R").cast("int"))),
+
+    // the binary collapse of the same predictor: "returned iff
+    // quantity in the top tercile" vs the actual R flag, summarized by
+    // the imbalance-honest MCC
+    "matthews_corr" -> ((s, dir) =>
+      matthewsCorr(Tables.lineitem(s, dir),
+        (col("l_returnflag") === "R").cast("int"),
+        (col("l_quantity") >= 35).cast("int")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -150,6 +192,30 @@ object ClassifierEval {
         |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
         |  CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
         |  CAST(tp * 1000000 // greatest(npos, 1) AS BIGINT) AS recall_ppm
-        |FROM c ORDER BY threshold DESC""".stripMargin
+        |FROM c ORDER BY threshold DESC""".stripMargin,
+
+    "matthews_corr" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN l_quantity >= 35 THEN 1 ELSE 0 END AS p
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+        |    CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+        |    CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+        |    CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+        |  FROM s),
+        |d AS (
+        |  SELECT *, CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |      * (tn + fp) * (tn + fn) AS den
+        |  FROM m)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS BIGINT)
+        |    AS mcc_num,
+        |  CASE WHEN den = 0 THEN NULL
+        |  ELSE CAST((CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+        |      * (CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+        |      * 1000000 // den AS BIGINT) END AS mcc2_x1e6
+        |FROM d""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rank-based statistics over corpus-sized columns — both built on the
@@ -191,7 +192,87 @@ object RankStats {
                AS BIGINT)""").as("auc_ppm"))
   }
 
+  /** Kruskal–Wallis H — the k-group rank ANOVA (the nonparametric
+    * sibling of Stats.anovaFOneway, as Mann–Whitney is of the t-test),
+    * with PROPER MIDRANKS for ties: unlike [[mannWhitneyU]]'s
+    * deterministic tie-break (fine for U, which only needs a pinned
+    * total order), H is quadratic in rank sums, so tie-broken ranks
+    * would bias it — midranks are the textbook treatment. Ranks stay
+    * integral by carrying DOUBLED midranks: for a value v with count c
+    * and `cum` values ≤ v, r2(v) = 2·(cum−c) + c + 1 = 2·midrank.
+    *
+    *   H  = 12/(n(n+1)) · Σ R_g²/n_g − 3(n+1),  R_g²/n_g = R2_g² / (4n_g)
+    *   C  = 1 − Σ(t³−t)/(n³−n)   (tie correction),  H_corr = H/C
+    *
+    * Staged integer rationals throughout, with each group's term
+    * divided by the FULL denominator in one pinned step
+    * (`t_g = R2_g²·10⁶ div (4·n_g·n·(n+1))`, so
+    * `h_x1e6 = 12·Σt_g − 3(n+1)·10⁶`): the quotient lives at the final
+    * H·10⁶ scale — a partial division like `R2_g²·10⁶ div 4n_g` leaves
+    * an ≈ n_g·n²·10⁶ intermediate that blows past 2⁶³ around 10⁵ rows
+    * (Spark's integral `div` returns LONG; measured as an ANSI
+    * ARITHMETIC_OVERFLOW at sf0.1) — while the staging bias stays at
+    * k ppm. Numerators ride decimal(38,0) — R2_g²·10⁶ ≈ 4n⁴·10⁶ passes
+    * 38 digits near n ≈ 10⁷ rows, the documented ceiling (past it,
+    * bucket the measure first).
+    * All ties (every value distinct ⇒ C = 1) and the degenerate n ≤ 1
+    * / all-one-value pool pin NULL via greatest-guards.
+    *
+    * 100 TB shape: one aggregate per (group, value) and one per value —
+    * both bounded by the VALUE ALPHABET × k, not the data (the
+    * pr_curve/seasonality bounded-frame discipline; a continuous
+    * measure gets equidepth-binned first). The rank window runs over
+    * the value alphabet; the alphabet table broadcasts to the
+    * per-group join.
+    */
+  def kruskalWallisH(data: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = data.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val perVal = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perVal.withColumn("_cum", sum(col("cnt")).over(wOrd))
+      .select(col("v"), col("cnt"),
+        (lit(2L) * (col("_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"))
+    val byG = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c_gv"))
+      .join(broadcast(ranked.select(col("v"), col("r2"))), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c_gv")).as("n_g"), sum(col("c_gv") * col("r2")).as("r2_sum"))
+    val ties = ranked.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("_tie3"),
+      sum(col("cnt")).as("_ntot"))
+    val scal = byG.crossJoin(broadcast(ties))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        max(col("_tie3")).as("_tie3"),
+        sum(expr(
+          """CAST(r2_sum AS DECIMAL(38,0)) * r2_sum * 1000000
+            | div (4 * CAST(n_g AS DECIMAL(38,0)) * _ntot * (_ntot + 1))"""
+            .stripMargin)).as("_tsum"))
+      .withColumn("h_x1e6", expr(
+        "12 * _tsum - 3 * (n + 1) * 1000000"))
+      .withColumn("_cnum", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * n - n - _tie3"))
+      .select(col("k"), col("n"), col("h_x1e6"),
+        expr("""CASE WHEN _cnum <= 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(CAST(h_x1e6 AS DECIMAL(38,0))
+                 * (CAST(n AS DECIMAL(38,0)) * n * n - n)
+                 div _cnum AS BIGINT) END""").as("hc_x1e6"))
+    // per-group rank sums + the global statistic on each row (the
+    // 1-row broadcast cross join — the sanctioned scalar pattern)
+    byG.crossJoin(broadcast(scal))
+      .select(col("g"), col("n_g"), col("r2_sum"),
+        col("k"), col("n"), col("h_x1e6"), col("hc_x1e6"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // does event value rank differently across the five event types?
+    // (midrank k-group rank ANOVA over the bounded cents alphabet)
+    "kruskal_wallis_h" -> ((s, dir) =>
+      kruskalWallisH(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents")),
+
     // AUC of purchase value separating the md5 A/B arms (≈ 0.5 — the
     // null-test calibration every experimentation stack should run)
     "abtest_auc" -> ((s, dir) =>
@@ -253,6 +334,43 @@ object RankStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kruskal_wallis_h" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |perval AS (
+        |  SELECT cents, count(*) AS cnt FROM v GROUP BY cents),
+        |ranked AS (
+        |  SELECT cents, cnt,
+        |    2 * (sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r2
+        |  FROM perval),
+        |byg AS (
+        |  SELECT g, CAST(sum(c_gv) AS BIGINT) AS n_g,
+        |    CAST(sum(c_gv * r2) AS BIGINT) AS r2_sum
+        |  FROM (SELECT g, cents, count(*) AS c_gv FROM v GROUP BY g, cents) gv
+        |  JOIN ranked USING (cents) GROUP BY g),
+        |ties AS (
+        |  SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+        |  FROM ranked),
+        |scal AS (
+        |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(r2_sum AS HUGEINT) * r2_sum * 1000000
+        |      // (4 * CAST(n_g AS HUGEINT) * ntot * (ntot + 1))) AS tsum
+        |  FROM byg, (SELECT CAST(sum(cnt) AS BIGINT) AS ntot FROM ranked) nt),
+        |h AS (
+        |  SELECT k, n,
+        |    CAST(12 * tsum - 3 * (n + 1) * 1000000 AS BIGINT) AS h_x1e6,
+        |    CAST(n AS HUGEINT) * n * n - n - tie3 AS cnum
+        |  FROM scal, ties)
+        |SELECT g, n_g, r2_sum, k, n, h_x1e6,
+        |  CASE WHEN cnum <= 0 THEN NULL
+        |  ELSE CAST(CAST(h_x1e6 AS HUGEINT)
+        |    * (CAST(n AS HUGEINT) * n * n - n) // cnum AS BIGINT)
+        |  END AS hc_x1e6
+        |FROM byg, h""".stripMargin,
+
     "abtest_auc" ->
       """WITH v AS (
         |  SELECT event_id,

@@ -194,7 +194,67 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** One-way ANOVA F over k groups as STAGED integer rationals (the
+    * welch_ttest discipline): with per-group counts n_g, sums T_g and
+    * square-sums Q_g of an integer measure,
+    *
+    *   SSB = Σ T_g²/n_g − T²/n      SSW = Σ Q_g − Σ T_g²/n_g
+    *   F   = (SSB/(k−1)) / (SSW/(n−k))
+    *
+    * Each T_g²/n_g is ONE truncating `div` (pinned, both engines), so
+    * `ssb_stage`/`ssw_stage` are deterministic integers within k of the
+    * true sums, and `f_x1e6` is one more pinned rational over them —
+    * bias bounded by k/SSW, far below any decision threshold. Squares
+    * ride decimal(38,0) (T_g² passes 2⁶³ once a group's cents sum
+    * clears 3e9 — a few 10⁷ purchase rows). A within-variance of zero
+    * or a single group pins NULL on both engines.
+    *
+    * 100 TB shape: one map-side-combined aggregate keyed by the group
+    * column, then arithmetic on the k-row frame — the fact table is
+    * scanned once and only (g, n, T, Q) triples cross the shuffle.
+    *
+    * Split as stage + finisher below so the streaming face can reuse
+    * both under the identical oracle.
+    */
+  /** The per-group moment stage of [[anovaFOneway]] — a plain
+    * (count, sum, sum-of-squares) keyed aggregate, which is also legal
+    * inside a complete-mode STREAMING aggregation (the calibration
+    * binned/finish split): `streaming_anova_f` runs this incrementally
+    * and applies [[anovaFinish]] per emission.
+    */
+  def anovaGroupStats(data: DataFrame, group: Column, valueCol: Column): DataFrame =
+    data.select(group.as("g"), valueCol.cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("t_g"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q_g"))
+
+  /** The k-row finisher over [[anovaGroupStats]] output. */
+  def anovaFinish(byG: DataFrame): DataFrame = {
+    byG.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("t_g")).as("t_all"), sum(col("q_g")).as("q_all"),
+        sum(expr("CAST(t_g AS DECIMAL(38,0)) * t_g div n_g")).as("sb_stage"))
+      .withColumn("_ssb", expr(
+        "sb_stage - CAST(t_all AS DECIMAL(38,0)) * t_all div n"))
+      .withColumn("_ssw", expr("q_all - sb_stage"))
+      .select(col("k"), col("n"),
+        expr("CAST(_ssb AS BIGINT)").as("ssb_stage"),
+        expr("CAST(_ssw AS BIGINT)").as("ssw_stage"),
+        expr("""CASE WHEN _ssw <= 0 OR k <= 1 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(CAST(_ssb AS DECIMAL(38,0)) * (n - k) * 1000000
+                 div (CAST(_ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT) END""")
+          .as("f_x1e6"))
+  }
+
+  def anovaFOneway(data: DataFrame, group: Column, valueCol: Column): DataFrame =
+    anovaFinish(anovaGroupStats(data, group, valueCol))
+
   val queries: Map[String, Q] = Map(
+    // does mean event value differ across the five event types?
+    // (staged-integer one-way F over value cents keyed by event_type)
+    "anova_f_oneway" -> ((s, dir) =>
+      anovaFOneway(Tables.events(s, dir), col("event_type"),
+        round(col("value") * 100).cast("long"))),
+
     "chi2_independence" -> ((s, dir) =>
       chi2Independence(Tables.customer(s, dir))),
 
@@ -293,6 +353,31 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "anova_f_oneway" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |byg AS (
+        |  SELECT g, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS t_g,
+        |    sum(CAST(x AS HUGEINT) * x) AS q_g
+        |  FROM v GROUP BY g),
+        |tot AS (
+        |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(t_g) AS BIGINT) AS t_all, sum(q_g) AS q_all,
+        |    sum(CAST(t_g AS HUGEINT) * t_g // n_g) AS sb_stage
+        |  FROM byg),
+        |st AS (
+        |  SELECT k, n,
+        |    sb_stage - CAST(t_all AS HUGEINT) * t_all // n AS ssb,
+        |    q_all - sb_stage AS ssw
+        |  FROM tot)
+        |SELECT k, n, CAST(ssb AS BIGINT) AS ssb_stage,
+        |  CAST(ssw AS BIGINT) AS ssw_stage,
+        |  CASE WHEN ssw <= 0 OR k <= 1 THEN NULL
+        |  ELSE CAST(ssb * (n - k) * 1000000 // (ssw * (k - 1)) AS BIGINT)
+        |  END AS f_x1e6
+        |FROM st""".stripMargin,
+
     "chi2_independence" ->
       """WITH cells AS (
         |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,

@@ -75,11 +75,73 @@ object Survival {
         col("hazard_ppm"), col("cum_hazard_ppm"))
   }
 
+  /** Log-rank test table comparing two cohorts' survival — "does cohort
+    * A churn faster than cohort B?", the experiment readout on top of
+    * the KM machinery. At each distinct lifetime t with d = d_a + d_b
+    * total events and (n_a, n_b) at risk:
+    *
+    *   E_a(t) = d·n_a/n          (expected events in A under H0)
+    *   V(t)   = d·n_a·n_b·(n−d) / (n²·(n−1))
+    *
+    * Per the KM/Nelson–Aalen discipline the per-interval terms are
+    * emitted as truncating integer rationals (`e_a_ppm`, `v_x1e12`) and
+    * the cumulative statistic inputs (`oe_cum_ppm = Σ d_a·10⁶ − e_a_ppm`,
+    * `v_cum_x1e12`) ride an ordered window over the day-bounded table —
+    * order-pinned exact sums of pinned terms, so the whole curve sits
+    * inside the hash gate; the final z = OE/√V float is the consumer's
+    * one square root. Products ride decimal(38,0) (n⁴·10¹² passes the
+    * 38-digit ceiling near 3e6 users — the house ceiling, documented).
+    *
+    * 100 TB shape: identical to [[kaplanMeier]] plus one conditional
+    * split in the day aggregate — one user-keyed aggregate, one 1-row
+    * broadcast, then day-bounded arithmetic.
+    */
+  def logRank(events: DataFrame, censorDays: Int = 14): DataFrame = {
+    val lives = events.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    val end = lives.agg(max(col("last_us")).as("end_us"))
+    val spans = lives.crossJoin(broadcast(end))
+      .select((col("user_id") % 2).as("grp"),
+        expr("(last_us - first_us) div 86400000000").as("t_days"),
+        when(col("last_us") < col("end_us") - lit(censorDays * dayUs), 1L)
+          .otherwise(0L).as("churned"))
+    val byDay = spans.groupBy(col("t_days"))
+      .agg(sum(when(col("grp") === 0, col("churned")).otherwise(0L)).as("d_a"),
+        sum(when(col("grp") === 1, col("churned")).otherwise(0L)).as("d_b"),
+        sum(when(col("grp") === 0, lit(1L) - col("churned")).otherwise(0L)).as("c_a"),
+        sum(when(col("grp") === 1, lit(1L) - col("churned")).otherwise(0L)).as("c_b"))
+    val wSuffix = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk_a", sum(col("d_a") + col("c_a")).over(wSuffix))
+      .withColumn("n_risk_b", sum(col("d_b") + col("c_b")).over(wSuffix))
+      .withColumn("_n", col("n_risk_a") + col("n_risk_b"))
+      .withColumn("_d", col("d_a") + col("d_b"))
+      .withColumn("e_a_ppm", expr(
+        "CAST(CAST(_d AS DECIMAL(38,0)) * n_risk_a * 1000000 div _n AS BIGINT)"))
+      .withColumn("v_x1e12", expr(
+        """CAST(CAST(_d AS DECIMAL(38,0)) * n_risk_a * n_risk_b * (_n - _d)
+          | * 1000000000000
+          | div greatest(CAST(_n AS DECIMAL(38,0)) * _n * greatest(_n - 1, 1L), 1)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("oe_cum_ppm", sum(expr("d_a * 1000000 - e_a_ppm")).over(wCum))
+      .withColumn("v_cum_x1e12", sum(col("v_x1e12")).over(wCum))
+      .select(col("t_days"), col("n_risk_a"), col("n_risk_b"),
+        col("d_a"), col("d_b"), col("e_a_ppm"), col("v_x1e12"),
+        col("oe_cum_ppm"), col("v_cum_x1e12"))
+  }
+
   val queries: Map[String, Q] = Map(
     "survival_kaplan_meier" -> ((s, dir) =>
       kaplanMeier(Tables.events(s, dir), censorDays = 14)),
     "survival_nelson_aalen" -> ((s, dir) =>
-      nelsonAalen(Tables.events(s, dir), censorDays = 14))
+      nelsonAalen(Tables.events(s, dir), censorDays = 14)),
+    // two-cohort churn comparison (user_id parity as the arm split —
+    // an A/A-style null test, so the cumulative OE should hover near 0)
+    "survival_logrank" -> ((s, dir) =>
+      logRank(Tables.events(s, dir), censorDays = 14))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -135,6 +197,50 @@ object Survival {
         |  CAST(sum(hazard_ppm) OVER (ORDER BY t_days
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_hazard_ppm
+        |FROM term""".stripMargin,
+
+    "survival_logrank" ->
+      """WITH lives AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(last_us) AS end_us FROM lives),
+        |spans AS (
+        |  SELECT user_id % 2 AS grp,
+        |    (last_us - first_us) // 86400000000 AS t_days,
+        |    CASE WHEN last_us < end_us - 14 * 86400000000 THEN 1 ELSE 0 END AS churned
+        |  FROM lives, e),
+        |byday AS (
+        |  SELECT t_days,
+        |    CAST(sum(CASE WHEN grp = 0 THEN churned ELSE 0 END) AS BIGINT) AS d_a,
+        |    CAST(sum(CASE WHEN grp = 1 THEN churned ELSE 0 END) AS BIGINT) AS d_b,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 - churned ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 - churned ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM spans GROUP BY t_days),
+        |risk AS (
+        |  SELECT t_days, d_a, d_b,
+        |    CAST(sum(d_a + c_a) OVER (ORDER BY t_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk_a,
+        |    CAST(sum(d_b + c_b) OVER (ORDER BY t_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk_b
+        |  FROM byday),
+        |term AS (
+        |  SELECT t_days, n_risk_a, n_risk_b, d_a, d_b,
+        |    CAST(CAST(d_a + d_b AS HUGEINT) * n_risk_a * 1000000
+        |      // (n_risk_a + n_risk_b) AS BIGINT) AS e_a_ppm,
+        |    CAST(CAST(d_a + d_b AS HUGEINT) * n_risk_a * n_risk_b
+        |        * (n_risk_a + n_risk_b - d_a - d_b) * 1000000000000
+        |      // greatest(CAST(n_risk_a + n_risk_b AS HUGEINT)
+        |          * (n_risk_a + n_risk_b)
+        |          * greatest(n_risk_a + n_risk_b - 1, 1), 1) AS BIGINT) AS v_x1e12
+        |  FROM risk)
+        |SELECT t_days, n_risk_a, n_risk_b, d_a, d_b, e_a_ppm, v_x1e12,
+        |  CAST(sum(d_a * 1000000 - e_a_ppm) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS oe_cum_ppm,
+        |  CAST(sum(v_x1e12) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS v_cum_x1e12
         |FROM term""".stripMargin
   )
 }

@@ -195,7 +195,52 @@ object Timeseries {
         col("med"), col("mad"))
   }
 
+  /** Theil–Sen trend estimator — the robust slope (median of all
+    * pairwise slopes) of a daily aggregate series, immune to the
+    * outlier days that wreck an OLS fit (up to ~29% contamination).
+    * Slopes are pinned integer rationals: slope(i,j) = (y_j − y_i)·10⁶
+    * div (day_j − day_i), truncation identical on both engines; the
+    * median is the DISCRETE lower median (the element at rank
+    * ⌈P/2⌉ of the P ascending slopes — even counts do NOT average,
+    * which would leave the integer lattice). Row_number ties on equal
+    * slope values are harmless: any stable order of the same multiset
+    * puts the same VALUE at a given rank.
+    *
+    * 100 TB shape: the fact table collapses to one day-keyed aggregate
+    * first, so the pairwise self-join is CALENDAR-bounded (d days →
+    * d(d−1)/2 pairs — 10 years ≈ 6.7M pairs), constant in data volume;
+    * the rank window runs over that bounded frame (the deciles /
+    * calendar-days sanctioned pattern). Differences ride decimal(38,0)
+    * (Δcents·10⁶ passes 2⁶³ near 9e12-cent days).
+    */
+  def theilSenTrend(daily: DataFrame, dayCol: String, valueCol: String): DataFrame = {
+    val d = daily.select(col(dayCol).cast("long").as("day"),
+      col(valueCol).cast("long").as("y"))
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    val slopes = d.as("i").join(d.as("j"), col("i.day") < col("j.day"))
+      .select(expr(
+        """CAST((CAST(j.y AS DECIMAL(38,0)) - i.y) * 1000000
+          | div (j.day - i.day) AS BIGINT)""".stripMargin).as("slope_x1e6"))
+    val w = Window.orderBy(col("slope_x1e6"))
+    slopes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy()))
+      .where(col("_rn") === expr("CAST((n_pairs + 1) div 2 AS INT)"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope_x1e6").as("slope_med_x1e6"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // robust daily-revenue trend: median pairwise slope of the
+    // day-keyed purchase cents series (cents/day, ×1e6)
+    "theilsen_trend" -> ((s, dir) =>
+      theilSenTrend(
+        Tables.events(s, dir).where(col("event_type") === "purchase")
+          .groupBy(expr("ts_us div 86400000000").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "day", "cents")),
+
     // Hour-of-day × day-of-week traffic fingerprint — the seasonality
     // profile capacity planning and anomaly baselines start from: per
     // (dow, hour) cell, the event count and its exact ppm share of the
@@ -411,6 +456,26 @@ object Timeseries {
       |        JOIN gm g ON g.event_type = tr.event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_days FROM daily),
+        |slopes AS (
+        |  SELECT CAST((CAST(j.y AS HUGEINT) - i.y) * 1000000
+        |      // (j.day - i.day) AS BIGINT) AS slope_x1e6
+        |  FROM daily i JOIN daily j ON i.day < j.day),
+        |ranked AS (
+        |  SELECT slope_x1e6,
+        |    row_number() OVER (ORDER BY slope_x1e6) AS rn,
+        |    count(*) OVER () AS n_pairs
+        |  FROM slopes)
+        |SELECT n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope_x1e6 AS slope_med_x1e6
+        |FROM ranked, nd
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
     "seasonality_profile" ->
       """WITH v AS (SELECT epoch_us(ts) AS ts_us FROM events),
         |c AS (

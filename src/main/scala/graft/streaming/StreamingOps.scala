@@ -672,8 +672,36 @@ object StreamingOps {
     graft.ext.Calibration.reliabilityFinish(spark.table(name))
   }
 
+  /** Incremental one-way ANOVA: the per-group (count, sum, sum-sq)
+    * moments run as a complete-mode streaming aggregation — the moment
+    * stage is associative, so every emission is exact for the data so
+    * far — and the k-row staged-F finisher runs on the final table.
+    * Shares `anova_f_oneway`'s oracle bit-for-bit (the calibration /
+    * drift_psi pattern).
+    */
+  private def anovaToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sanova_${System.nanoTime()}"
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val stream = spark.readStream
+      .schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = graft.ext.Stats.anovaGroupStats(stream, col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.Stats.anovaFinish(spark.table(name))
+  }
+
   val queries: Map[String, Q] = Map(
     "streaming_window_agg" -> ((s, dir) => runToCompletion(s, dir)),
+
+    // incremental group moments + the k-row staged-F finisher, sharing
+    // anova_f_oneway's oracle
+    "streaming_anova_f" -> ((s, dir) => anovaToCompletion(s, dir)),
 
     // incremental reliability diagram sharing calibration_reliability's
     // oracle (the drift_psi share-the-batch-oracle pattern)
@@ -935,6 +963,7 @@ object StreamingOps {
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
     "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
+    "streaming_anova_f" -> graft.ext.Stats.oracleSql("anova_f_oneway"),
     "streaming_calibration" ->
       graft.ext.Calibration.oracleSql("calibration_reliability"),
     "streaming_checksum" -> graft.ops.Checksum.oracleSql("table_checksum"),
