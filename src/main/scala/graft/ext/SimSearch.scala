@@ -173,7 +173,77 @@ object SimSearch {
     (result, () => { base.unpersist(); () })
   }
 
+  /** Matryoshka truncation audit — "how much of the full-dimension
+    * ranking does a PREFIX of the embedding already recover?": top-k
+    * neighbor sets under the full vector vs its first `prefixDims`
+    * dimensions (MRL-style representations are trained so prefixes are
+    * usable embeddings; on any corpus this measures the cost of the
+    * truncation a cheaper index would use), emitted per query as the
+    * exact overlap count and ppm. Deterministic ends to end: both
+    * rankings use the quantized integer dot with the (dot desc, c_id)
+    * tie-break, so the sets — and the overlap — are engine-portable.
+    *
+    * 100 TB shape: two [[bruteForceTopK]] passes (queries broadcast,
+    * corpus never shuffles — the prefix pass reads prefixDims/dim of
+    * the vector bytes, which is the point of the technique), then
+    * k-bounded per-query joins. At corpus scale the prefix pass is the
+    * IVF/LSH shortlist's scoring arm; the audit shape is unchanged.
+    */
+  def matryoshkaOverlap(emb: DataFrame, prefixDims: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = bruteForceTopK(queries, emb, k)
+      .select(col("q_id"), col("c_id"))
+    val prefQ = queries.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val prefC = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val pref = bruteForceTopK(prefQ, prefC, k)
+      .select(col("q_id"), col("c_id"))
+    val overlap = full.join(pref, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    full.select(col("q_id")).distinct()
+      .join(overlap, Seq("q_id"), "left_outer")
+      .select(col("q_id"), lit(k).cast("long").as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 1000000 div $k").as("overlap_ppm"))
+  }
+
+  /** Mutual-kNN rate over the audit set — the symmetry diagnostic a
+    * kNN-graph consumer (graph clustering, SemDedup, UMAP-style
+    * layouts) checks first: of the directed kNN edges inside the audit
+    * set, how many are reciprocated? Asymmetric edges mark hub vectors
+    * (everyone's neighbor, nobody's mutual) — the hubness pathology of
+    * high-dimensional similarity. One brute-force pass + a self-join on
+    * the k-bounded edge list.
+    */
+  def mutualKnnRate(emb: DataFrame, auditSize: Int, k: Int): DataFrame = {
+    val audit = emb.filter(col("vec_id") < auditSize)
+    val edges = bruteForceTopK(audit, audit, k)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+    val mutual = edges.as("e").join(
+      edges.select(col("src").as("dst"), col("dst").as("src")).as("r"),
+      Seq("src", "dst"), "left_semi")
+    edges.agg(count(lit(1)).as("n_directed"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+      .select(col("n_directed"), col("n_mutual"),
+        expr("n_mutual * 1000000 div greatest(n_directed, 1L)")
+          .as("mutual_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // recall of the 16-dim prefix ranking against the full 64-dim
+    // ranking, per query — the dimension-truncation tradeoff, measured
+    "ann_matryoshka_recall" -> ((s, dir) =>
+      matryoshkaOverlap(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        prefixDims = 16, k = 5)),
+
+    // how symmetric is the 5-NN graph on the audit set?
+    "knn_graph_mutual" -> ((s, dir) =>
+      mutualKnnRate(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        auditSize = 100, k = 5)),
+
     // Per-label centroid statistics in EXACT integer arithmetic:
     // quantized components explode to (label, dim) and aggregate
     // map-side — sums and counts instead of float means, so any engine
@@ -277,6 +347,58 @@ object SimSearch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both rankings replayed with the quantized-dot formula (the
+    // ann_bruteforce_topk replica), the prefix one over dims 1..16
+    "ann_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |df AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
+        |fulltop AS (
+        |  SELECT q_id, c_id FROM df
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5),
+        |dp AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
+        |preftop AS (
+        |  SELECT q_id, c_id FROM dp
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5),
+        |ov AS (
+        |  SELECT q_id, count(*) AS n_overlap
+        |  FROM fulltop JOIN preftop USING (q_id, c_id) GROUP BY q_id)
+        |SELECT q_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(n_overlap, 0) * 1000000 // 5 AS BIGINT) AS overlap_ppm
+        |FROM (SELECT DISTINCT q_id FROM fulltop) LEFT JOIN ov USING (q_id)""".stripMargin,
+
+    "knn_graph_mutual" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |d AS (
+        |  SELECT q.vec_id AS src, c.vec_id AS dst,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM a q JOIN a c ON q.vec_id != c.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY dot_q DESC, dst) <= 5),
+        |m AS (
+        |  SELECT count(*) AS n_mutual FROM edges e
+        |  WHERE EXISTS (SELECT 1 FROM edges r
+        |    WHERE r.src = e.dst AND r.dst = e.src)),
+        |t AS (SELECT count(*) AS n_directed FROM edges)
+        |SELECT CAST(n_directed AS BIGINT) AS n_directed,
+        |  CAST(n_mutual AS BIGINT) AS n_mutual,
+        |  CAST(n_mutual * 1000000 // greatest(n_directed, 1) AS BIGINT)
+        |    AS mutual_ppm
+        |FROM t, m""".stripMargin,
+
     // sum(BIGINT) is HUGEINT in DuckDB — cast back
     "embedding_dim_stats" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
