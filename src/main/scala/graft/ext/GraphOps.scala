@@ -355,7 +355,54 @@ object GraphOps {
       .select(col("u"), col("v"), col("sup"))
   }
 
+  /** Degree assortativity (Newman 2002) — "do high-degree nodes link
+    * to high-degree nodes?", the one-number mixing summary that
+    * separates social-style graphs (assortative, r > 0) from
+    * hub-and-spoke infrastructure (disassortative, r < 0). Over the
+    * SYMMETRIZED directed edge list the two endpoint marginals are
+    * identical, so Pearson-across-edges collapses to ONE exact integer
+    * rational:
+    *
+    *   r = (M·Σdᵤdᵥ − (Σdᵤ)²) / (M·Σdᵤ² − (Σdᵤ)²)
+    *
+    * (M = directed edge count). A degree-regular graph zeroes the
+    * denominator — pinned NULL on both engines. Products ride
+    * decimal(38,0): M·Σd² ≈ M²·d_max² passes 38 digits near 10⁸
+    * directed edges at 10³ max degree.
+    *
+    * 100 TB shape: one degree aggregate, two keyed joins of the
+    * node-sized degree table onto the edge list, one map-side-combined
+    * moment aggregate to a single row.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("n_directed"),
+        sum(col("du")).as("sum_deg"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("_sxy"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("_sx2"))
+      .withColumn("_den", expr(
+        """CAST(n_directed AS DECIMAL(38,0)) * _sx2
+          | - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg""".stripMargin))
+      .select(col("n_directed"), col("sum_deg"),
+        expr("CAST(_sxy AS BIGINT)").as("sum_deg_prod"),
+        expr("CAST(_sx2 AS BIGINT)").as("sum_deg_sq"),
+        expr("""CASE WHEN _den = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST((CAST(n_directed AS DECIMAL(38,0)) * _sxy
+                 - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg) * 1000000
+                 div _den AS BIGINT) END""").as("assort_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // degree-mixing summary of the co-purchase graph (one integer
+    // rational; NULL on degree-regular graphs by the kappa guard)
+    "graph_assortativity" -> ((s, dir) =>
+      assortativity(copurchaseEdges(s, dir))),
+
     // The bipartite→unipartite projection ITSELF as a first-class
     // operator (every other graph query consumes it): order–part
     // incidence → support-weighted part–part edges, support-floored
@@ -451,6 +498,34 @@ object GraphOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        |m AS (
+        |  SELECT count(*) AS n_directed,
+        |    CAST(sum(du.deg) AS BIGINT) AS sum_deg,
+        |    sum(CAST(du.deg AS HUGEINT) * dv.deg) AS sxy,
+        |    sum(CAST(du.deg AS HUGEINT) * du.deg) AS sx2
+        |  FROM sym JOIN deg du ON du.node = sym.u
+        |           JOIN deg dv ON dv.node = sym.v),
+        |d AS (
+        |  SELECT *, CAST(n_directed AS HUGEINT) * sx2
+        |    - CAST(sum_deg AS HUGEINT) * sum_deg AS den
+        |  FROM m)
+        |SELECT CAST(n_directed AS BIGINT) AS n_directed, sum_deg,
+        |  CAST(sxy AS BIGINT) AS sum_deg_prod,
+        |  CAST(sx2 AS BIGINT) AS sum_deg_sq,
+        |  CASE WHEN den = 0 THEN NULL
+        |  ELSE CAST((CAST(n_directed AS HUGEINT) * sxy
+        |    - CAST(sum_deg AS HUGEINT) * sum_deg) * 1000000 // den AS BIGINT)
+        |  END AS assort_ppm
+        |FROM d""".stripMargin,
+
     "graph_bipartite_projection" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li)

@@ -49,10 +49,52 @@ object RecSys {
       .select(col("item_id"), col("rank"), col("other_id"), col("n_common"), col("js"))
   }
 
+  /** Catalog coverage + concentration of the top-k recommendation
+    * lists — the recommender-health readout beside accuracy: what
+    * fraction of the catalog is ever recommended (low coverage = the
+    * popularity trap), and how concentrated are the slots on the
+    * single most-recommended item? The lists are the deterministic
+    * [[itemSimilarityTopK]] output (pinned tie-breaks), so both counts
+    * are exact. One row: (n_items, n_recommended, coverage_ppm,
+    * n_slots, max_item_slots, top_share_ppm).
+    *
+    * 100 TB shape: the list build dominates (see itemSimilarityTopK);
+    * the audit adds two distinct-count aggregates and a max over the
+    * k·|items|-bounded list table, all map-side combined, joined as
+    * 1-row broadcasts.
+    */
+  def catalogCoverage(baskets: DataFrame, k: Int): DataFrame = {
+    // read by three aggregates; released by the harness's per-query
+    // clearCache (the registry contract — see the Rle.scala note)
+    val lists = itemSimilarityTopK(baskets, k)
+      .select(col("other_id")).persist()
+    val catalog = baskets.select(col("item_id")).distinct()
+      .agg(count(lit(1)).as("n_items"))
+    val reco = lists.distinct().agg(count(lit(1)).as("n_recommended"))
+    val slots = lists.agg(count(lit(1)).as("n_slots"))
+    val top = lists.groupBy(col("other_id")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("max_item_slots"))
+    broadcast(catalog).crossJoin(broadcast(reco))
+      .crossJoin(broadcast(slots)).crossJoin(broadcast(top))
+      .select(col("n_items"), col("n_recommended"),
+        expr("n_recommended * 1000000 div greatest(n_items, 1L)")
+          .as("coverage_ppm"),
+        col("n_slots"), col("max_item_slots"),
+        expr("max_item_slots * 1000000 div greatest(n_slots, 1L)")
+          .as("top_share_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     // parts as items, orders as baskets, top-10 neighbours per part
     "recsys_item_similarity" -> ((s, dir) =>
       itemSimilarityTopK(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id")),
+        k = 10)),
+
+    // coverage/concentration audit of the same top-10 lists
+    "recsys_coverage" -> ((s, dir) =>
+      catalogCoverage(
         Tables.lineitem(s, dir).select(
           col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id")),
         k = 10))
@@ -82,6 +124,42 @@ object RecSys {
         |  other_id, n_common, CAST(js AS BIGINT) AS js
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY item_id
-        |  ORDER BY js DESC, n_common DESC, other_id) <= 10""".stripMargin
+        |  ORDER BY js DESC, n_common DESC, other_id) <= 10""".stripMargin,
+
+    "recsys_coverage" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sizes AS (SELECT pk, count(*) AS n_baskets FROM b GROUP BY pk),
+        |coocc AS (
+        |  SELECT a.pk AS pa, b2.pk AS pb, count(*) AS n_common
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY a.pk, b2.pk),
+        |directed AS (
+        |  SELECT pa AS item_id, pb AS other_id, n_common FROM coocc
+        |  UNION ALL
+        |  SELECT pb, pa, n_common FROM coocc),
+        |scored AS (
+        |  SELECT d.item_id, d.other_id, d.n_common,
+        |    (1000000 * d.n_common) // (si.n_baskets + so.n_baskets - d.n_common) AS js
+        |  FROM directed d
+        |  JOIN sizes si ON si.pk = d.item_id
+        |  JOIN sizes so ON so.pk = d.other_id),
+        |lists AS (
+        |  SELECT other_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY item_id
+        |    ORDER BY js DESC, n_common DESC, other_id) <= 10),
+        |cat AS (SELECT count(DISTINCT pk) AS n_items FROM b),
+        |rec AS (SELECT count(DISTINCT other_id) AS n_recommended FROM lists),
+        |slt AS (SELECT count(*) AS n_slots FROM lists),
+        |top AS (SELECT max(cnt) AS max_item_slots FROM
+        |  (SELECT other_id, count(*) AS cnt FROM lists GROUP BY other_id))
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_recommended AS BIGINT) AS n_recommended,
+        |  CAST(n_recommended * 1000000 // greatest(n_items, 1) AS BIGINT)
+        |    AS coverage_ppm,
+        |  CAST(n_slots AS BIGINT) AS n_slots,
+        |  CAST(max_item_slots AS BIGINT) AS max_item_slots,
+        |  CAST(max_item_slots * 1000000 // greatest(n_slots, 1) AS BIGINT)
+        |    AS top_share_ppm
+        |FROM cat, rec, slt, top""".stripMargin
   )
 }
