@@ -74,7 +74,18 @@ object ScaleProbe {
     // the honest 100-TB shape — a fixed catalog under growing sales,
     // so the pair/rule alphabet is bounded while support counts ride
     // the fact table)
-    "fingerprint_winnow", "pipeline_tokenize_pack", "assoc_rules_lift")
+    "fingerprint_winnow", "pipeline_tokenize_pack", "assoc_rules_lift",
+    // fourth wave: the 100× input build now includes events +
+    // embeddings (V2 marker), so the ANN, stateful-streaming, and
+    // evaluation families get their first 100× datapoints — the
+    // occupancy-adaptive LSH plane count and the IVF cell fan-out are
+    // exactly the mechanisms whose 100× behavior the 10× probe cannot
+    // show, and streaming_cusum is the board's last >1.8@10× curve
+    "ann_lsh_bucketed", "ann_ivf_topk", "streaming_dedup",
+    "streaming_cusum", "anova_f_oneway", "kruskal_wallis_h",
+    // lineitem-only (inputs were always fully scaled; the support
+    // floor and basket bound are the claims to test two decades up)
+    "recsys_item_similarity", "graph_triangles")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
@@ -83,9 +94,12 @@ object ScaleProbe {
   private def tagWords(text: org.apache.spark.sql.Column, rep: Int) =
     concat_ws(" ", transform(split(text, " "), w => concat(w, lit(s"·$rep"))))
 
-  /** `full = false` (the 100× build) skips events + embeddings — none
-    * of [[Scale100Queries]] read them, and at 100 reps the single-file
-    * rewrite of events alone would dominate the build.
+  /** The 100× build (V2) includes events + embeddings like the 10×
+    * build: 10M events land as one 8 MB-row-group file (~1 min, cached
+    * behind the marker) and 500k vectors as a dataset directory, which
+    * is what lets the ANN/streaming/evaluation families carry 100×
+    * datapoints. `full = false` survives for callers that want the
+    * cheap documents+lineitem-only build.
     */
   private def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
                           Reps: Int, full: Boolean): Unit = {
@@ -100,7 +114,7 @@ object ScaleProbe {
     // grew (the round-10 "streaming_checksum 3.1x" curve was exactly
     // this artifact, adjudicated round 11 by per-task metrics)
     val marker =
-      if (Reps == DefaultReps) "_SUCCESS_SCALED_V4" else s"_SUCCESS_SCALED_${Reps}x_V1"
+      if (Reps == DefaultReps) "_SUCCESS_SCALED_V4" else s"_SUCCESS_SCALED_${Reps}x_V2"
     if (java.nio.file.Files.exists(fs.resolve(marker))) return
     java.nio.file.Files.createDirectories(fs)
 
@@ -252,7 +266,7 @@ object ScaleProbe {
       if (scale == DefaultReps) "/root/repo/target/scaled_sf1"
       else s"/root/repo/target/scaled_x$scale")
     System.err.println(s"[scaleprobe] building ${scale}x inputs under $sf1 (cached if present)")
-    buildScaled(spark, sf01, sf1, scale, full = scale == DefaultReps)
+    buildScaled(spark, sf01, sf1, scale, full = true)
 
     val names =
       if (scale != DefaultReps) {

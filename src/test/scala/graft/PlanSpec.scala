@@ -357,6 +357,44 @@ class PlanSpec extends AnyFunSuite {
       s"the pred-margin branch must reuse the (t,p) exchange:\n$finalPlan")
   }
 
+  test("anova_f_oneway and matthews_corr scan the fact table ONCE (pure aggregate chains)") {
+    for (name <- Seq("anova_f_oneway", "matthews_corr")) {
+      val df =
+        if (name == "anova_f_oneway") graft.ext.Stats.queries(name)(spark, sf)
+        else graft.ext.ClassifierEval.queries(name)(spark, sf)
+      df.collect()
+      val finalPlan = planOf(df).split("== Initial Plan ==").head
+      val scans = "FileScan parquet".r.findAllIn(finalPlan).length
+      assert(scans == 1, s"$name: expected one fact scan, got $scans:\n$finalPlan")
+      assert(!finalPlan.contains("SortMergeJoin") && !finalPlan.contains("NestedLoop"),
+        s"$name must be a join-free aggregate chain:\n$finalPlan")
+    }
+  }
+
+  test("kruskal_wallis_h broadcasts the value-alphabet rank table to the per-group join") {
+    val df = graft.ext.RankStats.queries("kruskal_wallis_h")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the midrank table (bounded by the cents alphabet) must broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"no data-sized shuffle join belongs in the KW plan:\n$finalPlan")
+  }
+
+  test("theilsen_trend: the pairwise join and median window run over the day-bounded aggregate") {
+    val df = graft.ext.Timeseries.queries("theilsen_trend")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // both join inputs are the day-keyed aggregate — the fact table is
+    // scanned for the daily rollup, never fed raw into the self-join
+    assert("FileScan parquet".r.findAllIn(finalPlan).length <= 2,
+      s"theilsen: the self-join must consume the daily aggregate, not raw scans:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"the calendar-bounded slope join must not shuffle-sort:\n$finalPlan")
+    assert(finalPlan.contains("Window"),
+      s"the discrete-median rank runs as a window over the bounded pair frame:\n$finalPlan")
+  }
+
   test("HITS half-steps read persisted raw scores (no exponential re-derivation)") {
     import spark.implicits._
     val edges = (1L to 40L).flatMap(s => (1L to 5L).map(p => (s, 1000L + (s + p) % 20)))
