@@ -48,6 +48,45 @@ object JoinOps {
     filled.filter(col("_side") === 1).drop("_side")
   }
 
+  /** [[asofJoin]] with a STALENESS BOUND — the feature-store
+    * point-in-time join with TTL: a left row takes the latest right
+    * row at-or-before its timestamp ONLY if that row is at most
+    * `toleranceUs` old; older (or missing) matches yield NULL payload,
+    * never a silently stale feature. Emits `gap_us` (left ts − matched
+    * right ts) and `matched` so downstream can audit staleness instead
+    * of discovering it in a trained model. Same single union + one
+    * keyed-window shape as asofJoin — the tolerance adds one carried
+    * timestamp column and a per-row comparison, no extra shuffle.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                        tsCol: String, payloadCols: Seq[String],
+                        toleranceUs: Long): DataFrame = {
+    val leftTagged = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val leftOnly = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val rightTagged = leftOnly.foldLeft(right.withColumn("_side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = leftTagged.unionByName(rightTagged.select(leftTagged.columns.map(col): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: col("_side") +: payloadCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(
+        unioned.withColumn("_rts",
+          last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val fresh = col("_rts").isNotNull &&
+      (col(tsCol) - col("_rts")) <= lit(toleranceUs)
+    val out = filled.filter(col("_side") === 1)
+      .withColumn("matched", fresh)
+      .withColumn("gap_us", when(fresh, col(tsCol) - col("_rts")))
+    payloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop("_side", "_rts")
+  }
+
   /** Pure range join (point-in-interval, NO equi key) via BIN BUCKETING —
     * the scale-safe formulation of an inequality join: a naive theta
     * join is a nested-loop product, but binning time into fixed windows
@@ -247,6 +286,23 @@ object JoinOps {
         Seq("click_event_id", "click_ts_us"))
         .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
           col("click_event_id"), col("click_ts_us"))
+    }),
+
+    // the same purchase←click as-of with a 6-hour TTL: stale clicks
+    // yield NULL payload + matched=false instead of a silently old
+    // feature (the feature-store point-in-time discipline)
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_event_id"), col("ts_us").as("click_ts_us"))
+      asofJoinTolerance(purchases, clicks, Seq("user_id"), "ts_us",
+        Seq("click_event_id", "click_ts_us"), toleranceUs = 6L * 3600 * 1000000)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+          col("click_event_id"), col("click_ts_us"), col("matched"),
+          col("gap_us"))
     }),
 
     // The SAME interval-overlap query written as the NAIVE theta join a
@@ -470,6 +526,23 @@ object JoinOps {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH j AS (
+        |  SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, p.value,
+        |    c.event_id AS c_eid, epoch_us(c.ts) AS c_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT user_id, event_id, ts_us, value,
+        |  CASE WHEN c_ts IS NOT NULL AND ts_us - c_ts <= 21600000000
+        |    THEN c_eid END AS click_event_id,
+        |  CASE WHEN c_ts IS NOT NULL AND ts_us - c_ts <= 21600000000
+        |    THEN c_ts END AS click_ts_us,
+        |  (c_ts IS NOT NULL AND ts_us - c_ts <= 21600000000) AS matched,
+        |  CASE WHEN c_ts IS NOT NULL AND ts_us - c_ts <= 21600000000
+        |    THEN ts_us - c_ts END AS gap_us
+        |FROM j""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (

@@ -28,6 +28,29 @@ class AuditWaveSpec extends AnyFunSuite {
     assert(t.isNullAt(t.fieldIndex("assort_ppm")))
   }
 
+  test("asofJoinTolerance: fresh match carries payload, stale and missing yield NULL") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 1000L),  // fresh: click at 900, gap 100 <= 500
+      (1L, 101L, 5000L),  // stale: latest click 900, gap 4100 > 500
+      (2L, 102L, 1000L)   // no click for user 2 at all
+    ).toDF("user_id", "event_id", "ts_us")
+    val right = Seq((1L, 900L, 77L, 900L))
+      .toDF("user_id", "ts_us", "click_id", "click_ts_us")
+    val out = graft.ops.JoinOps.asofJoinTolerance(left, right,
+        Seq("user_id"), "ts_us", Seq("click_id", "click_ts_us"),
+        toleranceUs = 500L)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(100L).getAs[Boolean]("matched"))
+    assert(out(100L).getAs[Long]("click_id") == 77L)
+    assert(out(100L).getAs[Long]("gap_us") == 100L)
+    assert(!out(101L).getAs[Boolean]("matched"))
+    assert(out(101L).isNullAt(out(101L).fieldIndex("click_id")))
+    assert(out(101L).isNullAt(out(101L).fieldIndex("gap_us")))
+    assert(!out(102L).getAs[Boolean]("matched"))
+    assert(out(102L).isNullAt(out(102L).fieldIndex("click_id")))
+  }
+
   test("catalogCoverage: hub item dominates slots; unrecommended items shrink coverage") {
     import spark.implicits._
     // item 1 co-occurs with 2, 3, 4 (one basket each); k=2 lists:
