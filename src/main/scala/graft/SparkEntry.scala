@@ -83,6 +83,8 @@ object SparkEntry {
     (ext.ClassifierEval.queries, ext.ClassifierEval.oracleSql),
     (ext.Fairness.queries, ext.Fairness.oracleSql),
     (ext.Multimodal.queries, ext.Multimodal.oracleSql),
+    (ext.LmStats.queries, ext.LmStats.oracleSql),
+    (ext.Abtest.queries, ext.Abtest.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)
   )

@@ -1,0 +1,221 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model corpus statistics — the diagnostics a
+  * tokenizer/LM training pipeline reads off its corpus before (and
+  * after) filtering: Kneser–Ney continuation diversity, the Zipf
+  * rank-frequency curve, tokenizer fertility, and reference-vocabulary
+  * OOV coverage.
+  *
+  * Exactness discipline: everything is counting, integer ppm ratios,
+  * or base-2 logarithms taken as `length(bin(x)) - 1` — the floor-log2
+  * both engines compute identically from the binary string rendering
+  * (no float log anywhere). Token classes reuse the corpus-wide
+  * disciplines: whitespace tokens ([[TextAnalysis.tokens]]) and the
+  * BPE-ish pre-tokenizer regex from `text_bpe_tokens`.
+  *
+  * 100 TB shape: bigram extraction is the codegen'd `zip_with` over
+  * each document's token array (no posexplode self-join); every count
+  * is a map-side-combining aggregate on a token or pair key; the
+  * Zipf rank rides the distributed two-phase rank
+  * (`Offsets.globalPosition` — no single-partition window over the
+  * vocabulary) and only the ~log2(V) power-of-two sample points reach
+  * the bounded final window; the OOV reference vocabulary is a
+  * TakeOrdered k-row table broadcast to the probe side.
+  */
+object LmStats {
+
+  /** Per-word Kneser–Ney continuation statistics over `docs(text)`:
+    * (w, n_w, left_types, right_types, cont_ppm) for the top `k` words
+    * by left-context diversity. `left_types` = |{w1 : (w1,w) seen}| is
+    * the numerator of the KN continuation probability
+    * P_cont(w) = N1+(•w) / |distinct bigram types|, emitted as
+    * `cont_ppm` (integer ppm). Words never seen as a bigram
+    * continuation (document-initial only) carry 0s via the left joins.
+    */
+  def knContinuation(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val pairs = toks
+      .where(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .distinct()
+    val nTypes = pairs.agg(count(lit(1)).as("n_types"))
+    val leftDiv = pairs.groupBy(col("w2").as("w"))
+      .agg(count(lit(1)).as("left_types"))
+    val rightDiv = pairs.groupBy(col("w1").as("w"))
+      .agg(count(lit(1)).as("right_types"))
+    uni
+      .join(leftDiv, Seq("w"), "left")
+      .join(rightDiv, Seq("w"), "left")
+      .crossJoin(broadcast(nTypes))
+      .select(col("w"), col("n_w"),
+        coalesce(col("left_types"), lit(0L)).as("left_types"),
+        coalesce(col("right_types"), lit(0L)).as("right_types"),
+        expr("coalesce(left_types, 0L) * 1000000 div greatest(n_types, 1L)")
+          .as("cont_ppm"))
+      .orderBy(col("left_types").desc, col("w"))
+      .limit(k)
+  }
+
+  /** The Zipf rank-frequency curve sampled at power-of-two ranks:
+    * (bucket, rank_at, freq_at, fbits, decay_milli) where
+    * `bucket = log2(rank)`, `fbits = floor(log2(freq))`, and
+    * `decay_milli` = bits of frequency lost per rank doubling ×1000
+    * (≈1000 for a textbook Zipf slope of −1). The rank is the
+    * distributed two-phase rank; the power-of-two filter
+    * (`rank & (rank−1) = 0`) leaves ≤ log2(V)+1 rows, so the final
+    * lag window runs over a bounded table.
+    */
+  def zipfBitlogCurve(docs: DataFrame): DataFrame = {
+    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val ranked = graft.ops.Offsets.globalPosition(
+      uni, Seq(col("n").desc, col("w")), "pos")
+    val sampled = ranked
+      .select((col("pos") + 1L).as("rank_at"), col("n").as("freq_at"))
+      .where(expr("(rank_at & (rank_at - 1)) = 0"))
+      .select(
+        (length(bin(col("rank_at"))) - 1).cast("long").as("bucket"),
+        col("rank_at"), col("freq_at"),
+        (length(bin(col("freq_at"))) - 1).cast("long").as("fbits"))
+    val w = Window.orderBy(col("bucket"))
+    sampled.select(col("bucket"), col("rank_at"), col("freq_at"),
+      col("fbits"),
+      ((lag(col("fbits"), 1).over(w) - col("fbits")) * 1000L)
+        .as("decay_milli"))
+  }
+
+  /** Per-language tokenizer fertility: whitespace words vs BPE-ish
+    * pre-tokens (the `text_bpe_tokens` regex), fertility in ppm
+    * (subword tokens per word ×10⁶) — the "how many pieces does the
+    * tokenizer cut a word into" readout that decides vocabulary size.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val bpePat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    docs
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit(bpePat), lit(0)))
+          .cast("long").as("n_sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 1000000 div greatest(n_words, 1L)")
+          .as("fertility_ppm"))
+  }
+
+  /** Out-of-vocabulary coverage per source against a top-`v` corpus
+    * vocabulary (freq desc, word asc ties): (source, n_tokens, n_oov,
+    * oov_ppm). The v-row vocabulary broadcasts to the token stream —
+    * the fixed-vocab coverage audit run before committing a tokenizer.
+    */
+  def oovCoverage(docs: DataFrame, v: Int): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(v)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div greatest(n_tokens, 1L)").as("oov_ppm"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "lm_kn_continuation" -> ((s, dir) =>
+      knContinuation(Tables.documents(s, dir), k = 50)),
+    "lm_zipf_bitlog" -> ((s, dir) =>
+      zipfBitlogCurve(Tables.documents(s, dir))),
+    "tokenizer_fertility" -> ((s, dir) =>
+      tokenizerFertility(Tables.documents(s, dir))),
+    "lm_oov_coverage" -> ((s, dir) =>
+      oovCoverage(Tables.documents(s, dir), v = 30))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "lm_kn_continuation" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |pairs AS (
+        |  SELECT DISTINCT toks[t.i] AS w1, toks[t.i + 1] AS w2
+        |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+        |  WHERE len(toks) >= 2),
+        |ntypes AS (SELECT count(*) AS n_types FROM pairs),
+        |ld AS (SELECT w2 AS w, count(*) AS left_types FROM pairs GROUP BY w2),
+        |rd AS (SELECT w1 AS w, count(*) AS right_types FROM pairs GROUP BY w1)
+        |SELECT uni.w, uni.n_w,
+        |  coalesce(ld.left_types, 0) AS left_types,
+        |  coalesce(rd.right_types, 0) AS right_types,
+        |  coalesce(ld.left_types, 0) * 1000000 // greatest(ntypes.n_types, 1)
+        |    AS cont_ppm
+        |FROM uni
+        |LEFT JOIN ld ON ld.w = uni.w
+        |LEFT JOIN rd ON rd.w = uni.w
+        |CROSS JOIN ntypes
+        |ORDER BY coalesce(ld.left_types, 0) DESC, uni.w
+        |LIMIT 50""".stripMargin,
+    "lm_zipf_bitlog" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |ranked AS (
+        |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank_at
+        |  FROM uni),
+        |sampled AS (
+        |  SELECT CAST(length(bin(rank_at)) - 1 AS BIGINT) AS bucket,
+        |    rank_at, n AS freq_at,
+        |    CAST(length(bin(n)) - 1 AS BIGINT) AS fbits
+        |  FROM ranked WHERE (rank_at & (rank_at - 1)) = 0)
+        |SELECT bucket, rank_at, freq_at, fbits,
+        |  (lag(fbits, 1) OVER (ORDER BY bucket) - fbits) * 1000 AS decay_milli
+        |FROM sampled""".stripMargin,
+    "tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_sub
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+        |  CAST(sum(n_sub) AS BIGINT) * 1000000
+        |    // greatest(CAST(sum(n_words) AS BIGINT), 1) AS fertility_ppm
+        |FROM d GROUP BY lang""".stripMargin,
+    "lm_oov_coverage" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != '')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, ROW_NUMBER() OVER (ORDER BY count(*) DESC, w) AS r
+        |    FROM tok GROUP BY w) WHERE r <= 30)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // greatest(count(*), 1) AS oov_ppm
+        |FROM tok LEFT JOIN vocab ON vocab.w = tok.w
+        |GROUP BY source""".stripMargin
+  )
+}
