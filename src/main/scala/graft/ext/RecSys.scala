@@ -84,6 +84,47 @@ object RecSys {
           .as("top_share_ppm"))
   }
 
+  /** Intra-list diversity of the top-`k` lists — the redundancy audit
+    * beside coverage: per list, the mean pairwise DISSIMILARITY
+    * (10⁶ − js) of the recommended items, where js is the same basket
+    * Jaccard the lists were ranked by (pairs that never co-occur score
+    * js = 0, i.e. fully diverse). ILD near 0 means the list recommends
+    * near-duplicates of each other. (item_id, n_pairs, ild_ppm).
+    *
+    * 100 TB shape: the within-list pair fan-out is k(k−1)/2 per list —
+    * bounded by the CONSTANT k, never by catalogue or corpus size; the
+    * similarity lookup is one (a, b)-keyed left join against the
+    * already-computed co-occurrence scores.
+    */
+  def intraListDiversity(baskets: DataFrame, k: Int,
+                         scale: Long = 1000000L): DataFrame = {
+    val b = baskets.select(col("basket_id").as("ok"), col("item_id").as("pk")).distinct()
+    val sizes = b.groupBy(col("pk")).agg(count(lit(1)).as("n_baskets"))
+    val coocc = b.as("a").join(b.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairSim = coocc
+      .join(sizes.select(col("pk").as("pa"), col("n_baskets").as("n_i")), "pa")
+      .join(sizes.select(col("pk").as("pb"), col("n_baskets").as("n_o")), "pb")
+      .select(col("pa"), col("pb"),
+        expr(s"($scale * n_common) div (n_i + n_o - n_common)").as("js"))
+    val lists = itemSimilarityTopK(baskets, k)
+      .select(col("item_id"), col("other_id"))
+    val listPairs = lists.as("x").join(lists.as("y"),
+        col("x.item_id") === col("y.item_id") &&
+          col("x.other_id") < col("y.other_id"))
+      .select(col("x.item_id").as("item_id"),
+        col("x.other_id").as("pa"), col("y.other_id").as("pb"))
+    listPairs
+      .join(pairSim, Seq("pa", "pb"), "left")
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(lit(scale) - coalesce(col("js"), lit(0L))).as("_dis"))
+      .select(col("item_id"), col("n_pairs"),
+        expr("_dis div n_pairs").as("ild_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     // parts as items, orders as baskets, top-10 neighbours per part
     "recsys_item_similarity" -> ((s, dir) =>
@@ -95,6 +136,13 @@ object RecSys {
     // coverage/concentration audit of the same top-10 lists
     "recsys_coverage" -> ((s, dir) =>
       catalogCoverage(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id")),
+        k = 10)),
+
+    // redundancy audit of the same top-10 lists
+    "recsys_ild" -> ((s, dir) =>
+      intraListDiversity(
         Tables.lineitem(s, dir).select(
           col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id")),
         k = 10))
@@ -160,6 +208,43 @@ object RecSys {
         |  CAST(max_item_slots AS BIGINT) AS max_item_slots,
         |  CAST(max_item_slots * 1000000 // greatest(n_slots, 1) AS BIGINT)
         |    AS top_share_ppm
-        |FROM cat, rec, slt, top""".stripMargin
+        |FROM cat, rec, slt, top""".stripMargin,
+
+    "recsys_ild" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sizes AS (SELECT pk, count(*) AS n_baskets FROM b GROUP BY pk),
+        |coocc AS (
+        |  SELECT a.pk AS pa, b2.pk AS pb, count(*) AS n_common
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY a.pk, b2.pk),
+        |pair_sim AS (
+        |  SELECT c.pa, c.pb,
+        |    (1000000 * c.n_common) // (si.n_baskets + so.n_baskets - c.n_common) AS js
+        |  FROM coocc c
+        |  JOIN sizes si ON si.pk = c.pa
+        |  JOIN sizes so ON so.pk = c.pb),
+        |directed AS (
+        |  SELECT pa AS item_id, pb AS other_id, n_common FROM coocc
+        |  UNION ALL
+        |  SELECT pb, pa, n_common FROM coocc),
+        |scored AS (
+        |  SELECT d.item_id, d.other_id, d.n_common,
+        |    (1000000 * d.n_common) // (si.n_baskets + so.n_baskets - d.n_common) AS js
+        |  FROM directed d
+        |  JOIN sizes si ON si.pk = d.item_id
+        |  JOIN sizes so ON so.pk = d.other_id),
+        |lists AS (
+        |  SELECT item_id, other_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY item_id
+        |    ORDER BY js DESC, n_common DESC, other_id) <= 10),
+        |list_pairs AS (
+        |  SELECT x.item_id, x.other_id AS pa, y.other_id AS pb
+        |  FROM lists x JOIN lists y
+        |    ON x.item_id = y.item_id AND x.other_id < y.other_id)
+        |SELECT lp.item_id, count(*) AS n_pairs,
+        |  CAST(sum(1000000 - coalesce(ps.js, 0)) AS BIGINT) // count(*) AS ild_ppm
+        |FROM list_pairs lp
+        |LEFT JOIN pair_sim ps ON ps.pa = lp.pa AND ps.pb = lp.pb
+        |GROUP BY lp.item_id""".stripMargin
   )
 }

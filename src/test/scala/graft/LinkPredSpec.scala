@@ -78,4 +78,26 @@ class LinkPredSpec extends AnyFunSuite {
     val r = walks(Seq((1L, 2L)), Seq(99L), steps = 3)
     assert(r == Seq((99L, 0L, 99L)), r.toString)
   }
+
+  test("adamic-adar: bit-log weights, hand-computed on the 4-cycle") {
+    import spark.implicits._
+    // 4-cycle: centers have deg 2 -> floor_log2 = 1 -> each wedge
+    // contributes the full 1e6 (AA > RA's 1e6 div 2 per wedge here)
+    val r4 = graft.ext.LinkPred.adamicAdarScores(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(r4 == Map((1L, 3L) -> ((2L, 2000000L)),
+      (2L, 4L) -> ((2L, 2000000L))), r4.toString)
+    // close the (1,3) diagonal: centers 1 and 3 now have deg 3 ->
+    // floor_log2(3) = 1 still; 2,4 keep weight 1e6 per wedge. Add a
+    // pendant to push deg(1) to 4 -> floor_log2 = 2 -> 1e6 div 2.
+    val r5 = graft.ext.LinkPred.adamicAdarScores(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (1L, 9L))
+          .toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (2,4): centers 1 (deg 4 -> 500000) and 3 (deg 3 -> 1000000)
+    assert(r5((2L, 4L)) == ((2L, 1500000L)), r5.toString)
+  }
 }

@@ -62,4 +62,25 @@ class RecSysSpec extends AnyFunSuite {
     }
     assert(run(1) == run(7))
   }
+
+  test("intra-list diversity: identical-basket recs score ILD 0, disjoint 1e6") {
+    import spark.implicits._
+    // items 1,2,3 always together -> each list is the other two with
+    // js = 1e6 between them -> ILD = 0. Item 7 co-occurs once with 1
+    // and once with 4 (4 never with 1): list(7) = {1, 4}, js(1,4) = 0
+    // -> ILD = 1e6.
+    val b = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 7L), (30L, 1L), (30L, 2L), (30L, 3L),
+      (40L, 7L), (40L, 4L))
+      .toDF("basket_id", "item_id")
+    val got = graft.ext.RecSys.intraListDiversity(b, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(7L)._2 > 0L, got.toString)
+    // item 1's top-2 are 2 and 3 (js ties broken by id): both pairs in
+    // identical baskets -> dissimilarity = 1e6 - js(2,3)
+    val js23 = 1000000L * 3L / 3L // {10,20,30} all shared
+    assert(got(1L) == ((1L, 1000000L - js23)), got.toString)
+  }
 }
