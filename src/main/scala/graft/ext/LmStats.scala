@@ -100,7 +100,10 @@ object LmStats {
     * (subword tokens per word ×10⁶) — the "how many pieces does the
     * tokenizer cut a word into" readout that decides vocabulary size.
     */
-  def tokenizerFertility(docs: DataFrame): DataFrame = {
+  /** Per-language (n_docs, n_words, n_subwords) — one stateless
+    * projection + keyed aggregate, so it runs unchanged as a
+    * complete-mode streaming aggregation (streaming_fertility). */
+  def fertilityCounts(docs: DataFrame): DataFrame = {
     val bpePat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
     docs
       .select(col("lang"),
@@ -111,29 +114,51 @@ object LmStats {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
         sum(col("n_sub")).as("n_subwords"))
-      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
-        expr("n_subwords * 1000000 div greatest(n_words, 1L)")
-          .as("fertility_ppm"))
   }
 
-  /** Out-of-vocabulary coverage per source against a top-`v` corpus
-    * vocabulary (freq desc, word asc ties): (source, n_tokens, n_oov,
-    * oov_ppm). The v-row vocabulary broadcasts to the token stream —
-    * the fixed-vocab coverage audit run before committing a tokenizer.
-    */
-  def oovCoverage(docs: DataFrame, v: Int): DataFrame = {
-    val tok = docs.select(col("source"),
-      explode(TextAnalysis.tokens(col("text"))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+  /** ppm finisher over the per-language counts. */
+  def fertilityFinish(counts: DataFrame): DataFrame =
+    counts.select(col("lang"), col("n_docs"), col("n_words"),
+      col("n_subwords"),
+      expr("n_subwords * 1000000 div greatest(n_words, 1L)")
+        .as("fertility_ppm"))
+
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    fertilityFinish(fertilityCounts(docs))
+
+  /** The top-`v` reference vocabulary of `docs` (freq desc, word asc
+    * ties): (w, in_vocab = 1). v-row table, broadcast by callers. */
+  def refVocab(docs: DataFrame, v: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(v)
       .select(col("w"), lit(1L).as("in_vocab"))
+
+  /** Per-source (n_tokens, n_oov) over a `(source, w)` token table —
+    * a plain keyed aggregate after the broadcast vocab probe, so it
+    * runs unchanged as a complete-mode STREAMING aggregation
+    * (the streaming_oov_monitor face). */
+  def oovCounts(tok: DataFrame, vocab: DataFrame): DataFrame =
     tok.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .select(col("source"), col("n_tokens"), col("n_oov"),
-        expr("n_oov * 1000000 div greatest(n_tokens, 1L)").as("oov_ppm"))
-  }
+
+  /** ppm finisher over the per-source counts. */
+  def oovFinish(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("n_tokens"), col("n_oov"),
+      expr("n_oov * 1000000 div greatest(n_tokens, 1L)").as("oov_ppm"))
+
+  /** Out-of-vocabulary coverage per source against a top-`v` corpus
+    * vocabulary: (source, n_tokens, n_oov, oov_ppm). The v-row
+    * vocabulary broadcasts to the token stream — the fixed-vocab
+    * coverage audit run before committing a tokenizer.
+    */
+  def oovCoverage(docs: DataFrame, v: Int): DataFrame =
+    oovFinish(oovCounts(
+      docs.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w")),
+      refVocab(docs, v)))
 
   val queries: Map[String, Q] = Map(
     "lm_kn_continuation" -> ((s, dir) =>

@@ -649,6 +649,49 @@ object StreamingOps {
     graft.ext.Drift.psiFromBinned(spark.table(name))
   }
 
+  /** Streaming OOV monitor — the tokenizer-coverage readout kept
+    * current over an ARRIVING document stream: the static top-30
+    * reference vocabulary (computed batch-side, broadcast) probes the
+    * stream's token projection, the per-source (n_tokens, n_oov)
+    * aggregate runs in complete mode, and the ppm finisher plus the
+    * oracle are `lm_oov_coverage`'s, shared bit-for-bit (the drift_psi
+    * pattern). The live deployment reads this to catch a source whose
+    * vocabulary drifts off the tokenizer — state is one row per
+    * source, bounded by the source catalogue.
+    */
+  private def oovToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"soov_${System.nanoTime()}"
+    val vocab = graft.ext.LmStats.refVocab(
+      graft.Tables.documents(spark, dir), 30)
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val tok = stream.select(col("source"),
+      explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+    val q = graft.ext.LmStats.oovCounts(tok, vocab)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.LmStats.oovFinish(spark.table(name))
+  }
+
+  /** Streaming tokenizer-fertility monitor: the per-language
+    * words/subwords aggregate of `tokenizer_fertility` maintained in
+    * complete mode over the document stream, sharing its oracle —
+    * state is one row per language.
+    */
+  private def fertilityToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sfert_${System.nanoTime()}"
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.ext.LmStats.fertilityCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.LmStats.fertilityFinish(spark.table(name))
+  }
+
   /** Incremental reliability diagram: the streamed complete-mode
     * (bin, n, Σscore, n_pos) aggregate + the batch ≤10-row finisher,
     * BOTH lifted verbatim from ext.Calibration (scoreLabel/binned/
@@ -710,6 +753,12 @@ object StreamingOps {
     // incremental PSI drift: streamed (bin, side) counts + the batch
     // share/term step, sharing drift_psi_bins' oracle
     "streaming_drift_psi" -> ((s, dir) => driftPsiToCompletion(s, dir)),
+
+    // tokenizer-coverage and fertility monitors over the document
+    // stream, sharing the batch lm_oov_coverage / tokenizer_fertility
+    // oracles bit-for-bit
+    "streaming_oov_monitor" -> ((s, dir) => oovToCompletion(s, dir)),
+    "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
 
     // incremental windowed counts + batch top-k finisher (see
     // topkWindowToCompletion for why the rank must not be in-stream)
@@ -963,6 +1012,8 @@ object StreamingOps {
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
     "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
+    "streaming_oov_monitor" -> graft.ext.LmStats.oracleSql("lm_oov_coverage"),
+    "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
     "streaming_anova_f" -> graft.ext.Stats.oracleSql("anova_f_oneway"),
     "streaming_calibration" ->
       graft.ext.Calibration.oracleSql("calibration_reliability"),

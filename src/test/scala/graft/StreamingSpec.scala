@@ -30,6 +30,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming OOV and fertility monitors equal their batch faces bit for bit") {
+    for ((sq, bq) <- Seq("streaming_oov_monitor" -> "lm_oov_coverage",
+      "streaming_fertility" -> "tokenizer_fertility")) {
+      val streamed = SparkEntry.queries(sq)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = SparkEntry.queries(bq)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch, sq)
+    }
+  }
+
   test("streaming calibration equals the batch reliability diagram bit for bit") {
     val streamed = SparkEntry.queries("streaming_calibration")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
