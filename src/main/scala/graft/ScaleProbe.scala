@@ -349,7 +349,17 @@ object ScaleProbe {
       // collision-bounded as classes fill), and the byte-weighted
       // media shard packer (two-phase scan over analytic sizes)
       "csr_secondary_index", "multimodal_image_ahash_pairs",
-      "multimodal_pack_shards"))
+      "multimodal_pack_shards",
+      // round-11 LM/recsys wave: bigram-type counting (pair-keyed
+      // distinct + three word-keyed joins) and the within-list pair
+      // fan-out over the item-similarity chain. zipf (two-phase rank,
+      // covered by quantile_normalize), fertility/oov/abtest (single
+      // keyed aggregates), adamic-adar (wedge shape, covered by
+      // graph_link_prediction), and the two streaming monitors
+      // (per-source/lang complete-mode state) are plan-trivially
+      // linear or already-covered shapes — left off the record like
+      // table_checksum / kappa
+      "lm_kn_continuation", "recsys_ild"))
       // round-11 session wave (calibration_reliability/ece_brier,
       // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
       // keyed aggregates on bin/class/score-alphabet keys — ad-hoc
