@@ -154,8 +154,43 @@ object Quality {
         Sampling.hashBucket(col("doc_id")) < 6554)),
 
     "tfidf_top_terms" -> ((s, dir) =>
-      tfidfTopTerms(Tables.documents(s, dir), 3))
+      tfidfTopTerms(Tables.documents(s, dir), 3)),
+
+    // Gopher-style rule filter (Rae et al. 2021, §A1.1)
+    "quality_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables.documents(s, dir)))
   )
+
+  /** Gopher-style rule filter (Rae et al. 2021, §A1.1) as exact
+    * integer per-doc verdicts: word-count window [50, 100k], mean
+    * word length in [3, 10] (×100 fixed-point), ≥2 stopwords (the
+    * text_quality list), ≥80% purely-alphabetic words. One stateless
+    * projection — the booleans and every count are engine-identical,
+    * and the corpus pass rate is the downstream aggregate.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_words"),
+        expr("""aggregate(filter(split(text, '\\s+'), t -> t != ''),
+               bigint(0), (a, x) -> a + length(x)) * 100
+               div greatest(size(filter(split(text, '\\s+'), t -> t != '')), 1)""")
+          .as("mean_word_len_x100"),
+        size(filter(t, x => x.isin("the", "a", "and", "of", "to")))
+          .cast("long").as("n_stopwords"),
+        size(filter(t, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+          .as("n_alpha_words"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+        col("n_stopwords"), col("n_alpha_words"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("ok_len"),
+        (col("mean_word_len_x100") >= 300L &&
+          col("mean_word_len_x100") <= 1000L).as("ok_word_len"),
+        (col("n_stopwords") >= 2L).as("ok_stop"),
+        (col("n_alpha_words") * 10L >= col("n_words") * 8L).as("ok_alpha"))
+      .withColumn("pass",
+        col("ok_len") && col("ok_word_len") && col("ok_stop") && col("ok_alpha"))
+  }
 
   /** The 8-gram decontamination CTE chain (tokens over ALL docs →
     * distinct word-8-grams), with the token CTE name parameterized so
@@ -245,6 +280,32 @@ object Quality {
         |  t.term, t.tf, d.df
         |FROM tf t JOIN dfx d USING (term)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY t.doc_id
-        |  ORDER BY t.tf DESC, d.df ASC, t.term ASC) <= 3""".stripMargin
+        |  ORDER BY t.tf DESC, d.df ASC, t.term ASC) <= 3""".stripMargin,
+
+    "quality_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 100
+        |      // greatest(len(toks), 1) AS BIGINT) AS mean_word_len_x100,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stopwords,
+        |    CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha_words
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len_x100, n_stopwords, n_alpha_words,
+        |  n_words >= 50 AND n_words <= 100000 AS ok_len,
+        |  mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000 AS ok_word_len,
+        |  n_stopwords >= 2 AS ok_stop,
+        |  n_alpha_words * 10 >= n_words * 8 AS ok_alpha,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+        |    AND n_stopwords >= 2
+        |    AND n_alpha_words * 10 >= n_words * 8 AS pass
+        |FROM m""".stripMargin
   )
 }

@@ -268,6 +268,28 @@ object Sampling {
         .agg(count(lit(1)).as("n_after"))
     }),
 
+    // Token-budget epoch planning — the data-recipe arithmetic behind
+    // a fixed training budget: give every source an equal share of a
+    // 10M-token budget and report how many passes (epochs, milli) over
+    // that source the share costs. epochs > 1000 milli flags a source
+    // the mixture would repeat (upsampling risk: memorization), the
+    // readout published in public data-recipe cards. One token-count
+    // scan + k-source-row arithmetic against a 1-row broadcast.
+    "mixture_epochs_budget" -> ((s, dir) => {
+      val budget = 10000000L
+      val bySource = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      val k = bySource.agg(count(lit(1)).as("k_sources"))
+      bySource.crossJoin(broadcast(k))
+        .select(col("source"), col("n_tokens"),
+          expr(s"${budget}L div k_sources").as("target_tokens"),
+          expr(s"(${budget}L div k_sources) * 1000 div greatest(n_tokens, 1L)")
+            .as("epochs_milli"))
+        .withColumn("oversampled", col("epochs_milli") > 1000L)
+    }),
+
     // Distribution matching by importance resampling — make every
     // source's LENGTH distribution match the reference source's (the
     // domain-matching step that stops a web-scrape source from skewing
@@ -458,6 +480,21 @@ object Sampling {
         |SELECT source, n_s, CAST(keep_ppm AS BIGINT) AS keep_ppm,
         |  count(*) AS n_after
         |FROM kept GROUP BY source, n_s, keep_ppm""".stripMargin,
+
+    "mixture_epochs_budget" ->
+      """WITH by_source AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |k AS (SELECT count(*) AS k_sources FROM by_source)
+        |SELECT source, n_tokens,
+        |  10000000 // k_sources AS target_tokens,
+        |  (10000000 // k_sources) * 1000 // greatest(n_tokens, 1)
+        |    AS epochs_milli,
+        |  (10000000 // k_sources) * 1000 // greatest(n_tokens, 1) > 1000
+        |    AS oversampled
+        |FROM by_source CROSS JOIN k""".stripMargin,
 
     "sample_temperature_quota" ->
       """WITH sz AS (

@@ -213,6 +213,24 @@ object Timeseries {
     * calendar-days sanctioned pattern). Differences ride decimal(38,0)
     * (Δcents·10⁶ passes 2⁶³ near 9e12-cent days).
     */
+  /** Per-bar OHLC over `ticks(day, ts_us, event_id, cents)`: open and
+    * close are the first/last trade by the total (ts_us, event_id)
+    * order via the integer struct-min/max trick (the dedup_keep_best
+    * discipline — struct comparison is lexicographic in both engines,
+    * so no window and no per-bar sort); high/low/volume are plain
+    * aggregates. One map-side-combining bar-keyed aggregate.
+    */
+  def ohlcBars(ticks: DataFrame): DataFrame =
+    ticks.groupBy(col("day")).agg(
+      count(lit(1)).as("n_trades"),
+      min(struct(col("ts_us"), col("event_id"), col("cents")))
+        .getField("cents").as("open_cents"),
+      max(col("cents")).as("high_cents"),
+      min(col("cents")).as("low_cents"),
+      max(struct(col("ts_us"), col("event_id"), col("cents")))
+        .getField("cents").as("close_cents"),
+      sum(col("cents")).as("volume_cents"))
+
   def theilSenTrend(daily: DataFrame, dayCol: String, valueCol: String): DataFrame = {
     val d = daily.select(col(dayCol).cast("long").as("day"),
       col(valueCol).cast("long").as("y"))
@@ -240,6 +258,20 @@ object Timeseries {
           .groupBy(expr("ts_us div 86400000000").as("day"))
           .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
         "day", "cents")),
+
+    // Per-day OHLC bars over purchase cents — the canonical
+    // downsampling of a tick stream to bar series: open/close are the
+    // first/last trade by the total (ts, event_id) order via the
+    // integer struct-min/max trick (the dedup_keep_best discipline —
+    // no window, no per-day sort; struct comparison is lexicographic
+    // in both engines), high/low/volume are plain aggregates. One
+    // map-side-combining day-keyed aggregate.
+    "timeseries_ohlc" -> ((s, dir) =>
+      ohlcBars(Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("ts_us div 86400000000").as("day"),
+          col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")))),
 
     // Hour-of-day × day-of-week traffic fingerprint — the seasonality
     // profile capacity planning and anomaly baselines start from: per
@@ -456,6 +488,21 @@ object Timeseries {
       |        JOIN gm g ON g.event_type = tr.event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "timeseries_ohlc" ->
+      """WITH p AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS ts_us,
+        |    event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT day, count(*) AS n_trades,
+        |  (min(struct_pack(ts_us := ts_us, event_id := event_id,
+        |    cents := cents))).cents AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  (max(struct_pack(ts_us := ts_us, event_id := event_id,
+        |    cents := cents))).cents AS close_cents,
+        |  CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM p GROUP BY day""".stripMargin,
+
     "theilsen_trend" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session wave 5: Gopher rule filter, OHLC bars, token-budget epoch
+  * planning — hand-computed fixtures plus a window-formulation
+  * cross-check for the struct-trick open/close.
+  */
+class Wave5Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("gopherRules: each rule flips on its own boundary") {
+    import spark.implicits._
+    val longDoc = ("the of " + "word " * 60).trim // 62 words, 2 stopwords
+    val shortDoc = "the of tiny doc" // fails ok_len
+    val longWords = ("the of " + ("supercalifragilistic " * 60)).trim // mean > 10
+    val numeric = ("the of " + "123 " * 60).trim // alpha share 2/62 < 80%
+    val d = Seq((0L, longDoc), (1L, shortDoc), (2L, longWords), (3L, numeric))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Quality.gopherRules(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Boolean]("pass"))
+    assert(!r(1L).getAs[Boolean]("ok_len") && r(1L).getAs[Boolean]("ok_stop"))
+    assert(!r(2L).getAs[Boolean]("ok_word_len") && r(2L).getAs[Boolean]("ok_len"))
+    assert(!r(3L).getAs[Boolean]("ok_alpha") && !r(3L).getAs[Boolean]("pass"))
+    // mean word length fixed-point: doc 0 = (3+2+4*60)*100 div 62 = 395
+    assert(r(0L).getAs[Long]("mean_word_len_x100") == 395L)
+  }
+
+  test("ohlcBars: struct-trick open/close equals the window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ticks = Seq.tabulate(500) { i =>
+      (i % 5L, rnd.nextInt(1000000).toLong, i.toLong, rnd.nextInt(10000).toLong)
+    }.toDF("day", "ts_us", "event_id", "cents")
+    val got = graft.ext.Timeseries.ohlcBars(ticks).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("ts_us"), col("event_id"))
+    val ref = ticks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnd", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .groupBy("day")
+      .agg(max(when(col("rn") === 1, col("cents"))).as("open"),
+        max(when(col("rnd") === 1, col("cents"))).as("close"),
+        max("cents").as("high"), min("cents").as("low"),
+        count(lit(1)).as("n"), sum("cents").as("vol"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((day, g) <- got) {
+      val e = ref(day)
+      assert(g.getAs[Long]("open_cents") == e.getAs[Long]("open"), s"open $day")
+      assert(g.getAs[Long]("close_cents") == e.getAs[Long]("close"), s"close $day")
+      assert(g.getAs[Long]("high_cents") == e.getAs[Long]("high"))
+      assert(g.getAs[Long]("low_cents") == e.getAs[Long]("low"))
+      assert(g.getAs[Long]("volume_cents") == e.getAs[Long]("vol"))
+    }
+  }
+
+  test("mixture_epochs_budget: equal shares, epochs against exact token counts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("mixture_epochs_budget")(spark, sf).collect()
+    val k = rows.length
+    assert(k > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_tokens") == 10000000L / k)
+      val expected = (10000000L / k) * 1000L /
+        math.max(r.getAs[Long]("n_tokens"), 1L)
+      assert(r.getAs[Long]("epochs_milli") == expected)
+      assert(r.getAs[Boolean]("oversampled") == (expected > 1000L))
+    }
+  }
+}
