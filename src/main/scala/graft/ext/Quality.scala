@@ -158,7 +158,12 @@ object Quality {
 
     // Gopher-style rule filter (Rae et al. 2021, §A1.1)
     "quality_gopher_rules" -> ((s, dir) =>
-      gopherRules(Tables.documents(s, dir)))
+      gopherRules(Tables.documents(s, dir))),
+
+    // per-source pass-rate scoreboard over the same flags — "which
+    // source is garbage" is the question the rule filter exists for
+    "quality_gopher_by_source" -> ((s, dir) =>
+      gopherFinish(gopherCounts(gopherRules(Tables.documents(s, dir)))))
   )
 
   /** Gopher-style rule filter (Rae et al. 2021, §A1.1) as exact
@@ -171,7 +176,7 @@ object Quality {
   def gopherRules(docs: DataFrame): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         size(t).cast("long").as("n_words"),
         expr("""aggregate(filter(split(text, '\\s+'), t -> t != ''),
                bigint(0), (a, x) -> a + length(x)) * 100
@@ -181,7 +186,8 @@ object Quality {
           .cast("long").as("n_stopwords"),
         size(filter(t, x => x.rlike("^[A-Za-z]+$"))).cast("long")
           .as("n_alpha_words"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("mean_word_len_x100"),
         col("n_stopwords"), col("n_alpha_words"),
         (col("n_words") >= 50L && col("n_words") <= 100000L).as("ok_len"),
         (col("mean_word_len_x100") >= 300L &&
@@ -191,6 +197,26 @@ object Quality {
       .withColumn("pass",
         col("ok_len") && col("ok_word_len") && col("ok_stop") && col("ok_alpha"))
   }
+
+  /** Per-source rule-failure counts over the [[gopherRules]] flags —
+    * a plain keyed aggregate (streams unchanged in complete mode for
+    * the streaming_quality_monitor face; state = one row per source).
+    */
+  def gopherCounts(flags: DataFrame): DataFrame =
+    flags.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(when(!col("ok_len"), 1L).otherwise(0L)).as("n_fail_len"),
+      sum(when(!col("ok_word_len"), 1L).otherwise(0L)).as("n_fail_word_len"),
+      sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+      sum(when(!col("ok_alpha"), 1L).otherwise(0L)).as("n_fail_alpha"))
+
+  /** ppm finisher: the per-source intake-quality scoreboard. */
+  def gopherFinish(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("n_docs"), col("n_pass"),
+      expr("n_pass * 1000000 div greatest(n_docs, 1L)").as("pass_ppm"),
+      col("n_fail_len"), col("n_fail_word_len"), col("n_fail_stop"),
+      col("n_fail_alpha"))
 
   /** The 8-gram decontamination CTE chain (tokens over ALL docs →
     * distinct word-8-grams), with the token CTE name parameterized so
@@ -283,29 +309,52 @@ object Quality {
         |  ORDER BY t.tf DESC, d.df ASC, t.term ASC) <= 3""".stripMargin,
 
     "quality_gopher_rules" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 100
-        |      // greatest(len(toks), 1) AS BIGINT) AS mean_word_len_x100,
-        |    CAST(len(list_filter(toks,
-        |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stopwords,
-        |    CAST(len(list_filter(toks,
-        |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha_words
-        |  FROM t)
-        |SELECT doc_id, n_words, mean_word_len_x100, n_stopwords, n_alpha_words,
-        |  n_words >= 50 AND n_words <= 100000 AS ok_len,
-        |  mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000 AS ok_word_len,
-        |  n_stopwords >= 2 AS ok_stop,
-        |  n_alpha_words * 10 >= n_words * 8 AS ok_alpha,
-        |  (n_words >= 50 AND n_words <= 100000)
-        |    AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
-        |    AND n_stopwords >= 2
-        |    AND n_alpha_words * 10 >= n_words * 8 AS pass
-        |FROM m""".stripMargin
+      s"""WITH $gopherFlagCtes
+        |SELECT doc_id, source, n_words, mean_word_len_x100, n_stopwords,
+        |  n_alpha_words, ok_len, ok_word_len, ok_stop, ok_alpha, pass
+        |FROM flags""".stripMargin,
+
+    "quality_gopher_by_source" ->
+      s"""WITH $gopherFlagCtes
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // greatest(count(*), 1) AS pass_ppm,
+        |  CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+        |  CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+        |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha
+        |FROM flags GROUP BY source""".stripMargin
   )
+
+  /** The per-doc Gopher flag CTE chain, shared by the per-doc dump and
+    * the by-source rollup (and by the streaming monitor's oracle) so
+    * the rule arithmetic exists exactly once on the oracle side. */
+  private lazy val gopherFlagCtes: String =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 100
+      |      // greatest(len(toks), 1) AS BIGINT) AS mean_word_len_x100,
+      |    CAST(len(list_filter(toks,
+      |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stopwords,
+      |    CAST(len(list_filter(toks,
+      |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha_words
+      |  FROM t),
+      |flags AS (
+      |  SELECT doc_id, source, n_words, mean_word_len_x100, n_stopwords,
+      |    n_alpha_words,
+      |    n_words >= 50 AND n_words <= 100000 AS ok_len,
+      |    mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000 AS ok_word_len,
+      |    n_stopwords >= 2 AS ok_stop,
+      |    n_alpha_words * 10 >= n_words * 8 AS ok_alpha,
+      |    (n_words >= 50 AND n_words <= 100000)
+      |      AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+      |      AND n_stopwords >= 2
+      |      AND n_alpha_words * 10 >= n_words * 8 AS pass
+      |  FROM m)""".stripMargin
 }

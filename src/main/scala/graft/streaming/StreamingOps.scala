@@ -692,6 +692,25 @@ object StreamingOps {
     graft.ext.LmStats.fertilityFinish(spark.table(name))
   }
 
+  /** Streaming intake-quality monitor: the Gopher rule flags are a
+    * stateless projection, so the per-source pass/fail counts of
+    * `quality_gopher_by_source` run unchanged as a complete-mode
+    * aggregate over the document stream (state = one row per source),
+    * sharing its oracle bit-for-bit — the live "which source started
+    * shipping garbage" alarm.
+    */
+  private def gopherToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sgoph_${System.nanoTime()}"
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.ext.Quality.gopherCounts(graft.ext.Quality.gopherRules(stream))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.Quality.gopherFinish(spark.table(name))
+  }
+
   /** Incremental reliability diagram: the streamed complete-mode
     * (bin, n, Σscore, n_pos) aggregate + the batch ≤10-row finisher,
     * BOTH lifted verbatim from ext.Calibration (scoreLabel/binned/
@@ -759,6 +778,7 @@ object StreamingOps {
     // oracles bit-for-bit
     "streaming_oov_monitor" -> ((s, dir) => oovToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
+    "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
 
     // incremental windowed counts + batch top-k finisher (see
     // topkWindowToCompletion for why the rank must not be in-stream)
@@ -1014,6 +1034,8 @@ object StreamingOps {
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
     "streaming_oov_monitor" -> graft.ext.LmStats.oracleSql("lm_oov_coverage"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
+    "streaming_quality_monitor" ->
+      graft.ext.Quality.oracleSql("quality_gopher_by_source"),
     "streaming_anova_f" -> graft.ext.Stats.oracleSql("anova_f_oneway"),
     "streaming_calibration" ->
       graft.ext.Calibration.oracleSql("calibration_reliability"),

@@ -41,6 +41,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality monitor equals the batch by-source rollup bit for bit") {
+    val streamed = SparkEntry.queries("streaming_quality_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("quality_gopher_by_source")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming calibration equals the batch reliability diagram bit for bit") {
     val streamed = SparkEntry.queries("streaming_calibration")(spark, sf)
       .collect().map(_.toString).sorted.toSeq

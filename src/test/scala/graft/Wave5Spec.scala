@@ -19,7 +19,8 @@ class Wave5Spec extends AnyFunSuite {
     val longWords = ("the of " + ("supercalifragilistic " * 60)).trim // mean > 10
     val numeric = ("the of " + "123 " * 60).trim // alpha share 2/62 < 80%
     val d = Seq((0L, longDoc), (1L, shortDoc), (2L, longWords), (3L, numeric))
-      .toDF("doc_id", "text")
+      .map { case (i, t) => (i, t, s"src${i % 2}") }
+      .toDF("doc_id", "text", "source")
     val r = graft.ext.Quality.gopherRules(d).collect()
       .map(x => x.getLong(0) -> x).toMap
     assert(r(0L).getAs[Boolean]("pass"))
