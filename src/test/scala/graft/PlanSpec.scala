@@ -278,6 +278,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("session-wave shapes: exchange-free gopher scan, hinted vocab broadcast, keyed ILD joins") {
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      spark.catalog.clearCache()
+      p
+    }
+    // quality_gopher_rules is ONE stateless projection: any Exchange
+    // in its plan means a regression added a shuffle to a per-row map
+    val gopher = finalPlan("quality_gopher_rules")
+    assert(!gopher.contains("Exchange"), gopher)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the OOV vocab probe is an EXPLICIT broadcast() of the 30-row
+      // vocabulary — it must survive with stats-driven broadcasting off
+      // (at 100 TB the token stream side never broadcasts; the hint
+      // pins the only correct build side)
+      val oov = finalPlan("lm_oov_coverage")
+      assert(oov.contains("BroadcastHashJoin"), oov)
+      assert(!oov.contains("CartesianProduct") &&
+        !oov.contains("BroadcastNestedLoopJoin"), oov)
+      // recsys_ild composes the item-similarity chain: with broadcast
+      // off every join must be a sort-merge EQUI-join (the pinned
+      // BHJ→SMJ flip pattern the 10x probe observed at ratio 2.54)
+      val ild = finalPlan("recsys_ild")
+      assert(ild.contains("SortMergeJoin"), ild)
+      assert(!ild.contains("CartesianProduct") &&
+        !ild.contains("BroadcastNestedLoopJoin"), ild)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("explicit bloomSemiJoin: probe filter in the fact scan stage, result equals plain semi join") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
