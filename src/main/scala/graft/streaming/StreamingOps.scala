@@ -692,6 +692,27 @@ object StreamingOps {
     graft.ext.LmStats.fertilityFinish(spark.table(name))
   }
 
+  /** Streaming OHLC bars: `timeseries_ohlc`'s day-keyed aggregate —
+    * including the struct-min/max open/close trick — maintained in
+    * complete mode over the purchase stream, sharing its oracle
+    * bit-for-bit. State is one (min-struct, max-struct, 4 scalars) row
+    * per bar: the live candlestick feed without a batch replay.
+    */
+  private def ohlcToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sohlc_${System.nanoTime()}"
+    val ticks = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val q = graft.ext.Timeseries.ohlcBars(ticks)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming intake-quality monitor: the Gopher rule flags are a
     * stateless projection, so the per-source pass/fail counts of
     * `quality_gopher_by_source` run unchanged as a complete-mode
@@ -779,6 +800,7 @@ object StreamingOps {
     "streaming_oov_monitor" -> ((s, dir) => oovToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
+    "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
 
     // incremental windowed counts + batch top-k finisher (see
     // topkWindowToCompletion for why the rank must not be in-stream)
@@ -1036,6 +1058,7 @@ object StreamingOps {
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
+    "streaming_ohlc" -> graft.ext.Timeseries.oracleSql("timeseries_ohlc"),
     "streaming_anova_f" -> graft.ext.Stats.oracleSql("anova_f_oneway"),
     "streaming_calibration" ->
       graft.ext.Calibration.oracleSql("calibration_reliability"),

@@ -41,6 +41,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming OHLC bars equal the batch bars bit for bit") {
+    val streamed = SparkEntry.queries("streaming_ohlc")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("timeseries_ohlc")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming quality monitor equals the batch by-source rollup bit for bit") {
     val streamed = SparkEntry.queries("streaming_quality_monitor")(spark, sf)
       .collect().map(_.toString).sorted.toSeq

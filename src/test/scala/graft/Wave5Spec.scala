@@ -62,6 +62,31 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("pcaPowerIteration: recovers a planted dominant axis, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // variance planted on dim 2; dims 0,1,3 carry ~100x less spread
+    val vecs = Seq.tabulate(60) { i =>
+      (i.toLong, Array(
+        (rnd.nextFloat() - 0.5f) * 0.1f,
+        (rnd.nextFloat() - 0.5f) * 0.1f,
+        (rnd.nextFloat() - 0.5f) * 4.0f,
+        (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    def run(parts: Int) = graft.ext.Sq8.pcaPowerIteration(
+        vecs.toDF("vec_id", "embedding").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = run(1)
+    assert(v.keySet == Set(0L, 1L, 2L, 3L))
+    // dominant component on the planted axis, L1 mass ~1e6 (truncation
+    // loses at most d per round)
+    assert(math.abs(v(2L)) > 900000L, v.toString)
+    Seq(0L, 1L, 3L).foreach(d => assert(math.abs(v(d)) < math.abs(v(2L))))
+    val l1 = v.values.map(math.abs).sum
+    assert(l1 <= 1000000L && l1 > 999900L, l1.toString)
+    assert(run(7) == v) // integer arithmetic: partition-invariant
+  }
+
   test("mixture_epochs_budget: equal shares, epochs against exact token counts") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("mixture_epochs_budget")(spark, sf).collect()
