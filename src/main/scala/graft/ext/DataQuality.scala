@@ -177,6 +177,24 @@ object DataQuality {
           expr("n * 1000 div total").as("observed_pm"),
           expr(benfordPm).as("benford_pm"),
           expr(s"abs(n * 1000 div total - ($benfordPm))").as("abs_dev_pm"))
+    }),
+
+    // Freshness audit — per event stream, how stale is its newest
+    // record against the corpus watermark (the ingestion-SLO check a
+    // warehouse alerts on: one stream silently stopping shows up as a
+    // growing lag while totals still look plausible). One
+    // map-side-combining per-type aggregate + a 1-row watermark
+    // broadcast; stale pins lag > 7 days.
+    "dq_freshness" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      val byType = days.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("day")).as("last_day"))
+      val wm = byType.agg(max(col("last_day")).as("watermark_day"))
+      byType.crossJoin(broadcast(wm))
+        .select(col("event_type"), col("n_events"), col("last_day"),
+          (col("watermark_day") - col("last_day")).as("lag_days"))
+        .withColumn("stale", col("lag_days") > 7L)
     })
   )
 
@@ -247,6 +265,18 @@ object DataQuality {
         |SELECT first_digit, n, observed_pm, benford_pm,
         |  abs(observed_pm - benford_pm) AS abs_dev_pm
         |FROM b""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+        |bt AS (
+        |  SELECT event_type, count(*) AS n_events, max(day) AS last_day
+        |  FROM d GROUP BY event_type),
+        |wm AS (SELECT max(last_day) AS watermark_day FROM bt)
+        |SELECT event_type, n_events, last_day,
+        |  watermark_day - last_day AS lag_days,
+        |  watermark_day - last_day > 7 AS stale
+        |FROM bt CROSS JOIN wm""".stripMargin,
 
     "dq_constraints" ->
       """SELECT 'lineitem.quantity_in_[1,50]' AS check_name,

@@ -251,6 +251,21 @@ object DedupCluster {
       clusterAssignments(docs, Dedup.ngramJaccardPairs(docs, 0.12))
         .select(col("doc_id"), col("cluster_id"),
           Sampling.splitLabel(col("cluster_id")).as("split"))
+    }),
+
+    // Duplicate-family size spectrum — "how big do near-dup families
+    // get" is the dedup-health readout beside the duplication rate:
+    // (cluster_size, n_clusters, n_docs) over the CC labels, a
+    // ≤log-sized histogram (family sizes are bounded by the template
+    // structure) from two keyed aggregates on the cluster table.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      clusterAssignments(docs, Dedup.ngramJaccardPairs(docs, 0.12))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("n_clusters") * col("cluster_size")).as("n_docs"))
     })
   )
 
@@ -258,6 +273,14 @@ object DedupCluster {
     "dedup_cluster_cc" ->
       (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes\n" +
         "SELECT doc_id, cluster_id FROM lab"),
+
+    "dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes,\n" +
+        """sz AS (SELECT cluster_id, count(*) AS cluster_size
+          |        FROM lab GROUP BY cluster_id)
+          |SELECT cluster_size, count(*) AS n_clusters,
+          |  count(*) * cluster_size AS n_docs
+          |FROM sz GROUP BY cluster_size""".stripMargin),
     "dedup_canonical_corpus" ->
       (s"WITH RECURSIVE ${Dedup.ngramCtes},\n$closureCtes\n" +
       """SELECT d.doc_id, d.lang, d.source, d.n_chars, sz.cluster_size

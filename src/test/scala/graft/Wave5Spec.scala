@@ -87,6 +87,26 @@ class Wave5Spec extends AnyFunSuite {
     assert(run(7) == v) // integer arithmetic: partition-invariant
   }
 
+  test("dedup_cluster_sizes: the spectrum partitions the corpus exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dedup_cluster_sizes")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, rows.mkString(","))
+    spark.catalog.clearCache()
+  }
+
+  test("dq_freshness: watermark type has zero lag, lags nonnegative") {
+    val rows = SparkEntry.queries("dq_freshness")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("lag_days") >= 0L))
+    assert(rows.exists(r => r.getAs[Long]("lag_days") == 0L &&
+      !r.getAs[Boolean]("stale")))
+  }
+
   test("mixture_epochs_budget: equal shares, epochs against exact token counts") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("mixture_epochs_budget")(spark, sf).collect()
