@@ -185,18 +185,30 @@ object DataQuality {
     // growing lag while totals still look plausible). One
     // map-side-combining per-type aggregate + a 1-row watermark
     // broadcast; stale pins lag > 7 days.
-    "dq_freshness" -> ((s, dir) => {
-      val days = Tables.events(s, dir)
-        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
-      val byType = days.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"), max(col("day")).as("last_day"))
-      val wm = byType.agg(max(col("last_day")).as("watermark_day"))
-      byType.crossJoin(broadcast(wm))
-        .select(col("event_type"), col("n_events"), col("last_day"),
-          (col("watermark_day") - col("last_day")).as("lag_days"))
-        .withColumn("stale", col("lag_days") > 7L)
-    })
+    "dq_freshness" -> ((s, dir) =>
+      freshnessFinish(freshnessCounts(Tables.events(s, dir))))
   )
+
+  /** Per-stream (n_events, last_day) — a plain keyed aggregate, so it
+    * runs unchanged as a complete-mode STREAMING aggregation (the
+    * streaming_freshness_monitor face; chained aggregations are
+    * unsupported in streaming, so the watermark fold lives in the
+    * finisher). */
+  def freshnessCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("day")).as("last_day"))
+
+  /** Watermark + lag finisher over the per-stream counts (1-row
+    * broadcast fold; stale pins lag > 7 days). */
+  def freshnessFinish(byType: DataFrame): DataFrame = {
+    val wm = byType.agg(max(col("last_day")).as("watermark_day"))
+    byType.crossJoin(broadcast(wm))
+      .select(col("event_type"), col("n_events"), col("last_day"),
+        (col("watermark_day") - col("last_day")).as("lag_days"))
+      .withColumn("stale", col("lag_days") > 7L)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "dq_referential" ->

@@ -713,6 +713,23 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming freshness monitor: `dq_freshness`'s per-stream
+    * (count, newest-day) aggregate maintained in complete mode — a lag
+    * alarm is exactly the check that should not wait for a batch
+    * audit. The watermark fold runs in the batch finisher (chained
+    * aggregations are unsupported in streaming); shares the batch
+    * oracle bit-for-bit. State = one row per event type.
+    */
+  private def freshnessToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sfresh_${System.nanoTime()}"
+    val q = graft.ext.DataQuality.freshnessCounts(eventsStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.DataQuality.freshnessFinish(spark.table(name))
+  }
+
   /** Streaming intake-quality monitor: the Gopher rule flags are a
     * stateless projection, so the per-source pass/fail counts of
     * `quality_gopher_by_source` run unchanged as a complete-mode
@@ -801,6 +818,7 @@ object StreamingOps {
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
+    "streaming_freshness_monitor" -> ((s, dir) => freshnessToCompletion(s, dir)),
 
     // incremental windowed counts + batch top-k finisher (see
     // topkWindowToCompletion for why the rank must not be in-stream)
@@ -1059,6 +1077,8 @@ object StreamingOps {
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
     "streaming_ohlc" -> graft.ext.Timeseries.oracleSql("timeseries_ohlc"),
+    "streaming_freshness_monitor" ->
+      graft.ext.DataQuality.oracleSql("dq_freshness"),
     "streaming_anova_f" -> graft.ext.Stats.oracleSql("anova_f_oneway"),
     "streaming_calibration" ->
       graft.ext.Calibration.oracleSql("calibration_reliability"),

@@ -41,6 +41,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming freshness monitor equals the batch audit bit for bit") {
+    val streamed = SparkEntry.queries("streaming_freshness_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("dq_freshness")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming OHLC bars equal the batch bars bit for bit") {
     val streamed = SparkEntry.queries("streaming_ohlc")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
