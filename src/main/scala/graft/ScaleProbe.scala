@@ -85,7 +85,13 @@ object ScaleProbe {
     "streaming_cusum", "anova_f_oneway", "kruskal_wallis_h",
     // lineitem-only (inputs were always fully scaled; the support
     // floor and basket bound are the claims to test two decades up)
-    "recsys_item_similarity", "graph_triangles")
+    "recsys_item_similarity", "graph_triangles",
+    // session wave (documents-only): the Heaps-sublinear bigram-TYPE
+    // claim behind the KN continuation table — the one new family
+    // whose 100× behavior the 10× probe cannot distinguish from
+    // corpus-linear (types grow with VOCABULARY², occurrences with
+    // the corpus; 0.63 at 10× could still hide a slow type blowup)
+    "lm_kn_continuation")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
