@@ -32,7 +32,13 @@ class AqeEquivalenceSpec extends AnyFunSuite {
       // the fused single-shuffle CSR route (partition-id arithmetic
       // must survive whatever AQE does around the persisted layout)
       "multimodal_image_ahash_pairs", "multimodal_dedup_exact",
-      "csr_secondary_index")
+      "csr_secondary_index",
+      // continuation-session wave: the two-phase Zipf rank + bounded
+      // lag window (rank positions must not shift under AQE exchange
+      // coalescing), the type-join KN table, the list self-join ILD
+      // chain, and the persisted-moments PCA iteration
+      "lm_zipf_bitlog", "lm_kn_continuation", "recsys_ild",
+      "embedding_pca_power")
     val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       val withAqe = targets.map(n => n -> rows(n)).toMap

@@ -422,4 +422,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("floor-log2 via length(bin(x)) - 1 equals the bit-position definition") {
+    // the LmStats / Adamic-Adar discipline: both engines must agree on
+    // "log scale" only because length(bin(x)) - 1 IS floor(log2 x)
+    forAll(Gen.chooseNum(1L, Long.MaxValue), n = 200) { x =>
+      import spark.implicits._
+      val got = Seq(x).toDF("x")
+        .select((length(bin(col("x"))) - 1).cast("long")).collect()(0).getLong(0)
+      assert(got == 63 - java.lang.Long.numberOfLeadingZeros(x), s"x=$x")
+    }
+  }
+
+  test("struct-min/max open/close equals sort-based first/last on random ticks") {
+    val tickGen = for {
+      n <- Gen.chooseNum(1, 80)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+      v <- Gen.listOfN(n, Gen.chooseNum(-5000L, 5000L))
+    } yield ts.zip(v).zipWithIndex.map { case ((t, c), i) => (t, i.toLong, c) }
+    forAll(tickGen, n = 25) { ticks =>
+      import spark.implicits._
+      val df = ticks.map { case (t, id, c) => (0L, t, id, c) }
+        .toDF("day", "ts_us", "event_id", "cents")
+      val r = graft.ext.Timeseries.ohlcBars(df).collect()(0)
+      val sorted = ticks.sortBy(t => (t._1, t._2))
+      assert(r.getAs[Long]("open_cents") == sorted.head._3)
+      assert(r.getAs[Long]("close_cents") == sorted.last._3)
+      assert(r.getAs[Long]("high_cents") == ticks.map(_._3).max)
+      assert(r.getAs[Long]("low_cents") == ticks.map(_._3).min)
+    }
+  }
+
+  test("CUPED theta recovers the exact slope on perfectly linear panels") {
+    val panelGen = for {
+      n <- Gen.chooseNum(3, 40)
+      slope <- Gen.chooseNum(1L, 9L)
+      xs <- Gen.listOfN(n, Gen.chooseNum(1L, 2000L))
+    } yield (slope, xs.zipWithIndex.map { case (x, u) => (u.toLong, x) })
+    forAll(panelGen, n = 25) { case (slope, users) =>
+      import spark.implicits._
+      // distinct x needed for var > 0; dedupe by perturbing with index
+      val rows = users.map { case (u, x) => (u, x + u * 2003L) }
+      val dayUs = 86400000000L
+      val ev = rows.flatMap { case (u, x) =>
+        Seq((u, 0L * dayUs, "purchase", x / 100.0),
+          (u, 3L * dayUs, "purchase", (x * slope) / 100.0))
+      }.toDF("user_id", "ts_us", "event_type", "value")
+      val thetas = graft.ext.Abtest.cupedReadout(ev).collect()
+        .map(_.getAs[Long]("theta_ppm")).distinct
+      assert(thetas sameElements Array(slope * 1000000L),
+        s"slope=$slope got ${thetas.mkString(",")}")
+    }
+  }
 }
