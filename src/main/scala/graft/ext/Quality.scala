@@ -163,7 +163,32 @@ object Quality {
     // per-source pass-rate scoreboard over the same flags — "which
     // source is garbage" is the question the rule filter exists for
     "quality_gopher_by_source" -> ((s, dir) =>
-      gopherFinish(gopherCounts(gopherRules(Tables.documents(s, dir)))))
+      gopherFinish(gopherCounts(gopherRules(Tables.documents(s, dir))))),
+
+    // CCNet-style perplexity filtering without a KenLM: per-doc total
+    // unigram SURPRISAL in floor-log2 bits — Σ over tokens of
+    // (flog2(N) − flog2(n_w)) where n_w is the corpus unigram count —
+    // the integer-exact stand-in for the LM score the public
+    // pipelines cut on (low bits/token = templated boilerplate, high
+    // = rare-token noise; both tails get filtered). One token-keyed
+    // count + a token→count join + a doc-keyed sum; the engine-
+    // portable flog2 is the length(bin(x))−1 discipline.
+    "quality_unigram_surprisal" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val tot = cnt.agg(sum(col("n_w")).as("n_total"))
+      tok.join(cnt, "w")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (length(bin(col("n_total"))) - length(bin(col("n_w"))))
+            .cast("long").as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+          expr("surprisal_bits * 1000 div greatest(n_tokens, 1L)")
+            .as("bits_per_token_milli"))
+    })
   )
 
   /** Gopher-style rule filter (Rae et al. 2021, §A1.1) as exact
@@ -324,7 +349,24 @@ object Quality {
         |  CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
         |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
         |  CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha
-        |FROM flags GROUP BY source""".stripMargin
+        |FROM flags GROUP BY source""".stripMargin,
+
+    "quality_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS n_w FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM cnt),
+        |b AS (
+        |  SELECT tok.doc_id,
+        |    CAST(length(bin(tot.n_total)) - length(bin(cnt.n_w)) AS BIGINT) AS bits
+        |  FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |  CAST(sum(bits) AS BIGINT) * 1000 // greatest(count(*), 1)
+        |    AS bits_per_token_milli
+        |FROM b GROUP BY doc_id""".stripMargin
   )
 
   /** The per-doc Gopher flag CTE chain, shared by the per-doc dump and

@@ -87,6 +87,19 @@ class Wave5Spec extends AnyFunSuite {
     assert(run(7) == v) // integer arithmetic: partition-invariant
   }
 
+  test("quality_unigram_surprisal: rarer tokens carry more bits, exact flog2") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("quality_unigram_surprisal")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bits = r.getAs[Long]("surprisal_bits")
+      val n = r.getAs[Long]("n_tokens")
+      assert(bits >= 0L && n > 0L)
+      assert(r.getAs[Long]("bits_per_token_milli") == bits * 1000L / n)
+    }
+  }
+
   test("dedup_cluster_sizes: the spectrum partitions the corpus exactly") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("dedup_cluster_sizes")(spark, sf).collect()
