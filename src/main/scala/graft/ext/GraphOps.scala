@@ -291,6 +291,41 @@ object GraphOps {
           expr(s"deg_sum * deg_sum * ${scale}L div (4 * m * m)")).as("q_x1e9"))
   }
 
+  /** Per-community CONDUCTANCE of a labeling — the boundary-quality
+    * complement to [[communityModularity]]: φ(S) = cut(S) / min(vol(S),
+    * 2m − vol(S)), where the identity vol(S) = 2·e_in + cut means the
+    * cut needs NO extra join — both quantities fall out of the same
+    * per-community (e_in, deg_sum) aggregates, so the whole readout
+    * costs exactly what modularity costs. Integer ppm, truncating divs
+    * on both engines, greatest-guard for the isolated-community
+    * denominator (vol = 2m makes the min 0).
+    */
+  def communityConductance(edges: DataFrame, labels: DataFrame,
+                           scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("node_id"))
+      .unionAll(e.select(col("v").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    val lbl = labels.select(col("node_id"), col("community"))
+    val eIn = e
+      .join(lbl.select(col("node_id").as("u"), col("community").as("cu")), "u")
+      .join(lbl.select(col("node_id").as("v"), col("community").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    deg.join(lbl, "node_id")
+      .groupBy(col("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      .join(eIn, Seq("community"), "left")
+      .crossJoin(m) // 1-row scalar — never data-sized
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (col("deg_sum") - lit(2L) * coalesce(col("e_in"), lit(0L))).as("cut"),
+        expr(s"""(deg_sum - 2 * coalesce(e_in, 0L)) * ${scale}L
+               div greatest(least(deg_sum, 2 * m - deg_sum), 1L)""")
+          .as("conductance_ppm"))
+  }
+
   /** Hop-bounded weighted single-source(-set) shortest paths —
     * Bellman-Ford as synchronous min-plus relaxation rounds, the
     * weighted counterpart of [[bfsLayers]]: after `rounds` rounds,
@@ -479,6 +514,13 @@ object GraphOps {
     "graph_modularity" -> ((s, dir) => {
       val edges = copurchaseEdges(s, dir)
       communityModularity(edges, labelPropagation(edges, rounds = 3))
+    }),
+
+    // boundary quality of the same LPA communities — modularity's
+    // complement, from the identical per-community aggregates
+    "graph_community_conductance" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir)
+      communityConductance(edges, labelPropagation(edges, rounds = 3))
     }),
 
     // support-weighted LPA over the same graph (w = co-purchase count)
@@ -698,38 +740,25 @@ object GraphOps {
     // intermediates (DuckDB sum/products) cast back to BIGINT, floor
     // division identical to Spark's `div` on the non-negative operands
     "graph_modularity" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
-        |e0 AS (SELECT a.pk AS u, b.pk AS v
-        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
-        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-        |l0 AS (SELECT DISTINCT u AS node_id, u AS lbl FROM e),
-        |r1 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l0 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
-        |l1 AS (SELECT u AS node_id, lbl FROM (
-        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r1) WHERE rn = 1),
-        |r2 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l1 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
-        |l2 AS (SELECT u AS node_id, lbl FROM (
-        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r2) WHERE rn = 1),
-        |r3 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
-        |l3 AS (SELECT u AS node_id, lbl FROM (
-        |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1),
-        |m AS (SELECT count(*) AS m FROM e0),
-        |deg AS (SELECT node_id, count(*) AS deg FROM
-        |          (SELECT u AS node_id FROM e0 UNION ALL SELECT v FROM e0)
-        |        GROUP BY node_id),
-        |ein AS (SELECT lu.lbl AS community, count(*) AS e_in
-        |        FROM e0 JOIN l3 lu ON lu.node_id = e0.u
-        |        JOIN l3 lv ON lv.node_id = e0.v
-        |        WHERE lu.lbl = lv.lbl GROUP BY 1),
-        |ds AS (SELECT l3.lbl AS community, sum(deg.deg) AS deg_sum, count(*) AS n_nodes
-        |       FROM l3 JOIN deg ON deg.node_id = l3.node_id GROUP BY 1)
-        |SELECT ds.community, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+      (s"WITH $lpaCommunityCtes\n" +
+      """SELECT ds.community, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
         |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
         |  CAST(ds.deg_sum AS BIGINT) AS deg_sum,
         |  CAST(COALESCE(ein.e_in, 0) * 1000000000 // m.m
         |    - ds.deg_sum * ds.deg_sum * 1000000000 // (4 * m.m * m.m) AS BIGINT) AS q_x1e9
-        |FROM ds CROSS JOIN m LEFT JOIN ein ON ein.community = ds.community""".stripMargin,
+        |FROM ds CROSS JOIN m LEFT JOIN ein ON ein.community = ds.community""".stripMargin),
+
+    // same aggregates, the boundary-quality readout: cut = vol − 2·e_in
+    "graph_community_conductance" ->
+      (s"WITH $lpaCommunityCtes\n" +
+      """SELECT ds.community, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(ds.deg_sum AS BIGINT) AS deg_sum,
+        |  CAST(ds.deg_sum - 2 * COALESCE(ein.e_in, 0) AS BIGINT) AS cut,
+        |  CAST((ds.deg_sum - 2 * COALESCE(ein.e_in, 0)) * 1000000
+        |    // greatest(least(ds.deg_sum, 2 * m.m - ds.deg_sum), 1) AS BIGINT)
+        |    AS conductance_ppm
+        |FROM ds CROSS JOIN m LEFT JOIN ein ON ein.community = ds.community""".stripMargin),
 
     // triangles per corner + degrees over the same thresholded graph;
     // floor division matches Spark's `div` on non-negative operands
@@ -780,4 +809,35 @@ object GraphOps {
         |  FROM e JOIN d2 ON e.u = d2.node_id) GROUP BY node_id)
         |SELECT node_id, dist FROM d3""".stripMargin
   )
+
+  /** The LPA-communities + per-community (e_in, deg_sum) CTE chain,
+    * shared by the modularity and conductance oracles so the LPA
+    * rounds and aggregates exist exactly once on the oracle side. */
+  private lazy val lpaCommunityCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+      |e0 AS (SELECT a.pk AS u, b.pk AS v
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |l0 AS (SELECT DISTINCT u AS node_id, u AS lbl FROM e),
+      |r1 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l0 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+      |l1 AS (SELECT u AS node_id, lbl FROM (
+      |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+      |r2 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l1 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+      |l2 AS (SELECT u AS node_id, lbl FROM (
+      |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+      |r3 AS (SELECT e.u, l.lbl, count(*) AS c FROM e JOIN l2 l ON e.v = l.node_id GROUP BY e.u, l.lbl),
+      |l3 AS (SELECT u AS node_id, lbl FROM (
+      |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1),
+      |m AS (SELECT count(*) AS m FROM e0),
+      |deg AS (SELECT node_id, count(*) AS deg FROM
+      |          (SELECT u AS node_id FROM e0 UNION ALL SELECT v FROM e0)
+      |        GROUP BY node_id),
+      |ein AS (SELECT lu.lbl AS community, count(*) AS e_in
+      |        FROM e0 JOIN l3 lu ON lu.node_id = e0.u
+      |        JOIN l3 lv ON lv.node_id = e0.v
+      |        WHERE lu.lbl = lv.lbl GROUP BY 1),
+      |ds AS (SELECT l3.lbl AS community, sum(deg.deg) AS deg_sum, count(*) AS n_nodes
+      |       FROM l3 JOIN deg ON deg.node_id = l3.node_id GROUP BY 1)""".stripMargin
 }

@@ -350,6 +350,26 @@ object Sampling {
           Seq(md5(col("doc_id").cast("string")), col("doc_id")),
           "n_tokens", "cum_tokens")
         .withColumn("shard_id", expr("cum_tokens div 2000"))
+    }),
+
+    // Shard manifest with ORDER-INSENSITIVE membership checksums — the
+    // reproducibility record a dataset card publishes per shard: doc
+    // count, token total, and a 48-bit-per-doc md5 id sum (insensitive
+    // to intra-shard order, sensitive to any membership change). One
+    // shard-keyed aggregate over the same pack assignment.
+    "shard_manifest_checksum" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Offsets.globalWeightedPrefix(docs,
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          "n_tokens", "cum_tokens")
+        .withColumn("shard_id", expr("cum_tokens div 2000"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          sum(expr(
+            "CAST(conv(substring(md5(cast(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+            .as("id_checksum"))
     })
   )
 
@@ -528,6 +548,23 @@ object Sampling {
         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
         |  FROM t)
-        |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 2000 AS shard_id FROM c""".stripMargin
+        |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 2000 AS shard_id FROM c""".stripMargin,
+
+    "shard_manifest_checksum" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT cum_tokens // 2000 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |    AS BIGINT)) AS BIGINT) AS id_checksum
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

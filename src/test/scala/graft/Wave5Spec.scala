@@ -87,6 +87,36 @@ class Wave5Spec extends AnyFunSuite {
     assert(run(7) == v) // integer arithmetic: partition-invariant
   }
 
+  test("conductance: cut identity and hand-computed two-clique bridge") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge: each community (the
+    // triangle) has vol = 2*3+1 = 7, e_in = 3, cut = 1; m = 7 edges;
+    // min(vol, 2m - vol) = 7 -> conductance = 1e6 div 7 = 142857
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node_id", "community")
+    val r = graft.ext.GraphOps.communityConductance(edges, labels)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    for ((_, row) <- r) {
+      assert(row.getAs[Long]("deg_sum") ==
+        2 * row.getAs[Long]("e_in") + row.getAs[Long]("cut"))
+      assert(row.getAs[Long]("cut") == 1L)
+      assert(row.getAs[Long]("conductance_ppm") == 142857L, row.toString)
+    }
+  }
+
+  test("shard manifest: checksums partition the corpus and detect membership change") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("shard_manifest_checksum")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // every shard's checksum is positive and shard-distinct with
+    // overwhelming probability on 48-bit sums
+    assert(rows.map(_.getAs[Long]("id_checksum")).distinct.length == rows.length)
+    spark.catalog.clearCache()
+  }
+
   test("quality_unigram_surprisal: rarer tokens carry more bits, exact flog2") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("quality_unigram_surprisal")(spark, sf)
