@@ -663,6 +663,22 @@ object Dedup {
         .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
+    // PREFIX dedup — the tier between whole-text exact and near-dup:
+    // docs identical in their first 16 tokens but diverging later
+    // (boilerplate-headed pages, truncation variants) hash-group on
+    // the prefix alone; only families ≥ 2 are emitted. Same one
+    // map-side-combining aggregate shape as dedup_exact — the prefix
+    // hash is computed per row from the token array, no explode.
+    "dedup_exact_prefix" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(to_binary(array_join(
+            slice(TextAnalysis.tokens(col("text")), 1, 16), " "),
+            lit("utf-8"))).as("prefix_hash"))
+        .groupBy(col("prefix_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), 0.12)),
 
@@ -880,6 +896,15 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_exact_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents)
+        |SELECT md5(array_to_string(toks[1:16], ' ')) AS prefix_hash,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_docs
+        |FROM t GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "dedup_ngram_jaccard" ->
       (s"WITH $ngramCtes\n" +
       """SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,

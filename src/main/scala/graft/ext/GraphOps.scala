@@ -291,6 +291,35 @@ object GraphOps {
           expr(s"deg_sum * deg_sum * ${scale}L div (4 * m * m)")).as("q_x1e9"))
   }
 
+  /** Per-edge triangle SUPPORT — the k-truss building block (Cohen
+    * 2008): support(u,v) = |Γ(u) ∩ Γ(v)|, and an edge belongs to the
+    * 3-truss iff its support ≥ 1. Wedges enumerate through the
+    * canonical edge's own endpoints (fan-out Σ deg — degree-bounded by
+    * the support floor, never hub-quadratic on this graph), and
+    * triangle closure is one EQUI-join on the canonical (min,max) pair
+    * key of the third side. Zero-support edges survive via the left
+    * join — they are the 3-truss REJECTS, which is the point.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val wedges = und
+      .join(sym.select(col("u"), col("v").as("w")), "u")
+      .where(col("w") =!= col("v"))
+      .select(col("u"), col("v"),
+        least(col("v"), col("w")).as("cu"), greatest(col("v"), col("w")).as("cv"))
+    val closed = wedges
+      .join(und.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    und.join(closed, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .withColumn("in_3truss", col("support") >= 1L)
+  }
+
   /** Per-community CONDUCTANCE of a labeling — the boundary-quality
     * complement to [[communityModularity]]: φ(S) = cut(S) / min(vol(S),
     * 2m − vol(S)), where the identity vol(S) = 2·e_in + cut means the
@@ -515,6 +544,11 @@ object GraphOps {
       val edges = copurchaseEdges(s, dir)
       communityModularity(edges, labelPropagation(edges, rounds = 3))
     }),
+
+    // per-edge triangle support + the 3-truss membership flag over
+    // the same support-floored graph
+    "graph_edge_support" -> ((s, dir) =>
+      edgeSupport(copurchaseEdges(s, dir))),
 
     // boundary quality of the same LPA communities — modularity's
     // complement, from the identical per-community aggregates
@@ -747,6 +781,24 @@ object GraphOps {
         |  CAST(COALESCE(ein.e_in, 0) * 1000000000 // m.m
         |    - ds.deg_sum * ds.deg_sum * 1000000000 // (4 * m.m * m.m) AS BIGINT) AS q_x1e9
         |FROM ds CROSS JOIN m LEFT JOIN ein ON ein.community = ds.community""".stripMargin),
+
+    "graph_edge_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |thr AS (SELECT greatest(2, CAST(ceil(count(DISTINCT ok) * 13 / 1000000.0) AS BIGINT)) AS thr FROM li),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= (SELECT thr FROM thr)),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |w AS (SELECT e0.u, e0.v,
+        |        least(e0.v, s.v) AS cu, greatest(e0.v, s.v) AS cv
+        |      FROM e0 JOIN sym s ON s.u = e0.u WHERE s.v <> e0.v),
+        |c AS (SELECT w.u, w.v, count(*) AS support
+        |      FROM w JOIN e0 t ON t.u = w.cu AND t.v = w.cv
+        |      GROUP BY w.u, w.v)
+        |SELECT e0.u, e0.v,
+        |  CAST(coalesce(c.support, 0) AS BIGINT) AS support,
+        |  coalesce(c.support, 0) >= 1 AS in_3truss
+        |FROM e0 LEFT JOIN c ON c.u = e0.u AND c.v = e0.v""".stripMargin,
 
     // same aggregates, the boundary-quality readout: cut = vol − 2·e_in
     "graph_community_conductance" ->

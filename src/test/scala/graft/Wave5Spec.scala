@@ -87,6 +87,27 @@ class Wave5Spec extends AnyFunSuite {
     assert(run(7) == v) // integer arithmetic: partition-invariant
   }
 
+  test("edgeSupport: triangle edges score 1+, bridges score 0") {
+    import spark.implicits._
+    // two triangles joined by a bridge: the 6 triangle edges have
+    // support 1, the bridge has support 0 (the 3-truss reject)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val r = graft.ext.GraphOps.edgeSupport(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r.size == 7)
+    assert(r((3L, 4L)) == ((0L, false)), r.toString)
+    (r - ((3L, 4L))).values.foreach { case (s, t) =>
+      assert(s == 1L && t)
+    }
+    // K4: every edge sits in 2 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val rk = graft.ext.GraphOps.edgeSupport(k4).collect()
+    assert(rk.length == 6 && rk.forall(_.getLong(2) == 2L))
+  }
+
   test("conductance: cut identity and hand-computed two-clique bridge") {
     import spark.implicits._
     // two triangles joined by one bridge edge: each community (the
