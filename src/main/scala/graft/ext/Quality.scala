@@ -176,20 +176,46 @@ object Quality {
     "quality_unigram_surprisal" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-      val tot = cnt.agg(sum(col("n_w")).as("n_total"))
-      tok.join(cnt, "w")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          (length(bin(col("n_total"))) - length(bin(col("n_w"))))
-            .cast("long").as("bits"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
-        .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
-          expr("surprisal_bits * 1000 div greatest(n_tokens, 1L)")
-            .as("bits_per_token_milli"))
+      surprisalFinish(surprisalCounts(tok, "doc_id",
+        unigramModel(tok)), "doc_id")
+    }),
+
+    // the per-source face of the same score — the intake-quality
+    // alarm's batch companion (streaming_surprisal_monitor streams it)
+    "quality_surprisal_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = unigramModel(docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w")))
+      surprisalFinish(surprisalCounts(
+        docs.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w")),
+        "source", model), "source")
     })
   )
+
+  /** Corpus unigram model as a (w, n_w, n_total) table — the static
+    * side the surprisal faces probe (broadcast by callers at the join). */
+  def unigramModel(tok: DataFrame): DataFrame = {
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    cnt.crossJoin(broadcast(cnt.agg(sum(col("n_w")).as("n_total"))))
+  }
+
+  /** Keyed (n_tokens, surprisal_bits) over a `(key, w)` token table —
+    * a plain keyed aggregate after the model probe, so it runs
+    * unchanged as a complete-mode STREAMING aggregation. */
+  def surprisalCounts(tok: DataFrame, key: String, model: DataFrame): DataFrame =
+    tok.join(broadcast(model), "w")
+      .select(col(key),
+        (length(bin(col("n_total"))) - length(bin(col("n_w"))))
+          .cast("long").as("bits"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
+
+  /** bits-per-token finisher. */
+  def surprisalFinish(counts: DataFrame, key: String): DataFrame =
+    counts.select(col(key), col("n_tokens"), col("surprisal_bits"),
+      expr("surprisal_bits * 1000 div greatest(n_tokens, 1L)")
+        .as("bits_per_token_milli"))
 
   /** Gopher-style rule filter (Rae et al. 2021, §A1.1) as exact
     * integer per-doc verdicts: word-count window [50, 100k], mean
@@ -366,7 +392,24 @@ object Quality {
         |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
         |  CAST(sum(bits) AS BIGINT) * 1000 // greatest(count(*), 1)
         |    AS bits_per_token_milli
-        |FROM b GROUP BY doc_id""".stripMargin
+        |FROM b GROUP BY doc_id""".stripMargin,
+
+    "quality_surprisal_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS n_w FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM cnt),
+        |b AS (
+        |  SELECT tok.source,
+        |    CAST(length(bin(tot.n_total)) - length(bin(cnt.n_w)) AS BIGINT) AS bits
+        |  FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |  CAST(sum(bits) AS BIGINT) * 1000 // greatest(count(*), 1)
+        |    AS bits_per_token_milli
+        |FROM b GROUP BY source""".stripMargin
   )
 
   /** The per-doc Gopher flag CTE chain, shared by the per-doc dump and

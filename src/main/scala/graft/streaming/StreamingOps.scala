@@ -730,6 +730,30 @@ object StreamingOps {
     graft.ext.DataQuality.freshnessFinish(spark.table(name))
   }
 
+  /** Streaming surprisal monitor: the per-source bits-per-token score
+    * of `quality_surprisal_by_source` maintained in complete mode —
+    * the static unigram model (batch-side, broadcast) probes the
+    * stream's token projection, and a source drifting toward
+    * boilerplate (low bits) or noise (high bits) moves its row live.
+    * Shares the batch oracle bit-for-bit; state = one row per source.
+    */
+  private def surprisalToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"ssurp_${System.nanoTime()}"
+    val model = graft.ext.Quality.unigramModel(
+      graft.Tables.documents(spark, dir).select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w")))
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("source"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+    val q = graft.ext.Quality.surprisalCounts(stream, "source", model)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.Quality.surprisalFinish(spark.table(name), "source")
+  }
+
   /** Streaming intake-quality monitor: the Gopher rule flags are a
     * stateless projection, so the per-source pass/fail counts of
     * `quality_gopher_by_source` run unchanged as a complete-mode
@@ -819,6 +843,7 @@ object StreamingOps {
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
     "streaming_freshness_monitor" -> ((s, dir) => freshnessToCompletion(s, dir)),
+    "streaming_surprisal_monitor" -> ((s, dir) => surprisalToCompletion(s, dir)),
 
     // incremental windowed counts + batch top-k finisher (see
     // topkWindowToCompletion for why the rank must not be in-stream)
@@ -1079,6 +1104,8 @@ object StreamingOps {
     "streaming_ohlc" -> graft.ext.Timeseries.oracleSql("timeseries_ohlc"),
     "streaming_freshness_monitor" ->
       graft.ext.DataQuality.oracleSql("dq_freshness"),
+    "streaming_surprisal_monitor" ->
+      graft.ext.Quality.oracleSql("quality_surprisal_by_source"),
     "streaming_anova_f" -> graft.ext.Stats.oracleSql("anova_f_oneway"),
     "streaming_calibration" ->
       graft.ext.Calibration.oracleSql("calibration_reliability"),

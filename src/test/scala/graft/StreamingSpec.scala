@@ -41,6 +41,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming surprisal monitor equals the batch by-source face bit for bit") {
+    val streamed = SparkEntry.queries("streaming_surprisal_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("quality_surprisal_by_source")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming freshness monitor equals the batch audit bit for bit") {
     val streamed = SparkEntry.queries("streaming_freshness_monitor")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
