@@ -66,26 +66,28 @@ object Abtest {
     // ONE pass over the user panel: per-variant moments carry
     // everything the pooled theta needs (Sxy and Sx2 sum across
     // variants exactly — decimal addition is associative), so the
-    // global moments fold over the 2-row variant table instead of
-    // re-scanning events. Persisted because both the fold and the
-    // final readout consume it (2 rows; released by the harness's
-    // per-query clearCache — the registry contract).
-    val pv = prePost(events).groupBy(col("variant"))
+    // global moments fold over the 2-row variant table as
+    // unpartitioned WINDOW sums — one consumer, no persist, no cache
+    // residue for library callers. The single-partition window frame
+    // is variant-count-bounded (2 rows), never data-sized.
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    prePost(events).groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"),
         sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy_v"),
         sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2_v"))
-      .persist()
-    val moments = pv.agg(
-      sum(col("n_users")).as("n"),
-      sum(col("sx_v")).as("sx"), sum(col("sy_v")).as("sy"),
-      sum(col("sxy_v")).as("sxy"), sum(col("sx2_v")).as("sx2"))
-      .select(col("n"), col("sx"),
+      .withColumn("n", sum(col("n_users")).over(w))
+      .withColumn("sx", sum(col("sx_v")).over(w))
+      .withColumn("sy", sum(col("sy_v")).over(w))
+      .withColumn("sxy", sum(col("sxy_v")).over(w))
+      .withColumn("sx2", sum(col("sx2_v")).over(w))
+      .withColumn("theta_ppm",
         expr("""CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
                div greatest(n * sx2 - CAST(sx AS DECIMAL(38,0)) * sx, 1)
-               AS BIGINT)""").as("theta_ppm"),
-        expr("sx * 1000 div greatest(n, 1L)").as("mean_x_milli"))
-    pv.crossJoin(broadcast(moments))
+               AS BIGINT)"""))
+      .withColumn("mean_x_milli", expr("sx * 1000 div greatest(n, 1L)"))
       .select(col("variant"), col("n_users"), col("theta_ppm"),
         expr("sy_v * 1000 div n_users").as("mean_y_milli"),
         expr("sx_v * 1000 div n_users").as("mean_x_v_milli"),

@@ -293,27 +293,49 @@ object GraphOps {
 
   /** Per-edge triangle SUPPORT — the k-truss building block (Cohen
     * 2008): support(u,v) = |Γ(u) ∩ Γ(v)|, and an edge belongs to the
-    * 3-truss iff its support ≥ 1. Wedges enumerate through the
-    * canonical edge's own endpoints (fan-out Σ deg — degree-bounded by
-    * the support floor, never hub-quadratic on this graph), and
-    * triangle closure is one EQUI-join on the canonical (min,max) pair
-    * key of the third side. Zero-support edges survive via the left
-    * join — they are the 3-truss REJECTS, which is the point.
+    * 3-truss iff its support ≥ 1.
+    *
+    * 100 TB shape — the [[triangleCounts]] discipline, not per-edge
+    * wedge fan-out: orient every edge from its (deg, id)-smaller
+    * endpoint (Suri & Vassilvitskii, WWW'11), enumerate each triangle
+    * EXACTLY ONCE via the oriented wedge + closing equi-join (fan-out
+    * Σ outdeg² ≤ m^1.5, hub-proof), then credit each triangle's three
+    * canonical edges with one explode + map-side-combining count.
+    * Support is orientation-independent, so the result matches the
+    * oracle's id-oriented brute force. Zero-support edges survive via
+    * the left join — they are the 3-truss REJECTS, which is the point.
     */
   def edgeSupport(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-    val wedges = und
-      .join(sym.select(col("u"), col("v").as("w")), "u")
-      .where(col("w") =!= col("v"))
-      .select(col("u"), col("v"),
-        least(col("v"), col("w")).as("cu"), greatest(col("v"), col("w")).as("cv"))
-    val closed = wedges
-      .join(und.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val triangles = wedges
+      .join(oriented.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+    // each triangle credits its three edges in canonical (min, max) form
+    val closed = triangles
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))
+      )).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
     und.join(closed, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))

@@ -194,7 +194,11 @@ object Quality {
   )
 
   /** Corpus unigram model as a (w, n_w, n_total) table — the static
-    * side the surprisal faces probe (broadcast by callers at the join). */
+    * side the surprisal faces probe. The model is VOCABULARY-sized (one
+    * row per distinct corpus token) — multi-GB on a web-scale corpus —
+    * so the probe join strategy is left to Catalyst stats: auto-
+    * broadcast when the vocab is small, shuffled hash join on the token
+    * key otherwise. Only the 1-row n_total fold is pinned broadcast. */
   def unigramModel(tok: DataFrame): DataFrame = {
     val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
     cnt.crossJoin(broadcast(cnt.agg(sum(col("n_w")).as("n_total"))))
@@ -204,7 +208,7 @@ object Quality {
     * a plain keyed aggregate after the model probe, so it runs
     * unchanged as a complete-mode STREAMING aggregation. */
   def surprisalCounts(tok: DataFrame, key: String, model: DataFrame): DataFrame =
-    tok.join(broadcast(model), "w")
+    tok.join(model, "w")
       .select(col(key),
         (length(bin(col("n_total"))) - length(bin(col("n_w"))))
           .cast("long").as("bits"))

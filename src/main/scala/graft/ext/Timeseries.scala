@@ -298,6 +298,23 @@ object Timeseries {
         .select(col("event_type"), col("event_id"), col("ts_us"),
           col("cusum_pos"), col("cusum_neg"))),
 
+    // per-USER CUSUM — the keys-scaled face of the same detector: the
+    // key cardinality rides the user population (the dimension a
+    // production deployment actually grows in) while per-key depth is
+    // one user's history, so both the window state here and the
+    // streaming buffer in streaming_cusum_by_user stay bounded as the
+    // corpus scales. The probe pair (streaming_cusum = depth-scaled,
+    // streaming_cusum_by_user = keys-scaled) is the measured
+    // depth-vs-keys decomposition of the cusum family's 10× curve.
+    "changepoint_cusum_by_user" -> ((s, dir) =>
+      cusum(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_us"), round(col("value") * 100).cast("long").as("cents")),
+        key = "user_id", orderCols = Seq("ts_us", "event_id"),
+        valueCol = "cents")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("cusum_pos"), col("cusum_neg"))),
+
     // trend/seasonal/residual split of the per-type minute meters
     // (hour-of-day seasonality, +-30-minute trend window)
     "seasonal_decompose" -> ((s, dir) =>
@@ -553,6 +570,29 @@ object Timeseries {
         |       WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_type, event_id, ts_us,
+        |  CAST(p - least(0, minp) AS BIGINT) AS cusum_pos,
+        |  CAST(greatest(0, maxp) - p AS BIGINT) AS cusum_neg
+        |FROM mm""".stripMargin,
+
+    "changepoint_cusum_by_user" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT user_id, count(*) AS n_key, sum(cents) AS total_key
+        |       FROM ev GROUP BY user_id),
+        |d AS (SELECT ev.user_id, event_id, ts_us,
+        |        n_key * cents - total_key AS d_scaled
+        |      FROM ev JOIN st USING (user_id)),
+        |pp AS (SELECT user_id, event_id, ts_us,
+        |         sum(d_scaled) OVER w AS p
+        |       FROM d
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mm AS (SELECT user_id, event_id, ts_us, p,
+        |         min(p) OVER w AS minp, max(p) OVER w AS maxp
+        |       FROM pp
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us,
         |  CAST(p - least(0, minp) AS BIGINT) AS cusum_pos,
         |  CAST(greatest(0, maxp) - p AS BIGINT) AS cusum_neg
         |FROM mm""".stripMargin,

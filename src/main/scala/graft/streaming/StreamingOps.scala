@@ -480,6 +480,77 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  final case class CusumUserEv(user_id: Long, event_id: Long, ts_us: Long,
+                               cents: Long)
+
+  final case class CusumUserRow(user_id: Long, event_id: Long, ts_us: Long,
+                                cusum_pos: Long, cusum_neg: Long)
+
+  /** Per-USER stateful streaming CUSUM — the keys-scaled face of
+    * [[cusumStream]]: state cardinality rides the user population
+    * (what a production deployment grows in) while each key's buffer
+    * is one user's bounded history. The probe pair (streaming_cusum =
+    * depth-scaled, this = keys-scaled) pins the depth-vs-keys
+    * decomposition of the cusum family's scale curve.
+    */
+  def cusumStreamByUser(events: Dataset[CusumUserEv]): Dataset[CusumUserRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "1 hour")
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Long, Long)], CusumUserRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, evs: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[Vector[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val sorted = buf.sortBy { case (id, ts, _) => (ts, id) }
+            val n = sorted.size.toLong
+            val total = sorted.iterator.map(_._3).sum
+            var p = 0L; var minp = 0L; var maxp = 0L
+            sorted.iterator.map { case (id, ts, c) =>
+              p += n * c - total
+              minp = math.min(minp, p); maxp = math.max(maxp, p)
+              CusumUserRow(key, id, ts, p - math.min(0L, minp), math.max(0L, maxp) - p)
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Vector.empty) ++
+              evs.map { case (_, id, ts, c, _) => (id, ts, c) }
+            state.update(buf)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run the per-user CUSUM stream over the static events parquet to
+    * completion — the sentinel-flush harness of [[cusumToCompletion]]
+    * (sentinel user −1, its flush rows dropped by the event_id filter).
+    */
+  def cusumByUserToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sentinels =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CusumUserEv]
+    val fileSrc = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[CusumUserEv]
+    val name = s"cusum_user_${System.nanoTime()}"
+    val q = cusumStreamByUser(fileSrc.union(sentinels.toDS()))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      sentinels.addData(CusumUserEv(-1L, -1L, FlushTsUs, 0L))
+      q.processAllAvailable()
+      sentinels.addData(CusumUserEv(-1L, -2L, FlushTsUs + 7200000000L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("event_id") >= 0)
+  }
+
   private val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -906,6 +977,10 @@ object StreamingOps {
     // cusumStream — flushed by the watermark sentinel into the full
     // two-sided curve.
     "streaming_cusum" -> ((s, dir) => cusumToCompletion(s, dir)),
+    // keys-scaled face: one bounded buffer per USER (state grows with
+    // population, not per-key depth) — shares changepoint_cusum_by_user's
+    // exact oracle
+    "streaming_cusum_by_user" -> ((s, dir) => cusumByUserToCompletion(s, dir)),
 
     // Incremental replica digest (shares table_checksum's exact
     // oracle): XOR's merge-invariance makes the micro-batch fold equal
@@ -1096,6 +1171,8 @@ object StreamingOps {
     // shares funnel_steps' first-match-join oracle verbatim
     "streaming_funnel" -> graft.ext.Sessionize.oracleSql("funnel_steps"),
     "streaming_cusum" -> graft.ext.Timeseries.oracleSql("changepoint_cusum"),
+    "streaming_cusum_by_user" ->
+      graft.ext.Timeseries.oracleSql("changepoint_cusum_by_user"),
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
     "streaming_oov_monitor" -> graft.ext.LmStats.oracleSql("lm_oov_coverage"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
