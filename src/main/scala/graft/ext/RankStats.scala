@@ -57,7 +57,8 @@ object RankStats {
     // non-ANSI cast would wrap SILENTLY there while DuckDB's
     // CAST(HUGEINT AS BIGINT) hard-errors. The checked cast below makes
     // the Spark side fail as loudly as the oracle side: past the
-    // ceiling, rescale the signals (coarser rank buckets) upstream.
+    // ceiling, switch to [[spearmanBucketed]] — the registered
+    // coarse-rank-bucket rescale (spearman_bucketed).
     def checkedLong(c: String, name: String) =
       when(abs(col(c)) > lit(Long.MaxValue).cast("decimal(38,0)"),
         raise_error(lit(s"spearman: $name exceeds BIGINT (n ≳ 3e6 joined " +
@@ -73,6 +74,43 @@ object RankStats {
         checkedLong("_rab", "s_rab").as("s_rab"),
         checkedLong("_ra2", "s_ra2").as("s_ra2"),
         checkedLong("_rb2", "s_rb2").as("s_rb2"))
+      .withColumn("spearman", round(
+        (col("n").cast("double") * col("s_rab").cast("double") -
+          col("s_ra").cast("double") * col("s_rb").cast("double")) /
+          (sqrt(col("n").cast("double") * col("s_ra2").cast("double") -
+            col("s_ra").cast("double") * col("s_ra").cast("double")) *
+            sqrt(col("n").cast("double") * col("s_rb2").cast("double") -
+              col("s_rb").cast("double") * col("s_rb").cast("double"))), 6))
+  }
+
+  /** Bucketed Spearman — the registered fallback the
+    * [[spearmanTieBroken]] ceiling comment promises: rescale each
+    * signal to `buckets` equidepth rank buckets (bucket = pos·B div n,
+    * the ecdf discretization) and correlate the BUCKET ids. With
+    * B = 1000 the moment sums obey Σb² ≤ n·B² ≈ n·10⁶, so the BIGINT
+    * ceiling moves from ~3e6 rows to ~9e12 — past any single-table
+    * corpus this engine targets — at the cost of quantizing the rank
+    * signal to 1/B resolution (the estimate converges to Spearman at
+    * O(1/B), far below the 6-dp rounding for B = 1000). Same two-phase
+    * distributed position scan, no single-partition stage; the row
+    * count joins as a 1-row broadcast.
+    */
+  def spearmanBucketed(data: DataFrame, idCol: String, aCol: String,
+                       bCol: String, buckets: Int = 1000): DataFrame = {
+    def bucketed(valueCol: String, out: String) = {
+      val pos = graft.ops.Offsets.globalPosition(
+        data.select(col(idCol), col(valueCol).as("v")),
+        Seq(col("v"), col(idCol)), "pos")
+      val n = pos.agg(count(lit(1)).as("n"))
+      pos.crossJoin(broadcast(n))
+        .select(col(idCol), expr(s"pos * $buckets div n").as(out))
+    }
+    bucketed(aCol, "ba").join(bucketed(bCol, "bb"), idCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("ba")).as("s_ra"), sum(col("bb")).as("s_rb"),
+        sum(col("ba") * col("bb")).as("s_rab"),
+        sum(col("ba") * col("ba")).as("s_ra2"),
+        sum(col("bb") * col("bb")).as("s_rb2"))
       .withColumn("spearman", round(
         (col("n").cast("double") * col("s_rab").cast("double") -
           col("s_ra").cast("double") * col("s_rb").cast("double")) /
@@ -330,7 +368,16 @@ object RankStats {
       spearmanTieBroken(
         Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
-        "doc_id", "n_chars", "n_tokens"))
+        "doc_id", "n_chars", "n_tokens")),
+
+    // the same monotonicity check through the B = 1000 rank-bucket
+    // rescale — the operator that still answers past the exact
+    // variant's ~3e6-row BIGINT ceiling
+    "spearman_bucketed" -> ((s, dir) =>
+      spearmanBucketed(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_chars", "n_tokens", buckets = 1000))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -489,6 +536,38 @@ object RankStats {
         |    CAST(sum(CAST(ra AS HUGEINT) * rb) AS BIGINT) AS s_rab,
         |    CAST(sum(CAST(ra AS HUGEINT) * ra) AS BIGINT) AS s_ra2,
         |    CAST(sum(CAST(rb AS HUGEINT) * rb) AS BIGINT) AS s_rb2
+        |  FROM ra JOIN rb USING (doc_id))
+        |SELECT n, s_ra, s_rb, s_rab, s_ra2, s_rb2,
+        |  round((CAST(n AS DOUBLE) * CAST(s_rab AS DOUBLE) -
+        |      CAST(s_ra AS DOUBLE) * CAST(s_rb AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(s_ra2 AS DOUBLE) -
+        |        CAST(s_ra AS DOUBLE) * CAST(s_ra AS DOUBLE)) *
+        |      sqrt(CAST(n AS DOUBLE) * CAST(s_rb2 AS DOUBLE) -
+        |        CAST(s_rb AS DOUBLE) * CAST(s_rb AS DOUBLE))), 6) AS spearman
+        |FROM m""".stripMargin,
+
+    "spearman_bucketed" ->
+      """WITH sig AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ra AS (
+        |  SELECT doc_id,
+        |    (row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 1000
+        |      // count(*) OVER () AS ba
+        |  FROM sig),
+        |rb AS (
+        |  SELECT doc_id,
+        |    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) * 1000
+        |      // count(*) OVER () AS bb
+        |  FROM sig),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(ba) AS BIGINT) AS s_ra, CAST(sum(bb) AS BIGINT) AS s_rb,
+        |    CAST(sum(ba * bb) AS BIGINT) AS s_rab,
+        |    CAST(sum(ba * ba) AS BIGINT) AS s_ra2,
+        |    CAST(sum(bb * bb) AS BIGINT) AS s_rb2
         |  FROM ra JOIN rb USING (doc_id))
         |SELECT n, s_ra, s_rb, s_rab, s_ra2, s_rb2,
         |  round((CAST(n AS DOUBLE) * CAST(s_rab AS DOUBLE) -

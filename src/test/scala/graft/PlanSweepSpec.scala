@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-12 plan-fitness SWEEP: PlanSpec pins ~20 named queries;
+  * this spec walks EVERY batch registry entry at sf0.001 and asserts
+  * two structural properties the 100 TB story rests on:
+  *
+  *  1. no cross or non-equi join where BOTH sides are unbounded
+  *     (a 1-row/bounded side — scalar aggregates, limits, constant
+  *     frames — is the sanctioned broadcast-scalar pattern; logical
+  *     `maxRows` proves boundedness mechanically);
+  *  2. no SinglePartition shuffle whose input is an unbounded
+  *     data-sized frame (the benign form — a global aggregate's
+  *     partial→final exchange — carries a keys=[] partial aggregate
+  *     or a bounded `maxRows` immediately below the exchange).
+  *
+  * Queries with an ADJUDICATED bounded single-partition stage that
+  * `maxRows` cannot see (a value-alphabet window, a variant-count
+  * window) are pinned in [[PlanSweepSpec.boundedByArgument]] with the
+  * boundedness argument — additions must bring a justification.
+  *
+  * Streaming faces are excluded mechanically: building them RUNS the
+  * stream (their registry value is the completed memory-sink table,
+  * whose plan is a LocalTableScan — nothing to sweep); each one
+  * shares its batch face's oracle, and the batch face IS swept.
+  * Planning runs with AQE off so exchanges are visible to traversal —
+  * AQE can only improve on the asserted static shape.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** query → why its SinglePartition stage is bounded by argument. */
+  private val boundedByArgument: Map[String, String] = PlanSweepSpec.boundedByArgument
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def hasEquiKey(j: Join): Boolean = j.condition.exists { cond =>
+    conjuncts(cond).exists {
+      case EqualTo(l, r) =>
+        (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+          (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet))
+      case EqualNullSafe(l, r) =>
+        (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+          (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet))
+      case _ => false
+    }
+  }
+
+  /** Strip the wrappers between an exchange and the node that proves
+    * (or fails to prove) boundedness.
+    */
+  @scala.annotation.tailrec
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => unwrap(w.child)
+    case i: InputAdapter => unwrap(i.child)
+    case pr: ProjectExec => unwrap(pr.child)
+    case s: SortExec => unwrap(s.child)
+    case f: FilterExec => unwrap(f.child)
+    case other => other
+  }
+
+  private def boundedLogical(p: SparkPlan): Boolean =
+    p.logicalLink.flatMap(_.maxRows).exists(_ <= 1000L)
+
+  /** All structural violations in one query's plans. */
+  private def violations(df: DataFrame): Seq[String] = {
+    val logical = df.queryExecution.optimizedPlan
+    val joinViolations = logical.collect {
+      case j: Join if !hasEquiKey(j) &&
+        !Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 1000L)) =>
+        s"unbounded ${j.joinType} join without equi key: " +
+          s"left=${j.left.nodeName} right=${j.right.nodeName}"
+    }
+    val physical = df.queryExecution.executedPlan
+    val exchangeViolations = physical.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        unwrap(e.child) match {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => None
+          // the two-phase prefix-scan witness (Offsets.globalPosition):
+          // an aggregate grouped by the `_pid` partition id is
+          // ≤ #partitions(+groups) rows by construction — the repo-wide
+          // partition-summary naming contract
+          case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(_.name == "_pid")) => None
+          case other if boundedLogical(other) || boundedLogical(e.child) => None
+          case other =>
+            Some(s"SinglePartition exchange over unbounded ${other.nodeName}")
+        }
+    }.flatten
+    joinViolations ++ exchangeViolations
+  }
+
+  private def sweep(name: String, df: DataFrame): Seq[String] =
+    violations(df).map(v => s"$name: $v")
+
+  test("every batch registry query passes the structural plan sweep") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(_.startsWith("streaming_"))
+      val failures = names.flatMap { name =>
+        val found =
+          try sweep(name, SparkEntry.queries(name)(spark, sf))
+          catch { case e: Throwable => Seq(s"$name: sweep could not plan — $e") }
+        spark.catalog.clearCache()
+        if (boundedByArgument.contains(name)) Nil else found
+      }
+      // pinned entries must still EXIST (a stale allowlist is a lie)
+      val stale = boundedByArgument.keys.filterNot(SparkEntry.queries.contains)
+      assert(stale.isEmpty, s"allowlist entries without a registry query: $stale")
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("the sweep flags seeded violations and passes sanctioned scalars") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions._
+      val big = spark.range(10000).toDF("a")
+      val big2 = spark.range(10000).toDF("b")
+      // data × data cross join — must be flagged
+      assert(violations(big.crossJoin(big2)).exists(_.contains("without equi key")))
+      // data × data theta join — must be flagged
+      assert(violations(big.join(big2, col("a") < col("b")))
+        .exists(_.contains("without equi key")))
+      // data × 1-row scalar — the sanctioned pattern, must pass
+      assert(violations(big.crossJoin(big2.agg(count(lit(1)).as("n")))).isEmpty)
+      // global aggregate partial→final exchange — benign, must pass
+      assert(violations(big.agg(sum(col("a")).as("s"))).isEmpty)
+      // unpartitioned window over a data-sized frame — must be flagged
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("a"))
+      assert(violations(big.withColumn("rn", row_number().over(w)))
+        .exists(_.contains("SinglePartition")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
+
+object PlanSweepSpec {
+  /** Adjudicated bounded-by-argument plan stages: frames `maxRows`
+    * cannot bound mechanically but whose cardinality is pinned by
+    * construction. Every entry names the bound; a new entry requires
+    * one.
+    */
+  val boundedByArgument: Map[String, String] = {
+    val annProbePanel = "non-equi score join's small side is the fixed " +
+      "query/audit panel (vec_id < 10..100 constant filter); the corpus side " +
+      "streams through once — brute force exists only as the labeled recall oracle"
+    Map(
+      "ann_bruteforce_topk" -> annProbePanel,
+      "ann_ivf_recall" -> annProbePanel,
+      "ann_ivf_topk" -> (annProbePanel + "; the IVF path itself joins on cell id"),
+      "ann_ivfpq_recall" -> annProbePanel,
+      "ann_kendall_tau" -> annProbePanel,
+      "ann_lsh_recall" -> annProbePanel,
+      "ann_matryoshka_recall" -> annProbePanel,
+      "ann_mrr_check" -> annProbePanel,
+      "ann_ndcg_check" -> annProbePanel,
+      "ann_pq_recall" -> annProbePanel,
+      "embedding_outlier_score" -> annProbePanel,
+      "knn_graph_mutual" ->
+        "both sides of the distance join are the 100-vector audit panel (vec_id < 100)",
+      "multimodal_image_embed_topk" ->
+        "feature side is the decoded fixture-image panel (single-digit rows)",
+      "hard_negative_mining" -> annProbePanel,
+      "hybrid_rank_fusion" ->
+        "fused lists are k-bounded per query over the fixed query panel",
+      "kmv_vocab_overlap" ->
+        "cross-compares two k-sized KMV sketch aggregates (k = 256 rows each)",
+      "theilsen_trend" ->
+        ("pairwise slope frame is the bounded per-day time grid squared; " +
+          "median selection runs over that grid-bounded frame"),
+      "sample_stratified_exact" ->
+        "quota frame is stratum-alphabet-sized; the BNLJ side is the 1-row-per-stratum plan",
+      "lm_zipf_bitlog" ->
+        "final rank window runs over the <= floor(log2(V)) bit-log-sampled rows",
+      "abtest_cuped" ->
+        "moment window folds the 2-row per-variant aggregate (variant-count-bounded)",
+      "kruskal_wallis_h" ->
+        "midrank window runs over the VALUE-ALPHABET count table (cents alphabet), not the data",
+      "exact_median_selection" ->
+        "cumulative window runs over <= 4096 bin counts (constant bins)",
+      "drift_ks_binned" ->
+        "KS sweep runs over the fixed equi-width bin alphabet",
+      "lift_gains_deciles" ->
+        "decile grid is 10 rows; windows run over the grid",
+      "open_intervals_per_day" ->
+        "sweep runs over the DAY alphabet of the event range",
+      "pr_curve_by_threshold" ->
+        "curve windows run over the bounded score-threshold alphabet",
+      "edges_to_sonata" ->
+        "@library dictionary and population-level windows are enum-alphabet-sized",
+      "enum_library_codes" ->
+        "dictionary build windows over the enum value alphabet",
+      "exclusive_prefix_sum" ->
+        ("the operator's contract: the scan input is a per-key COUNT table " +
+          "(group-alphabet-sized); data-sized callers go through globalPosition's _pid route"),
+      "survival_kaplan_meier" ->
+        "product-limit window runs over the distinct event-time grid",
+      "survival_logrank" ->
+        "risk-set window runs over the distinct event-time grid",
+      "survival_nelson_aalen" ->
+        "hazard window runs over the distinct event-time grid",
+      "cumulative_distinct_users" ->
+        "running sum over the DAY alphabet (one row per day)",
+      "contribution_pareto" ->
+        "cumulative-share window runs over brand cardinality (25 rows)",
+      "topk_others_rollup" ->
+        "rank window over brand cardinality; re-aggregate is 25 rows"
+    )
+  }
+}
