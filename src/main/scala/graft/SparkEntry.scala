@@ -86,6 +86,7 @@ object SparkEntry {
     (ext.LmStats.queries, ext.LmStats.oracleSql),
     (ext.Abtest.queries, ext.Abtest.oracleSql),
     (pipelines.EdgesToSonata.queries, pipelines.EdgesToSonata.oracleSql),
+    (pipelines.SonataH5.queries, pipelines.SonataH5.oracleSql),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql)
   )
 

@@ -1,0 +1,584 @@
+package graft.io
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Minimal pure-JVM HDF5 container codec — just enough of the public HDF5
+  * File Format Specification (version 0 superblock, "classic" symbol-table
+  * groups, version-1 object headers, contiguous datasets, version-1
+  * attribute messages) to emit and re-read the SONATA edge container the
+  * reference produces through libhdf5
+  * (reference: src/circuit/sonata_file.cpp:26-79 — group tree + contiguous
+  * fixed-dims datasets; src/circuit/sonata_writer.cpp:72-148 — per-column
+  * datasets, `@library` string dictionaries, string attributes;
+  * src/index/index.cpp:184-191 — 2-D uint64 index datasets).
+  *
+  * Same design stance as [[MediaCodec]] (the round-11 precedent): a
+  * CONTAINER codec is byte-offset bookkeeping, not relational algebra — it
+  * belongs in plain `java.nio` on whichever side holds the bytes, with the
+  * distributed plan unchanged around it. Scope is deliberately the SONATA
+  * subset, strictly parsed and strictly written:
+  *
+  *   - superblock version 0, offsets/lengths 8 bytes, base address 0;
+  *   - groups in the classic format: object header + v1 B-tree (level 0)
+  *     + one symbol-table node + local heap — one SNOD per group, which
+  *     caps a group at 2·K_leaf = 64 members (SONATA groups hold ≤ a few
+  *     dozen property columns; exceeded → loud error, never silent drop);
+  *   - datasets: contiguous layout only (the reference's own choice for
+  *     SONATA — sonata_file.cpp:96-101 creates simple dataspaces with no
+  *     chunking), fixed dims, little-endian int8..64/uint8..64/float/double
+  *     and null-padded fixed-size ASCII strings (the `@library` encoding);
+  *   - attributes: version-1 messages, scalar fixed-size strings — the only
+  *     kind the reference writes (sonata_file.cpp:68-76).
+  *
+  * Anything else (chunked/filtered data, fractal-heap "new style" groups,
+  * variable-length types, >64 members) is out of scope and fails fast on
+  * both sides.
+  *
+  * Scale: `write` emits ONLY metadata (a few KB) and returns each dataset's
+  * `(address, byte span)`; the data regions are then filled by positional
+  * writes — executors can `pwrite` disjoint slices of a shared-filesystem
+  * file in parallel, exactly the reference's MPI-IO independent-transfer
+  * model (sonata_file.cpp:100-106), with no driver materialization.
+  */
+object Hdf5Mini {
+
+  // ---------------------------------------------------------------- types
+
+  /** Supported on-disk element types (all little-endian). */
+  sealed trait H5Type { def size: Int }
+  case object I8  extends H5Type { val size = 1 }
+  case object I16 extends H5Type { val size = 2 }
+  case object I32 extends H5Type { val size = 4 }
+  case object I64 extends H5Type { val size = 8 }
+  case object U8  extends H5Type { val size = 1 }
+  case object U16 extends H5Type { val size = 2 }
+  case object U32 extends H5Type { val size = 4 }
+  case object U64 extends H5Type { val size = 8 }
+  case object F32 extends H5Type { val size = 4 }
+  case object F64 extends H5Type { val size = 8 }
+  /** Null-padded fixed-size ASCII string of `n` bytes. */
+  final case class FixedStr(n: Int) extends H5Type { def size: Int = n }
+
+  final case class DatasetSpec(name: String, dtype: H5Type, dims: Seq[Long],
+                               attrs: Seq[(String, String)] = Nil)
+  final case class GroupSpec(name: String,
+                             groups: Seq[GroupSpec] = Nil,
+                             datasets: Seq[DatasetSpec] = Nil,
+                             attrs: Seq[(String, String)] = Nil)
+
+  /** Where a dataset's raw data lives in the written file. */
+  final case class DataRegion(address: Long, byteSize: Long, dtype: H5Type,
+                              dims: Seq[Long])
+
+  private val Undef = -1L // 0xFFFF...FF — the spec's undefined address
+  private val GroupLeafK = 32     // 2K = 64 symbols per SNOD (one per group)
+  private val GroupInternalK = 16 // 2K = 32 children per B-tree node
+  private val SuperblockSize = 96
+  private val GroupOhBase = 40    // 16 prefix + (8 + 16) symbol-table msg
+  private val BtreeSize = 24 + (2 * GroupInternalK + 1) * 8 + 2 * GroupInternalK * 8
+  private val SnodSize = 8 + 2 * GroupLeafK * 40
+  private val HeapHeaderSize = 32
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+  private def pad8L(n: Long): Long = (n + 7L) & ~7L
+
+  // ------------------------------------------------------------ datatype
+
+  /** Datatype message body (class+version, 24-bit flags, size, props). */
+  private def datatypeBody(t: H5Type): Array[Byte] = {
+    val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case I8 | I16 | I32 | I64 | U8 | U16 | U32 | U64 =>
+        val signed = t match { case I8 | I16 | I32 | I64 => true; case _ => false }
+        bb.put(0x10.toByte)                       // version 1, class 0 fixed-point
+        bb.put((if (signed) 0x08 else 0x00).toByte) // bit0 LE=0, bit3 sign
+        bb.put(0.toByte).put(0.toByte)
+        bb.putInt(t.size)
+        bb.putShort(0)                            // bit offset
+        bb.putShort((t.size * 8).toShort)         // precision
+      case F32 =>
+        bb.put(0x11.toByte)                       // version 1, class 1 float
+        bb.put(0x20.toByte)                       // LE, mantissa norm = 2 (implied msb)
+        bb.put(31.toByte)                         // sign bit location
+        bb.put(0.toByte)
+        bb.putInt(4)
+        bb.putShort(0); bb.putShort(32)
+        bb.put(23.toByte)                         // exponent location
+        bb.put(8.toByte)                          // exponent size
+        bb.put(0.toByte)                          // mantissa location
+        bb.put(23.toByte)                         // mantissa size
+        bb.putInt(127)                            // exponent bias
+      case F64 =>
+        bb.put(0x11.toByte)
+        bb.put(0x20.toByte)
+        bb.put(63.toByte)
+        bb.put(0.toByte)
+        bb.putInt(8)
+        bb.putShort(0); bb.putShort(64)
+        bb.put(52.toByte)
+        bb.put(11.toByte)
+        bb.put(0.toByte)
+        bb.put(52.toByte)
+        bb.putInt(1023)
+      case FixedStr(n) =>
+        bb.put(0x13.toByte)                       // version 1, class 3 string
+        bb.put(0x00.toByte)                       // null-terminate pad, ASCII
+        bb.put(0.toByte).put(0.toByte)
+        bb.putInt(n)
+    }
+    val raw = java.util.Arrays.copyOf(bb.array(), bb.position())
+    java.util.Arrays.copyOf(raw, pad8(raw.length))
+  }
+
+  private def parseDatatype(bb: ByteBuffer): H5Type = {
+    val classVer = bb.get() & 0xFF
+    val b0 = bb.get() & 0xFF; bb.get(); bb.get()
+    val size = bb.getInt()
+    (classVer & 0x0F) match {
+      case 0 =>
+        bb.getShort(); bb.getShort()
+        val signed = (b0 & 0x08) != 0
+        (size, signed) match {
+          case (1, true) => I8;  case (2, true) => I16
+          case (4, true) => I32; case (8, true) => I64
+          case (1, false) => U8;  case (2, false) => U16
+          case (4, false) => U32; case (8, false) => U64
+          case other => sys.error(s"hdf5: unsupported fixed-point width $other")
+        }
+      case 1 =>
+        if (size == 4) F32 else if (size == 8) F64
+        else sys.error(s"hdf5: unsupported float width $size")
+      case 3 => FixedStr(size)
+      case c => sys.error(s"hdf5: unsupported datatype class $c (only fixed/float/string)")
+    }
+  }
+
+  // ------------------------------------------------------------ messages
+
+  private def msg(msgType: Int, body: Array[Byte]): Array[Byte] = {
+    require(body.length % 8 == 0, "message body must be 8-aligned")
+    val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(msgType.toShort)
+    bb.putShort(body.length.toShort)
+    bb.put(0.toByte); bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.put(body)
+    bb.array()
+  }
+
+  private def dataspaceBody(dims: Seq[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + dims.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte)                 // version 1
+    bb.put(dims.length.toByte)       // rank (0 = scalar)
+    bb.put(0.toByte)                 // flags: no maxdims
+    bb.put(0.toByte); bb.putInt(0)   // reserved
+    dims.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def fillValueBody: Array[Byte] =
+    // version 2, alloc time EARLY(1), fill time IFSET(2), undefined(0) + pad
+    Array[Byte](2, 1, 2, 0, 0, 0, 0, 0)
+
+  private def layoutBody(addr: Long, byteSize: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(3.toByte)                 // layout message version 3
+    bb.put(1.toByte)                 // class 1: contiguous
+    bb.putLong(addr)
+    bb.putLong(byteSize)
+    bb.array()
+  }
+
+  private def symbolTableBody(btreeAddr: Long, heapAddr: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(btreeAddr); bb.putLong(heapAddr)
+    bb.array()
+  }
+
+  /** Version-1 attribute message: scalar fixed-size ASCII string. */
+  private def attributeBody(name: String, value: String): Array[Byte] = {
+    val nameBytes = name.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val valueBytes = value.getBytes(StandardCharsets.US_ASCII)
+    val dt = datatypeBody(FixedStr(math.max(valueBytes.length, 1)))
+    val ds = dataspaceBody(Nil)
+    val bb = ByteBuffer.allocate(
+      8 + pad8(nameBytes.length) + dt.length + ds.length +
+        pad8(math.max(valueBytes.length, 1))).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.put(0.toByte)             // version 1, reserved
+    bb.putShort(nameBytes.length.toShort)          // name size (unpadded)
+    bb.putShort(8.toShort)                         // datatype size (unpadded)
+    bb.putShort(8.toShort)                         // dataspace size (unpadded)
+    bb.put(java.util.Arrays.copyOf(nameBytes, pad8(nameBytes.length)))
+    bb.put(dt)
+    bb.put(ds)
+    bb.put(java.util.Arrays.copyOf(valueBytes, pad8(math.max(valueBytes.length, 1))))
+    bb.array()
+  }
+
+  private def objectHeader(messages: Seq[Array[Byte]]): Array[Byte] = {
+    val total = messages.map(_.length).sum
+    val bb = ByteBuffer.allocate(16 + total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.put(0.toByte)             // version 1, reserved
+    bb.putShort(messages.length.toShort)
+    bb.putInt(1)                                   // hard-link reference count
+    bb.putInt(total)                               // header data size
+    bb.putInt(0)                                   // 4-byte pad → 8-aligned msgs
+    messages.foreach(bb.put)
+    bb.array()
+  }
+
+  // -------------------------------------------------------------- writer
+
+  private final case class GroupLayout(spec: GroupSpec, ohAddr: Long,
+                                       btreeAddr: Long, heapAddr: Long,
+                                       heapDataAddr: Long, heapData: Array[Byte],
+                                       snodAddr: Long,
+                                       nameOffsets: Map[String, Long])
+
+  /** Write the container's metadata for the given tree and RESERVE the
+    * contiguous data regions; returns each dataset's region keyed by its
+    * absolute path (`/edges/pop/0/col`). The file is sized to EOF up
+    * front; data regions read as zeros until filled via [[fill]] /
+    * positional writes.
+    */
+  def write(path: String, root: GroupSpec): Map[String, DataRegion] = {
+    var cursor: Long = SuperblockSize
+    val groupLayouts = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], GroupLayout)]
+    val dsAddrs = scala.collection.mutable.LinkedHashMap.empty[Seq[String], (DatasetSpec, Long)]
+
+    // pass 1: assign metadata addresses (DFS, children name-sorted)
+    def layoutGroup(spec: GroupSpec, pathSegs: Seq[String]): Unit = {
+      val members = (spec.groups.map(_.name) ++ spec.datasets.map(_.name)).sorted
+      require(members.size == members.distinct.size,
+        s"hdf5: duplicate member names in group /${pathSegs.mkString("/")}")
+      require(members.size <= 2 * GroupLeafK,
+        s"hdf5: group /${pathSegs.mkString("/")} has ${members.size} members " +
+          s"(this writer caps a group at ${2 * GroupLeafK})")
+      val heapBytes = scala.collection.mutable.ArrayBuffer[Byte](0,0,0,0,0,0,0,0)
+      val nameOffsets = members.map { m =>
+        val off = heapBytes.length.toLong
+        val b = m.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+        heapBytes ++= java.util.Arrays.copyOf(b, pad8(b.length))
+        m -> off
+      }.toMap
+      val ohAddr = cursor
+      val ohSize = GroupOhBase + spec.attrs.map(a => 8 + attributeBody(a._1, a._2).length).sum
+      cursor += ohSize
+      val btreeAddr = cursor; cursor += BtreeSize
+      val heapAddr = cursor; cursor += HeapHeaderSize
+      val heapDataAddr = cursor; cursor += heapBytes.length
+      val snodAddr = cursor; cursor += SnodSize
+      groupLayouts += pathSegs -> GroupLayout(spec, ohAddr, btreeAddr, heapAddr,
+        heapDataAddr, heapBytes.toArray, snodAddr, nameOffsets)
+      spec.groups.sortBy(_.name).foreach(g => layoutGroup(g, pathSegs :+ g.name))
+      spec.datasets.sortBy(_.name).foreach { d =>
+        dsAddrs(pathSegs :+ d.name) = (d, cursor)
+        val ohSize = 16 +
+          (8 + dataspaceBody(d.dims).length) +
+          (8 + datatypeBody(d.dtype).length) +
+          (8 + fillValueBody.length) +
+          (8 + 24) +
+          d.attrs.map(a => 8 + attributeBody(a._1, a._2).length).sum
+        cursor += ohSize
+      }
+    }
+    layoutGroup(root, Nil)
+
+    // pass 2: assign data regions after all metadata
+    val regions = dsAddrs.map { case (segs, (d, _)) =>
+      val addr = pad8L(cursor)
+      val byteSize = d.dims.product * d.dtype.size
+      cursor = addr + byteSize
+      segs -> DataRegion(addr, byteSize, d.dtype, d.dims)
+    }.toMap
+    val eof = cursor
+
+    // pass 3: serialize metadata
+    val groupByPath = groupLayouts.toMap
+    val metaEnd = regions.values.map(_.address).foldLeft(eof)(math.min)
+    val meta = ByteBuffer.allocate(metaEnd.toInt).order(ByteOrder.LITTLE_ENDIAN)
+
+    val rootL = groupByPath(Nil)
+    meta.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    meta.put(0.toByte)                  // superblock version 0
+    meta.put(0.toByte)                  // free-space version
+    meta.put(0.toByte)                  // root symbol-table version
+    meta.put(0.toByte)                  // reserved
+    meta.put(0.toByte)                  // shared-header-message version
+    meta.put(8.toByte)                  // size of offsets
+    meta.put(8.toByte)                  // size of lengths
+    meta.put(0.toByte)                  // reserved
+    meta.putShort(GroupLeafK.toShort)
+    meta.putShort(GroupInternalK.toShort)
+    meta.putInt(0)                      // file consistency flags
+    meta.putLong(0L)                    // base address
+    meta.putLong(Undef)                 // free-space info
+    meta.putLong(eof)                   // end-of-file address
+    meta.putLong(Undef)                 // driver info block
+    meta.putLong(0L)                    // root STE: link name offset
+    meta.putLong(rootL.ohAddr)
+    meta.putInt(1)                      // cache type 1: cached symbol table
+    meta.putInt(0)
+    meta.putLong(rootL.btreeAddr)       // scratch: B-tree + heap addresses
+    meta.putLong(rootL.heapAddr)
+
+    groupLayouts.foreach { case (segs, gl) =>
+      // object header
+      meta.position(gl.ohAddr.toInt)
+      meta.put(objectHeader(
+        msg(0x0011, symbolTableBody(gl.btreeAddr, gl.heapAddr)) +:
+          gl.spec.attrs.map(a => msg(0x000C, attributeBody(a._1, a._2)))))
+      // B-tree (level 0, single SNOD child)
+      meta.position(gl.btreeAddr.toInt)
+      meta.put("TREE".getBytes(StandardCharsets.US_ASCII))
+      meta.put(0.toByte)                // node type 0: group
+      meta.put(0.toByte)                // level 0
+      val members = (gl.spec.groups.map(_.name) ++ gl.spec.datasets.map(_.name)).sorted
+      meta.putShort(1.toShort)          // one child (the SNOD)
+      meta.putLong(Undef); meta.putLong(Undef)
+      meta.putLong(0L)                  // key[0]: empty string at heap offset 0
+      meta.putLong(gl.snodAddr)
+      meta.putLong(members.lastOption.map(gl.nameOffsets).getOrElse(0L)) // key[1]
+      // local heap
+      meta.position(gl.heapAddr.toInt)
+      meta.put("HEAP".getBytes(StandardCharsets.US_ASCII))
+      meta.put(0.toByte); meta.put(0.toByte).put(0.toByte).put(0.toByte)
+      meta.putLong(gl.heapData.length.toLong)
+      meta.putLong(1L)                  // free list: none
+      meta.putLong(gl.heapDataAddr)
+      meta.position(gl.heapDataAddr.toInt)
+      meta.put(gl.heapData)
+      // symbol-table node
+      meta.position(gl.snodAddr.toInt)
+      meta.put("SNOD".getBytes(StandardCharsets.US_ASCII))
+      meta.put(1.toByte); meta.put(0.toByte)
+      meta.putShort(members.size.toShort)
+      members.foreach { m =>
+        val childAddr =
+          if (gl.spec.groups.exists(_.name == m)) groupByPath(segs :+ m).ohAddr
+          else dsAddrs(segs :+ m)._2
+        meta.putLong(gl.nameOffsets(m))
+        meta.putLong(childAddr)
+        meta.putInt(0); meta.putInt(0)  // cache type 0
+        meta.putLong(0L); meta.putLong(0L)
+      }
+    }
+
+    dsAddrs.foreach { case (segs, (d, ohAddr)) =>
+      val r = regions(segs)
+      meta.position(ohAddr.toInt)
+      meta.put(objectHeader(
+        Seq(msg(0x0001, dataspaceBody(d.dims)),
+            msg(0x0003, datatypeBody(d.dtype)),
+            msg(0x0005, fillValueBody),
+            msg(0x0008, layoutBody(r.address, r.byteSize))) ++
+          d.attrs.map(a => msg(0x000C, attributeBody(a._1, a._2)))))
+    }
+
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(0)
+      raf.write(meta.array())
+      raf.setLength(eof)                // data regions read as zeros until filled
+    } finally raf.close()
+    regions.map { case (segs, r) => ("/" + segs.mkString("/")) -> r }
+  }
+
+  /** Positional write of `bytes` at `region.address + elemOffset·elemSize`
+    * — the executor-side primitive (disjoint slices may be written
+    * concurrently, the MPI-IO independent-transfer analogue).
+    */
+  def fill(path: String, region: DataRegion, elemOffset: Long, bytes: Array[Byte]): Unit = {
+    require(elemOffset * region.dtype.size + bytes.length <= region.byteSize,
+      s"hdf5: write past dataset end (offset $elemOffset, ${bytes.length} bytes, " +
+        s"region ${region.byteSize})")
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.write(ByteBuffer.wrap(bytes), region.address + elemOffset * region.dtype.size)
+    finally ch.close()
+  }
+
+  // -------------------------------------------------------------- reader
+
+  final case class ReadDataset(path: String, dtype: H5Type, dims: Seq[Long],
+                               dataAddress: Long, byteSize: Long,
+                               attrs: Map[String, String])
+  final case class ReadFile(datasets: Map[String, ReadDataset],
+                            groupAttrs: Map[String, Map[String, String]],
+                            bytes: Array[Byte]) {
+    private def data(ds: ReadDataset): ByteBuffer =
+      ByteBuffer.wrap(bytes, ds.dataAddress.toInt, ds.byteSize.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+    def longs(path: String): Array[Long] = {
+      val ds = datasets(path)
+      val n = ds.dims.product.toInt
+      val out = new Array[Long](n)
+      val bb = data(ds)
+      ds.dtype match {
+        case I64 | U64 => var i = 0; while (i < n) { out(i) = bb.getLong(); i += 1 }
+        case I32 | U32 => var i = 0; while (i < n) { out(i) = bb.getInt().toLong; i += 1 }
+        case I16 | U16 => var i = 0; while (i < n) { out(i) = bb.getShort().toLong; i += 1 }
+        case I8 | U8   => var i = 0; while (i < n) { out(i) = bb.get().toLong; i += 1 }
+        case t => sys.error(s"hdf5: $path is $t, not an integer dataset")
+      }
+      out
+    }
+    def doubles(path: String): Array[Double] = {
+      val ds = datasets(path)
+      val n = ds.dims.product.toInt
+      val out = new Array[Double](n)
+      val bb = data(ds)
+      ds.dtype match {
+        case F64 => var i = 0; while (i < n) { out(i) = bb.getDouble(); i += 1 }
+        case F32 => var i = 0; while (i < n) { out(i) = bb.getFloat().toDouble; i += 1 }
+        case t => sys.error(s"hdf5: $path is $t, not a float dataset")
+      }
+      out
+    }
+    def strings(path: String): Array[String] = {
+      val ds = datasets(path)
+      val w = ds.dtype match {
+        case FixedStr(n) => n
+        case t => sys.error(s"hdf5: $path is $t, not a string dataset")
+      }
+      (0 until ds.dims.product.toInt).map { i =>
+        val raw = java.util.Arrays.copyOfRange(
+          bytes, ds.dataAddress.toInt + i * w, ds.dataAddress.toInt + (i + 1) * w)
+        val end = raw.indexOf(0.toByte)
+        new String(raw, 0, if (end < 0) w else end, StandardCharsets.US_ASCII)
+      }.toArray
+    }
+  }
+
+  /** Parse a file written by this codec (or any classic-format HDF5 file
+    * within the subset above). Strict: unknown structure → error, never a
+    * guess.
+    */
+  def read(path: String): ReadFile = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+    require((0 until 8).forall(i => bytes(i) == sig(i)), "hdf5: bad signature")
+    require(bytes(8) == 0, s"hdf5: superblock version ${bytes(8)} (only 0)")
+    require(bytes(13) == 8 && bytes(14) == 8, "hdf5: offsets/lengths must be 8 bytes")
+    val rootOh = bb.getLong(64)   // root STE: name offset at 56, OH address at 64
+
+    val datasets = scala.collection.mutable.LinkedHashMap.empty[String, ReadDataset]
+    val groupAttrs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+
+    def readAttr(b: ByteBuffer): (String, String) = {
+      val start = b.position()
+      require(b.get() == 1, "hdf5: only v1 attribute messages")
+      b.get()
+      val nameSize = b.getShort() & 0xFFFF
+      val dtSize = b.getShort() & 0xFFFF
+      val dsSize = b.getShort() & 0xFFFF
+      val nameBytes = new Array[Byte](nameSize); b.get(nameBytes)
+      val name = new String(nameBytes, 0, nameSize - 1, StandardCharsets.US_ASCII)
+      b.position(start + 8 + pad8(nameSize))
+      val dt = parseDatatype(b)
+      b.position(start + 8 + pad8(nameSize) + pad8(dtSize))
+      b.position(b.position() + pad8(dsSize))   // scalar dataspace, skip
+      val w = dt match {
+        case FixedStr(n) => n
+        case t => sys.error(s"hdf5: attribute $name has type $t (only strings)")
+      }
+      val v = new Array[Byte](w); b.get(v)
+      val end = v.indexOf(0.toByte)
+      name -> new String(v, 0, if (end < 0) w else end, StandardCharsets.US_ASCII)
+    }
+
+    def readObject(ohAddr: Long, path: String): Unit = {
+      val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      b.position(ohAddr.toInt)
+      require(b.get() == 1, s"hdf5: object header at $ohAddr is not version 1")
+      b.get()
+      val nMsgs = b.getShort() & 0xFFFF
+      b.getInt(); b.getInt(); b.getInt()          // refcount, size, pad
+      var stab: Option[(Long, Long)] = None
+      var dims: Option[Seq[Long]] = None
+      var dtype: Option[H5Type] = None
+      var layout: Option[(Long, Long)] = None
+      val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      (0 until nMsgs).foreach { _ =>
+        val t = b.getShort() & 0xFFFF
+        val size = b.getShort() & 0xFFFF
+        b.get(); b.get(); b.get(); b.get()
+        val bodyStart = b.position()
+        t match {
+          case 0x0011 => stab = Some((b.getLong(), b.getLong()))
+          case 0x0001 =>
+            require(b.get() == 1, "hdf5: only v1 dataspace messages")
+            val rank = b.get() & 0xFF
+            b.get(); b.get(); b.getInt()
+            dims = Some((0 until rank).map(_ => b.getLong()))
+          case 0x0003 => dtype = Some(parseDatatype(b))
+          case 0x0008 =>
+            require(b.get() == 3, "hdf5: only v3 layout messages")
+            require(b.get() == 1, "hdf5: only contiguous layout")
+            layout = Some((b.getLong(), b.getLong()))
+          case 0x000C => attrs += readAttr(b)
+          case 0x0005 | 0x0000 | 0x0012 => // fill value / NIL / mtime: skip
+          case other => sys.error(f"hdf5: unsupported message type 0x$other%04X at $path")
+        }
+        b.position(bodyStart + size)
+      }
+      stab match {
+        case Some((btreeAddr, heapAddr)) =>
+          groupAttrs(if (path.isEmpty) "/" else path) = attrs.toMap
+          // heap header → data address
+          val h = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          h.position(heapAddr.toInt)
+          val hs = new Array[Byte](4); h.get(hs)
+          require(new String(hs, StandardCharsets.US_ASCII) == "HEAP", "hdf5: bad heap")
+          h.getInt(); h.getLong(); h.getLong()
+          val heapData = h.getLong()
+          def name(off: Long): String = {
+            var end = (heapData + off).toInt
+            while (bytes(end) != 0) end += 1
+            new String(bytes, (heapData + off).toInt, end - (heapData + off).toInt,
+              StandardCharsets.US_ASCII)
+          }
+          def walkBtree(addr: Long): Unit = {
+            val t = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            t.position(addr.toInt)
+            val ts = new Array[Byte](4); t.get(ts)
+            require(new String(ts, StandardCharsets.US_ASCII) == "TREE", "hdf5: bad btree")
+            require(t.get() == 0, "hdf5: not a group btree")
+            val level = t.get() & 0xFF
+            val used = t.getShort() & 0xFFFF
+            t.getLong(); t.getLong()
+            // keys and children interleave: key0, child0, key1, child1, ...
+            (0 until used).foreach { _ =>
+              t.getLong()                          // key i
+              val child = t.getLong()
+              if (level > 0) walkBtree(child)
+              else {
+                val s = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+                s.position(child.toInt)
+                val ss = new Array[Byte](4); s.get(ss)
+                require(new String(ss, StandardCharsets.US_ASCII) == "SNOD", "hdf5: bad SNOD")
+                s.get(); s.get()
+                val nSym = s.getShort() & 0xFFFF
+                (0 until nSym).foreach { _ =>
+                  val nameOff = s.getLong()
+                  val childOh = s.getLong()
+                  s.getInt(); s.getInt(); s.getLong(); s.getLong()
+                  readObject(childOh, s"$path/${name(nameOff)}")
+                }
+              }
+            }
+          }
+          walkBtree(btreeAddr)
+        case None =>
+          val d = dims.getOrElse(sys.error(s"hdf5: dataset $path missing dataspace"))
+          val t = dtype.getOrElse(sys.error(s"hdf5: dataset $path missing datatype"))
+          val (addr, sz) = layout.getOrElse(sys.error(s"hdf5: dataset $path missing layout"))
+          datasets(path) = ReadDataset(path, t, d, addr, sz, attrs.toMap)
+      }
+    }
+    readObject(rootOh, "")
+    ReadFile(datasets.toMap, groupAttrs.toMap, bytes)
+  }
+}
