@@ -365,7 +365,27 @@ object ScaleProbe {
       // (per-source/lang complete-mode state) are plan-trivially
       // linear or already-covered shapes — left off the record like
       // table_checksum / kappa
-      "lm_kn_continuation", "recsys_ild"))
+      "lm_kn_continuation", "recsys_ild",
+      // round-12 admissions (round-11 verdict items 1, 4, 8): the six
+      // heaviest round-11 board additions that were unprobed claims —
+      // oriented edge support (reoriented this round), conductance
+      // (rides modularity's aggregates), power-iteration PCA (one
+      // corpus pass + d²-bounded iteration), CC cluster sizes, CUPED
+      // (events-scaled single-pass moments), per-source surprisal —
+      // plus the keys-scaled CUSUM decomposition (events ×10 grows
+      // USERS at fixed per-user depth, vs changepoint_cusum whose
+      // 5-key input deepens per key: the two curves separate depth
+      // from key-cardinality scaling), the multi-file sorted-name
+      // union (orders split into per-residue files, so S3/L2's
+      // file-order positions get a scale point), and the physical
+      // HDF5 SONATA sink (driver parse-back is the validation face
+      // and linear by construction; the sink's distributed body is
+      // what the ratio measures)
+      "graph_edge_support", "graph_community_conductance",
+      "embedding_pca_power", "dedup_cluster_sizes", "abtest_cuped",
+      "quality_surprisal_by_source", "changepoint_cusum_by_user",
+      "streaming_cusum_by_user", "file_ordered_union",
+      "edges_to_sonata_h5"))
       // round-11 session wave (calibration_reliability/ece_brier,
       // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
       // keyed aggregates on bin/class/score-alphabet keys — ad-hoc

@@ -455,8 +455,55 @@ object Hdf5Mini {
     * within the subset above). Strict: unknown structure → error, never a
     * guess.
     */
-  def read(path: String): ReadFile = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  def read(path: String): ReadFile =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** Metadata-only parse: reads just the file's metadata prefix (this
+    * writer lays out every header before the first data byte), so the
+    * driver can plan a DISTRIBUTED read without loading the data — the
+    * [[ReadFile]] returned here must not be used for data access
+    * (`longs`/`doubles`/`strings`); executors read the regions
+    * themselves via [[readSlice]].
+    */
+  def readMeta(path: String): ReadFile = {
+    val fileLen = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    var prefix = math.min(fileLen, 1L << 16).toInt
+    while (true) {
+      val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+        java.nio.file.StandardOpenOption.READ)
+      val buf = try {
+        val bb = ByteBuffer.allocate(prefix)
+        ch.read(bb, 0L)
+        bb.array()
+      } finally ch.close()
+      try return parse(buf)
+      catch {
+        // a header straddling the prefix boundary surfaces as a range
+        // error (position past limit is IllegalArgument in ByteBuffer)
+        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException |
+            _: IllegalArgumentException if prefix < fileLen =>
+          prefix = math.min(fileLen, prefix.toLong * 4).toInt
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Positional read of `count` elements starting at `elemOffset` — the
+    * executor-side primitive mirroring [[fill]].
+    */
+  def readSlice(path: String, dataAddress: Long, elemSize: Int,
+                elemOffset: Long, count: Int): ByteBuffer = {
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val bb = ByteBuffer.allocate(count * elemSize).order(ByteOrder.LITTLE_ENDIAN)
+      ch.read(bb, dataAddress + elemOffset * elemSize)
+      bb.flip()
+      bb
+    } finally ch.close()
+  }
+
+  private def parse(bytes: Array[Byte]): ReadFile = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
     require((0 until 8).forall(i => bytes(i) == sig(i)), "hdf5: bad signature")

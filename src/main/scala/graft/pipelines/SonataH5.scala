@@ -254,49 +254,65 @@ object SonataH5 {
     (encoded, () => { ordered.unpersist(); () })
   }
 
-  /** Read a written container back into the edge DataFrame (driver-side
-    * parse; the validation face of the sink, and the libsonata-consumer's
-    * view of the file). Returns columns in dataset order plus `edge_id`.
+  /** Read a written container back into the edge DataFrame — the
+    * validation face of the sink, and the libsonata-consumer's view of
+    * the file. DISTRIBUTED like the write: the driver parses only the
+    * metadata prefix ([[Hdf5Mini.readMeta]]); each of the `spark.range`
+    * partitions positional-reads its disjoint row slice of every column
+    * region (one read per column per partition — the MPI-IO read
+    * analogue, reference src/index/index.cpp:157-180's hyperslab
+    * selects). Returns columns in dataset order plus `edge_id`.
     */
-  def readEdges(spark: SparkSession, file: String, population: String): DataFrame = {
-    val f = Hdf5Mini.read(file)
+  def readEdges(spark: SparkSession, file: String, population: String,
+                partitions: Int = 32): DataFrame = {
+    val f = Hdf5Mini.readMeta(file)
     val base = s"/edges/$population"
     val topPaths = Seq("source_node_id", "target_node_id", "edge_type_id")
       .map(n => s"$base/$n").filter(f.datasets.contains)
     val propPaths = f.datasets.keys
       .filter(p => p.startsWith(s"$base/0/") && !p.startsWith(s"$base/0/@library/"))
     val colPaths = (topPaths ++ propPaths).distinct.sorted
-    val n = f.datasets(colPaths.head).dims.head.toInt
-    val cols: Seq[(String, Either[Array[Long], Array[Double]], Hdf5Mini.H5Type)] =
-      colPaths.map { p =>
-        val ds = f.datasets(p)
-        val data = ds.dtype match {
-          case Hdf5Mini.F64 | Hdf5Mini.F32 => Right(f.doubles(p))
-          case _ => Left(f.longs(p))
-        }
-        (p.split('/').last, data, ds.dtype)
-      }
-    val rows = (0 until n).map { i =>
-      // the explicit Seq[Any] blocks Scala's numeric-branch harmonization,
-      // which would silently widen the Int/Short branches to Double
-      val vals: Seq[Any] = cols.map {
-        case (_, Left(xs), Hdf5Mini.I32) => xs(i).toInt
-        case (_, Left(xs), Hdf5Mini.I16) => xs(i).toShort
-        case (_, Left(xs), _) => xs(i)
-        case (_, Right(xs), Hdf5Mini.F32) => xs(i).toFloat
-        case (_, Right(xs), _) => xs(i)
-      }
-      Row.fromSeq(i.toLong +: vals)
+    val n = f.datasets(colPaths.head).dims.head
+    // everything the executors need, in plain serializable form
+    val cols: Seq[(String, Hdf5Mini.H5Type, Long)] = colPaths.map { p =>
+      val ds = f.datasets(p)
+      require(ds.dims == Seq(n), s"sonata-h5: ragged edge column $p (${ds.dims} vs $n)")
+      (p.split('/').last, ds.dtype, ds.dataAddress)
     }
     val schema = StructType(StructField("edge_id", LongType, nullable = false) +:
       cols.map {
-        case (name, _, Hdf5Mini.I32) => StructField(name, IntegerType, nullable = false)
-        case (name, _, Hdf5Mini.I16) => StructField(name, ShortType, nullable = false)
-        case (name, _, Hdf5Mini.F32) => StructField(name, FloatType, nullable = false)
-        case (name, _, Hdf5Mini.F64) => StructField(name, DoubleType, nullable = false)
+        case (name, Hdf5Mini.I32, _) => StructField(name, IntegerType, nullable = false)
+        case (name, Hdf5Mini.I16, _) => StructField(name, ShortType, nullable = false)
+        case (name, Hdf5Mini.F32, _) => StructField(name, FloatType, nullable = false)
+        case (name, Hdf5Mini.F64, _) => StructField(name, DoubleType, nullable = false)
         case (name, _, _)            => StructField(name, LongType, nullable = false)
       })
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+    val rowRdd = spark.range(0, n, 1, partitions).rdd.mapPartitions { ids =>
+      val idArr = ids.toArray
+      if (idArr.isEmpty) Iterator.empty
+      else {
+        // spark.range partitions are contiguous id runs
+        val lo = idArr.head
+        val count = idArr.length
+        val buffers = cols.map { case (_, t, addr) =>
+          (t, Hdf5Mini.readSlice(file, addr, t.size, lo, count))
+        }
+        (0 until count).iterator.map { i =>
+          // explicit Seq[Any] blocks numeric-branch harmonization, which
+          // would silently widen the Int/Short branches to Double
+          val vals: Seq[Any] = buffers.map {
+            case (Hdf5Mini.I64 | Hdf5Mini.U64, bb) => bb.getLong(i * 8)
+            case (Hdf5Mini.I32 | Hdf5Mini.U32, bb) => bb.getInt(i * 4)
+            case (Hdf5Mini.I16 | Hdf5Mini.U16, bb) => bb.getShort(i * 2)
+            case (Hdf5Mini.F64, bb) => bb.getDouble(i * 8)
+            case (Hdf5Mini.F32, bb) => bb.getFloat(i * 4)
+            case (t, _) => sys.error(s"sonata-h5: unsupported edge column type $t")
+          }
+          Row.fromSeq((lo + i) +: vals)
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, schema)
   }
 
   val queries: Map[String, Q] = Map(
