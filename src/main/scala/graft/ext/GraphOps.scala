@@ -284,7 +284,7 @@ object GraphOps {
       .groupBy(col("community"))
       .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
       .join(eIn, Seq("community"), "left")
-      .crossJoin(m) // 1-row scalar — never data-sized
+      .crossJoin(broadcast(m)) // 1-row scalar — pinned broadcast, never data-sized
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
         (expr(s"coalesce(e_in, 0L) * ${scale}L div m") -
@@ -368,7 +368,7 @@ object GraphOps {
       .groupBy(col("community"))
       .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
       .join(eIn, Seq("community"), "left")
-      .crossJoin(m) // 1-row scalar — never data-sized
+      .crossJoin(broadcast(m)) // 1-row scalar — pinned broadcast, never data-sized
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
         (col("deg_sum") - lit(2L) * coalesce(col("e_in"), lit(0L))).as("cut"),

@@ -443,4 +443,42 @@ class PlanSpec extends AnyFunSuite {
       s"HITS must read cached half-step tables:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("graph edge-support/conductance joins: BHJ at small scale, SMJ once broadcast is off (the 10x probe's flip)") {
+    // the round-12 probe observed both queries' node-keyed joins (label
+    // tables, degree tables, per-community aggregates — all graph-sized)
+    // flip BHJ→SMJ at 10x data: the identical stats-driven pattern
+    // pinned for dedup_ngram_jaccard/ann_lsh_bucketed. At 100 TB a
+    // node-sized side is NOT broadcastable, so sort-merge on node/edge
+    // keys is the plan you'd want, chosen by stats. Pin BOTH regimes.
+    // (The queries' BroadcastNestedLoopJoins are 1-row scalar frames —
+    // modularity totals, support floors — legitimate in either regime,
+    // so no BNLJ-absence assert here; the structural sweep bounds them.)
+    def planFor(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize AQE — runtime sizes decide the join strategy
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      spark.catalog.clearCache()
+      p
+    }
+    Seq("graph_edge_support", "graph_community_conductance").foreach { q =>
+      val small = planFor(q)
+      assert(small.contains("BroadcastHashJoin"), s"$q small:\n$small")
+    }
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("graph_edge_support", "graph_community_conductance").foreach { q =>
+        val big = planFor(q)
+        assert(big.contains("SortMergeJoin"),
+          s"$q node-keyed joins must sort-merge when broadcast is off:\n$big")
+        assert(!big.contains("CartesianProduct"),
+          s"$q must stay cartesian-free in either regime:\n$big")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
