@@ -160,9 +160,61 @@ object LmStats {
         explode(TextAnalysis.tokens(col("text"))).as("w")),
       refVocab(docs, v)))
 
+  /** Vocabulary drift between two corpus snapshots (even vs odd doc_id
+    * halves — the stand-in for yesterday's crawl vs today's): per-token
+    * Jensen–Shannon divergence terms over the top-`k` tokens by pooled
+    * count. Shares [[graft.ext.Drift]]'s exactness discipline: ppm
+    * share smoothing (`greatest(share, 1)`), ONE rounded float per ROW
+    * (the consumer sums; Σ bounded by ln 2), totals as a 1-row
+    * broadcast. The token-count table is vocabulary-sized; the top-k
+    * cut is a TakeOrdered, so nothing data-sized reaches a window.
+    */
+  def vocabDriftJs(docs: DataFrame, k: Int): DataFrame = {
+    val counts = docs
+      .select((col("doc_id") % 2 === 0).as("is_a"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    counts
+      .orderBy((col("n_a") + col("n_b")).desc, col("w")).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("sa", expr("greatest(n_a * 1000000 div t_a, 1L)"))
+      .withColumn("sb", expr("greatest(n_b * 1000000 div t_b, 1L)"))
+      .select(col("w"), col("n_a"), col("n_b"),
+        round(
+          col("sa").cast("double") / 2e6 *
+            log(lit(2.0) * col("sa").cast("double") /
+              (col("sa") + col("sb")).cast("double")) +
+          col("sb").cast("double") / 2e6 *
+            log(lit(2.0) * col("sb").cast("double") /
+              (col("sa") + col("sb")).cast("double")), 6).as("js_term"))
+  }
+
+  /** Token burstiness (Church & Gale 1995 adaptation): of the documents
+    * a token COULD repeat in, how often does it? (tf, df, repeat_ppm =
+    * (tf − df)/tf) for the top-`k` tokens by tf — bursty tokens
+    * (repeat-heavy) are topical; spread tokens are function words. One
+    * (doc, token)-keyed aggregate folded into a token-keyed aggregate,
+    * both map-side combining; top-k is a TakeOrdered.
+    */
+  def corpusBurstiness(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+      .select(col("w"), col("tf"), col("df"),
+        expr("(tf - df) * 1000000 div greatest(tf, 1L)").as("repeat_ppm"))
+      .orderBy(col("tf").desc, col("w")).limit(k)
+
   val queries: Map[String, Q] = Map(
     "lm_kn_continuation" -> ((s, dir) =>
       knContinuation(Tables.documents(s, dir), k = 50)),
+    "vocab_drift_js" -> ((s, dir) =>
+      vocabDriftJs(Tables.documents(s, dir), k = 64)),
+    "corpus_burstiness" -> ((s, dir) =>
+      corpusBurstiness(Tables.documents(s, dir), k = 100)),
     "lm_zipf_bitlog" -> ((s, dir) =>
       zipfBitlogCurve(Tables.documents(s, dir))),
     "tokenizer_fertility" -> ((s, dir) =>
@@ -172,6 +224,47 @@ object LmStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "vocab_drift_js" ->
+      """WITH tk AS (
+        |  SELECT doc_id % 2 = 0 AS is_a,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM tk GROUP BY w),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+        |        CAST(sum(n_b) AS BIGINT) AS t_b FROM c),
+        |top AS (
+        |  SELECT w, n_a, n_b FROM c
+        |  ORDER BY n_a + n_b DESC, w LIMIT 64),
+        |s AS (
+        |  SELECT w, n_a, n_b,
+        |    greatest(n_a * 1000000 // t_a, 1) AS sa,
+        |    greatest(n_b * 1000000 // t_b, 1) AS sb
+        |  FROM top, t)
+        |SELECT w, n_a, n_b,
+        |  round(CAST(sa AS DOUBLE) / 2e6 *
+        |      ln(2.0 * CAST(sa AS DOUBLE) / CAST(sa + sb AS DOUBLE)) +
+        |    CAST(sb AS DOUBLE) / 2e6 *
+        |      ln(2.0 * CAST(sb AS DOUBLE) / CAST(sa + sb AS DOUBLE)), 6) AS js_term
+        |FROM s""".stripMargin,
+
+    "corpus_burstiness" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |dw AS (SELECT doc_id, w, count(*) AS n FROM tk GROUP BY doc_id, w),
+        |c AS (
+        |  SELECT w, CAST(sum(n) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+        |  FROM dw GROUP BY w)
+        |SELECT w, tf, df,
+        |  (tf - df) * 1000000 // greatest(tf, 1) AS repeat_ppm
+        |FROM c
+        |ORDER BY tf DESC, w LIMIT 100""".stripMargin,
+
     "lm_kn_continuation" ->
       """WITH tk AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

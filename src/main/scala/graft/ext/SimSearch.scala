@@ -230,7 +230,77 @@ object SimSearch {
           .as("mutual_ppm"))
   }
 
+  /** Eval-set contamination screen over the embedding space: every
+    * corpus vector (id ≥ `nAnchors`) gets its nearest EVAL anchor
+    * (id < `nAnchors`) and an integer cosine² verdict —
+    * `contaminated = dot > 0 ∧ dot²·10⁶ ≥ thrPpm·‖a‖²·‖c‖²` (cos² ≥
+    * thrPpm/10⁶), cross-multiplied on DECIMAL(38,0) so no sqrt and no
+    * overflow (the ksBinned discipline). The anchor set broadcasts
+    * (eval sets are small by definition); the corpus never shuffles —
+    * one broadcast probe + a k=1 per-candidate heap.
+    */
+  def semanticDecontaminate(emb: DataFrame, nAnchors: Int,
+                            thrPpm: Long = 900000L): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", quantizedDot(col("qv"), col("qv")))
+    // limit(nAnchors) is a no-op on the ≤ nAnchors filtered rows but
+    // makes the bound MECHANICAL (logical maxRows) for the plan sweep
+    val anchors = broadcast(q.filter(col("vec_id") < nAnchors).limit(nAnchors)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_emb"), col("n2").as("na2")))
+    val scored = anchors
+      .join(q.filter(col("vec_id") >= nAnchors)
+          .select(col("vec_id").as("c_id"), col("qv").as("c_emb"), col("n2").as("nc2")),
+        lit(true))
+      .withColumn("dot_q", quantizedDot(col("q_emb"), col("c_emb")))
+    graft.plans.TopKPerKey.topKPerKey(scored.drop("q_emb", "c_emb"),
+        Seq("c_id"), Seq(("dot_q", true), ("q_id", false)), 1)
+      .select(col("c_id"), col("q_id").as("best_q"), col("dot_q").as("max_dot_q"),
+        expr(s"""CAST(CASE WHEN dot_q > 0 AND
+                   CAST(dot_q AS DECIMAL(38,0)) * dot_q * 1000000 >=
+                   CAST($thrPpm AS DECIMAL(38,0)) * na2 * nc2
+                 THEN 1 ELSE 0 END AS INTEGER)""").as("contaminated"))
+  }
+
+  /** Hard-negative mining WITHOUT labels — the unlabeled-corpus
+    * sibling of [[NegMining.hardNegatives]] (which requires a real
+    * `label` column): pseudo-labels come from the deterministic
+    * 2-round k-means assignment ([[KMeans.kmeansAssign2]]), and each
+    * anchor (id < `nAnchors`) gets its top-`k` most similar candidates
+    * from a DIFFERENT cluster — near in embedding space yet
+    * pseudo-labeled apart, the pairs that move a contrastive loss when
+    * no supervision exists. The cluster-mismatch filter rides the
+    * broadcast-anchor probe join — the same bounded shape as
+    * [[bruteForceTopK]].
+    */
+  def hardNegatives(emb: DataFrame, nAnchors: Int, k: Int): DataFrame = {
+    val asg = graft.ext.KMeans.kmeansAssign2(emb, 8)
+      .select(col("vec_id"), col("cluster_id"))
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .join(asg, Seq("vec_id"))
+    // limit(nAnchors): mechanical maxRows bound for the plan sweep
+    val anchors = broadcast(q.filter(col("vec_id") < nAnchors).limit(nAnchors)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_emb"),
+        col("cluster_id").as("q_cluster")))
+    val scored = anchors
+      .join(q.select(col("vec_id").as("c_id"), col("qv").as("c_emb"),
+          col("cluster_id").as("c_cluster")),
+        col("q_id") =!= col("c_id") && col("q_cluster") =!= col("c_cluster"))
+      .withColumn("dot_q", quantizedDot(col("q_emb"), col("c_emb")))
+    graft.plans.TopKPerKey.topKPerKey(scored.drop("q_emb", "c_emb", "q_cluster"),
+        Seq("q_id"), Seq(("dot_q", true), ("c_id", false)), k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("c_cluster"), col("dot_q"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "decontaminate_semantic" -> ((s, dir) =>
+      semanticDecontaminate(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 10)),
+
+    "ann_hard_negatives" -> ((s, dir) =>
+      hardNegatives(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        nAnchors = 10, k = 5)),
+
     // recall of the 16-dim prefix ranking against the full 64-dim
     // ranking, per query — the dimension-truncation tradeoff, measured
     "ann_matryoshka_recall" -> ((s, dir) =>
@@ -347,6 +417,54 @@ object SimSearch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // cosine² verdict cross-multiplied on HUGEINT — no sqrt, no float;
+    // best anchor by (dot desc, q_id asc) like every ANN ranking here
+    "decontaminate_semantic" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i] * qv[i])) AS BIGINT) AS n2
+        |  FROM q),
+        |a AS (SELECT vec_id AS q_id, qv AS q_emb, n2 AS na2 FROM n WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, qv AS c_emb, n2 AS nc2 FROM n WHERE vec_id >= 10),
+        |d AS (
+        |  SELECT c_id, q_id, na2, nc2,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q_emb)),
+        |      i -> q_emb[i] * c_emb[i])) AS BIGINT) AS dot_q
+        |  FROM a CROSS JOIN c)
+        |SELECT c_id, q_id AS best_q, dot_q AS max_dot_q,
+        |  CAST(CASE WHEN dot_q > 0 AND
+        |    CAST(dot_q AS HUGEINT) * dot_q * 1000000 >=
+        |    CAST(900000 AS HUGEINT) * na2 * nc2 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS contaminated
+        |FROM d
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY dot_q DESC, q_id) = 1""".stripMargin,
+
+    // the k-means CTE chain (asg) + the brute-force dot program, with
+    // the cluster-mismatch filter riding the probe join
+    "ann_hard_negatives" -> (graft.ext.KMeans.oracleCtes +
+      """,
+        |qa AS (
+        |  SELECT q.vec_id AS q_id, q.qv AS q_emb, a.cluster_id AS q_cluster
+        |  FROM q JOIN asg a USING (vec_id) WHERE q.vec_id < 10),
+        |qc AS (
+        |  SELECT q.vec_id AS c_id, q.qv AS c_emb, a.cluster_id AS c_cluster
+        |  FROM q JOIN asg a USING (vec_id)),
+        |d AS (
+        |  SELECT q_id, c_id, c_cluster,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q_emb)),
+        |      i -> q_emb[i] * c_emb[i])) AS BIGINT) AS dot_q
+        |  FROM qa JOIN qc ON q_id != c_id AND q_cluster != c_cluster)
+        |SELECT q_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS INTEGER) AS rank,
+        |  c_id, c_cluster, dot_q
+        |FROM d
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) <= 5""".stripMargin),
+
     // both rankings replayed with the quantized-dot formula (the
     // ann_bruteforce_topk replica), the prefix one over dims 1..16
     "ann_matryoshka_recall" ->

@@ -142,10 +142,10 @@ object SonataH5 {
     val numbered = numbered0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-direction range counts (2-row collect) size the index datasets
-    // AND materialize the cache; range numbering is global over
-    // (dir, node, pos), so dir 1's range_pos values continue after dir
-    // 0's — each direction's dataset rebases to 0 (the reference's
-    // per-direction range_to_edge_id is 0-indexed, index.cpp:302-303)
+    // AND materialize the cache; RangeRle.numberedRanges numbers
+    // range_pos PER DIRECTION already (dir 1 rebases through bDir0 —
+    // RangeRle.scala:171), matching the reference's 0-indexed
+    // per-direction range_to_edge_id (index.cpp:302-303)
     val dirCounts = numbered.groupBy(col("dir")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     doneR() // cache materialized by the collect; the internal one is dead
@@ -214,13 +214,13 @@ object SonataH5 {
         bb.putLong(a); bb.putLong(b)
         bb.array()
       }
-      def writeIndexDir(dirTag: Int, nodes: Long, rebase: Long, dirName: String): Unit = {
+      def writeIndexDir(dirTag: Int, nodes: Long, dirName: String): Unit = {
         val nd = numbered.filter(col("dir") === dirTag)
         val secondary = regions(s"/edges/$population/indices/$dirName/range_to_edge_id")
         nd.select(col("range_pos"), col("range_start"), col("range_end"))
           .foreachPartition { (it: Iterator[Row]) =>
             writeRuns(outFile, secondary, 2, it.map(r =>
-              (r.getLong(0) - rebase, u64Pair(r.getLong(1), r.getLong(2)))))
+              (r.getLong(0), u64Pair(r.getLong(1), r.getLong(2)))))
           }
         val primary = regions(s"/edges/$population/indices/$dirName/node_id_to_ranges")
         val counts = nd.groupBy(col("node_id"))
@@ -228,15 +228,15 @@ object SonataH5 {
         numbered.sparkSession.range(0, nodes).toDF("node_id")
           .join(counts, Seq("node_id"), "left_outer")
           .select(col("node_id"),
-            coalesce(col("first_range") - rebase, lit(0L)).as("range_start"),
-            coalesce(col("first_range") + col("cnt") - rebase, lit(0L)).as("range_end"))
+            coalesce(col("first_range"), lit(0L)).as("range_start"),
+            coalesce(col("first_range") + col("cnt"), lit(0L)).as("range_end"))
           .foreachPartition { (it: Iterator[Row]) =>
             writeRuns(outFile, primary, 2, it.map(r =>
               (r.getLong(0), u64Pair(r.getLong(1), r.getLong(2)))))
           }
       }
-      writeIndexDir(0, sourceNodes, 0L, "source_to_target")
-      writeIndexDir(1, targetNodes, rangeCount0, "target_to_source")
+      writeIndexDir(0, sourceNodes, "source_to_target")
+      writeIndexDir(1, targetNodes, "target_to_source")
 
       // ------------------------------------------- @library values (driver)
       libraries.foreach { case (c, values) =>
@@ -315,6 +315,34 @@ object SonataH5 {
     spark.createDataFrame(rowRdd, schema)
   }
 
+  /** Distributed read of a 2-D `[n][2]` uint64 dataset (the CSR index
+    * shape) → (row_id, a, b); same positional-slice model as
+    * [[readEdges]].
+    */
+  def readPairs(spark: SparkSession, file: String, datasetPath: String,
+                partitions: Int = 32): DataFrame = {
+    val ds = Hdf5Mini.readMeta(file).datasets(datasetPath)
+    require(ds.dims.length == 2 && ds.dims(1) == 2L,
+      s"sonata-h5: $datasetPath is not an [n][2] index dataset (${ds.dims})")
+    val addr = ds.dataAddress
+    val schema = StructType(Seq(
+      StructField("row_id", LongType, nullable = false),
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    val rowRdd = spark.range(0, ds.dims.head, 1, partitions).rdd.mapPartitions { ids =>
+      val idArr = ids.toArray
+      if (idArr.isEmpty) Iterator.empty
+      else {
+        val lo = idArr.head
+        val bb = Hdf5Mini.readSlice(file, addr, 16, lo, idArr.length)
+        idArr.indices.iterator.map { i =>
+          Row(lo + i, bb.getLong(i * 16), bb.getLong(i * 16 + 8))
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, schema)
+  }
+
   val queries: Map[String, Q] = Map(
     // The edges_to_sonata mapping, but through the PHYSICAL container:
     // convert lineitem edges to a real HDF5 file, then parse the file's
@@ -337,6 +365,35 @@ object SonataH5 {
         .select(col("source_node_id"), col("target_node_id"),
           col("edge_type_id").cast("int").as("edge_type_id"),
           col("my_attribute"), col("my_label"), col("edge_id"))
+    }),
+
+    // The container's OTHER half: both directions' CSR index datasets
+    // read back from the physical file and checked against the
+    // gaps-and-islands reconstruction — the libsonata traversal
+    // surface (node → ranges → edge ids, index.cpp:302-324) is inside
+    // the correctness gate, not just the edge columns.
+    "sonata_h5_indices" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("sonatah5idx") + "/edges.h5"
+      val edges = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("source_node_id"),
+        col("l_suppkey").as("target_node_id"),
+        col("l_linenumber").as("edge_type_id"),
+        col("l_quantity").as("my_attribute"),
+        col("l_returnflag").as("my_label"))
+      val (_, done) = convert(s, edges, "source_node_id", "target_node_id",
+        out, "lineitem_edges",
+        tiebreak = Seq("edge_type_id", "my_attribute", "my_label"),
+        enumCols = Seq("my_label"))
+      done()
+      val base = "/edges/lineitem_edges/indices"
+      Seq(("source_to_target", 0), ("target_to_source", 1)).map { case (d, tag) =>
+        readPairs(s, out, s"$base/$d/node_id_to_ranges")
+          .select(lit(tag).as("dir"), lit("primary").as("kind"),
+            col("row_id").as("k"), col("a"), col("b"))
+          .unionAll(readPairs(s, out, s"$base/$d/range_to_edge_id")
+            .select(lit(tag).as("dir"), lit("secondary").as("kind"),
+              col("row_id").as("k"), col("a"), col("b")))
+      }.reduce(_ unionAll _)
     })
   )
 
@@ -346,6 +403,48 @@ object SonataH5 {
         |  l_linenumber AS edge_type_id, l_quantity AS my_attribute,
         |  CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS INTEGER) AS my_label,
         |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS edge_id
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // gaps-and-islands over the totally-ordered edge list, per
+    // direction: range_pos rebases to 0 within each direction (the
+    // per-direction datasets are 0-indexed), edge positions stay global
+    "sonata_h5_indices" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS src, l_suppkey AS tgt,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS pos
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT 0 AS dir, src AS node_id, pos FROM e
+        |  UNION ALL
+        |  SELECT 1 AS dir, tgt AS node_id, pos FROM e),
+        |runs AS (
+        |  SELECT dir, node_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY dir, node_id ORDER BY pos) AS grp
+        |  FROM pairs),
+        |ranges AS (
+        |  SELECT dir, node_id, min(pos) AS range_start, max(pos) + 1 AS range_end
+        |  FROM runs GROUP BY dir, node_id, grp),
+        |numbered AS (
+        |  SELECT dir, node_id, range_start, range_end,
+        |    ROW_NUMBER() OVER (PARTITION BY dir ORDER BY node_id, range_start) - 1 AS range_pos
+        |  FROM ranges),
+        |prim AS (
+        |  SELECT dir, node_id, count(*) AS cnt, min(range_pos) AS first_range
+        |  FROM numbered GROUP BY dir, node_id),
+        |bounds AS (
+        |  SELECT 0 AS dir, unnest(generate_series(0, (SELECT max(l_orderkey) FROM lineitem))) AS node_id
+        |  UNION ALL
+        |  SELECT 1 AS dir, unnest(generate_series(0, (SELECT max(l_suppkey) FROM lineitem))) AS node_id)
+        |SELECT CAST(bo.dir AS INTEGER) AS dir, 'primary' AS kind,
+        |  CAST(bo.node_id AS BIGINT) AS k,
+        |  CAST(COALESCE(p.first_range, 0) AS BIGINT) AS a,
+        |  CAST(COALESCE(p.first_range + p.cnt, 0) AS BIGINT) AS b
+        |FROM bounds bo LEFT JOIN prim p ON bo.dir = p.dir AND bo.node_id = p.node_id
+        |UNION ALL
+        |SELECT CAST(dir AS INTEGER) AS dir, 'secondary' AS kind,
+        |  CAST(range_pos AS BIGINT) AS k,
+        |  CAST(range_start AS BIGINT) AS a,
+        |  CAST(range_end AS BIGINT) AS b
+        |FROM numbered""".stripMargin
   )
 }

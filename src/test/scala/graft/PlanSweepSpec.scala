@@ -95,6 +95,10 @@ class PlanSweepSpec extends AnyFunSuite {
           // partition-summary naming contract
           case a: BaseAggregateExec
             if a.groupingExpressions.exists(_.references.exists(_.name == "_pid")) => None
+          // a limit's partial→final collect: LocalLimit(n≤1000) feeds
+          // ≤ n·#partitions rows into the exchange by construction —
+          // the standard bounded limit pattern, data-size independent
+          case l: org.apache.spark.sql.execution.LocalLimitExec if l.limit <= 1000 => None
           case other if boundedLogical(other) || boundedLogical(e.child) => None
           case other =>
             Some(s"SinglePartition exchange over unbounded ${other.nodeName}")
