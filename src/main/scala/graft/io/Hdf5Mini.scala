@@ -390,13 +390,21 @@ object Hdf5Mini {
     * concurrently, the MPI-IO independent-transfer analogue).
     */
   def fill(path: String, region: DataRegion, elemOffset: Long, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.WRITE)
+    try fill(ch, region, elemOffset, bytes)
+    finally ch.close()
+  }
+
+  /** [[fill]] over an already-open channel — for writers flushing many
+    * runs per partition (one open per partition, not per run).
+    */
+  def fill(ch: java.nio.channels.FileChannel, region: DataRegion,
+           elemOffset: Long, bytes: Array[Byte]): Unit = {
     require(elemOffset * region.dtype.size + bytes.length <= region.byteSize,
       s"hdf5: write past dataset end (offset $elemOffset, ${bytes.length} bytes, " +
         s"region ${region.byteSize})")
-    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
-      java.nio.file.StandardOpenOption.WRITE)
-    try ch.write(ByteBuffer.wrap(bytes), region.address + elemOffset * region.dtype.size)
-    finally ch.close()
+    ch.write(ByteBuffer.wrap(bytes), region.address + elemOffset * region.dtype.size)
   }
 
   // -------------------------------------------------------------- reader

@@ -79,17 +79,22 @@ object SonataH5 {
   private def writeRuns(path: String, region: DataRegion, elemsPerRow: Int,
                         rows: Iterator[(Long, Array[Byte])]): Unit = {
     val buf = rows.toArray.sortBy(_._1)
-    var i = 0
-    while (i < buf.length) {
-      var j = i + 1
-      while (j < buf.length && buf(j)._1 == buf(j - 1)._1 + 1) j += 1
-      val bytes = new Array[Byte](buf.iterator.slice(i, j).map(_._2.length).sum)
-      var off = 0
-      var k = i
-      while (k < j) { val b = buf(k)._2; System.arraycopy(b, 0, bytes, off, b.length); off += b.length; k += 1 }
-      Hdf5Mini.fill(path, region, buf(i)._1 * elemsPerRow, bytes)
-      i = j
-    }
+    if (buf.isEmpty) return
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var i = 0
+      while (i < buf.length) {
+        var j = i + 1
+        while (j < buf.length && buf(j)._1 == buf(j - 1)._1 + 1) j += 1
+        val bytes = new Array[Byte](buf.iterator.slice(i, j).map(_._2.length).sum)
+        var off = 0
+        var k = i
+        while (k < j) { val b = buf(k)._2; System.arraycopy(b, 0, bytes, off, b.length); off += b.length; k += 1 }
+        Hdf5Mini.fill(ch, region, buf(i)._1 * elemsPerRow, bytes)
+        i = j
+      }
+    } finally ch.close()
   }
 
   /** Convert an edge DataFrame to a SONATA HDF5 file at `outFile`.
@@ -230,6 +235,13 @@ object SonataH5 {
           .select(col("node_id"),
             coalesce(col("first_range"), lit(0L)).as("range_start"),
             coalesce(col("first_range") + col("cnt"), lit(0L)).as("range_end"))
+          // the join's hash exchange scatters node ids; node_id is DENSE
+          // (spark.range), so a range repartition + sort restores fully
+          // contiguous per-partition runs — ONE pwrite per partition
+          // instead of one per node (the 10x probe surfaced exactly this
+          // once the counts side outgrew the broadcast threshold)
+          .repartitionByRange(col("node_id"))
+          .sortWithinPartitions(col("node_id"))
           .foreachPartition { (it: Iterator[Row]) =>
             writeRuns(outFile, primary, 2, it.map(r =>
               (r.getLong(0), u64Pair(r.getLong(1), r.getLong(2)))))
