@@ -91,7 +91,13 @@ object ScaleProbe {
     // whose 100× behavior the 10× probe cannot distinguish from
     // corpus-linear (types grow with VOCABULARY², occurrences with
     // the corpus; 0.63 at 10× could still hide a slow type blowup)
-    "lm_kn_continuation")
+    "lm_kn_continuation",
+    // round-12: the physical HDF5 sink (lineitem-only) — 60M edges
+    // through metadata planning + executor pwrite slices + the
+    // distributed read-back; the container I/O path is exactly what a
+    // 10× probe cannot stress (a 3.5 GB file has real positional-write
+    // contention a 350 MB one does not)
+    "edges_to_sonata_h5")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity

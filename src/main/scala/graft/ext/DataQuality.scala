@@ -136,6 +136,20 @@ object DataQuality {
         .agg(count(lit(1)).as("group_n"))
         .where(col("group_n") < 10)),
 
+    // l-diversity (Machanavajjhala 2007) — k-anonymity's complement: a
+    // large quasi-identifier group still leaks if everyone in it SHARES
+    // the sensitive value. Sensitive attribute = account-balance band
+    // (truncating integer division on cents — engine-portable); one
+    // keyed aggregate, at_risk = fewer than 3 distinct bands.
+    "dq_l_diversity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(col("bal_band")).as("l_distinct"))
+        .withColumn("at_risk", (col("l_distinct") < 3).cast("int"))),
+
     // Join-key skew diagnosis — the report that decides whether a key
     // needs the salted-join path BEFORE the job hits it: top-20 hottest
     // keys with integer-scaled share and ratio-to-mean. One keyed
@@ -247,6 +261,17 @@ object DataQuality {
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) < 10""".stripMargin,
+
+    "dq_l_diversity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS group_n,
+        |  CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+        |  CAST(CASE WHEN count(DISTINCT bal_band) < 3 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        |FROM b GROUP BY c_nationkey, c_mktsegment""".stripMargin,
 
     "dq_skew_profile" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt

@@ -169,13 +169,22 @@ object LmStats {
     * broadcast. The token-count table is vocabulary-sized; the top-k
     * cut is a TakeOrdered, so nothing data-sized reaches a window.
     */
-  def vocabDriftJs(docs: DataFrame, k: Int): DataFrame = {
-    val counts = docs
-      .select((col("doc_id") % 2 === 0).as("is_a"),
-        explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .groupBy(col("w"))
+  def vocabDriftJs(docs: DataFrame, k: Int): DataFrame =
+    vocabDriftFinish(vocabDriftCounts(
+      docs.select((col("doc_id") % 2 === 0).as("is_a"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))), k)
+
+  /** Per-token side counts over an `(is_a, w)` token table — a plain
+    * keyed aggregate, so it runs unchanged as a complete-mode STREAMING
+    * aggregation (the `streaming_vocab_drift` face); state is one row
+    * per vocabulary token. */
+  def vocabDriftCounts(tok: DataFrame): DataFrame =
+    tok.groupBy(col("w"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+
+  /** Top-`k` + JS-term finisher over the per-token counts. */
+  def vocabDriftFinish(counts: DataFrame, k: Int): DataFrame = {
     val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     counts
       .orderBy((col("n_a") + col("n_b")).desc, col("w")).limit(k)

@@ -746,6 +746,27 @@ object StreamingOps {
     graft.ext.LmStats.oovFinish(spark.table(name))
   }
 
+  /** Streaming vocabulary-drift monitor: `vocab_drift_js`'s per-token
+    * side counts maintained in complete mode over the document stream
+    * (state = one row per vocabulary token), with the top-k + JS-term
+    * finisher batch-side — the drift_psi pattern, oracle shared
+    * bit-for-bit. The live deployment watches this for a crawl snapshot
+    * whose token distribution walks away from yesterday's.
+    */
+  private def vocabDriftToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"svdrift_${System.nanoTime()}"
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val tok = stream.select((col("doc_id") % 2 === 0).as("is_a"),
+      explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+    val q = graft.ext.LmStats.vocabDriftCounts(tok)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.LmStats.vocabDriftFinish(spark.table(name), 64)
+  }
+
   /** Streaming tokenizer-fertility monitor: the per-language
     * words/subwords aggregate of `tokenizer_fertility` maintained in
     * complete mode over the document stream, sharing its oracle —
@@ -910,6 +931,7 @@ object StreamingOps {
     // stream, sharing the batch lm_oov_coverage / tokenizer_fertility
     // oracles bit-for-bit
     "streaming_oov_monitor" -> ((s, dir) => oovToCompletion(s, dir)),
+    "streaming_vocab_drift" -> ((s, dir) => vocabDriftToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
@@ -1175,6 +1197,7 @@ object StreamingOps {
       graft.ext.Timeseries.oracleSql("changepoint_cusum_by_user"),
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
     "streaming_oov_monitor" -> graft.ext.LmStats.oracleSql("lm_oov_coverage"),
+    "streaming_vocab_drift" -> graft.ext.LmStats.oracleSql("vocab_drift_js"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
