@@ -69,31 +69,46 @@ object SonataH5 {
     }
   }
 
-  /** Flush `(elemOffset, payload)` rows to a region as contiguous runs:
-    * buffers the partition, sorts by offset, and emits one positional
-    * write per maximal run — partitions of the position-stamped frames
-    * are contiguous position ranges by construction, so this is one
-    * syscall per column per partition in the common case, while staying
-    * correct for any row layout.
+  /** Per-partition flush cap: a run buffer never grows past this, so
+    * executor memory is O(#columns · cap) regardless of partition size
+    * (the first cut buffered whole partitions of Row objects and OOM'd
+    * at the 100× probe — 1.9M rows per partition × 32 tasks).
     */
-  private def writeRuns(path: String, region: DataRegion, elemsPerRow: Int,
-                        rows: Iterator[(Long, Array[Byte])]): Unit = {
-    val buf = rows.toArray.sortBy(_._1)
-    if (buf.isEmpty) return
+  private val RunFlushBytes = 4 << 20
+
+  /** Streaming run writer over ONE pass of a partition: rows arrive as
+    * (row offset, per-dataset payloads); contiguous offsets accumulate
+    * into per-dataset buffers flushed on a run break or at
+    * [[RunFlushBytes]] — one positional write per dataset per run (one
+    * per partition in the common sorted-contiguous case), bounded
+    * memory, correct for ANY row order (out-of-order rows just start a
+    * new run).
+    */
+  private def writeStreamedRuns(path: String,
+                                plans: Seq[(DataRegion, Int)], // (region, elems per row)
+                                rows: Iterator[(Long, Seq[Array[Byte]])]): Unit = {
+    if (!rows.hasNext) return
     val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
       java.nio.file.StandardOpenOption.WRITE)
     try {
-      var i = 0
-      while (i < buf.length) {
-        var j = i + 1
-        while (j < buf.length && buf(j)._1 == buf(j - 1)._1 + 1) j += 1
-        val bytes = new Array[Byte](buf.iterator.slice(i, j).map(_._2.length).sum)
-        var off = 0
-        var k = i
-        while (k < j) { val b = buf(k)._2; System.arraycopy(b, 0, bytes, off, b.length); off += b.length; k += 1 }
-        Hdf5Mini.fill(ch, region, buf(i)._1 * elemsPerRow, bytes)
-        i = j
+      val bufs = plans.map(_ => new java.io.ByteArrayOutputStream(64 << 10))
+      var runStart = -1L
+      var expected = -1L
+      def flush(): Unit = if (runStart >= 0 && bufs.head.size > 0) {
+        plans.zip(bufs).foreach { case ((region, elemsPerRow), b) =>
+          Hdf5Mini.fill(ch, region, runStart * elemsPerRow, b.toByteArray)
+          b.reset()
+        }
       }
+      rows.foreach { case (off, payloads) =>
+        if (off != expected || bufs.head.size >= RunFlushBytes) {
+          flush(); runStart = off
+        }
+        var i = 0
+        while (i < payloads.length) { bufs(i).write(payloads(i)); i += 1 }
+        expected = off + 1
+      }
+      flush()
     } finally ch.close()
   }
 
@@ -202,15 +217,15 @@ object SonataH5 {
       }
       val edgeCols = col("edge_id") +: dataCols.map(f => col(f.name)).toSeq
       encoded.select(edgeCols: _*).foreachPartition { (it: Iterator[Row]) =>
-        val rows = it.toArray
-        colPlan.zipWithIndex.foreach { case ((name, t, region), ci) =>
-          writeRuns(outFile, region, 1, rows.iterator.map { r =>
+        // one pass, all columns interleaved into per-column run buffers
+        writeStreamedRuns(outFile, colPlan.map(p => (p._3, 1)), it.map { r =>
+          (r.getLong(0), colPlan.zipWithIndex.map { case ((name, t, _), ci) =>
             val bb = java.nio.ByteBuffer.allocate(t.size)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             putValue(bb, t, r, ci + 1, name)
-            (r.getLong(0), bb.array())
+            bb.array()
           })
-        }
+        })
       }
 
       // ------------------------------------------------- indices (executors)
@@ -224,8 +239,8 @@ object SonataH5 {
         val secondary = regions(s"/edges/$population/indices/$dirName/range_to_edge_id")
         nd.select(col("range_pos"), col("range_start"), col("range_end"))
           .foreachPartition { (it: Iterator[Row]) =>
-            writeRuns(outFile, secondary, 2, it.map(r =>
-              (r.getLong(0), u64Pair(r.getLong(1), r.getLong(2)))))
+            writeStreamedRuns(outFile, Seq((secondary, 2)), it.map(r =>
+              (r.getLong(0), Seq(u64Pair(r.getLong(1), r.getLong(2))))))
           }
         val primary = regions(s"/edges/$population/indices/$dirName/node_id_to_ranges")
         val counts = nd.groupBy(col("node_id"))
@@ -243,8 +258,8 @@ object SonataH5 {
           .repartitionByRange(col("node_id"))
           .sortWithinPartitions(col("node_id"))
           .foreachPartition { (it: Iterator[Row]) =>
-            writeRuns(outFile, primary, 2, it.map(r =>
-              (r.getLong(0), u64Pair(r.getLong(1), r.getLong(2)))))
+            writeStreamedRuns(outFile, Seq((primary, 2)), it.map(r =>
+              (r.getLong(0), Seq(u64Pair(r.getLong(1), r.getLong(2))))))
           }
       }
       writeIndexDir(0, sourceNodes, "source_to_target")
