@@ -171,6 +171,26 @@ object KMeans {
   val queries: Map[String, Q] = Map(
     "embedding_kmeans_assign" -> ((s, dir) =>
       kmeansAssign2(Tables.embeddings(s, dir), 8)),
+
+    // Topic-mix audit: the k-means pseudo-topics joined back to the
+    // document catalogue (vec_id aligns with doc_id in the corpus) —
+    // per (source, topic) counts + within-source share, the balance
+    // report a data-mixture recipe reads before setting source weights.
+    // One id-keyed equi-join + a keyed aggregate; the share window is
+    // source-alphabet-bounded.
+    "topic_mix_by_source" -> ((s, dir) => {
+      val asg = kmeansAssign2(Tables.embeddings(s, dir), 8)
+        .select(col("vec_id"), col("cluster_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(asg, col("doc_id") === col("vec_id"))
+        .groupBy(col("source"), col("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("src_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))))
+        .select(col("source"), col("cluster_id"), col("n"),
+          expr("n * 1000000 div src_total").as("share_ppm"))
+    }),
     "kmeans_inertia" -> ((s, dir) =>
       kmeansInertia(Tables.embeddings(s, dir), 8)),
     "kmeans_silhouette" -> ((s, dir) =>
@@ -221,6 +241,17 @@ object KMeans {
     // The identical integer program, via the shared CTE chain.
     "embedding_kmeans_assign" ->
       (oracleCtes + "\nSELECT vec_id, cluster_id, dot_q FROM asg"),
+
+    "topic_mix_by_source" -> (oracleCtes +
+      """,
+        |j AS (
+        |  SELECT d.source, a.cluster_id
+        |  FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+        |c AS (SELECT source, cluster_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM j GROUP BY source, cluster_id)
+        |SELECT source, cluster_id, n,
+        |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS share_ppm
+        |FROM c""".stripMargin),
 
     // same chain + vector/centroid norms; the 1e12-scale distance
     // algebra mirrors the Spark side term for term

@@ -87,6 +87,28 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // Memorization-risk audit: the most-repeated 8-grams corpus-wide
+    // (tf counts EVERY occurrence, within-doc repeats included — unlike
+    // the dedup shingles, which are distinct-per-doc) with the distinct
+    // document spread beside it. High-tf/low-df grams are boilerplate a
+    // trained model will regurgitate verbatim; the standard pre-training
+    // audit beside exact/near dedup. One explode + keyed aggregate +
+    // TakeOrdered top-50.
+    "memorization_ngrams" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = tokens(col("text"))
+      val grams = when(size(t) >= 8,
+        transform(sequence(lit(1), size(t) - 7),
+          i => concat_ws(" ", slice(t, i, lit(8)))))
+        .otherwise(array().cast("array<string>"))
+      docs.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .where(col("tf") >= 2)
+        .orderBy(col("tf").desc, col("g"))
+        .limit(50)
+    }),
+
     "text_tokens" -> ((s, dir) => {
       val t = tokens(col("text"))
       Tables.documents(s, dir).select(
@@ -353,6 +375,22 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "memorization_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_transform(generate_series(1, len(t) - 7),
+        |        i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS tf,
+        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |      FROM gr GROUP BY g)
+        |SELECT g, tf, df FROM c WHERE tf >= 2
+        |ORDER BY tf DESC, g LIMIT 50""".stripMargin,
+
     "text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,
