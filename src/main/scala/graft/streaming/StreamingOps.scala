@@ -746,6 +746,37 @@ object StreamingOps {
     graft.ext.LmStats.oovFinish(spark.table(name))
   }
 
+  /** Streaming topic-balance monitor: the arriving document stream
+    * joins the STATIC k-means pseudo-topic assignment (computed
+    * batch-side, id-keyed) and keeps `topic_mix_by_source`'s
+    * (source, topic) counts live in complete mode, share finisher
+    * batch-side, oracle shared bit-for-bit — the intake face of the
+    * data-mixture balance report; state is one row per
+    * (source, topic).
+    */
+  private def topicMixToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = s"stopic_${System.nanoTime()}"
+    val asg = graft.ext.KMeans.kmeansAssign2(
+        graft.Tables.embeddings(spark, dir), 8)
+      .select(col("vec_id"), col("cluster_id"))
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = stream.select(col("doc_id"), col("source"))
+      .join(asg, col("doc_id") === col("vec_id")) // stream-static equi-join
+      .groupBy(col("source"), col("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .withColumn("src_total",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("cluster_id"), col("n"),
+        expr("n * 1000000 div src_total").as("share_ppm"))
+  }
+
   /** Streaming vocabulary-drift monitor: `vocab_drift_js`'s per-token
     * side counts maintained in complete mode over the document stream
     * (state = one row per vocabulary token), with the top-k + JS-term
@@ -932,6 +963,7 @@ object StreamingOps {
     // oracles bit-for-bit
     "streaming_oov_monitor" -> ((s, dir) => oovToCompletion(s, dir)),
     "streaming_vocab_drift" -> ((s, dir) => vocabDriftToCompletion(s, dir)),
+    "streaming_topic_mix" -> ((s, dir) => topicMixToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
@@ -1198,6 +1230,7 @@ object StreamingOps {
     "streaming_drift_psi" -> graft.ext.Drift.oracleSql("drift_psi_bins"),
     "streaming_oov_monitor" -> graft.ext.LmStats.oracleSql("lm_oov_coverage"),
     "streaming_vocab_drift" -> graft.ext.LmStats.oracleSql("vocab_drift_js"),
+    "streaming_topic_mix" -> graft.ext.KMeans.oracleSql("topic_mix_by_source"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
