@@ -290,6 +290,31 @@ object Sampling {
         .withColumn("oversampled", col("epochs_milli") > 1000L)
     }),
 
+    // Dynamic-batching plan — the padding-waste arithmetic behind
+    // length-bucketed batching: docs bucket by floor-log2 token count,
+    // every sequence in a bucket pads to the bucket's max observed
+    // length, and a 4096-token batch fits `4096 div max_len` rows. The
+    // readout (waste ppm + batch count per bucket) is what decides the
+    // bucket boundaries before a training run. One stateless projection
+    // + a log2-bounded keyed aggregate.
+    "batch_length_buckets" -> ((s, dir) => {
+      val batchTokens = 4096L
+      Tables.documents(s, dir)
+        .select(greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(1L))
+          .as("n_tok"))
+        .select(col("n_tok"),
+          expr("CAST(length(bin(n_tok)) - 1 AS BIGINT)").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+          max(col("n_tok")).as("max_len"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("max_len"),
+          expr("(n_docs * max_len - sum_tokens) * 1000000 div (n_docs * max_len)")
+            .as("pad_waste_ppm"),
+          expr(s"greatest(${batchTokens}L div max_len, 1L)").as("rows_per_batch"),
+          expr(s"(n_docs + greatest(${batchTokens}L div max_len, 1L) - 1) " +
+            s"div greatest(${batchTokens}L div max_len, 1L)").as("n_batches"))
+    }),
+
     // Distribution matching by importance resampling — make every
     // source's LENGTH distribution match the reference source's (the
     // domain-matching step that stops a web-scrape source from skewing
@@ -515,6 +540,25 @@ object Sampling {
         |  (10000000 // k_sources) * 1000 // greatest(n_tokens, 1) > 1000
         |    AS oversampled
         |FROM by_source CROSS JOIN k""".stripMargin,
+
+    "batch_length_buckets" ->
+      """WITH t AS (
+        |  SELECT greatest(CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != '')) AS BIGINT), 1) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(max(n_tok) AS BIGINT) AS max_len
+        |  FROM t GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens, max_len,
+        |  (n_docs * max_len - sum_tokens) * 1000000 // (n_docs * max_len)
+        |    AS pad_waste_ppm,
+        |  greatest(4096 // max_len, 1) AS rows_per_batch,
+        |  (n_docs + greatest(4096 // max_len, 1) - 1)
+        |    // greatest(4096 // max_len, 1) AS n_batches
+        |FROM b""".stripMargin,
 
     "sample_temperature_quota" ->
       """WITH sz AS (
