@@ -401,10 +401,22 @@ object Hdf5Mini {
     */
   def fill(ch: java.nio.channels.FileChannel, region: DataRegion,
            elemOffset: Long, bytes: Array[Byte]): Unit = {
+    // a negative offset would compute a position BEFORE the data region and
+    // silently clobber superblock/group metadata — fail loud instead
+    require(elemOffset >= 0,
+      s"hdf5: negative element offset $elemOffset")
+    require(bytes.length % region.dtype.size == 0,
+      s"hdf5: write of ${bytes.length} bytes is not a whole number of " +
+        s"${region.dtype.size}-byte elements")
     require(elemOffset * region.dtype.size + bytes.length <= region.byteSize,
       s"hdf5: write past dataset end (offset $elemOffset, ${bytes.length} bytes, " +
         s"region ${region.byteSize})")
-    ch.write(ByteBuffer.wrap(bytes), region.address + elemOffset * region.dtype.size)
+    val bb = ByteBuffer.wrap(bytes)
+    var pos = region.address + elemOffset * region.dtype.size
+    while (bb.hasRemaining) {
+      val n = ch.write(bb, pos)
+      pos += n
+    }
   }
 
   // -------------------------------------------------------------- reader
@@ -481,7 +493,9 @@ object Hdf5Mini {
         java.nio.file.StandardOpenOption.READ)
       val buf = try {
         val bb = ByteBuffer.allocate(prefix)
-        ch.read(bb, 0L)
+        // FileChannel.read may return short on shared/NFS filesystems —
+        // loop until the prefix is filled or EOF
+        while (bb.hasRemaining && ch.read(bb, bb.position().toLong) >= 0) {}
         bb.array()
       } finally ch.close()
       try return parse(buf)
@@ -505,7 +519,11 @@ object Hdf5Mini {
       java.nio.file.StandardOpenOption.READ)
     try {
       val bb = ByteBuffer.allocate(count * elemSize).order(ByteOrder.LITTLE_ENDIAN)
-      ch.read(bb, dataAddress + elemOffset * elemSize)
+      val base = dataAddress + elemOffset * elemSize
+      // short reads are legal (and routine on NFS) — loop until filled or EOF
+      while (bb.hasRemaining && ch.read(bb, base + bb.position()) >= 0) {}
+      require(!bb.hasRemaining,
+        s"hdf5: EOF reading $count x $elemSize bytes at $base from $path")
       bb.flip()
       bb
     } finally ch.close()

@@ -143,10 +143,17 @@ object SonataH5 {
     val obs = org.apache.spark.sql.Observation()
     val nRecords = encoded.observe(obs,
       max(col(sourceCol)).cast("long").as("ms"),
-      max(col(targetCol)).cast("long").as("mt")).count()
+      max(col(targetCol)).cast("long").as("mt"),
+      min(least(col(sourceCol), col(targetCol))).cast("long").as("mn")).count()
     stampedE.unpersist()
     def nodeCountOf(metric: String): Long =
       Option(obs.get(metric)).map(_.asInstanceOf[Long] + 1).getOrElse(0L)
+    // a negative node id would flow straight into writeIndexDir's row
+    // offsets — Hdf5Mini.fill now rejects those too, but fail here with
+    // the semantic error, not the byte-level one
+    Option(obs.get("mn")).map(_.asInstanceOf[Long]).foreach { mn =>
+      require(mn >= 0, s"sonata-h5: negative node id $mn (SONATA ids are unsigned)")
+    }
     val sourceNodes = nodeCountOf("ms")
     val targetNodes = nodeCountOf("mt")
 
@@ -310,8 +317,11 @@ object SonataH5 {
       cols.map {
         case (name, Hdf5Mini.I32, _) => StructField(name, IntegerType, nullable = false)
         case (name, Hdf5Mini.I16, _) => StructField(name, ShortType, nullable = false)
+        case (name, Hdf5Mini.I8, _)  => StructField(name, ByteType, nullable = false)
         case (name, Hdf5Mini.F32, _) => StructField(name, FloatType, nullable = false)
         case (name, Hdf5Mini.F64, _) => StructField(name, DoubleType, nullable = false)
+        // all unsigned widths (the SONATA spec's common dtypes) widen to
+        // LongType with zero-extension — see the read loop below
         case (name, _, _)            => StructField(name, LongType, nullable = false)
       })
     val rowRdd = spark.range(0, n, 1, partitions).rdd.mapPartitions { ids =>
@@ -329,8 +339,15 @@ object SonataH5 {
           // would silently widen the Int/Short branches to Double
           val vals: Seq[Any] = buffers.map {
             case (Hdf5Mini.I64 | Hdf5Mini.U64, bb) => bb.getLong(i * 8)
-            case (Hdf5Mini.I32 | Hdf5Mini.U32, bb) => bb.getInt(i * 4)
-            case (Hdf5Mini.I16 | Hdf5Mini.U16, bb) => bb.getShort(i * 2)
+            case (Hdf5Mini.I32, bb) => bb.getInt(i * 4)
+            case (Hdf5Mini.I16, bb) => bb.getShort(i * 2)
+            case (Hdf5Mini.I8, bb)  => bb.get(i)
+            // unsigned columns zero-extend to the declared LongType —
+            // sign-extension here would both corrupt large values and
+            // ClassCastException against the schema
+            case (Hdf5Mini.U32, bb) => bb.getInt(i * 4) & 0xFFFFFFFFL
+            case (Hdf5Mini.U16, bb) => (bb.getShort(i * 2) & 0xFFFF).toLong
+            case (Hdf5Mini.U8, bb)  => (bb.get(i) & 0xFF).toLong
             case (Hdf5Mini.F64, bb) => bb.getDouble(i * 8)
             case (Hdf5Mini.F32, bb) => bb.getFloat(i * 4)
             case (t, _) => sys.error(s"sonata-h5: unsupported edge column type $t")

@@ -39,8 +39,9 @@ class PlanSweepSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** query → why its SinglePartition stage is bounded by argument. */
-  private val boundedByArgument: Map[String, String] = PlanSweepSpec.boundedByArgument
+  /** query → (adjudicated violation kinds, boundedness argument). */
+  private val boundedByArgument: Map[String, (Set[String], String)] =
+    PlanSweepSpec.boundedByArgument
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -121,7 +122,11 @@ class PlanSweepSpec extends AnyFunSuite {
           try sweep(name, SparkEntry.queries(name)(spark, sf))
           catch { case e: Throwable => Seq(s"$name: sweep could not plan — $e") }
         spark.catalog.clearCache()
-        if (boundedByArgument.contains(name)) Nil else found
+        // an allowlist entry exempts ONLY its adjudicated violation kinds —
+        // a new cross join in a query adjudicated for a bounded window
+        // (or vice versa) still fails the sweep
+        val allowedKinds = boundedByArgument.get(name).map(_._1).getOrElse(Set.empty)
+        found.filterNot(v => allowedKinds.exists(k => v.contains(PlanSweepSpec.kindMarker(k))))
       }
       // pinned entries must still EXIST (a stale allowlist is a lie)
       val stale = boundedByArgument.keys.filterNot(SparkEntry.queries.contains)
@@ -155,79 +160,107 @@ class PlanSweepSpec extends AnyFunSuite {
         .exists(_.contains("SinglePartition")))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("allowlist exemptions are kind-scoped, not blanket") {
+    val joinV = "q: unbounded Cross join without equi key: left=X right=Y"
+    val exchV = "q: SinglePartition exchange over unbounded Window"
+    val exchangeOnly = Set(PlanSweepSpec.ExchangeKind)
+    // an exchange-only adjudication must NOT mask a new join violation
+    assert(!exchangeOnly.exists(k => joinV.contains(PlanSweepSpec.kindMarker(k))))
+    assert(exchangeOnly.exists(k => exchV.contains(PlanSweepSpec.kindMarker(k))))
+    val joinOnly = Set(PlanSweepSpec.JoinKind)
+    assert(!joinOnly.exists(k => exchV.contains(PlanSweepSpec.kindMarker(k))))
+  }
 }
 
 object PlanSweepSpec {
+  /** The sweep's two violation classes and the marker substring each
+    * emits — an allowlist entry names which class(es) it adjudicates.
+    */
+  val JoinKind = "join"
+  val ExchangeKind = "exchange"
+  def kindMarker(kind: String): String = kind match {
+    case JoinKind => "without equi key"
+    case ExchangeKind => "SinglePartition exchange"
+    case other => sys.error(s"unknown violation kind $other")
+  }
+
   /** Adjudicated bounded-by-argument plan stages: frames `maxRows`
     * cannot bound mechanically but whose cardinality is pinned by
-    * construction. Every entry names the bound; a new entry requires
-    * one.
+    * construction. Every entry names the adjudicated VIOLATION KINDS
+    * (only those are exempted — a regression of the other class still
+    * fails) and the bound; a new entry requires both.
     */
-  val boundedByArgument: Map[String, String] = {
+  val boundedByArgument: Map[String, (Set[String], String)] = {
+    val J = Set(JoinKind)
+    val X = Set(ExchangeKind)
+    val JX = Set(JoinKind, ExchangeKind)
     val annProbePanel = "non-equi score join's small side is the fixed " +
       "query/audit panel (vec_id < 10..100 constant filter); the corpus side " +
       "streams through once — brute force exists only as the labeled recall oracle"
     Map(
-      "ann_bruteforce_topk" -> annProbePanel,
-      "ann_ivf_recall" -> annProbePanel,
-      "ann_ivf_topk" -> (annProbePanel + "; the IVF path itself joins on cell id"),
-      "ann_ivfpq_recall" -> annProbePanel,
-      "ann_kendall_tau" -> annProbePanel,
-      "ann_lsh_recall" -> annProbePanel,
-      "ann_matryoshka_recall" -> annProbePanel,
-      "ann_mrr_check" -> annProbePanel,
-      "ann_ndcg_check" -> annProbePanel,
-      "ann_pq_recall" -> annProbePanel,
-      "embedding_outlier_score" -> annProbePanel,
+      "ann_bruteforce_topk" -> (J, annProbePanel),
+      "ann_ivf_recall" -> (J, annProbePanel),
+      "ann_ivf_topk" -> (J, annProbePanel + "; the IVF path itself joins on cell id"),
+      "ann_ivfpq_recall" -> (J, annProbePanel),
+      "ann_kendall_tau" -> (J, annProbePanel),
+      "ann_lsh_recall" -> (J, annProbePanel),
+      "ann_matryoshka_recall" -> (J, annProbePanel),
+      "ann_mrr_check" -> (J, annProbePanel),
+      "ann_ndcg_check" -> (J, annProbePanel),
+      "ann_pq_recall" -> (J, annProbePanel),
+      "embedding_outlier_score" -> (J, annProbePanel),
       "knn_graph_mutual" ->
-        "both sides of the distance join are the 100-vector audit panel (vec_id < 100)",
+        (J, "both sides of the distance join are the 100-vector audit panel (vec_id < 100)"),
       "multimodal_image_embed_topk" ->
-        "feature side is the decoded fixture-image panel (single-digit rows)",
-      "hard_negative_mining" -> annProbePanel,
+        (J, "feature side is the decoded fixture-image panel (single-digit rows)"),
+      "hard_negative_mining" -> (J, annProbePanel),
       "hybrid_rank_fusion" ->
-        "fused lists are k-bounded per query over the fixed query panel",
+        (JX, "fused lists are k-bounded per query over the fixed query panel; " +
+          "rank windows run over those k-bounded lists"),
       "kmv_vocab_overlap" ->
-        "cross-compares two k-sized KMV sketch aggregates (k = 256 rows each)",
+        (J, "cross-compares two k-sized KMV sketch aggregates (k = 256 rows each)"),
       "theilsen_trend" ->
-        ("pairwise slope frame is the bounded per-day time grid squared; " +
+        (JX, "pairwise slope frame is the bounded per-day time grid squared; " +
           "median selection runs over that grid-bounded frame"),
       "sample_stratified_exact" ->
-        "quota frame is stratum-alphabet-sized; the BNLJ side is the 1-row-per-stratum plan",
+        (JX, "quota frame is stratum-alphabet-sized; the BNLJ side is the " +
+          "1-row-per-stratum plan; the quota window runs over the stratum alphabet"),
       "lm_zipf_bitlog" ->
-        "final rank window runs over the <= floor(log2(V)) bit-log-sampled rows",
+        (X, "final rank window runs over the <= floor(log2(V)) bit-log-sampled rows"),
       "abtest_cuped" ->
-        "moment window folds the 2-row per-variant aggregate (variant-count-bounded)",
+        (X, "moment window folds the 2-row per-variant aggregate (variant-count-bounded)"),
       "kruskal_wallis_h" ->
-        "midrank window runs over the VALUE-ALPHABET count table (cents alphabet), not the data",
+        (X, "midrank window runs over the VALUE-ALPHABET count table (cents alphabet), not the data"),
       "exact_median_selection" ->
-        "cumulative window runs over <= 4096 bin counts (constant bins)",
+        (X, "cumulative window runs over <= 4096 bin counts (constant bins)"),
       "drift_ks_binned" ->
-        "KS sweep runs over the fixed equi-width bin alphabet",
+        (X, "KS sweep runs over the fixed equi-width bin alphabet"),
       "lift_gains_deciles" ->
-        "decile grid is 10 rows; windows run over the grid",
+        (X, "decile grid is 10 rows; windows run over the grid"),
       "open_intervals_per_day" ->
-        "sweep runs over the DAY alphabet of the event range",
+        (X, "sweep runs over the DAY alphabet of the event range"),
       "pr_curve_by_threshold" ->
-        "curve windows run over the bounded score-threshold alphabet",
+        (X, "curve windows run over the bounded score-threshold alphabet"),
       "edges_to_sonata" ->
-        "@library dictionary and population-level windows are enum-alphabet-sized",
+        (X, "@library dictionary and population-level windows are enum-alphabet-sized"),
       "enum_library_codes" ->
-        "dictionary build windows over the enum value alphabet",
+        (X, "dictionary build windows over the enum value alphabet"),
       "exclusive_prefix_sum" ->
-        ("the operator's contract: the scan input is a per-key COUNT table " +
+        (X, "the operator's contract: the scan input is a per-key COUNT table " +
           "(group-alphabet-sized); data-sized callers go through globalPosition's _pid route"),
       "survival_kaplan_meier" ->
-        "product-limit window runs over the distinct event-time grid",
+        (X, "product-limit window runs over the distinct event-time grid"),
       "survival_logrank" ->
-        "risk-set window runs over the distinct event-time grid",
+        (X, "risk-set window runs over the distinct event-time grid"),
       "survival_nelson_aalen" ->
-        "hazard window runs over the distinct event-time grid",
+        (X, "hazard window runs over the distinct event-time grid"),
       "cumulative_distinct_users" ->
-        "running sum over the DAY alphabet (one row per day)",
+        (X, "running sum over the DAY alphabet (one row per day)"),
       "contribution_pareto" ->
-        "cumulative-share window runs over brand cardinality (25 rows)",
+        (X, "cumulative-share window runs over brand cardinality (25 rows)"),
       "topk_others_rollup" ->
-        "rank window over brand cardinality; re-aggregate is 25 rows"
+        (X, "rank window over brand cardinality; re-aggregate is 25 rows")
     )
   }
 }
