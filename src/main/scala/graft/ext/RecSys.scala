@@ -34,12 +34,25 @@ object RecSys {
                               scale: Long = 1000000L): DataFrame = {
     val b = baskets.select(col("basket_id").as("ok"), col("item_id").as("pk")).distinct()
     val sizes = b.groupBy(col("pk")).agg(count(lit(1)).as("n_baskets"))
-    b.as("a").join(b.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("pk").as("pa"), col("n_baskets").as("n_i")), "pa")
-      .join(sizes.select(col("pk").as("pb"), col("n_baskets").as("n_o")), "pb")
+    // Sizes ride the items INTO the pair generator (one item-keyed join
+    // of the item-sized frame), so the Σ|basket|²-sized pair stream is
+    // aggregated exactly once and never joined: the round-11/12 form
+    // (basket self-join + two size joins of the pair table) paid two
+    // extra exchanges and 2× the intermediates (SMJ emits |b|² matches
+    // before the pa<pb filter; ordered generation emits |b|²/2).
+    val perBasket = b.join(sizes, "pk")
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_list(struct(col("pk"), col("n_baskets")))).as("items"))
+    perBasket
+      .select(posexplode(col("items")).as(Seq("i", "a")), col("items"))
+      // slice is 1-based: positions i+2.. are exactly the items after a
+      .select(col("a.pk").as("pa"), col("a.n_baskets").as("n_i"),
+        explode(slice(col("items"), col("i") + lit(2), size(col("items")))).as("b"))
+      .groupBy(col("pa"), col("b.pk").as("pb"))
+      // n_i/n_o are functionally determined by pa/pb; min() is just the
+      // deterministic way to carry them through the aggregate
+      .agg(count(lit(1)).as("n_common"),
+        min(col("n_i")).as("n_i"), min(col("b.n_baskets")).as("n_o"))
       .select(col("pa"), col("pb"), col("n_common"),
         expr(s"($scale * n_common) div (n_i + n_o - n_common)").as("js"))
   }
