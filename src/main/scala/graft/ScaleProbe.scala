@@ -97,7 +97,12 @@ object ScaleProbe {
     // distributed read-back; the container I/O path is exactly what a
     // 10× probe cannot stress (a 3.5 GB file has real positional-write
     // contention a 350 MB one does not)
-    "edges_to_sonata_h5")
+    "edges_to_sonata_h5",
+    // round-13: the container chain's INDEX read-back face — the two
+    // readPairs scans plus the dense primary reconstruction are the
+    // half a libsonata consumer actually traverses (the edges face
+    // alone leaves the CSR I/O unprobed at 100×)
+    "sonata_h5_indices")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
@@ -391,7 +396,19 @@ object ScaleProbe {
       "embedding_pca_power", "dedup_cluster_sizes", "abtest_cuped",
       "quality_surprisal_by_source", "changepoint_cusum_by_user",
       "streaming_cusum_by_user", "file_ordered_union",
-      "edges_to_sonata_h5"))
+      "edges_to_sonata_h5",
+      // round-13 admissions (round-12 verdict item 1 — the round-12
+      // board wave): the container index read-back, the 8-gram
+      // explode + keyed agg + TakeOrdered audit, the broadcast-anchor
+      // integer-cosine² contamination sweep, the k-means pseudo-label
+      // hard-negative miner, the B=1000 equidepth rank-bucket
+      // Spearman, and the word-keyed two-snapshot JS drift table.
+      // batch_length_buckets is the one exemption: a single stateless
+      // projection + a floor-log2-bounded keyed aggregate (≤ ~40
+      // groups), plan-trivially linear like table_checksum.
+      "sonata_h5_indices", "memorization_ngrams",
+      "decontaminate_semantic", "ann_hard_negatives",
+      "spearman_bucketed", "vocab_drift_js"))
       // round-11 session wave (calibration_reliability/ece_brier,
       // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
       // keyed aggregates on bin/class/score-alphabet keys — ad-hoc

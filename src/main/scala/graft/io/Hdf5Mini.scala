@@ -22,9 +22,11 @@ import java.nio.charset.StandardCharsets
   *
   *   - superblock version 0, offsets/lengths 8 bytes, base address 0;
   *   - groups in the classic format: object header + v1 B-tree (level 0)
-  *     + one symbol-table node + local heap — one SNOD per group, which
-  *     caps a group at 2·K_leaf = 64 members (SONATA groups hold ≤ a few
-  *     dozen property columns; exceeded → loud error, never silent drop);
+  *     + symbol-table nodes + local heap — members split across up to
+  *     2·K_internal = 32 SNODs of ≤ 2·K_leaf = 64 symbols each (round 13
+  *     lifted the single-SNOD cap), so a group holds up to 2048 members
+  *     (a 65+-column property table is not exotic at the north star;
+  *     exceeded → loud error, never silent drop);
   *   - datasets: contiguous layout only (the reference's own choice for
   *     SONATA — sonata_file.cpp:96-101 creates simple dataspaces with no
   *     chunking), fixed dims, little-endian int8..64/uint8..64/float/double
@@ -233,8 +235,33 @@ object Hdf5Mini {
   private final case class GroupLayout(spec: GroupSpec, ohAddr: Long,
                                        btreeAddr: Long, heapAddr: Long,
                                        heapDataAddr: Long, heapData: Array[Byte],
-                                       snodAddr: Long,
+                                       snodAddrs: Seq[Long],
+                                       chunks: Seq[Seq[String]],
                                        nameOffsets: Map[String, Long])
+
+  /** Split a group's name-sorted members into SNOD chunks: one chunk up
+    * to 2·K_leaf names (the single-leaf case may be arbitrarily small —
+    * spec II.A); beyond that, even split into ⌈n/2K⌉ chunks, which keeps
+    * every chunk within [K_leaf, 2·K_leaf] as the B-tree invariant
+    * requires (⌊n/⌈n/2K⌉⌋ ≥ K for all n > 2K).
+    */
+  private def snodChunks(members: Seq[String]): Seq[Seq[String]] = {
+    if (members.size <= 2 * GroupLeafK) Seq(members)
+    else {
+      val n = members.size
+      val k = (n + 2 * GroupLeafK - 1) / (2 * GroupLeafK)
+      val base = n / k
+      val extra = n % k   // first `extra` chunks get one more
+      val out = Seq.newBuilder[Seq[String]]
+      var i = 0
+      (0 until k).foreach { c =>
+        val sz = base + (if (c < extra) 1 else 0)
+        out += members.slice(i, i + sz)
+        i += sz
+      }
+      out.result()
+    }
+  }
 
   /** Write the container's metadata for the given tree and RESERVE the
     * contiguous data regions; returns each dataset's region keyed by its
@@ -252,9 +279,12 @@ object Hdf5Mini {
       val members = (spec.groups.map(_.name) ++ spec.datasets.map(_.name)).sorted
       require(members.size == members.distinct.size,
         s"hdf5: duplicate member names in group /${pathSegs.mkString("/")}")
-      require(members.size <= 2 * GroupLeafK,
+      // one level-0 TREE node holds up to 2·K_internal SNOD children of
+      // up to 2·K_leaf symbols each; deeper trees are out of scope
+      require(members.size <= 2 * GroupInternalK * 2 * GroupLeafK,
         s"hdf5: group /${pathSegs.mkString("/")} has ${members.size} members " +
-          s"(this writer caps a group at ${2 * GroupLeafK})")
+          s"(this writer caps a group at ${2 * GroupInternalK * 2 * GroupLeafK})")
+      val chunks = snodChunks(members)
       val heapBytes = scala.collection.mutable.ArrayBuffer[Byte](0,0,0,0,0,0,0,0)
       val nameOffsets = members.map { m =>
         val off = heapBytes.length.toLong
@@ -268,9 +298,9 @@ object Hdf5Mini {
       val btreeAddr = cursor; cursor += BtreeSize
       val heapAddr = cursor; cursor += HeapHeaderSize
       val heapDataAddr = cursor; cursor += heapBytes.length
-      val snodAddr = cursor; cursor += SnodSize
+      val snodAddrs = chunks.map { _ => val a = cursor; cursor += SnodSize; a }
       groupLayouts += pathSegs -> GroupLayout(spec, ohAddr, btreeAddr, heapAddr,
-        heapDataAddr, heapBytes.toArray, snodAddr, nameOffsets)
+        heapDataAddr, heapBytes.toArray, snodAddrs, chunks, nameOffsets)
       spec.groups.sortBy(_.name).foreach(g => layoutGroup(g, pathSegs :+ g.name))
       spec.datasets.sortBy(_.name).foreach { d =>
         dsAddrs(pathSegs :+ d.name) = (d, cursor)
@@ -329,17 +359,22 @@ object Hdf5Mini {
       meta.put(objectHeader(
         msg(0x0011, symbolTableBody(gl.btreeAddr, gl.heapAddr)) +:
           gl.spec.attrs.map(a => msg(0x000C, attributeBody(a._1, a._2)))))
-      // B-tree (level 0, single SNOD child)
+      // B-tree (level 0, one child per SNOD chunk; keys bracket the
+      // chunks: key[0] = "" at heap offset 0, key[i>0] = last name of
+      // chunk i-1 — the III.A.1 ordering invariant with strict sort)
       meta.position(gl.btreeAddr.toInt)
       meta.put("TREE".getBytes(StandardCharsets.US_ASCII))
       meta.put(0.toByte)                // node type 0: group
       meta.put(0.toByte)                // level 0
-      val members = (gl.spec.groups.map(_.name) ++ gl.spec.datasets.map(_.name)).sorted
-      meta.putShort(1.toShort)          // one child (the SNOD)
+      meta.putShort(gl.chunks.size.toShort)
       meta.putLong(Undef); meta.putLong(Undef)
       meta.putLong(0L)                  // key[0]: empty string at heap offset 0
-      meta.putLong(gl.snodAddr)
-      meta.putLong(members.lastOption.map(gl.nameOffsets).getOrElse(0L)) // key[1]
+      gl.chunks.zip(gl.snodAddrs).foreach { case (chunk, snodAddr) =>
+        meta.putLong(snodAddr)
+        // key[i+1]: chunk's last name (empty group → single empty SNOD,
+        // key stays the empty string)
+        meta.putLong(chunk.lastOption.map(gl.nameOffsets).getOrElse(0L))
+      }
       // local heap
       meta.position(gl.heapAddr.toInt)
       meta.put("HEAP".getBytes(StandardCharsets.US_ASCII))
@@ -349,19 +384,21 @@ object Hdf5Mini {
       meta.putLong(gl.heapDataAddr)
       meta.position(gl.heapDataAddr.toInt)
       meta.put(gl.heapData)
-      // symbol-table node
-      meta.position(gl.snodAddr.toInt)
-      meta.put("SNOD".getBytes(StandardCharsets.US_ASCII))
-      meta.put(1.toByte); meta.put(0.toByte)
-      meta.putShort(members.size.toShort)
-      members.foreach { m =>
-        val childAddr =
-          if (gl.spec.groups.exists(_.name == m)) groupByPath(segs :+ m).ohAddr
-          else dsAddrs(segs :+ m)._2
-        meta.putLong(gl.nameOffsets(m))
-        meta.putLong(childAddr)
-        meta.putInt(0); meta.putInt(0)  // cache type 0
-        meta.putLong(0L); meta.putLong(0L)
+      // symbol-table nodes
+      gl.chunks.zip(gl.snodAddrs).foreach { case (chunk, snodAddr) =>
+        meta.position(snodAddr.toInt)
+        meta.put("SNOD".getBytes(StandardCharsets.US_ASCII))
+        meta.put(1.toByte); meta.put(0.toByte)
+        meta.putShort(chunk.size.toShort)
+        chunk.foreach { m =>
+          val childAddr =
+            if (gl.spec.groups.exists(_.name == m)) groupByPath(segs :+ m).ohAddr
+            else dsAddrs(segs :+ m)._2
+          meta.putLong(gl.nameOffsets(m))
+          meta.putLong(childAddr)
+          meta.putInt(0); meta.putInt(0)  // cache type 0
+          meta.putLong(0L); meta.putLong(0L)
+        }
       }
     }
 

@@ -123,4 +123,48 @@ class Hdf5PropertySpec extends AnyFunSuite {
       walk(tree, "")
     }
   }
+
+  test("wide groups (past the old 64-member single-SNOD cap) round-trip " +
+    "and pass the independent spec validator") {
+    // 65 is the first multi-SNOD size; 129 forces three chunks; 300 a
+    // mid-size stress; 2048 is the new loud cap boundary
+    val sizes = Seq(65, 129, 300)
+    sizes.foreach { n =>
+      val dir = Files.createTempDirectory("h5wide")
+      dir.toFile.deleteOnExit()
+      val path = dir.resolve(s"wide$n.h5").toString
+      // names deliberately NOT pre-sorted — the writer must sort and
+      // bracket them into ordered SNOD chunks itself
+      val names = (0 until n).map(i => f"col_${(i * 7919) % n}%04d")
+      val tree = GroupSpec("", groups = Seq(GroupSpec("wide",
+        datasets = names.map(m => DatasetSpec(m, I32, Seq(3L))))))
+      val regions = Hdf5Mini.write(path, tree)
+      assert(regions.size == n)
+      names.foreach(m => Hdf5Mini.fill(path, regions(s"/wide/$m"), 0L,
+        deterministicBytes(regions(s"/wide/$m"), m)))
+      val f = Hdf5Mini.read(path)
+      assert(f.datasets.keySet == regions.keySet, s"n=$n member census")
+      names.foreach { m =>
+        val ds = f.datasets(s"/wide/$m")
+        val back = java.util.Arrays.copyOfRange(
+          f.bytes, ds.dataAddress.toInt, (ds.dataAddress + ds.byteSize).toInt)
+        assert(back.sameElements(deterministicBytes(regions(s"/wide/$m"), m)), m)
+      }
+      // the independent spec-derived checker must accept the multi-SNOD
+      // B-tree (key ordering, SNOD sort, chunk bracketing)
+      import scala.sys.process._
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/h5check.py", path))
+        .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+      assert(code == 0, s"h5check rejected the $n-member group:\n$out")
+    }
+    // past the 2048 cap: loud error, never a silent drop
+    val tooWide = GroupSpec("", groups = Seq(GroupSpec("wide",
+      datasets = (0 until 2049).map(i => DatasetSpec(f"c$i%04d", I8, Seq(1L))))))
+    val dir = Files.createTempDirectory("h5wide")
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Mini.write(dir.resolve("toowide.h5").toString, tooWide)
+    }
+    assert(e.getMessage.contains("2048"))
+  }
 }
