@@ -438,8 +438,45 @@ object SonataH5 {
             .select(lit(tag).as("dir"), lit("secondary").as("kind"),
               col("row_id").as("k"), col("a"), col("b")))
       }.reduce(_ unionAll _)
+    }),
+
+    // The WIDE property table (round 13): 66 property datasets +
+    // `@library` = 67 members in the `0/` group — past the old
+    // single-SNOD 64-member cap, so the multi-SNOD B-tree writer is
+    // inside the DuckDB gate, not just the fuzz suite. ~1/16 of
+    // lineitem (l_partkey % 16) keeps the face board-priced while the
+    // column count, not the row count, is what this query stresses.
+    "sonata_h5_wide" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("sonatah5wide") + "/edges.h5"
+      val base = Tables.lineitem(s, dir)
+        .where(col("l_partkey") % 16 === 0)
+        .select(col("l_orderkey").as("source_node_id"),
+          col("l_suppkey").as("target_node_id"),
+          col("l_linenumber").as("edge_type_id"),
+          round(col("l_quantity") * 100).cast("long").as("q_cents"),
+          col("l_returnflag").as("my_label"))
+      val props = (0 until WideProps).map(i =>
+        ((col("q_cents") * (i + 3)) % 9973).cast("int").as(f"c$i%02d"))
+      val edges = base.select(
+        Seq(col("source_node_id"), col("target_node_id"), col("edge_type_id"),
+          col("q_cents"), col("my_label")) ++ props: _*)
+      val (_, done) = convert(s, edges, "source_node_id", "target_node_id",
+        out, "wide_edges",
+        tiebreak = Seq("edge_type_id", "q_cents", "my_label"),
+        enumCols = Seq("my_label"))
+      done()
+      val cols = Seq(col("source_node_id"), col("target_node_id"),
+        col("edge_type_id").cast("int").as("edge_type_id"),
+        col("q_cents"), col("my_label")) ++
+        (0 until WideProps).map(i => col(f"c$i%02d")) :+ col("edge_id")
+      readEdges(s, out, "wide_edges").select(cols: _*)
     })
   )
+
+  /** Derived property-column count for `sonata_h5_wide`: 64 cNN + q_cents
+    * + my_label = 66 datasets (+ `@library`) in the `0/` group.
+    */
+  private val WideProps = 64
 
   val oracleSql: Map[String, String] = Map(
     "edges_to_sonata_h5" ->
@@ -489,6 +526,21 @@ object SonataH5 {
         |  CAST(range_pos AS BIGINT) AS k,
         |  CAST(range_start AS BIGINT) AS a,
         |  CAST(range_end AS BIGINT) AS b
-        |FROM numbered""".stripMargin
+        |FROM numbered""".stripMargin,
+
+    "sonata_h5_wide" -> {
+      val cCols = (0 until WideProps).map(i =>
+        "  CAST((CAST(round(l_quantity * 100) AS BIGINT) * %d) %% 9973 AS INTEGER) AS c%02d"
+          .format(i + 3, i))
+        .mkString(",\n")
+      s"""SELECT l_orderkey AS source_node_id, l_suppkey AS target_node_id,
+         |  l_linenumber AS edge_type_id,
+         |  CAST(round(l_quantity * 100) AS BIGINT) AS q_cents,
+         |  CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS INTEGER) AS my_label,
+         |$cCols,
+         |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber,
+         |    round(l_quantity * 100), l_returnflag) - 1 AS edge_id
+         |FROM lineitem WHERE l_partkey % 16 = 0""".stripMargin
+    }
   )
 }
