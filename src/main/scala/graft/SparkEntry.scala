@@ -64,6 +64,7 @@ object SparkEntry {
     (ext.Markov.queries, ext.Markov.oracleSql),
     (ext.RankFusion.queries, ext.RankFusion.oracleSql),
     (ext.RecSys.queries, ext.RecSys.oracleSql),
+    (ext.Preference.queries, ext.Preference.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.LinkPred.queries, ext.LinkPred.oracleSql),
     (ext.Timeseries.queries, ext.Timeseries.oracleSql),

@@ -194,7 +194,27 @@ object KMeans {
     "kmeans_inertia" -> ((s, dir) =>
       kmeansInertia(Tables.embeddings(s, dir), 8)),
     "kmeans_silhouette" -> ((s, dir) =>
-      kmeansSilhouette(Tables.embeddings(s, dir), 8))
+      kmeansSilhouette(Tables.embeddings(s, dir), 8)),
+
+    // IVF capacity-planning audit (round 13): per-cell occupancy of the
+    // same assignment the IVF index buckets by — share of the corpus
+    // per cell and the max-cell/mean-cell imbalance that decides what
+    // nProbe buys and whether cells need splitting. The cell table is
+    // k-bounded; the summary is a 1-row broadcast scalar (never a
+    // data-sized window), so the plan is the assignment projection +
+    // one keyed aggregate.
+    "ann_ivf_cell_stats" -> ((s, dir) => {
+      val cells = kmeansAssign2(Tables.embeddings(s, dir), 8)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val tot = cells.agg(sum(col("n_vectors")).as("total"),
+        max(col("n_vectors")).as("max_cell"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cluster_id"), col("n_vectors"),
+          expr("n_vectors * 1000000 div total").as("share_ppm"),
+          expr("max_cell * n_cells * 1000000 div total").as("imbalance_ppm"))
+    })
   )
 
   /** The two-round integer k-means as a DuckDB CTE chain, shared with
@@ -311,6 +331,22 @@ object KMeans {
           |  FROM ab)
           |SELECT cluster_id, count(*) AS n_vectors,
           |  CAST(CAST(sum(s_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_silhouette_ppm
-          |FROM sp GROUP BY cluster_id""".stripMargin)
+          |FROM sp GROUP BY cluster_id""".stripMargin),
+
+    "ann_ivf_cell_stats" ->
+      (oracleCtes +
+        """,
+          |cells AS (
+          |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+          |  FROM asg GROUP BY cluster_id),
+          |tot AS (
+          |  SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+          |    CAST(max(n_vectors) AS BIGINT) AS max_cell,
+          |    CAST(count(*) AS BIGINT) AS n_cells
+          |  FROM cells)
+          |SELECT cluster_id, n_vectors,
+          |  n_vectors * 1000000 // total AS share_ppm,
+          |  max_cell * n_cells * 1000000 // total AS imbalance_ppm
+          |FROM cells CROSS JOIN tot""".stripMargin)
   )
 }

@@ -158,6 +158,32 @@ object Sampling {
       .select(col(stratumCol), col("quota"), col("rank"), col("doc_id"))
   }
 
+  /** Streamable half of the dynamic-batching planner: floor-log2 token
+    * buckets → (n_docs, sum_tokens, max_len) per bucket. A plain keyed
+    * aggregate, so the streaming face maintains it in complete mode and
+    * shares the batch oracle bit-for-bit (the drift_psi pattern).
+    */
+  def lengthBucketCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(1L))
+        .as("n_tok"))
+      .select(col("n_tok"),
+        expr("CAST(length(bin(n_tok)) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        max(col("n_tok")).as("max_len"))
+
+  /** Batch finisher: padding-waste ppm and batch counts per bucket for a
+    * fixed token budget per batch.
+    */
+  def lengthBucketFinish(counts: DataFrame, batchTokens: Long = 4096L): DataFrame =
+    counts.select(col("bucket"), col("n_docs"), col("sum_tokens"), col("max_len"),
+      expr("(n_docs * max_len - sum_tokens) * 1000000 div (n_docs * max_len)")
+        .as("pad_waste_ppm"),
+      expr(s"greatest(${batchTokens}L div max_len, 1L)").as("rows_per_batch"),
+      expr(s"(n_docs + greatest(${batchTokens}L div max_len, 1L) - 1) " +
+        s"div greatest(${batchTokens}L div max_len, 1L)").as("n_batches"))
+
   val queries: Map[String, Q] = Map(
     // largest-remainder language-stratified sample: exactly 200 docs
     "sample_stratified_exact" -> ((s, dir) =>
@@ -297,23 +323,8 @@ object Sampling {
     // readout (waste ppm + batch count per bucket) is what decides the
     // bucket boundaries before a training run. One stateless projection
     // + a log2-bounded keyed aggregate.
-    "batch_length_buckets" -> ((s, dir) => {
-      val batchTokens = 4096L
-      Tables.documents(s, dir)
-        .select(greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(1L))
-          .as("n_tok"))
-        .select(col("n_tok"),
-          expr("CAST(length(bin(n_tok)) - 1 AS BIGINT)").as("bucket"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
-          max(col("n_tok")).as("max_len"))
-        .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("max_len"),
-          expr("(n_docs * max_len - sum_tokens) * 1000000 div (n_docs * max_len)")
-            .as("pad_waste_ppm"),
-          expr(s"greatest(${batchTokens}L div max_len, 1L)").as("rows_per_batch"),
-          expr(s"(n_docs + greatest(${batchTokens}L div max_len, 1L) - 1) " +
-            s"div greatest(${batchTokens}L div max_len, 1L)").as("n_batches"))
-    }),
+    "batch_length_buckets" -> ((s, dir) =>
+      lengthBucketFinish(lengthBucketCounts(Tables.documents(s, dir)))),
 
     // Distribution matching by importance resampling — make every
     // source's LENGTH distribution match the reference source's (the

@@ -803,6 +803,26 @@ object StreamingOps {
     * complete mode over the document stream, sharing its oracle —
     * state is one row per language.
     */
+  /** Streaming dynamic-batching monitor: the floor-log2 length-bucket
+    * aggregate of `batch_length_buckets` maintained in complete mode
+    * over the document stream, with the padding-waste/batch-count
+    * arithmetic as the batch finisher — sharing the batch oracle
+    * bit-for-bit. State is one row per bucket (≤ ~40 buckets by
+    * construction), the live answer to "what will tonight's batch plan
+    * look like" as the corpus lands.
+    */
+  private def lengthBucketsToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"slenbuck_${System.nanoTime()}"
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.ext.Sampling.lengthBucketCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ext.Sampling.lengthBucketFinish(spark.table(name))
+  }
+
   private def fertilityToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"sfert_${System.nanoTime()}"
     val stream = spark.readStream.schema(documentsSchema)
@@ -965,6 +985,7 @@ object StreamingOps {
     "streaming_vocab_drift" -> ((s, dir) => vocabDriftToCompletion(s, dir)),
     "streaming_topic_mix" -> ((s, dir) => topicMixToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
+    "streaming_length_buckets" -> ((s, dir) => lengthBucketsToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
     "streaming_freshness_monitor" -> ((s, dir) => freshnessToCompletion(s, dir)),
@@ -1232,6 +1253,7 @@ object StreamingOps {
     "streaming_vocab_drift" -> graft.ext.LmStats.oracleSql("vocab_drift_js"),
     "streaming_topic_mix" -> graft.ext.KMeans.oracleSql("topic_mix_by_source"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
+    "streaming_length_buckets" -> graft.ext.Sampling.oracleSql("batch_length_buckets"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
     "streaming_ohlc" -> graft.ext.Timeseries.oracleSql("timeseries_ohlc"),

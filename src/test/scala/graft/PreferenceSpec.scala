@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bradley–Terry MM: hand-checked comparison extraction, agreement with
+  * an independent BigInt reference implementation of the scaled-integer
+  * MM iteration, dominance sanity, and partition invariance.
+  */
+class PreferenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def scored(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("basket_id", "item_id", "score")
+  }
+
+  test("comparisons: within-basket decided pairs, ties dropped, scores summed") {
+    // basket 1: items 1 (q=5), 2 (q=3), 3 (q=5) → pairs (1,2) 1 beats 2,
+    // (1,3) tie dropped, (2,3) 3 beats 2
+    // basket 2: item 1 split across two rows (2+1=3) vs item 2 (q=4) → 2 beats 1
+    val df = scored(Seq(
+      (1L, 1L, 5L), (1L, 2L, 3L), (1L, 3L, 5L),
+      (2L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 4L)))
+    val m = graft.ext.Preference.bradleyTerry(df, iters = 0, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // item → (n_comp, wins): 1 → 2 comps, 1 win; 2 → 3 comps, 1 win; 3 → 1 comp, 1 win
+    assert(m == Map(1L -> (2L, 1L), 2L -> (3L, 1L), 3L -> (1L, 1L)))
+  }
+
+  test("MM iterations agree with an independent BigInt reference") {
+    // fixed comparison structure over 4 items, mixed baskets
+    val df = scored(Seq(
+      (1L, 1L, 9L), (1L, 2L, 4L), (1L, 3L, 2L),
+      (2L, 1L, 7L), (2L, 4L, 8L),
+      (3L, 2L, 5L), (3L, 3L, 6L), (3L, 4L, 1L),
+      (4L, 1L, 3L), (4L, 2L, 8L),
+      (5L, 3L, 4L), (5L, 4L, 4L))) // tie → dropped
+    val got = graft.ext.Preference.bradleyTerry(df, iters = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+
+    // independent reference: aggregate pairs, then 3 scaled-integer MM
+    // rounds with BigInt arithmetic (truncating division)
+    val S2 = BigInt("1000000000000")
+    // (a, b) -> (n, winsA, winsB) with a < b, from the same basket logic
+    val pairsFixed = Map(
+      (1L, 2L) -> (2L, 1L, 1L),  // basket 1: 9>4; basket 4: 3<8
+      (1L, 3L) -> (1L, 1L, 0L),  // basket 1: 9>2
+      (1L, 4L) -> (1L, 0L, 1L),  // basket 2: 7<8
+      (2L, 3L) -> (2L, 1L, 1L),  // basket 1: 4>2; basket 3: 5<6
+      (2L, 4L) -> (1L, 1L, 0L),  // basket 3: 5>1
+      (3L, 4L) -> (1L, 1L, 0L))  // basket 3: 6>1 (basket 5 tie dropped)
+    val items = Seq(1L, 2L, 3L, 4L)
+    val wins = items.map(i => i -> pairsFixed.collect {
+      case ((a, _), (_, wa, _)) if a == i => wa
+      case ((_, b), (_, _, wb)) if b == i => wb
+    }.sum).toMap
+    var w = items.map(i => i -> BigInt(1000000)).toMap
+    (0 until 3).foreach { _ =>
+      val d = items.map { i =>
+        i -> pairsFixed.collect {
+          case ((a, b), (n, _, _)) if a == i || b == i =>
+            BigInt(n) * S2 / (w(a) + w(b))
+        }.sum
+      }.toMap
+      w = items.map(i => i -> BigInt(wins(i)) * S2 / d(i).max(BigInt(1))).toMap
+    }
+    items.foreach { i =>
+      assert(got(i) == w(i).toLong, s"item $i: got ${got(i)}, ref ${w(i)}")
+    }
+  }
+
+  test("an undefeated item ranks first; strengths are partition-invariant") {
+    val base = Seq(
+      (1L, 10L, 9L), (1L, 20L, 1L),
+      (2L, 10L, 8L), (2L, 30L, 2L),
+      (3L, 20L, 5L), (3L, 30L, 4L),
+      (4L, 10L, 7L), (4L, 20L, 3L))
+    val a = graft.ext.Preference.bradleyTerry(scored(base), 3, 10).collect()
+    assert(a.head.getLong(0) == 10L, "undefeated item must rank first")
+    val b = graft.ext.Preference.bradleyTerry(
+      scored(base).repartition(7), 3, 10).collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList,
+      "result must not depend on partitioning")
+  }
+}
