@@ -682,6 +682,27 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), 0.12)),
 
+    // Boundary-continuation pairs (round 13): doc A's last 4 tokens ==
+    // doc B's first 4 tokens — the shard-boundary artifact of scraped
+    // corpora (one page split across two records), which whole-text and
+    // Jaccard dedup both miss because the overlap is a sliver. One md5
+    // head hash + one tail hash per doc, then a hash-keyed equi-join —
+    // collision-bounded like every candidate generator here, never n².
+    "dedup_boundary_continuation" -> ((s, dir) => {
+      val k = 4
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= k)
+      val heads = d.select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", slice(col("t"), 1, k)), lit("utf-8"))).as("h"))
+      val tails = d.select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", slice(col("t"), -k, k)), lit("utf-8"))).as("h"))
+      tails.as("a").join(heads.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("tail_doc"), col("b.doc_id").as("head_doc"),
+          col("a.h").as("boundary_hash"))
+    }),
+
     // asymmetric subset-duplication pairs at containment ≥ 0.5 — the
     // doc-inside-doc cases Jaccard dilutes away
     "dedup_containment" -> ((s, dir) =>
@@ -905,6 +926,17 @@ object Dedup {
         |SELECT md5(array_to_string(toks[1:16], ' ')) AS prefix_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_docs
         |FROM t GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "dedup_boundary_continuation" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+        |  FROM documents),
+        |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 4),
+        |heads AS (SELECT doc_id, md5(array_to_string(t[1:4], ' ')) AS h FROM dd),
+        |tails AS (SELECT doc_id, md5(array_to_string(t[-4:], ' ')) AS h FROM dd)
+        |SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc, a.h AS boundary_hash
+        |FROM tails a JOIN heads b ON a.h = b.h AND a.doc_id <> b.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       (s"WITH $ngramCtes\n" +
       """SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,

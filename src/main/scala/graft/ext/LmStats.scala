@@ -95,6 +95,28 @@ object LmStats {
         .as("decay_milli"))
   }
 
+  /** Heaps-law vocabulary growth curve (round 13): distinct word types
+    * as a function of corpus prefix size, sampled at powers of two of
+    * the doc-id order — the "will the vocabulary saturate" readout
+    * behind tokenizer sizing (the measured companion of the BPE
+    * trainer's Heaps-sublinearity claim). Each type contributes its
+    * FIRST document (one min-aggregate on the word key), buckets by
+    * floor-log2 of that first doc, and the cumulative sum runs over the
+    * ≤ log2(D) bucket rows — corpus-linear with a log-bounded final
+    * window, the lm_zipf_bitlog shape.
+    */
+  def vocabGrowthHeaps(docs: DataFrame): DataFrame = {
+    val first = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val buckets = first
+      .select(expr("CAST(length(bin(first_doc + 1)) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    buckets
+      .select(col("bucket"), col("new_types"),
+        sum(col("new_types")).over(Window.orderBy(col("bucket"))).as("vocab_size"))
+  }
+
   /** Per-language tokenizer fertility: whitespace words vs BPE-ish
     * pre-tokens (the `text_bpe_tokens` regex), fertility in ppm
     * (subword tokens per word ×10⁶) — the "how many pieces does the
@@ -229,10 +251,26 @@ object LmStats {
     "tokenizer_fertility" -> ((s, dir) =>
       tokenizerFertility(Tables.documents(s, dir))),
     "lm_oov_coverage" -> ((s, dir) =>
-      oovCoverage(Tables.documents(s, dir), v = 30))
+      oovCoverage(Tables.documents(s, dir), v = 30)),
+    "vocab_growth_heaps" -> ((s, dir) =>
+      vocabGrowthHeaps(Tables.documents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "vocab_growth_heaps" ->
+      """WITH f AS (
+        |  SELECT w, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |b AS (
+        |  SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS new_types
+        |  FROM f GROUP BY 1)
+        |SELECT bucket, new_types,
+        |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+        |FROM b""".stripMargin,
     "vocab_drift_js" ->
       """WITH tk AS (
         |  SELECT doc_id % 2 = 0 AS is_a,

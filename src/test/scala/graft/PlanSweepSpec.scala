@@ -228,6 +228,8 @@ object PlanSweepSpec {
           "1-row-per-stratum plan; the quota window runs over the stratum alphabet"),
       "lm_zipf_bitlog" ->
         (X, "final rank window runs over the <= floor(log2(V)) bit-log-sampled rows"),
+      "vocab_growth_heaps" ->
+        (X, "cumulative window runs over the <= floor(log2(D)) first-doc buckets"),
       "abtest_cuped" ->
         (X, "moment window folds the 2-row per-variant aggregate (variant-count-bounded)"),
       "kruskal_wallis_h" ->
