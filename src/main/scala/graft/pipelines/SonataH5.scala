@@ -470,8 +470,53 @@ object SonataH5 {
         col("q_cents"), col("my_label")) ++
         (0 until WideProps).map(i => col(f"c$i%02d")) :+ col("edge_id")
       readEdges(s, out, "wide_edges").select(cols: _*)
-    })
+    }),
+
+    // The container through the DataSource V2 connector (round 13):
+    // same bytes as edges_to_sonata_h5, but read as a PLANNED Spark
+    // source — full-table face proves the connector end-to-end against
+    // the same oracle.
+    "sonata_h5_v2_source" -> ((s, dir) =>
+      s.read.format("sonatah5").option("population", "lineitem_edges")
+        .load(v2Container(s, dir))
+        .select(col("source_node_id"), col("target_node_id"),
+          col("edge_type_id").cast("int").as("edge_type_id"),
+          col("my_attribute"), col("my_label"), col("edge_id"))),
+
+    // The PRUNED face: 2-column projection + edge_id range — the scan
+    // positional-reads only those two columns' slices of only that row
+    // range (true columnar pruning: every SONATA column is its own
+    // contiguous region, so pruning skips bytes on disk, not just
+    // decode). Pushdown is asserted structurally in Hdf5SourceSpec;
+    // this face pins the RESULTS under pruning to the oracle.
+    "sonata_h5_v2_pruned" -> ((s, dir) =>
+      s.read.format("sonatah5").option("population", "lineitem_edges")
+        .load(v2Container(s, dir))
+        .where(col("edge_id") >= 1000L && col("edge_id") < 5000L)
+        .select(col("source_node_id"), col("my_attribute"), col("edge_id")))
   )
+
+  /** Shared container for the V2-source faces: built once per testdata
+    * dir (deterministic bytes — same build as `edges_to_sonata_h5`),
+    * so the two faces don't pay the conversion twice per board run.
+    */
+  private val v2Containers = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def v2Container(s: SparkSession, dir: String): String =
+    v2Containers.computeIfAbsent(dir, _ => {
+      val out = graft.io.TempDirs.create("sonatah5v2") + "/edges.h5"
+      val edges = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("source_node_id"),
+        col("l_suppkey").as("target_node_id"),
+        col("l_linenumber").as("edge_type_id"),
+        col("l_quantity").as("my_attribute"),
+        col("l_returnflag").as("my_label"))
+      val (_, done) = convert(s, edges, "source_node_id", "target_node_id",
+        out, "lineitem_edges",
+        tiebreak = Seq("edge_type_id", "my_attribute", "my_label"),
+        enumCols = Seq("my_label"))
+      done()
+      out
+    })
 
   /** Derived property-column count for `sonata_h5_wide`: 64 cNN + q_cents
     * + my_label = 66 datasets (+ `@library`) in the `0/` group.
@@ -541,6 +586,23 @@ object SonataH5 {
          |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber,
          |    round(l_quantity * 100), l_returnflag) - 1 AS edge_id
          |FROM lineitem WHERE l_partkey % 16 = 0""".stripMargin
-    }
+    },
+
+    // identical semantics to edges_to_sonata_h5 — the V2 face must
+    // produce the same table the RDD face does
+    "sonata_h5_v2_source" ->
+      """SELECT l_orderkey AS source_node_id, l_suppkey AS target_node_id,
+        |  l_linenumber AS edge_type_id, l_quantity AS my_attribute,
+        |  CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS INTEGER) AS my_label,
+        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS edge_id
+        |FROM lineitem""".stripMargin,
+
+    "sonata_h5_v2_pruned" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS source_node_id, l_quantity AS my_attribute,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS edge_id
+        |  FROM lineitem)
+        |SELECT source_node_id, my_attribute, edge_id
+        |FROM e WHERE edge_id >= 1000 AND edge_id < 5000""".stripMargin
   )
 }
