@@ -65,6 +65,8 @@ object SparkEntry {
     (ext.RankFusion.queries, ext.RankFusion.oracleSql),
     (ext.RecSys.queries, ext.RecSys.oracleSql),
     (ext.Preference.queries, ext.Preference.oracleSql),
+    (ext.Pii.queries, ext.Pii.oracleSql),
+    (ext.BinaryQuant.queries, ext.BinaryQuant.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.LinkPred.queries, ext.LinkPred.oracleSql),
     (ext.Timeseries.queries, ext.Timeseries.oracleSql),

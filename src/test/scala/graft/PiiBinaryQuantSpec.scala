@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 continuation wave: PII accounting/redaction audit and
+  * binary-quantization (sign-bit) ANN.
+  */
+class PiiBinaryQuantSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  // ---- PII ----
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("pii augmentation: modular rules append the documented tokens") {
+    // doc 0: all three classes; doc 1: none; doc 3: email only
+    val d = docs(Seq((0L, "alpha", "s"), (1L, "beta", "s"), (3L, "gamma", "s")))
+    val m = graft.ext.Pii.augmented(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(0L) == "alpha reach user0@mail.example.com call 555-0000 host 10.0.0.0")
+    assert(m(1L) == "beta")
+    assert(m(3L) == "gamma reach user3@mail.example.com")
+  }
+
+  test("pii_detect_counts: per-source class counts and matched chars") {
+    val d = docs(Seq((0L, "a", "s1"), (1L, "b", "s1"), (5L, "c", "s2")))
+    val rows = graft.ext.Pii.detectCounts(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // doc 0 (s1): email "user0@mail.example.com" (22) + phone "555-0000" (8)
+    // + ip "10.0.0.0" (8) = 38 matched chars; doc 1 clean
+    assert(rows("s1") == (2L, 1L, 1L, 1L, 1L, 38L))
+    // doc 5 (s2): phone only ("555-0005", 8 chars)
+    assert(rows("s2") == (1L, 1L, 0L, 1L, 0L, 8L))
+  }
+
+  test("pii redaction replaces every class and leaves no residuals") {
+    val d = docs(Seq((0L, "x", "s"), (15L, "y", "s"), (21L, "z", "s")))
+    val red = graft.ext.Pii.augmented(d)
+      .select(col("doc_id"), graft.ext.Pii.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(0L) == "x reach <EMAIL> call <PHONE> host <IP>")
+    assert(red(15L) == "y reach <EMAIL> call <PHONE>") // 15 ≡ 0 mod 3 and 5
+    assert(red(21L) == "z reach <EMAIL> host <IP>")    // 21 ≡ 0 mod 3 and 7
+    val audit = graft.ext.Pii.redactAudit(d).collect()
+    assert(audit.forall(r =>
+      r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L),
+      "residual matches after redaction")
+  }
+
+  // ---- BinaryQuant ----
+
+  private def vecs(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** All-positive except the listed (0-based) negative dims. */
+  private def v(neg: Int*): Seq[Float] =
+    (0 until 64).map(i => if (neg.contains(i)) -1.0f else 1.0f)
+
+  test("withCodes packs sign bits little-endian into two 32-bit halves") {
+    val e = vecs(Seq(
+      (1L, v()),            // all non-negative → both halves 2^32-1
+      (2L, v(0, 33)),       // bit 0 of lo and bit 1 of hi cleared
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f))))
+    val m = graft.ext.BinaryQuant.withCodes(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val full = (1L << 32) - 1
+    assert(m(1L) == (full, full))
+    assert(m(2L) == (full - 1L, full - 2L))
+    val alt = (0 until 32).filter(_ % 2 == 0).map(1L << _).sum
+    assert(m(3L) == (alt, alt))
+  }
+
+  test("bqTopK ranks by Hamming distance with id tie-break") {
+    // query 0 = all positive; candidates at Hamming 1, 2, 2, 64
+    val e = vecs(Seq(
+      (0L, v()), (10L, v(5)), (11L, v(1, 2)), (12L, v(3, 4)),
+      (13L, (0 until 64).map(_ => -1.0f))))
+    val got = graft.ext.BinaryQuant
+      .bqTopK(e.filter(col("vec_id") === 0), e, k = 3)
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1, 10L, 1), (2, 11L, 2), (3, 12L, 2)))
+  }
+
+  test("bq rerank recovers the exact top-k when the shortlist covers it") {
+    // 12 candidates, Hamming distance grows with id, so shortlist=6
+    // provably contains the exact dot top-3 (dot decreases with Hamming
+    // here: flipped dims move +1 → -1)
+    val e = vecs(Seq((0L, v())) ++ (1 to 12).map(i => (i.toLong, v((0 until i): _*))))
+    val q = e.filter(col("vec_id") === 0)
+    val exact = graft.ext.SimSearch.bruteForceTopK(q, e, k = 3)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    val rr = graft.ext.BinaryQuant.bqRerankTopK(q, e, shortlist = 6, k = 3)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(rr == exact)
+    assert(exact == Set(1L, 2L, 3L))
+  }
+}
