@@ -200,6 +200,10 @@ object PlanSweepSpec {
       "streams through once — brute force exists only as the labeled recall oracle"
     Map(
       "ann_bruteforce_topk" -> (J, annProbePanel),
+      "ann_bq_topk" -> (J, annProbePanel +
+        "; the BQ Hamming scan reads the 32x-compressed bit codes"),
+      "ann_bq_rerank_recall" -> (J, annProbePanel +
+        "; the rerank joins are equi-keyed on (q_id, c_id) over the 20-per-query shortlist"),
       "ann_ivf_recall" -> (J, annProbePanel),
       "ann_ivf_topk" -> (J, annProbePanel + "; the IVF path itself joins on cell id"),
       "ann_ivfpq_recall" -> (J, annProbePanel),
