@@ -823,6 +823,25 @@ object StreamingOps {
     graft.ext.Sampling.lengthBucketFinish(spark.table(name))
   }
 
+  /** Streaming PII-prevalence monitor: the per-source class counts of
+    * `pii_detect_counts` maintained in complete mode over the document
+    * stream, sharing its oracle bit-for-bit — the live compliance gauge
+    * as a crawl lands (a source whose pii_chars share spikes gets
+    * quarantined before the nightly curation run). The regex projection
+    * is stateless per document; state is one row per source.
+    */
+  private def piiToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"spii_${System.nanoTime()}"
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.ext.Pii.detectCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   private def fertilityToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"sfert_${System.nanoTime()}"
     val stream = spark.readStream.schema(documentsSchema)
@@ -985,6 +1004,7 @@ object StreamingOps {
     "streaming_vocab_drift" -> ((s, dir) => vocabDriftToCompletion(s, dir)),
     "streaming_topic_mix" -> ((s, dir) => topicMixToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
+    "streaming_pii_monitor" -> ((s, dir) => piiToCompletion(s, dir)),
     "streaming_length_buckets" -> ((s, dir) => lengthBucketsToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
@@ -1253,6 +1273,7 @@ object StreamingOps {
     "streaming_vocab_drift" -> graft.ext.LmStats.oracleSql("vocab_drift_js"),
     "streaming_topic_mix" -> graft.ext.KMeans.oracleSql("topic_mix_by_source"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
+    "streaming_pii_monitor" -> graft.ext.Pii.oracleSql("pii_detect_counts"),
     "streaming_length_buckets" -> graft.ext.Sampling.oracleSql("batch_length_buckets"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),

@@ -41,6 +41,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PII monitor equals the batch pii_detect_counts bit for bit") {
+    val streamed = SparkEntry.queries("streaming_pii_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("pii_detect_counts")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming surprisal monitor equals the batch by-source face bit for bit") {
     val streamed = SparkEntry.queries("streaming_surprisal_monitor")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
