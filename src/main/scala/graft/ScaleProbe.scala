@@ -408,7 +408,20 @@ object ScaleProbe {
       // groups), plan-trivially linear like table_checksum.
       "sonata_h5_indices", "memorization_ngrams",
       "decontaminate_semantic", "ann_hard_negatives",
-      "spearman_bucketed", "vocab_drift_js"))
+      "spearman_bucketed", "vocab_drift_js",
+      // round-13 session wave: the full-corpus BQ Hamming scan (the
+      // bit-code projection + broadcast-panel rank is the claim — the
+      // corpus side must stream through once, never pair with itself)
+      // and the triple-regex PII prevalence scan (heavier per row than
+      // table_checksum's conditional sums, so it earns a ratio rather
+      // than an exemption). ann_bq_rerank_recall rides the same scan
+      // plus a 20-per-query-bounded rerank (shortlist-sized joins);
+      // pii_redact_audit is the same triple-regex scan shape as
+      // detect_counts; pii_redact_docs is doc_id<40-bounded; the
+      // streaming PII monitor is per-source complete-mode state like
+      // the other unprobed monitors — all four left off the record
+      // like table_checksum / kappa.
+      "ann_bq_topk", "pii_detect_counts"))
       // round-11 session wave (calibration_reliability/ece_brier,
       // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
       // keyed aggregates on bin/class/score-alphabet keys — ad-hoc
