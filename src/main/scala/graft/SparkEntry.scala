@@ -66,6 +66,7 @@ object SparkEntry {
     (ext.RecSys.queries, ext.RecSys.oracleSql),
     (ext.Preference.queries, ext.Preference.oracleSql),
     (ext.Pii.queries, ext.Pii.oracleSql),
+    (ext.Curriculum.queries, ext.Curriculum.oracleSql),
     (ext.BinaryQuant.queries, ext.BinaryQuant.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.LinkPred.queries, ext.LinkPred.oracleSql),

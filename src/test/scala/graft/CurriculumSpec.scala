@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-run planning faces: curriculum phase manifest and
+  * dedup-aware mixture weights.
+  */
+class CurriculumSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("phaseManifest bands by rarity and partitions the corpus exactly") {
+    // 8 docs: 4 of common-only words (low rarity), 4 carrying a unique
+    // word each (high rarity) — with 2 phases the split is clean
+    val common = "a a a a a a a a"
+    val d = docs((0 until 4).map(i => (i.toLong, common, s"s$i")) ++
+      (4 until 8).map(i => (i.toLong, s"a a a a a a a uniq$i", s"s$i")))
+    val m = graft.ext.Curriculum.phaseManifest(d, phases = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc has 8 tokens; phases partition 8 docs / 64 tokens
+    assert(m.values.map(_._1).sum == 8L)
+    assert(m.values.map(_._2).sum == 64L)
+    assert(m(0) == (4L, 32L) && m(1) == (4L, 32L))
+  }
+
+  test("rarity orders rare-token docs above common-token docs") {
+    val d = docs(Seq(
+      (0L, "x x x x", "s"), (1L, "x x x x", "s"), (2L, "x x rare1 rare2", "s")))
+    val phases = graft.ext.Curriculum.phaseManifest(d, phases = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the rare-word doc lands alone in the top phase
+    assert(phases(1) == 1L)
+  }
+
+  test("dedupWeights: a k-copy family samples at 1/k and inflation tracks it") {
+    val d = docs(Seq(
+      (0L, "same text", "s1"), (1L, "same text", "s1"), (2L, "same text", "s1"),
+      (3L, "other", "s1"),
+      (4L, "third", "s2")))
+    val m = graft.ext.Curriculum.dedupWeights(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: 4 docs, 2 families; effective = 3*(1e6 div 3) + 1e6 = 1999999 ppm,
+    // inflation = 4e12 div 1999999 = 2000001
+    assert(m("s1") == (4L, 2L, 1999999L, 2000001L))
+    // s2: singleton — weight 1, inflation exactly 1e6
+    assert(m("s2") == (1L, 1L, 1000000L, 1000000L))
+  }
+}
