@@ -421,7 +421,13 @@ object ScaleProbe {
       // streaming PII monitor is per-source complete-mode state like
       // the other unprobed monitors — all four left off the record
       // like table_checksum / kappa.
-      "ann_bq_topk", "pii_detect_counts"))
+      "ann_bq_topk", "pii_detect_counts",
+      // round-13 session wave 2: the curriculum manifest (token-keyed
+      // model join + doc-keyed aggregate + 1-row threshold broadcast —
+      // the surprisal-family shape with a percentile fold) and the
+      // dedup mixture weights (two hash-keyed aggregates + one
+      // hash-keyed equi-join — the dedup_exact shuffle discipline)
+      "curriculum_phase_manifest", "mixture_dedup_weights"))
       // round-11 session wave (calibration_reliability/ece_brier,
       // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
       // keyed aggregates on bin/class/score-alphabet keys — ad-hoc
