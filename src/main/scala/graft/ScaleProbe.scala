@@ -102,7 +102,13 @@ object ScaleProbe {
     // readPairs scans plus the dense primary reconstruction are the
     // half a libsonata consumer actually traverses (the edges face
     // alone leaves the CSR I/O unprobed at 100×)
-    "sonata_h5_indices")
+    "sonata_h5_indices",
+    // round-13 session wave: the Bradley–Terry MM chain (lineitem-only
+    // — the ordered in-basket pair fan-out's Σ|basket|² bound and the
+    // pair-table-riding MM exchanges are exactly what two decades up
+    // must not bend) and the BQ Hamming scan (embeddings-scaled — the
+    // corpus-linear claim behind the 32× bit-code compression)
+    "bradley_terry_strength", "ann_bq_topk")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
