@@ -92,6 +92,36 @@ class PiiBinaryQuantSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 10L, 1), (2, 11L, 2), (3, 12L, 2)))
   }
 
+  test("property: codes and Hamming ranking match an independent Scala reference") {
+    // fixed-seed pseudo-random sign vectors; reference packs bits and
+    // ranks by (hamming, id) with plain Scala integer ops
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val vs = (0 until n).map { i =>
+      i.toLong -> (0 until 64).map(_ => if (rnd.nextBoolean()) 1.0f else -1.0f)
+    }
+    def pack(v: Seq[Float], lo: Int): Long =
+      (0 until 32).map(j => if (v(lo + j) >= 0) 1L << j else 0L).sum
+    val ref = vs.map { case (id, v) => id -> (pack(v, 0), pack(v, 32)) }.toMap
+    val e = vecs(vs)
+    val got = graft.ext.BinaryQuant.withCodes(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref)
+    // full ranking for queries 0..4 vs the reference
+    val refTop = (0L until 5L).map { q =>
+      val (ql, qh) = ref(q)
+      q -> vs.filter(_._1 != q).map { case (c, _) =>
+        val (cl, ch) = ref(c)
+        (java.lang.Long.bitCount(ql ^ cl) + java.lang.Long.bitCount(qh ^ ch), c)
+      }.sorted.take(5).map(_._2)
+    }.toMap
+    val gotTop = graft.ext.BinaryQuant
+      .bqTopK(e.filter(col("vec_id") < 5), e, k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(gotTop == refTop)
+  }
+
   test("bq rerank recovers the exact top-k when the shortlist covers it") {
     // 12 candidates, Hamming distance grows with id, so shortlist=6
     // provably contains the exact dot top-3 (dot decreases with Hamming
