@@ -119,8 +119,34 @@ object Pii {
         sum(col("rp")).as("residual_phones"),
         sum(col("ri")).as("residual_ips"))
 
+  /** Source-level quarantine: sources whose total PII character mass
+    * sits strictly above the cross-source mean are blocklisted, and the
+    * corpus is filtered by a BROADCAST ANTI-JOIN on source (the
+    * blocklist is #sources-sized — KB against any corpus). Emits the
+    * surviving per-source doc/char counts plus the quarantine verdict
+    * columns, so the hash compare pins both the blocklist decision and
+    * the filtered corpus mass. The mean threshold is exact integer
+    * arithmetic (sum·1 vs mean cross-multiplied: pii_chars·n_sources >
+    * total_pii) — no division, engine-identical.
+    */
+  def sourceQuarantine(docs: DataFrame): DataFrame = {
+    val per = detectCounts(docs)
+      .select(col("source"), col("pii_chars"))
+    val tot = per.agg(sum(col("pii_chars")).as("total_pii"),
+      count(lit(1)).as("n_sources"))
+    val block = per.crossJoin(broadcast(tot))
+      .where(col("pii_chars") * col("n_sources") > col("total_pii"))
+      .select(col("source"))
+    docs.join(broadcast(block), Seq("source"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(length(col("text"))).as("chars_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pii_detect_counts" -> ((s, dir) => detectCounts(Tables.documents(s, dir))),
+    "pii_source_quarantine" -> ((s, dir) =>
+      sourceQuarantine(Tables.documents(s, dir))),
     "pii_redact_audit" -> ((s, dir) => redactAudit(Tables.documents(s, dir))),
     // bounded sample of the redacted text itself — direct string
     // equality against the oracle's regexp_replace chain, the strongest
@@ -172,6 +198,24 @@ object Pii {
          |  CAST(sum(ni) AS BIGINT) AS n_ips,
          |  CAST(sum(mc) AS BIGINT) AS pii_chars
          |FROM per GROUP BY source""".stripMargin,
+    "pii_source_quarantine" ->
+      s"""WITH aug AS ($augSql),
+         |per AS (
+         |  SELECT source,
+         |    CAST(sum(length(text) - length(regexp_replace(text, '$emailSql', '', 'g'))
+         |       + length(text) - length(regexp_replace(text, '$phoneSql', '', 'g'))
+         |       + length(text) - length(regexp_replace(text, '$ipSql', '', 'g'))) AS BIGINT) AS pii_chars
+         |  FROM aug GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(pii_chars) AS BIGINT) AS total_pii,
+         |    CAST(count(*) AS BIGINT) AS n_sources FROM per),
+         |block AS (
+         |  SELECT per.source FROM per, tot
+         |  WHERE per.pii_chars * tot.n_sources > tot.total_pii)
+         |SELECT d.source, count(*) AS n_docs_kept,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS chars_kept
+         |FROM documents d ANTI JOIN block ON block.source = d.source
+         |GROUP BY d.source""".stripMargin,
     "pii_redact_audit" ->
       s"""WITH aug AS ($augSql),
          |red AS (
