@@ -425,8 +425,10 @@ object ScaleProbe {
       // pii_redact_audit is the same triple-regex scan shape as
       // detect_counts; pii_redact_docs is doc_id<40-bounded; the
       // streaming PII monitor is per-source complete-mode state like
-      // the other unprobed monitors — all four left off the record
-      // like table_checksum / kappa.
+      // the other unprobed monitors; pii_source_quarantine is the
+      // detect_counts scan plus a #sources-sized broadcast anti-join
+      // and a second corpus-linear aggregate — all left off the
+      // record like table_checksum / kappa.
       "ann_bq_topk", "pii_detect_counts",
       // round-13 session wave 2: the curriculum manifest (token-keyed
       // model join + doc-keyed aggregate + 1-row threshold broadcast —
