@@ -33,6 +33,12 @@ object Curriculum {
     * Headroom: a term is ≤ 10⁹, so the per-doc sum holds to ~9·10⁹
     * tokens per document. Same plan as the surprisal chain: one
     * token-keyed model join + a doc-keyed aggregate.
+    *
+    * Zero-token (empty / whitespace-only) documents carry no rarity
+    * evidence and score rarity 0, landing in the easiest phase — the
+    * docs side is LEFT-joined so phase doc counts always sum to the
+    * corpus size (round-13 ADVICE: the old explode+inner-join silently
+    * dropped token-less docs from the manifest).
     */
   private def docScores(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
@@ -44,7 +50,11 @@ object Curriculum {
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("r_sum"))
       .select(col("doc_id"), col("n_tokens"),
         expr("r_sum div greatest(n_tokens, 1L)").as("rarity"))
-    perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rarity"), lit(0L)).as("rarity"))
   }
 
   /** Easy→hard curriculum manifest over `phases` equi-depth rarity
@@ -80,6 +90,12 @@ object Curriculum {
     * readout: raw docs, distinct families, effective docs (Σ 1/k in
     * ppm — the deduplicated mass), and the dup-inflation of the raw
     * count over the effective mass.
+    *
+    * Inflation is reported in ×10³ fixed point: the numerator is
+    * n_docs·10⁹, so the BIGINT bound holds to ~9.2·10⁹ raw docs per
+    * source (≈ 40+ TB of text per source at typical doc sizes) —
+    * round-13 ADVICE replaced the ×10⁶ form, whose n_docs·10¹²
+    * numerator silently wrapped past ~9.2M docs.
     */
   def dedupWeights(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"),
@@ -94,9 +110,9 @@ object Curriculum {
         sum(col("w_ppm")).as("effective_docs_ppm"))
       .select(col("source"), col("n_docs"), col("n_families"),
         col("effective_docs_ppm"),
-        // effective is in ppm, so inflation×1e6 = n_docs·10¹² div eff_ppm
-        expr("n_docs * 1000000000000L div greatest(effective_docs_ppm, 1L)")
-          .as("inflation_x1e6"))
+        // effective is in ppm, so inflation×1e3 = n_docs·10⁹ div eff_ppm
+        expr("n_docs * 1000000000L div greatest(effective_docs_ppm, 1L)")
+          .as("inflation_x1e3"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -120,8 +136,11 @@ object Curriculum {
         |  FROM tok JOIN cnt ON cnt.w = tok.w
         |  GROUP BY tok.doc_id),
         |scored AS (
-        |  SELECT d.source, p.n_tokens, p.rarity FROM perdoc p
-        |  JOIN documents d ON d.doc_id = p.doc_id),
+        |  SELECT d.source,
+        |    CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(p.rarity, 0) AS BIGINT) AS rarity
+        |  FROM documents d
+        |  LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
         |b AS (SELECT quantile_cont(rarity, [0.25, 0.5, 0.75]) AS bnds FROM scored)
         |SELECT CAST(len(list_filter(b.bnds, x -> CAST(s.rarity AS DOUBLE) > x)) AS INTEGER) AS phase,
         |  count(*) AS n_docs,
@@ -136,8 +155,8 @@ object Curriculum {
         |SELECT k.source, count(*) AS n_docs,
         |  CAST(count(DISTINCT k.h) AS BIGINT) AS n_families,
         |  CAST(sum(1000000 // f.fam_size) AS BIGINT) AS effective_docs_ppm,
-        |  CAST(count(*) * 1000000000000 // greatest(sum(1000000 // f.fam_size), 1) AS BIGINT)
-        |    AS inflation_x1e6
+        |  CAST(count(*) * 1000000000 // greatest(sum(1000000 // f.fam_size), 1) AS BIGINT)
+        |    AS inflation_x1e3
         |FROM keyed k JOIN fams f ON f.h = k.h
         |GROUP BY k.source""".stripMargin
   )

@@ -122,25 +122,32 @@ object Pii {
   /** Source-level quarantine: sources whose total PII character mass
     * sits strictly above the cross-source mean are blocklisted, and the
     * corpus is filtered by a BROADCAST ANTI-JOIN on source (the
-    * blocklist is #sources-sized — KB against any corpus). Emits the
-    * surviving per-source doc/char counts plus the quarantine verdict
-    * columns, so the hash compare pins both the blocklist decision and
-    * the filtered corpus mass. The mean threshold is exact integer
-    * arithmetic (sum·1 vs mean cross-multiplied: pii_chars·n_sources >
-    * total_pii) — no division, engine-identical.
+    * blocklist is #sources-sized — KB against any corpus). Emits ONE
+    * row per source — the explicit `quarantined` verdict plus the
+    * surviving doc/char counts (zeroed for blocklisted sources) — so
+    * the hash compare pins both the blocklist decision and the
+    * filtered corpus mass directly (round-13 ADVICE: blocklisted
+    * sources used to be visible only by absence). The mean threshold
+    * is exact integer arithmetic (sum·1 vs mean cross-multiplied:
+    * pii_chars·n_sources > total_pii) — no division, engine-identical.
     */
   def sourceQuarantine(docs: DataFrame): DataFrame = {
     val per = detectCounts(docs)
       .select(col("source"), col("pii_chars"))
     val tot = per.agg(sum(col("pii_chars")).as("total_pii"),
       count(lit(1)).as("n_sources"))
-    val block = per.crossJoin(broadcast(tot))
-      .where(col("pii_chars") * col("n_sources") > col("total_pii"))
-      .select(col("source"))
-    docs.join(broadcast(block), Seq("source"), "left_anti")
+    val verdict = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (col("pii_chars") * col("n_sources") > col("total_pii")).as("quarantined"))
+    val block = verdict.where(col("quarantined")).select(col("source"))
+    val kept = docs.join(broadcast(block), Seq("source"), "left_anti")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs_kept"),
-        sum(length(col("text"))).as("chars_kept"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(length(col("text"))).as("kept_chars"))
+    verdict.join(kept, Seq("source"), "left")
+      .select(col("source"), col("quarantined"),
+        coalesce(col("kept_docs"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("chars_kept"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -209,13 +216,21 @@ object Pii {
          |tot AS (
          |  SELECT CAST(sum(pii_chars) AS BIGINT) AS total_pii,
          |    CAST(count(*) AS BIGINT) AS n_sources FROM per),
-         |block AS (
-         |  SELECT per.source FROM per, tot
-         |  WHERE per.pii_chars * tot.n_sources > tot.total_pii)
-         |SELECT d.source, count(*) AS n_docs_kept,
-         |  CAST(sum(length(d.text)) AS BIGINT) AS chars_kept
-         |FROM documents d ANTI JOIN block ON block.source = d.source
-         |GROUP BY d.source""".stripMargin,
+         |verdict AS (
+         |  SELECT per.source,
+         |    per.pii_chars * tot.n_sources > tot.total_pii AS quarantined
+         |  FROM per, tot),
+         |kept AS (
+         |  SELECT d.source, count(*) AS kd,
+         |    CAST(sum(length(d.text)) AS BIGINT) AS kc
+         |  FROM documents d
+         |  ANTI JOIN (SELECT source FROM verdict WHERE quarantined) b
+         |    ON b.source = d.source
+         |  GROUP BY d.source)
+         |SELECT v.source, v.quarantined,
+         |  CAST(coalesce(k.kd, 0) AS BIGINT) AS n_docs_kept,
+         |  CAST(coalesce(k.kc, 0) AS BIGINT) AS chars_kept
+         |FROM verdict v LEFT JOIN kept k ON k.source = v.source""".stripMargin,
     "pii_redact_audit" ->
       s"""WITH aug AS ($augSql),
          |red AS (

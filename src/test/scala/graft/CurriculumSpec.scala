@@ -47,9 +47,32 @@ class CurriculumSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // s1: 4 docs, 2 families; effective = 3*(1e6 div 3) + 1e6 = 1999999 ppm,
-    // inflation = 4e12 div 1999999 = 2000001
-    assert(m("s1") == (4L, 2L, 1999999L, 2000001L))
-    // s2: singleton — weight 1, inflation exactly 1e6
-    assert(m("s2") == (1L, 1L, 1000000L, 1000000L))
+    // inflation×1e3 = 4e9 div 1999999 = 2000
+    assert(m("s1") == (4L, 2L, 1999999L, 2000L))
+    // s2: singleton — weight 1, inflation exactly ×1e3 = 1000
+    assert(m("s2") == (1L, 1L, 1000000L, 1000L))
+  }
+
+  test("inflation headroom: the x1e3 numerator survives multi-million-doc sources") {
+    // the round-13 ADVICE bound: n_docs * 1e12 wraps past ~9.2M docs;
+    // n_docs * 1e9 holds to ~9.2e9 — check the arithmetic directly at
+    // a source size past the OLD overflow point
+    val nDocs = 10_000_000L                 // > 9.2M: old form wrapped here
+    val effPpm = nDocs * 1000000L           // all singletons
+    val inflation = nDocs * 1000000000L / effPpm
+    assert(inflation == 1000L)
+    assert(nDocs * 1000000000L > 0, "x1e9 numerator must not wrap")
+  }
+
+  test("zero-token documents land in phase 0 and keep the corpus count exact") {
+    val d = docs(Seq(
+      (0L, "", "s"), (1L, "   ", "s"),
+      (2L, "w w w w", "s"), (3L, "w w rare q", "s")))
+    val m = graft.ext.Curriculum.phaseManifest(d, phases = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // all 4 docs accounted for (the old inner join dropped docs 0/1)
+    assert(m.values.map(_._1).sum == 4L)
+    // token-less docs score rarity 0 → easiest phase
+    assert(m(0)._1 >= 2L)
   }
 }

@@ -55,16 +55,19 @@ class PiiBinaryQuantSpec extends AnyFunSuite {
       "residual matches after redaction")
   }
 
-  test("pii_source_quarantine blocklists above-mean sources and keeps the rest") {
+  test("pii_source_quarantine emits a verdict row per source, zeroing blocklisted mass") {
     // s1 gets every augmented doc id (0,3,5: email+phone+ip mass),
     // s2 only clean ids — s1's pii_chars sits above the 2-source mean,
-    // so only s2 survives the anti-join
+    // so s1 is quarantined (verdict row with zeroed kept counts) and
+    // s2 survives the anti-join with its full mass
     val d = docs(Seq(
       (0L, "a", "s1"), (3L, "b", "s1"), (5L, "c", "s1"),
       (1L, "dd", "s2"), (2L, "ee", "s2")))
-    val kept = graft.ext.Pii.sourceQuarantine(d).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(kept == Map("s2" -> (2L, 4L)))
+    val rows = graft.ext.Pii.sourceQuarantine(d).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows == Map(
+      "s1" -> (true, 0L, 0L),
+      "s2" -> (false, 2L, 4L)))
   }
 
   // ---- BinaryQuant ----
