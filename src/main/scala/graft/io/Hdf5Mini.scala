@@ -547,6 +547,23 @@ object Hdf5Mini {
     sys.error("unreachable")
   }
 
+  /** Data bytes fetched through [[readSlice]], keyed by file path — the
+    * measured face of the V2 source's "column pruning skips bytes ON
+    * DISK" claim. Per-JVM (per-executor on a cluster); local[32] shares
+    * one JVM, so a test can snapshot [[dataBytesRead]] for its own
+    * container, run a pruned scan, and assert the DELTA equals
+    * planned_rows × pruned_row_width exactly (readSlice reads exactly
+    * count·elemSize bytes per column chunk, never a byte of an
+    * unprojected column). Path-keyed so concurrently running suites
+    * reading OTHER containers can't pollute the measurement.
+    * Diagnostic only — never read by query logic.
+    */
+  private val bytesByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def dataBytesRead(path: String): Long =
+    Option(bytesByPath.get(path)).map(_.get).getOrElse(0L)
+
   /** Positional read of `count` elements starting at `elemOffset` — the
     * executor-side primitive mirroring [[fill]].
     */
@@ -561,6 +578,8 @@ object Hdf5Mini {
       while (bb.hasRemaining && ch.read(bb, base + bb.position()) >= 0) {}
       require(!bb.hasRemaining,
         s"hdf5: EOF reading $count x $elemSize bytes at $base from $path")
+      bytesByPath.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(count.toLong * elemSize)
       bb.flip()
       bb
     } finally ch.close()
