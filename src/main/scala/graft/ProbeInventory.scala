@@ -1,0 +1,245 @@
+package graft
+
+/** Machine-readable scale-evidence inventory (round-13 verdict item 5):
+  * every registered query must either be PROBED (on [[ScaleProbe]]'s
+  * 10×/100× lists, or measured ad hoc via SPARK_GRAFT_ONLY and merged
+  * into a committed `scale_probe_r{N}.json`) or carry a WRITTEN
+  * exemption here — one line naming the plan shape that makes a trend
+  * measurement uninformative, and, where one exists, the probed
+  * exemplar whose curve the query rides. ProbeInventorySpec asserts
+  * the partition is total and non-overlapping, so a new query cannot
+  * land without either a probe entry or a written note — the gap the
+  * round-13 verdict found (three unprobed, un-noted queries) cannot
+  * silently reopen.
+  *
+  * Exemption discipline (the table_checksum convention, rounds 9–13):
+  * a query is exempt when its executed plan is one of the shapes whose
+  * scaling is already pinned — a stateless projection feeding a keyed
+  * aggregate on a BOUNDED key alphabet (map-side combine collapses the
+  * exchange), a dimension-bounded relational face, a strict subset of
+  * a probed plan, or a gate-scale exact companion that exists only to
+  * score a probed approximate operator. Reasons name the exemplar so a
+  * reviewer can check the ride is real.
+  */
+object ProbeInventory {
+
+  /** Queries measured ad hoc (SPARK_GRAFT_ONLY) with entries merged
+    * into a committed probe record rather than listed in the default
+    * sweep — kept here so the coverage assertion sees them.
+    */
+  val adhocProbed: Set[String] = Set(
+    "dedup_boundary_continuation",  // r13: 10x = 1.20, hash-keyed boundary pairs
+    "sonata_h5_v2_source",          // r13: 10x = 0.81, planned container scan
+    "sonata_h5_wide")               // r13: 10x = 1.10, 2048-member multi-SNOD groups
+
+  /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
+    * entries (measured in the round they landed, flagged `carried_from`
+    * per the r12 drift adjudication) rather than the default sweep.
+    */
+  val carried10x: Set[String] = Set(
+    "anova_f_oneway", "kruskal_wallis_h",      // r11 session wave, ad-hoc 10x
+    "assoc_rules_lift", "fingerprint_winnow",  // r10 third wave, ad-hoc 10x
+    "pipeline_tokenize_pack",                  // r10 third wave, ad-hoc 10x
+    "bradley_terry_strength")                  // r13: 10x = 1.24 on the record
+
+  private def fam(reason: String)(names: String*): Seq[(String, String)] =
+    names.map(_ -> reason)
+
+  /** name -> one-line exemption reason. */
+  val exempt: Map[String, String] = (
+    // ---- individually-argued notes (round-13 verdict item 5) ----
+    Seq(
+      "sonata_h5_v2_pruned" ->
+        ("strict planned-subset of the probed sonata_h5_v2_source scan (same splits, fewer " +
+          "column regions); Hdf5SourceSpec's byte meter asserts bytes read = planned_rows x " +
+          "pruned row width EXACTLY, a stronger invariant than a timing ratio"),
+      "ann_ivf_cell_stats" ->
+        ("cell-keyed occupancy/imbalance aggregate over the probed IVF build's cell assignment " +
+          "(ann_ivf_topk 10x+100x); output is nlist-bounded, the scan is one corpus pass"),
+      "vocab_growth_heaps" ->
+        ("log2-bounded prefix panel (≤ ~40 cutoffs) x word-keyed distinct aggregate; corpus " +
+          "pass count is fixed by the cutoff count, and the Heaps-sublinearity claim itself " +
+          "carries the bpe_train_merges 100x curve"),
+      "anomaly_seasonal_residual" ->
+        ("hour-of-week-bounded seasonal profile join + residual scan; board cost adjudicated " +
+          "r9/r10 by isolated A/B (construction-time dominated)"),
+      "batch_length_buckets" ->
+        "stateless projection + floor-log2-bounded keyed aggregate (≤ ~40 groups)",
+      "dedup_substring_span_ranges" ->
+        ("RLE range compaction of the probed dedup_substring_spans output (strict " +
+          "post-processing of a probed plan, rle_group_ranges-shaped)"),
+      "ann_bruteforce_topk" ->
+        ("broadcast-panel corpus-linear scan, query side fixed at 10: the identical shape " +
+          "probed as ann_bq_topk (10x 0.97, 100x 0.94) at 32x the per-row width"),
+      "table_checksum" ->
+        "single conditional-sum scan — the canonical exempt shape the convention is named for",
+      "shard_manifest_checksum" ->
+        "per-shard xxhash64 fold: one scan, shard-keyed aggregate, manifest-sized output"
+    )
+    // ---- bounded-alphabet keyed aggregates (map-side combine; the
+    // exchange carries partitions x alphabet rows, never the data) ----
+    ++ fam("stateless scan + keyed aggregate on a bounded alphabet (bins/classes/sources/" +
+      "hours/thresholds); map-side combine collapses the exchange — plan-trivially linear")(
+      "abtest_auc", "abtest_conversion", "abtest_diff_in_diff", "abtest_srm_check",
+      "calibration_ece_brier", "calibration_reliability", "chi2_independence",
+      "cohens_kappa", "cramers_v", "fleiss_kappa", "krippendorff_alpha",
+      "matthews_corr", "mcnemar_test", "multiclass_prf", "pr_curve_by_threshold",
+      "welch_ttest", "langid_confusion", "lang_id_ngram", "doc_char_classes",
+      "text_quality", "text_readability", "quality_gopher_rules",
+      "quality_gopher_by_source", "quality_repetition", "corpus_burstiness",
+      "topic_mix_by_source", "moment_stats", "correlation_by_group",
+      "regression_by_group", "histogram_by_key", "global_max", "global_sum",
+      "count_records", "count_distinct", "distinct_rows", "approx_distinct_hll",
+      "cms_token_counts", "hll_distinct_check", "hll_rollup_check",
+      "kmv_vocab_overlap", "frequent_tokens_check", "frequent_tokens_sketch",
+      "dq_constraints", "dq_profile", "dq_freshness", "dq_benford",
+      "dq_skew_profile", "dq_k_anonymity", "dq_l_diversity",
+      "drift_js_bins", "drift_ks_binned", "drift_psi_bins",
+      "gini_impurity_by_user", "dau_wau_stickiness", "cumulative_distinct_users",
+      "seasonality_profile", "timeseries_autocorr", "timeseries_twap",
+      "timeseries_ohlc", "outlier_iqr", "outlier_mad", "percentile_agg",
+      "percentile_approx_agg", "percentile_approx_check", "equidepth_bins",
+      "standardize_by_group", "lm_oov_coverage", "tokenizer_fertility",
+      "vocab_build", "vocab_spectrum", "source_overlap_jaccard",
+      "doc_fingerprint", "chunk_documents", "sample_hash_pct",
+      "train_valid_test_split", "mixture_fixed_weights", "mixture_epochs_budget",
+      "theilsen_trend", "funnel_steps", "markov_transitions",
+      "longest_increasing_streak", "event_window_agg", "event_sliding_window",
+      "survival_kaplan_meier", "survival_logrank", "survival_nelson_aalen",
+      "cohort_retention", "cohort_conversion_delay", "cohort_ltv",
+      "time_decay_revenue", "fairness_equalized_odds", "fairness_parity_gap",
+      "recsys_coverage", "corpus_duplication_rate")
+    // ---- dimension-bounded relational faces ----
+    ++ fam("dimension-bounded relational face (TPC-H-scale dims / bounded per-key window " +
+      "depth); the canonical Catalyst plan at any scale, pushdown machine-checked by " +
+      "PlanSweepSpec")(
+      "q1_agg", "q3_shipping_priority", "q5_local_supplier_volume", "topk_orders",
+      "join_broadcast", "join_shuffle", "join_semi", "join_anti", "join_theta",
+      "join_full_outer", "join_null_safe", "join_bucketed", "join_asof_nearest",
+      "join_asof_tolerance", "asof_join", "join_bloom_prefilter",
+      "join_range_binned", "join_interval_overlap_auto", "union_all",
+      "union_schema_evolution", "intersect_keys", "except_keys", "window_rank",
+      "window_lag_lead", "window_first_last", "window_running_sum",
+      "window_range_frame", "window_dist_stats", "cube_agg", "rollup_agg",
+      "grouping_sets_agg", "pivot_agg", "unpivot_long", "topk_agg_check",
+      "topk_per_key", "topk_window_rewrite", "topk_others_rollup", "limit_n",
+      "drop_columns", "cast_narrow", "project_rename_flatten",
+      "bit_unpack_branch_type", "validate_range", "scalar_functions",
+      "array_functions", "json_extract_props", "text_normalize", "text_tokens",
+      "text_bpe_tokens", "scan_parquet_dir", "scan_merge_schema",
+      "scan_metadata_sidecar", "partitioned_scan_prune", "compact_small_files",
+      "sink_parquet", "sink_csv_roundtrip", "sink_jsonl_roundtrip",
+      "sink_orc_roundtrip", "share_of_parent", "snapshot_diff", "upsert_latest",
+      "scd2_intervals", "skyline_pareto", "dq_referential", "merge_intervals",
+      "interval_coverage", "open_intervals_per_day", "sessionize",
+      "sessionize_native")
+    // ---- fixed-width container faces ----
+    ++ fam("record-aligned fixed-width container face, linear by construction; the heavy " +
+      "container I/O paths carry probes (edges_to_sonata_h5, sonata_h5_indices at 10x AND " +
+      "100x)")(
+      "scan_touch_binary", "scan_touch_index", "scan_touch_v2_source",
+      "touch2parquet_pipeline", "synapse_id_gen", "enum_library_codes",
+      "partition_uniform")
+    // ---- range-shuffle + bucket-prefix-sum layout idiom ----
+    ++ fam("range-repartition + per-bucket prefix-sum layout idiom; probed via " +
+      "csr_secondary_index, rfm_segments, winsorize_by_group")(
+      "csr_primary_index", "sort_ranges", "shuffle_by_key_range",
+      "dense_left_join_sequence", "exclusive_prefix_sum", "global_position",
+      "hilbert_layout", "zorder_layout", "corpus_shuffle_order")
+    // ---- two-phase exact-rank shape ----
+    ++ fam("two-phase exact-rank shape (range repartition + broadcast bucket offsets, no " +
+      "global window); probed via quantile_normalize, exact_median_selection, " +
+      "spearman_bucketed")(
+      "ecdf_normalize", "contribution_pareto", "gini_coefficient",
+      "mannwhitney_u", "lm_zipf_bitlog", "spearman_doc_signals",
+      "grouped_median_exact", "sample_stratified_exact", "sample_per_class_cap",
+      "sample_bottomk_kmv", "sample_temperature_quota", "sample_weighted",
+      "length_match_resample")
+    // ---- hash-keyed dedup faces riding probed shapes ----
+    ++ fam("hash-keyed dedup face riding the probed exact/banded candidate shapes " +
+      "(dedup_minhash_lsh, dedup_ngram_jaccard, dedup_ppjoin at 10x; minhash at 100x)")(
+      "dedup_exact", "dedup_exact_prefix", "dedup_keep_best", "dedup_containment",
+      "dedup_sorted_neighborhood", "dedup_incremental_jaccard",
+      "dedup_minhash_incremental", "dedup_simhash", "dedup_simhash_pairs",
+      "golden_record_survivorship", "fuzzy_title_pairs",
+      "edit_distance_neighbors", "multimodal_dedup_exact", "split_cluster_aware")
+    // ---- gate-scale exact companions ----
+    ++ fam("gate-scale exact companion BY DESIGN: a full-pair or full-rank exact side " +
+      "scoring a probed approximate operator's recall — never the production path " +
+      "(the dedup_simhash_recall adjudication, round 9)")(
+      "dedup_simhash_recall", "dedup_minhash_recall", "dedup_minhash_incr_recall",
+      "ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall",
+      "ann_matryoshka_recall", "ann_mrr_check", "ann_kendall_tau")
+    // ---- ANN / embedding faces riding probed generators ----
+    ++ fam("bounded-query-panel ANN/embedding face riding the probed cell/bucket " +
+      "generators (ann_ivf_topk, ann_lsh_bucketed at 10x AND 100x; ann_bq_topk; " +
+      "embedding_pca_power; ann_hard_negatives)")(
+      "ann_pq_topk", "ann_ivfpq_topk", "ann_bq_rerank_recall",
+      "hard_negative_mining", "knn_graph_mutual", "embedding_kmeans_assign",
+      "kmeans_inertia", "kmeans_silhouette", "embedding_outlier_score",
+      "embedding_covariance", "embedding_dim_stats", "embedding_sq8_stats",
+      "dedup_embedding_cosine", "dedup_semantic")
+    // ---- graph faces riding probed round shapes ----
+    ++ fam("frontier-round / wedge graph face riding the probed shapes " +
+      "(graph_pagerank_dangling/_personalized, graph_triangles at 10x+100x, " +
+      "graph_multi_source_bfs, graph_link_prediction)")(
+      "graph_pagerank", "graph_bfs_layers", "graph_sssp_weighted", "graph_kcore",
+      "graph_label_propagation", "graph_label_propagation_weighted",
+      "graph_modularity", "graph_clustering_coeff", "graph_assortativity",
+      "degree_distribution", "graph_bipartite_projection",
+      "graph_harmonic_landmarks", "graph_landmark_ecc", "link_pred_adamic_adar")
+    // ---- streaming harness faces ----
+    ++ fam("memory-sink streaming harness face sharing its batch twin's oracle " +
+      "bit-for-bit; complete-mode state rides bounded keys; the stateful-depth curves " +
+      "are probed via streaming_dedup + streaming_cusum (10x AND 100x) and " +
+      "streaming_checksum")(
+      "streaming_anova_f", "streaming_calibration", "streaming_cdc_upsert",
+      "streaming_drift_psi", "streaming_fertility", "streaming_freshness_monitor",
+      "streaming_funnel", "streaming_hll_window", "streaming_join",
+      "streaming_join_outer", "streaming_length_buckets", "streaming_ohlc",
+      "streaming_oov_monitor", "streaming_pii_monitor",
+      "streaming_quality_monitor", "streaming_sessionize",
+      "streaming_sliding_window", "streaming_static_antijoin",
+      "streaming_surprisal_monitor", "streaming_topic_mix",
+      "streaming_topk_window", "streaming_vocab_drift", "streaming_window_agg")
+    // ---- multimodal codec faces ----
+    ++ fam("pure-JVM codec face in mapPartitions over class-bounded blob sets; per-row " +
+      "decode, no exchange; the pair/pack exchanges carry probes " +
+      "(multimodal_image_ahash_pairs, multimodal_pack_shards)")(
+      "multimodal_blob_roundtrip", "multimodal_catalog",
+      "multimodal_channel_stats", "multimodal_decode_bmp",
+      "multimodal_decode_ppm", "multimodal_decode_quarantine",
+      "multimodal_decode_wav", "multimodal_features", "multimodal_frame_sample",
+      "multimodal_image_embed_topk", "multimodal_thumbnail_bmp",
+      "multimodal_wav_frames", "multimodal_wav_resample",
+      "multimodal_wav_silence_runs")
+    // ---- tokenizer-chain faces riding the probed BPE chain ----
+    ++ fam("vocabulary-bounded tokenizer-chain face riding the probed BPE train/pack " +
+      "chain (bpe_train_merges, pipeline_tokenize_pack at 10x AND 100x)")(
+      "bpe_apply_merges", "pack_fill_audit", "corpus_pack_shards")
+    // ---- text/LM faces riding probed keyed-join shapes ----
+    ++ fam("word/ngram-keyed face riding a probed text exemplar (tfidf_top_terms " +
+      "10x+100x, lm_kn_continuation 10x+100x, memorization_ngrams, " +
+      "quality_surprisal_by_source)")(
+      "bm25_topk", "colloc_pmi_bigrams", "lm_bigram_novelty",
+      "quality_unigram_surprisal", "decontaminate_ngrams")
+    // ---- misc rides ----
+    ++ fam("span-bounded grid face: scale densifies observations per cell, not rows; " +
+      "probed via timeseries_interpolate / seasonal_decompose")(
+      "timeseries_gap_fill")
+    ++ fam("basket-bounded co-occurrence face riding the probed itemset miner " +
+      "(assoc_rules_lift at 10x AND 100x)")(
+      "itemset_top_triples")
+    ++ fam("per-user bounded-fanout attribution face; probed via attribution_linear")(
+      "attribution_last_touch")
+    ++ fam("#sources-keyed triple-regex projection + bounded aggregate; the scan shape " +
+      "carries the pii_detect_counts probe (10x = 1.15)")(
+      "pii_redact_audit", "pii_redact_docs", "pii_source_quarantine")
+    ).toMap
+
+  /** Every name that carries scale evidence: the default 10× sweep, the
+    * pinned 100× list, and ad-hoc-probed entries on a committed record.
+    */
+  def probed: Set[String] =
+    ScaleProbe.Probed10x.toSet ++ ScaleProbe.Scale100Queries ++ adhocProbed ++ carried10x
+}

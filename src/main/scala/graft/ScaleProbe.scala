@@ -56,7 +56,7 @@ object ScaleProbe {
     */
   private val DefaultReps = 10
 
-  private val Scale100Queries = Seq(
+  val Scale100Queries: Seq[String] = Seq(
     "bpe_train_merges",          // documents — the Heaps-sublinear claim
     "dedup_cluster_cc",          // documents — CC rounds vs component diameter
     "pipeline_curate_corpus",    // documents — the 2.19@10× watch item
@@ -265,41 +265,11 @@ object ScaleProbe {
         s.startsWith("==")) // AQE final-plan banner lines
       .mkString(">")
 
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
-      // cap per-action plan-description generation (see Bench.newSession)
-      // — but generously: skeleton() compares executedPlan.toString
-      // across scales, and a tight cap would truncate both skeletons to
-      // an identical prefix and blind the same-plan check
-      .config("spark.sql.maxPlanStringLength",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "262144"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", DefaultReps.toString).toInt
-    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
-      if (scale == DefaultReps) "/root/repo/target/scaled_sf1"
-      else s"/root/repo/target/scaled_x$scale")
-    System.err.println(s"[scaleprobe] building ${scale}x inputs under $sf1 (cached if present)")
-    buildScaled(spark, sf01, sf1, scale, full = true)
-
-    val names =
-      if (scale != DefaultReps) {
-        val asked = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-          .getOrElse(Scale100Queries)
-        val bad = asked.filterNot(Scale100Queries.contains)
-        require(bad.isEmpty, s"at ${scale}x only ${Scale100Queries.mkString(",")} have " +
-          s"fully scaled inputs (events/embeddings are not built); got: ${bad.mkString(",")}")
-        asked
-      } else sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Seq(
+  /** Default 10x probe set — the families whose 100 TB story needs a
+    * measured trend datapoint (see ProbeInventory for the machine-
+    * readable exemption map covering every OTHER registered query).
+    */
+  val Probed10x: Seq[String] = Seq(
       "edges_to_sonata", "dedup_canonical_corpus", "dedup_cluster_cc",
       "dedup_ngram_jaccard", "pipeline_curate_corpus", "rle_group_ranges",
       // round-8 additions: the remaining expensive families (banded
@@ -435,7 +405,47 @@ object ScaleProbe {
       // the surprisal-family shape with a percentile fold) and the
       // dedup mixture weights (two hash-keyed aggregates + one
       // hash-keyed equi-join — the dedup_exact shuffle discipline)
-      "curriculum_phase_manifest", "mixture_dedup_weights"))
+      "curriculum_phase_manifest", "mixture_dedup_weights",
+      // round-14 (verdict item 8): the 25-gram anchor explode behind
+      // repeated-substring detection and removal — the heaviest per-row
+      // dedup shape on the board, previously neither probed nor exempted
+      "dedup_substring_spans", "dedup_remove_spans")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
+      // cap per-action plan-description generation (see Bench.newSession)
+      // — but generously: skeleton() compares executedPlan.toString
+      // across scales, and a tight cap would truncate both skeletons to
+      // an identical prefix and blind the same-plan check
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "262144"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", DefaultReps.toString).toInt
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
+      if (scale == DefaultReps) "/root/repo/target/scaled_sf1"
+      else s"/root/repo/target/scaled_x$scale")
+    System.err.println(s"[scaleprobe] building ${scale}x inputs under $sf1 (cached if present)")
+    buildScaled(spark, sf01, sf1, scale, full = true)
+
+    val names =
+      if (scale != DefaultReps) {
+        val asked = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+          .getOrElse(Scale100Queries)
+        val bad = asked.filterNot(Scale100Queries.contains)
+        require(bad.isEmpty, s"at ${scale}x only ${Scale100Queries.mkString(",")} have " +
+          s"fully scaled inputs (events/embeddings are not built); got: ${bad.mkString(",")}")
+        asked
+      } else sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Probed10x)
       // round-11 session wave (calibration_reliability/ece_brier,
       // welch_ttest, multiclass_prf, pr_curve_by_threshold): single
       // keyed aggregates on bin/class/score-alphabet keys — ad-hoc
