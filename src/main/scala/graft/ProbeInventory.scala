@@ -74,7 +74,13 @@ object ProbeInventory {
       "table_checksum" ->
         "single conditional-sum scan — the canonical exempt shape the convention is named for",
       "shard_manifest_checksum" ->
-        "per-shard xxhash64 fold: one scan, shard-keyed aggregate, manifest-sized output"
+        "per-shard xxhash64 fold: one scan, shard-keyed aggregate, manifest-sized output",
+      "preference_margin_distribution" ->
+        ("the probed dpo_pair_construction explode minus its budget window, feeding a " +
+          "floor-log2-bounded keyed aggregate (≤ ~40 buckets)"),
+      "bt_strength_calibration" ->
+        ("rides the probed bradley_terry_strength fit (10x 1.24, 100x 2.47): two " +
+          "pair-keyed equi-joins + an 11-band keyed aggregate on top of the same chain")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

@@ -108,7 +108,11 @@ object ScaleProbe {
     // pair-table-riding MM exchanges are exactly what two decades up
     // must not bend) and the BQ Hamming scan (embeddings-scaled — the
     // corpus-linear claim behind the 32× bit-code compression)
-    "bradley_terry_strength", "ann_bq_topk")
+    "bradley_terry_strength", "ann_bq_topk",
+    // round-14: the DPO chosen/rejected pair constructor — the decided
+    // in-basket pair explode plus the chosen-item-keyed budget window;
+    // lineitem-only input, so fully scaled at 100x too
+    "dpo_pair_construction")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
@@ -409,7 +413,10 @@ object ScaleProbe {
       // round-14 (verdict item 8): the 25-gram anchor explode behind
       // repeated-substring detection and removal — the heaviest per-row
       // dedup shape on the board, previously neither probed nor exempted
-      "dedup_substring_spans", "dedup_remove_spans")
+      "dedup_substring_spans", "dedup_remove_spans",
+      // round-14: the DPO pair constructor (decided-pair explode + the
+      // chosen-item-keyed budget window)
+      "dpo_pair_construction")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

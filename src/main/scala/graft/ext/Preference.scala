@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise-preference strength estimation — the Bradley–Terry model fit
@@ -36,32 +37,49 @@ object Preference {
   private val S = 1000000L           // strength scale (ppm)
   private val S2 = S * S             // term scale
 
-  /** Decided pairwise comparisons from `(basket_id, item_id, score)`
-    * rows: within each basket, every item pair with unequal total
-    * scores yields one comparison won by the higher score. Returns the
-    * aggregated pair table `(pa, pb, n, wins_a, wins_b)` with pa < pb.
+  /** Ordered in-basket pair fan-out shared by every face here: one row
+    * per unordered item pair with unequal total scores, Σ|basket|²
+    * fan-out bounded by basket size (never catalogue size).
     */
-  private[ext] def comparisons(scored: DataFrame): DataFrame = {
+  private def basketPairs(scored: DataFrame): DataFrame = {
     val bq = scored.groupBy(col("basket_id").as("ok"), col("item_id").as("pk"))
       .agg(sum(col("score")).as("q"))
     val perBasket = bq.groupBy(col("ok"))
       .agg(sort_array(collect_list(struct(col("pk"), col("q")))).as("items"))
     perBasket
-      .select(posexplode(col("items")).as(Seq("i", "a")), col("items"))
-      .select(col("a.pk").as("pa"), col("a.q").as("qa"),
+      .select(col("ok"), posexplode(col("items")).as(Seq("i", "a")), col("items"))
+      .select(col("ok"), col("a.pk").as("pa"), col("a.q").as("qa"),
         explode(slice(col("items"), col("i") + lit(2), size(col("items")))).as("b"))
       .where(col("qa") =!= col("b.q"))
+  }
+
+  /** Decided pairwise comparisons from `(basket_id, item_id, score)`
+    * rows: within each basket, every item pair with unequal total
+    * scores yields one comparison won by the higher score. Returns the
+    * aggregated pair table `(pa, pb, n, wins_a, wins_b)` with pa < pb.
+    */
+  private[ext] def comparisons(scored: DataFrame): DataFrame =
+    basketPairs(scored)
       .groupBy(col("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n"),
         sum((col("qa") > col("b.q")).cast("long")).as("wins_a"),
         sum((col("b.q") > col("qa")).cast("long")).as("wins_b"))
-  }
 
-  /** Fixed-round Bradley–Terry MM over an aggregated pair table:
-    * (item_id, n_comp, wins, winrate_ppm, strength_ppm), top-`k` by
-    * strength (ties broken by item id).
+  /** Per-comparison chosen/rejected orientation with the integer score
+    * margin — the raw material of DPO-style pair construction.
     */
-  def bradleyTerry(scored: DataFrame, iters: Int, k: Int): DataFrame = {
+  private[ext] def decidedPairs(scored: DataFrame): DataFrame =
+    basketPairs(scored)
+      .select(col("ok").as("basket_id"),
+        when(col("qa") > col("b.q"), col("pa")).otherwise(col("b.pk")).as("chosen_id"),
+        when(col("qa") > col("b.q"), col("b.pk")).otherwise(col("pa")).as("rejected_id"),
+        greatest(col("qa") - col("b.q"), col("b.q") - col("qa")).as("margin"))
+
+  /** The MM fit shared by the strength and calibration faces: returns
+    * the persisted pair table, the per-item totals, and the final
+    * weight table after `iters` fixed rounds.
+    */
+  private def fit(scored: DataFrame, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val pairs = comparisons(scored)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val items = pairs.select(col("pa").as("pk"), col("wins_a").as("w"), col("n"))
@@ -85,25 +103,122 @@ object Preference {
       weights = items.join(denom, "pk")
         .select(col("pk"), expr(s"wins * ${S2}L div greatest(d, 1L)").as("w"))
     }
-    val out = items.join(weights, "pk")
+    (pairs, items, weights)
+  }
+
+  /** Fixed-round Bradley–Terry MM over an aggregated pair table:
+    * (item_id, n_comp, wins, winrate_ppm, strength_ppm), top-`k` by
+    * strength (ties broken by item id).
+    */
+  def bradleyTerry(scored: DataFrame, iters: Int, k: Int): DataFrame = {
+    val (_, items, weights) = fit(scored, iters)
+    items.join(weights, "pk")
       .select(col("pk").as("item_id"), col("n_comp"), col("wins"),
         expr("wins * 1000000 div n_comp").as("winrate_ppm"),
         col("w").as("strength_ppm"))
       .orderBy(col("strength_ppm").desc, col("item_id"))
       .limit(k)
-    out
   }
+
+  /** DPO-style chosen/rejected pair construction (round-13 verdict item
+    * 3): decided in-basket pairs filtered to margin ≥ `minMargin`, then
+    * capped at `perItemBudget` pairs per CHOSEN item (highest margin
+    * first, deterministic tie-break) so head items cannot dominate the
+    * preference set. 100 TB shape: the pair fan-out is the in-basket
+    * explode (Σ|basket|²), the budget is a chosen-item-keyed window
+    * whose depth is that item's pair count — bounded by catalogue
+    * co-occurrence, never corpus size; no global sort, no unkeyed
+    * window.
+    */
+  def dpoPairs(scored: DataFrame, minMargin: Long, perItemBudget: Int): DataFrame = {
+    val w = Window.partitionBy(col("chosen_id"))
+      .orderBy(col("margin").desc, col("basket_id"), col("rejected_id"))
+    decidedPairs(scored)
+      .where(col("margin") >= minMargin)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perItemBudget)
+      .select(col("basket_id"), col("chosen_id"), col("rejected_id"), col("margin"))
+  }
+
+  /** Preference-margin distribution over ALL decided pairs: floor-log2
+    * margin buckets (the `length(bin(x))-1` integer idiom), per bucket
+    * the pair count, basket spread, margin band, and truncating mean —
+    * the readout that picks `minMargin` for [[dpoPairs]]. Log2-bounded
+    * key alphabet (≤ ~40 buckets): map-side combine collapses the
+    * exchange.
+    */
+  def marginDistribution(scored: DataFrame): DataFrame =
+    decidedPairs(scored)
+      .select((length(bin(col("margin"))) - 1).cast("long").as("bucket"),
+        col("margin"), col("basket_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("basket_id")).as("n_baskets"),
+        min(col("margin")).as("margin_lo"),
+        max(col("margin")).as("margin_hi"),
+        expr("sum(margin) div count(1)").as("mean_margin"))
+
+  /** Strength-calibration audit: per predicted-winrate band (deciles of
+    * the BT model's P(a beats b) = wa/(wa+wb), a stateless integer
+    * band, never a rank), the observed winrate vs the mean predicted —
+    * the gap column is the model-trust readout a preference pipeline
+    * gates on before using BT strengths to weight training pairs. Rides
+    * the fitted pair table: two pair-keyed equi-joins + one band-keyed
+    * aggregate (11-row output).
+    */
+  def strengthCalibration(scored: DataFrame, iters: Int): DataFrame = {
+    val (pairs, _, weights) = fit(scored, iters)
+    pairs
+      .join(weights.select(col("pk").as("pa"), col("w").as("wa")), "pa")
+      .join(weights.select(col("pk").as("pb"), col("w").as("wb")), "pb")
+      .select(col("n"), col("wins_a"),
+        expr(s"wa * ${S}L div greatest(wa + wb, 1L)").as("pred_ppm"))
+      .select(expr("pred_ppm div 100000").as("band"), col("n"), col("wins_a"),
+        col("pred_ppm"))
+      .groupBy(col("band"))
+      .agg(sum(col("n")).as("n_comp"),
+        expr("sum(wins_a) * 1000000 div sum(n)").as("obs_win_ppm"),
+        expr("sum(pred_ppm * n) div sum(n)").as("pred_win_ppm"))
+      .select(col("band"), col("n_comp"), col("obs_win_ppm"), col("pred_win_ppm"),
+        abs(col("obs_win_ppm") - col("pred_win_ppm")).as("gap_ppm"))
+  }
+
+  private def scoredBaskets(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id"),
+      round(col("l_quantity") * 100).cast("long").as("score"))
 
   val queries: Map[String, Q] = Map(
     // parts as items, orders as baskets, quantity-cents as the decided
     // score — 3 MM rounds, top-100 strengths
     "bradley_terry_strength" -> ((s, dir) =>
-      bradleyTerry(
-        Tables.lineitem(s, dir).select(
-          col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id"),
-          round(col("l_quantity") * 100).cast("long").as("score")),
-        iters = 3, k = 100))
+      bradleyTerry(scoredBaskets(s, dir), iters = 3, k = 100)),
+    // margin ≥ 500 (5 quantity units), ≤ 4 pairs per chosen item
+    "dpo_pair_construction" -> ((s, dir) =>
+      dpoPairs(scoredBaskets(s, dir), minMargin = 500L, perItemBudget = 4)),
+    "preference_margin_distribution" -> ((s, dir) =>
+      marginDistribution(scoredBaskets(s, dir))),
+    "bt_strength_calibration" -> ((s, dir) =>
+      strengthCalibration(scoredBaskets(s, dir), iters = 3))
   )
+
+  // shared oracle fragments — the basket score table and the oriented
+  // decided-pair table (NOTE: interpolated before the enclosing
+  // stripMargin, so continuation lines must not start with `||`)
+  private val bqSql =
+    """bq AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk,
+      |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  private val decidedSql =
+    """decided AS (
+      |  SELECT a.ok AS basket_id,
+      |    CASE WHEN a.q > b.q THEN a.pk ELSE b.pk END AS chosen_id,
+      |    CASE WHEN a.q > b.q THEN b.pk ELSE a.pk END AS rejected_id,
+      |    CAST(CASE WHEN a.q > b.q THEN a.q - b.q ELSE b.q - a.q END AS BIGINT) AS margin
+      |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
+      |  WHERE a.q <> b.q)""".stripMargin
 
   private def iterSql(prev: String, i: Int): String =
     s"""d$i AS (
@@ -119,11 +234,59 @@ object Preference {
        |  FROM items JOIN d$i ON d$i.pk = items.pk)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dpo_pair_construction" ->
+      s"""WITH $bqSql,
+         |$decidedSql,
+         |rn AS (
+         |  SELECT *, row_number() OVER (PARTITION BY chosen_id
+         |    ORDER BY margin DESC, basket_id, rejected_id) AS rn
+         |  FROM decided WHERE margin >= 500)
+         |SELECT basket_id, chosen_id, rejected_id, margin
+         |FROM rn WHERE rn <= 4""".stripMargin,
+    "preference_margin_distribution" ->
+      s"""WITH $bqSql,
+         |$decidedSql
+         |SELECT CAST(length(bin(margin)) - 1 AS BIGINT) AS bucket,
+         |  count(*) AS n_pairs,
+         |  CAST(count(DISTINCT basket_id) AS BIGINT) AS n_baskets,
+         |  min(margin) AS margin_lo,
+         |  max(margin) AS margin_hi,
+         |  CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin
+         |FROM decided GROUP BY 1""".stripMargin,
+    "bt_strength_calibration" ->
+      s"""WITH $bqSql,
+         |rawp AS (
+         |  SELECT a.pk AS pa, b.pk AS pb,
+         |    CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS wa,
+         |    CASE WHEN b.q > a.q THEN 1 ELSE 0 END AS wb
+         |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.q <> b.q),
+         |agg AS (
+         |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(wa) AS BIGINT) AS wins_a, CAST(sum(wb) AS BIGINT) AS wins_b
+         |  FROM rawp GROUP BY 1, 2),
+         |items AS (
+         |  SELECT pk, CAST(sum(w) AS BIGINT) AS wins, CAST(sum(n) AS BIGINT) AS n_comp
+         |  FROM (SELECT pa AS pk, wins_a AS w, n FROM agg
+         |        UNION ALL SELECT pb, wins_b, n FROM agg)
+         |  GROUP BY pk),
+         |w0 AS (SELECT pk, CAST(1000000 AS BIGINT) AS w FROM items),
+         |${iterSql("w0", 1)},
+         |${iterSql("w1", 2)},
+         |${iterSql("w2", 3)},
+         |pred AS (
+         |  SELECT agg.n, agg.wins_a,
+         |    CAST(wa.w * 1000000 // greatest(wa.w + wb.w, 1) AS BIGINT) AS pred_ppm
+         |  FROM agg JOIN w3 wa ON wa.pk = agg.pa JOIN w3 wb ON wb.pk = agg.pb)
+         |SELECT CAST(pred_ppm // 100000 AS BIGINT) AS band,
+         |  CAST(sum(n) AS BIGINT) AS n_comp,
+         |  CAST(sum(wins_a) * 1000000 // sum(n) AS BIGINT) AS obs_win_ppm,
+         |  CAST(sum(pred_ppm * n) // sum(n) AS BIGINT) AS pred_win_ppm,
+         |  CAST(abs(sum(wins_a) * 1000000 // sum(n)
+         |         - sum(pred_ppm * n) // sum(n)) AS BIGINT) AS gap_ppm
+         |FROM pred GROUP BY 1""".stripMargin,
     "bradley_terry_strength" ->
-      s"""WITH bq AS (
-         |  SELECT l_orderkey AS ok, l_partkey AS pk,
-         |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
-         |  FROM lineitem GROUP BY 1, 2),
+      s"""WITH $bqSql,
          |rawp AS (
          |  SELECT a.pk AS pa, b.pk AS pb,
          |    CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS wa,

@@ -84,4 +84,53 @@ class PreferenceSpec extends AnyFunSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList,
       "result must not depend on partitioning")
   }
+
+  test("dpoPairs orients chosen/rejected, filters margin, enforces the per-item budget") {
+    // basket 1: 10 (q=9) vs 20 (q=1) margin 8; 10 vs 30 (q=6) margin 3
+    //           20 vs 30 margin 5
+    // basket 2: 10 (q=9) vs 40 (q=2) margin 7
+    // basket 3: 10 (q=9) vs 50 (q=8) margin 1
+    val df = scored(Seq(
+      (1L, 10L, 9L), (1L, 20L, 1L), (1L, 30L, 6L),
+      (2L, 10L, 9L), (2L, 40L, 2L),
+      (3L, 10L, 9L), (3L, 50L, 8L)))
+    // minMargin 3 drops the (10,50) margin-1 pair; budget 2 keeps item
+    // 10's TWO largest margins (8 then 7), dropping its margin-3 pair
+    val got = graft.ext.Preference.dpoPairs(df, minMargin = 3L, perItemBudget = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 10L, 20L, 8L),   // item 10's largest margin
+      (2L, 10L, 40L, 7L),   // its second — budget reached
+      (1L, 30L, 20L, 5L)))  // 30 beat 20 (6 > 1)
+  }
+
+  test("marginDistribution buckets by floor-log2 and counts exactly") {
+    // margins: 8 (bucket 3), 3 (bucket 1), 5 (bucket 2), 7 (bucket 2), 1 (bucket 0)
+    val df = scored(Seq(
+      (1L, 10L, 9L), (1L, 20L, 1L), (1L, 30L, 6L),
+      (2L, 10L, 9L), (2L, 40L, 2L),
+      (3L, 10L, 9L), (3L, 50L, 8L)))
+    val m = graft.ext.Preference.marginDistribution(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m(3L) == (1L, 8L, 8L, 8L))
+    assert(m(2L) == (2L, 5L, 7L, 6L))   // margins 5, 7 → mean 6
+    assert(m(1L) == (1L, 3L, 3L, 3L))
+    assert(m(0L) == (1L, 1L, 1L, 1L))
+  }
+
+  test("strengthCalibration bands cover the pairs and gap is |obs - pred|") {
+    val df = scored(Seq(
+      (1L, 1L, 9L), (1L, 2L, 4L), (1L, 3L, 2L),
+      (2L, 1L, 7L), (2L, 4L, 8L),
+      (3L, 2L, 5L), (3L, 3L, 6L), (3L, 4L, 1L),
+      (4L, 1L, 3L), (4L, 2L, 8L)))
+    val rows = graft.ext.Preference.strengthCalibration(df, iters = 3).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 10L))
+    // every aggregated comparison lands in exactly one band
+    assert(rows.map(_.getLong(1)).sum == 8L)
+    rows.foreach { r =>
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    }
+  }
 }
