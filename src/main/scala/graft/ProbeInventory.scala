@@ -80,7 +80,10 @@ object ProbeInventory {
           "floor-log2-bounded keyed aggregate (≤ ~40 buckets)"),
       "bt_strength_calibration" ->
         ("rides the probed bradley_terry_strength fit (10x 1.24, 100x 2.47): two " +
-          "pair-keyed equi-joins + an 11-band keyed aggregate on top of the same chain")
+          "pair-keyed equi-joins + an 11-band keyed aggregate on top of the same chain"),
+      "unigram_vs_bpe_fertility" ->
+        ("one extra lattice join round + a lang-keyed aggregate on top of the probed " +
+          "unigram_lm_train fit; the BPE side is the exempt tokenizer_fertility scan")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

@@ -415,8 +415,10 @@ object ScaleProbe {
       // dedup shape on the board, previously neither probed nor exempted
       "dedup_substring_spans", "dedup_remove_spans",
       // round-14: the DPO pair constructor (decided-pair explode + the
-      // chosen-item-keyed budget window)
-      "dpo_pair_construction")
+      // chosen-item-keyed budget window) and the unigram-LM EM trainer
+      // (word-type substring lattice + two (word,start)/piece-keyed
+      // aggregate rounds — the exchange must ride the vocabulary)
+      "dpo_pair_construction", "unigram_lm_train")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -35,6 +35,7 @@ object SparkEntry {
     (plans.TopKPerKey.queries, plans.TopKPerKey.oracleSql),
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
     (ext.BpeTrain.queries, ext.BpeTrain.oracleSql),
+    (ext.UnigramLm.queries, ext.UnigramLm.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),

@@ -1,0 +1,229 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates" — the SentencePiece unigram model): score a candidate
+  * piece vocabulary by EM over the ways pieces cover the corpus, the
+  * companion trainer to [[BpeTrain]]'s merge learning.
+  *
+  * Relational formulation: the E-step's segmentation marginal is
+  * approximated PER START POSITION — every occurrence of a candidate
+  * piece at (word, start) takes responsibility proportional to its
+  * current weight among the pieces STARTING at that position (the
+  * leftmost-cover posterior), dropping cross-position segmentation
+  * consistency. That approximation is what makes each EM round pure
+  * relational algebra: one piece-keyed join, one (word,start)-keyed
+  * normalizer aggregate, one piece-keyed re-estimate — no per-word
+  * sequential DP, so the round distributes exactly like a query. The
+  * trade is documented, not hidden: weights converge to the same
+  * frequency-driven ordering as full EM on lattice-unambiguous text
+  * and differ where segmentations compete mid-word.
+  *
+  * Determinism discipline (the [[Preference]] / KMeans convention):
+  * fixed rounds (2), all arithmetic scaled-integer (responsibilities
+  * in ppm, truncating `div` both engines implement identically), so
+  * the DuckDB oracle replays the identical program as unrolled CTEs.
+  * Headroom: a responsibility term is `freq · resp_ppm ≤ freq·10⁶`;
+  * the re-estimate divides by 10³ immediately, so per-piece sums hold
+  * to ~9·10¹⁵ corpus occurrences (≈ PB-scale text) before the bound.
+  *
+  * 100 TB shape: the lattice rides DISTINCT WORD TYPES (the Sennrich
+  * word-frequency-dictionary regime [[BpeTrain]] proved at 100× = 1.8
+  * — Heaps-sublinear) with a ≤ maxLen·|w| per-type fan-out; every EM
+  * round's exchange rides that vocabulary lattice, never the corpus.
+  * The corpus is touched exactly once (the word-type count).
+  */
+object UnigramLm {
+
+  private val MaxLen = 4
+  private val MinCount = 2L
+
+  /** Corpus word-type table: (word, freq). */
+  private def wordTypes(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Substring-occurrence lattice over word types: one row per
+    * (word, start, len ≤ maxLen) with the piece text — the candidate
+    * cover positions the E-step normalizes over.
+    */
+  private def occurrences(types: DataFrame): DataFrame =
+    types
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("start"))
+      .select(col("word"), col("freq"), col("start"),
+        explode(sequence(lit(1),
+          least(lit(MaxLen), length(col("word")) - col("start") + 1))).as("len"))
+      .select(col("word"), col("freq"), col("start"), col("len"),
+        expr("substring(word, start, len)").as("piece"))
+
+  /** The fitted model: (candidates with n_occ, filtered lattice, final
+    * weights after `rounds` EM rounds). Candidates are pieces with
+    * ≥ minCount corpus occurrences, plus ALL single characters (the
+    * coverage floor SentencePiece keeps too).
+    */
+  private def fit(docs: DataFrame, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val occ = occurrences(wordTypes(docs))
+    val cand = occ.groupBy(col("piece")).agg(sum(col("freq")).as("n_occ"))
+      .where(col("n_occ") >= MinCount || length(col("piece")) === 1)
+      .persist(ser)
+    val occC = occ.join(cand.select(col("piece")), "piece")
+      .persist(ser)
+    var weights = cand.select(col("piece"), col("n_occ").as("w"))
+    (0 until rounds).foreach { _ =>
+      val j = occC.join(weights, "piece")
+      val denom = j.groupBy(col("word"), col("start")).agg(sum(col("w")).as("dsum"))
+      weights = j.join(denom, Seq("word", "start"))
+        .select(col("piece"), col("freq"),
+          expr("w * 1000000L div greatest(dsum, 1L)").as("resp_ppm"))
+        .groupBy(col("piece"))
+        .agg(expr("sum(freq * resp_ppm) div 1000L").as("w"))
+    }
+    (cand, occC, weights)
+  }
+
+  /** Top-`k` trained pieces: (piece, n_occ, weight) by final EM weight
+    * (ties lexicographic).
+    */
+  def train(docs: DataFrame, rounds: Int, k: Int): DataFrame = {
+    val (cand, _, weights) = fit(docs, rounds)
+    cand.join(weights, "piece")
+      .select(col("piece"), col("n_occ"), col("w").as("weight"))
+      .orderBy(col("weight").desc, col("piece"))
+      .limit(k)
+  }
+
+  /** BPE-vs-unigram fertility comparison (per language): the
+    * [[LmStats.tokenizerFertility]] whitespace-vs-pretoken readout next
+    * to the unigram model's EXPECTED fertility — expected pieces per
+    * word = word length over the responsibility-weighted mean piece
+    * length, a model expectation (not a decode), in ×10³ fixed point
+    * (`Σ freq · len·10⁹ div elen_x1e6` stays in BIGINT to ~9·10¹²
+    * words per language). One extra join round over the fitted
+    * lattice + a lang-keyed aggregate.
+    */
+  def fertilityVsBpe(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, occC, weights) = fit(docs, rounds)
+    val j = occC.join(weights, "piece")
+    val denom = j.groupBy(col("word"), col("start")).agg(sum(col("w")).as("dsum"))
+    val perWord = j.join(denom, Seq("word", "start"))
+      .select(col("word"), col("len"),
+        expr("w * 1000000L div greatest(dsum, 1L)").as("resp_ppm"))
+      .groupBy(col("word"))
+      .agg(sum(col("resp_ppm")).as("s_resp"),
+        sum(col("resp_ppm") * col("len")).as("s_len"))
+      .select(col("word"),
+        expr("s_len * 1000000L div greatest(s_resp, 1L)").as("elen_x1e6"))
+      .select(col("word"),
+        expr("length(word) * 1000000000L div greatest(elen_x1e6, 1L)").as("tok_x1e3"))
+    val langWords = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+    val uni = langWords.join(perWord, "word")
+      .groupBy(col("lang"))
+      .agg(expr("sum(freq * tok_x1e3) div sum(freq)").as("unigram_fertility_x1e3"))
+    LmStats.tokenizerFertility(docs)
+      .select(col("lang"), col("n_words"),
+        col("fertility_ppm").as("bpe_fertility_ppm"))
+      .join(uni, "lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "unigram_lm_train" -> ((s, dir) =>
+      train(Tables.documents(s, dir), rounds = 2, k = 200)),
+    "unigram_vs_bpe_fertility" -> ((s, dir) =>
+      fertilityVsBpe(Tables.documents(s, dir), rounds = 2))
+  )
+
+  // shared oracle chain: word types → bounded substring lattice →
+  // candidates → two unrolled EM rounds (w0 → w1 → w2)
+  private def emRound(prev: String, r: Int): String =
+    s"""d$r AS (
+       |  SELECT o.word, o.start, CAST(sum(w.w) AS BIGINT) AS dsum
+       |  FROM occ_c o JOIN $prev w ON w.piece = o.piece
+       |  GROUP BY 1, 2),
+       |w$r AS (
+       |  SELECT o.piece,
+       |    CAST(sum(o.freq * (w.w * 1000000 // greatest(d.dsum, 1))) // 1000 AS BIGINT) AS w
+       |  FROM occ_c o JOIN $prev w ON w.piece = o.piece
+       |  JOIN d$r d ON d.word = o.word AND d.start = o.start
+       |  GROUP BY 1)""".stripMargin
+
+  private val coreCtes: String =
+    """types AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |          x -> x != '')) AS w FROM documents)
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT word, freq, s AS start
+      |  FROM types, UNNEST(generate_series(1, length(word))) AS t(s)),
+      |occ AS (
+      |  SELECT word, freq, start, l AS len, substring(word, start, l) AS piece
+      |  FROM st, UNNEST(generate_series(1,
+      |    least(4, length(word) - start + 1))) AS t(l)),
+      |cand AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occ
+      |  FROM occ GROUP BY 1
+      |  HAVING sum(freq) >= 2 OR length(piece) = 1),
+      |occ_c AS (
+      |  SELECT o.word, o.freq, o.start, o.len, o.piece
+      |  FROM occ o JOIN cand c ON c.piece = o.piece),
+      |w0 AS (SELECT piece, n_occ AS w FROM cand)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "unigram_lm_train" ->
+      s"""WITH $coreCtes,
+         |${emRound("w0", 1)},
+         |${emRound("w1", 2)}
+         |SELECT c.piece, c.n_occ, w2.w AS weight
+         |FROM cand c JOIN w2 ON w2.piece = c.piece
+         |ORDER BY weight DESC, c.piece
+         |LIMIT 200""".stripMargin,
+    "unigram_vs_bpe_fertility" ->
+      s"""WITH $coreCtes,
+         |${emRound("w0", 1)},
+         |${emRound("w1", 2)},
+         |d3 AS (
+         |  SELECT o.word, o.start, CAST(sum(w.w) AS BIGINT) AS dsum
+         |  FROM occ_c o JOIN w2 w ON w.piece = o.piece
+         |  GROUP BY 1, 2),
+         |perword AS (
+         |  SELECT o.word,
+         |    CAST(sum(w.w * 1000000 // greatest(d.dsum, 1)) AS BIGINT) AS s_resp,
+         |    CAST(sum((w.w * 1000000 // greatest(d.dsum, 1)) * o.len) AS BIGINT) AS s_len
+         |  FROM occ_c o JOIN w2 w ON w.piece = o.piece
+         |  JOIN d3 d ON d.word = o.word AND d.start = o.start
+         |  GROUP BY 1),
+         |etok AS (
+         |  SELECT word,
+         |    length(word) * 1000000000 //
+         |      greatest(s_len * 1000000 // greatest(s_resp, 1), 1) AS tok_x1e3
+         |  FROM perword),
+         |lw AS (
+         |  SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |          x -> x != '')) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT lw.lang,
+         |    CAST(sum(lw.freq * e.tok_x1e3) // sum(lw.freq) AS BIGINT)
+         |      AS unigram_fertility_x1e3
+         |  FROM lw JOIN etok e ON e.word = lw.word
+         |  GROUP BY 1),
+         |bpe AS (
+         |  SELECT lang,
+         |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT) AS n_words,
+         |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_sub
+         |  FROM documents GROUP BY lang)
+         |SELECT b.lang, b.n_words,
+         |  b.n_sub * 1000000 // greatest(b.n_words, 1) AS bpe_fertility_ppm,
+         |  u.unigram_fertility_x1e3
+         |FROM bpe b JOIN uni u ON u.lang = b.lang""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM EM trainer: lattice construction, candidate floor,
+  * agreement with an independent Scala reference of the scaled-integer
+  * EM rounds, and partition invariance.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def docs(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  /** Independent reference: build the (word,freq) substring lattice,
+    * apply minCount-or-single-char candidates, run `rounds` EM rounds
+    * with BigInt truncating arithmetic.
+    */
+  private def reference(corpus: Map[String, Long], rounds: Int)
+      : (Map[String, Long], Map[String, BigInt]) = {
+    val occ = for {
+      (w, f) <- corpus.toSeq
+      s <- 1 to w.length
+      l <- 1 to math.min(4, w.length - s + 1)
+    } yield (w, f, s, l, w.substring(s - 1, s - 1 + l))
+    val nOcc = occ.groupBy(_._5).map { case (p, os) => p -> os.map(_._2).sum }
+    val cand = nOcc.filter { case (p, n) => n >= 2 || p.length == 1 }
+    val occC = occ.filter(o => cand.contains(o._5))
+    var w: Map[String, BigInt] = cand.map { case (p, n) => p -> BigInt(n) }
+    (0 until rounds).foreach { _ =>
+      val dsum = occC.groupBy(o => (o._1, o._3))
+        .map { case (k, os) => k -> os.map(o => w(o._5)).sum }
+      w = occC.groupBy(_._5).map { case (p, os) =>
+        p -> os.map { o =>
+          val resp = w(p) * 1000000 / dsum((o._1, o._3)).max(BigInt(1))
+          BigInt(o._2) * resp
+        }.sum / 1000
+      }
+    }
+    (cand, w)
+  }
+
+  test("trained weights agree with the independent BigInt reference") {
+    val d = docs(Seq(
+      (0L, "abab ab ab cd", "en", "s"),
+      (1L, "abab cd cd xyz", "en", "s"),
+      (2L, "ab ab xyz", "fr", "s")))
+    val corpus = Map("abab" -> 2L, "ab" -> 4L, "cd" -> 3L, "xyz" -> 2L)
+    val (cand, ref) = reference(corpus, rounds = 2)
+    val got = graft.ext.UnigramLm.train(d, rounds = 2, k = 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == cand.keySet)
+    got.foreach { case (p, (n, wt)) =>
+      assert(n == cand(p), s"n_occ($p)")
+      assert(wt == ref(p).toLong, s"weight($p): got $wt, ref ${ref(p)}")
+    }
+  }
+
+  test("candidate floor: single chars survive below minCount, longer pieces do not") {
+    val d = docs(Seq((0L, "qz", "en", "s")))   // every substring occurs once
+    val got = graft.ext.UnigramLm.train(d, rounds = 1, k = 100)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("q", "z"), s"got $got")  // "qz" (len 2, n=1) pruned
+  }
+
+  test("fertility: single-char-only corpus has fertility = word length x1e3") {
+    // words of length 1 and 2 over distinct chars: candidate pieces are
+    // single chars (+ any repeated longer pieces; none here), so the
+    // expected piece length is 1 and expected tokens = word length
+    val d = docs(Seq((0L, "a bc a bc", "en", "s")))
+    val rows = graft.ext.UnigramLm.fertilityVsBpe(d, rounds = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("n_words") == 4L)
+    // hmm: "a" occurs twice → candidate; "bc" occurs twice → candidate
+    // of length 2, so "bc" words expect ~1 token, "a" words 1 token —
+    // the mean sits between 1000 and 2000
+    val uni = r.getAs[Long]("unigram_fertility_x1e3")
+    assert(uni >= 1000L && uni <= 2000L, s"unigram fertility $uni")
+  }
+
+  test("training is partition-invariant") {
+    val base = docs(Seq(
+      (0L, "abab ab ab cd", "en", "s"),
+      (1L, "abab cd cd xyz", "en", "s")))
+    val a = graft.ext.UnigramLm.train(base, 2, 50).collect().map(_.toSeq.toList).toList
+    val b = graft.ext.UnigramLm.train(base.repartition(7), 2, 50)
+      .collect().map(_.toSeq.toList).toList
+    assert(a == b)
+  }
+}
