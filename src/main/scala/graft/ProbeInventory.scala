@@ -30,6 +30,7 @@ object ProbeInventory {
   val adhocProbed: Set[String] = Set(
     "dedup_boundary_continuation",  // r13: 10x = 1.20, hash-keyed boundary pairs
     "sonata_h5_v2_source",          // r13: 10x = 0.81, planned container scan
+    "sonata_h5_v2_scan_agg",        // r14: the read-path checksum face, probed ad hoc
     "sonata_h5_wide")               // r13: 10x = 1.10, 2048-member multi-SNOD groups
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record

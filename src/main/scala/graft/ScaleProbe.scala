@@ -112,7 +112,22 @@ object ScaleProbe {
     // round-14: the DPO chosen/rejected pair constructor — the decided
     // in-basket pair explode plus the chosen-item-keyed budget window;
     // lineitem-only input, so fully scaled at 100x too
-    "dpo_pair_construction")
+    "dpo_pair_construction",
+    // round-14: the unigram-LM EM trainer (documents-only). The
+    // word-tagged replicas scale the TYPE vocabulary ~linearly with
+    // the corpus — the worst case for a type-riding trainer and
+    // exactly the regime the BPE 100x point (1.8) was graded under
+    "unigram_lm_train",
+    // round-14 (r13 verdict item 7): the planned V2-source read of the
+    // 60M-edge container. The harness's count() pushes down to the
+    // connector's METADATA-ONLY count, so the v2_source entry times
+    // (a) the container build on its first touch and (b) the constant-
+    // time count pushdown when re-run in-session (measured 0.05 s at
+    // 60M rows) — the actual DATA read path is timed by the
+    // sonata_h5_v2_scan_agg face, whose full-width integer checksum
+    // cannot push down; run v2_source first in the same session so
+    // scan_agg's number excludes the build (the v2Containers cache)
+    "sonata_h5_v2_source", "sonata_h5_v2_scan_agg")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity

@@ -493,7 +493,28 @@ object SonataH5 {
       s.read.format("sonatah5").option("population", "lineitem_edges")
         .load(v2Container(s, dir))
         .where(col("edge_id") >= 1000L && col("edge_id") < 5000L)
-        .select(col("source_node_id"), col("my_attribute"), col("edge_id")))
+        .select(col("source_node_id"), col("my_attribute"), col("edge_id"))),
+
+    // The READ-PATH measurement face (round 14): a full-width integer
+    // checksum aggregate through the planned source. The full-table and
+    // pruned faces end in the harness's count(), which the connector
+    // pushes down to a METADATA-ONLY count (zero data bytes — the 100×
+    // probe measured 0.05 s at 60M rows, proving the pushdown but
+    // timing nothing) — this face's sums cannot push down, so every
+    // projected byte streams through readSlice. Float column folded as
+    // round(×100) per row (exact: quantities carry 2 decimals), so the
+    // single-row result is integer-exact in both engines at any
+    // parallelism.
+    "sonata_h5_v2_scan_agg" -> ((s, dir) =>
+      s.read.format("sonatah5").option("population", "lineitem_edges")
+        .load(v2Container(s, dir))
+        .agg(sum(col("source_node_id")).as("s_src"),
+          sum(col("target_node_id")).as("s_tgt"),
+          sum(col("edge_type_id")).as("s_type"),
+          sum(round(col("my_attribute") * 100).cast("long")).as("s_attr_cents"),
+          sum(col("my_label")).as("s_label"),
+          sum(col("edge_id")).as("s_edge"),
+          count(lit(1)).as("n")))
   )
 
   /** Shared container for the V2-source faces: built once per testdata
@@ -603,6 +624,22 @@ object SonataH5 {
         |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS edge_id
         |  FROM lineitem)
         |SELECT source_node_id, my_attribute, edge_id
-        |FROM e WHERE edge_id >= 1000 AND edge_id < 5000""".stripMargin
+        |FROM e WHERE edge_id >= 1000 AND edge_id < 5000""".stripMargin,
+
+    "sonata_h5_v2_scan_agg" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS source_node_id, l_suppkey AS target_node_id,
+        |    l_linenumber AS edge_type_id, l_quantity AS my_attribute,
+        |    CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS INTEGER) AS my_label,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_suppkey, l_linenumber, l_quantity, l_returnflag) - 1 AS edge_id
+        |  FROM lineitem)
+        |SELECT CAST(sum(source_node_id) AS BIGINT) AS s_src,
+        |  CAST(sum(target_node_id) AS BIGINT) AS s_tgt,
+        |  CAST(sum(edge_type_id) AS BIGINT) AS s_type,
+        |  CAST(sum(CAST(round(my_attribute * 100) AS BIGINT)) AS BIGINT) AS s_attr_cents,
+        |  CAST(sum(my_label) AS BIGINT) AS s_label,
+        |  CAST(sum(edge_id) AS BIGINT) AS s_edge,
+        |  count(*) AS n
+        |FROM e""".stripMargin
   )
 }
