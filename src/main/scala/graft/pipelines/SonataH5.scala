@@ -311,6 +311,8 @@ object SonataH5 {
     val cols: Seq[(String, Hdf5Mini.H5Type, Long)] = colPaths.map { p =>
       val ds = f.datasets(p)
       require(ds.dims == Seq(n), s"sonata-h5: ragged edge column $p (${ds.dims} vs $n)")
+      require(!ds.chunked, s"sonata-h5: chunked dataset $p unsupported by the " +
+        "distributed slice reader (contiguous subset; use Hdf5Mini.read)")
       (p.split('/').last, ds.dtype, ds.dataAddress)
     }
     val schema = StructType(StructField("edge_id", LongType, nullable = false) +:
@@ -368,6 +370,8 @@ object SonataH5 {
     val ds = Hdf5Mini.readMeta(file).datasets(datasetPath)
     require(ds.dims.length == 2 && ds.dims(1) == 2L,
       s"sonata-h5: $datasetPath is not an [n][2] index dataset (${ds.dims})")
+    require(!ds.chunked, s"sonata-h5: chunked dataset $datasetPath unsupported by " +
+      "the distributed slice reader (contiguous subset; use Hdf5Mini.read)")
     val addr = ds.dataAddress
     val schema = StructType(Seq(
       StructField("row_id", LongType, nullable = false),

@@ -124,6 +124,12 @@ object Hdf5DataSource {
     val cols = colPaths.map { p =>
       val ds = f.datasets(p)
       require(ds.dims == Seq(n), s"sonatah5: ragged edge column $p (${ds.dims} vs $n)")
+      // the planned scan positional-reads ONE contiguous region per
+      // column; chunked columns are readable via Hdf5Mini.read but have
+      // no single region to slice — fail by name, never misread
+      require(!ds.chunked,
+        s"sonatah5: chunked dataset $p unsupported by the planned source " +
+          "(contiguous subset; use Hdf5Mini.read)")
       ColMeta(p.split('/').last, ds.dtype, ds.dataAddress)
     }
     Layout(pop, n, cols)

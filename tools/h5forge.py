@@ -154,9 +154,12 @@ def chunk_btree(rank, entries, total_dims):
     return b
 
 
-def forge_chunked(path):
-    """Classic file, root group with ONE dataset 'data': 10 int32 values
-    0..9 stored as two 5-element chunks under a chunked layout."""
+def forge_chunked(path, n=10, chunk=5):
+    """Classic file, root group with ONE dataset 'data': n int32 values
+    0..n-1 stored as ceil(n/chunk) chunk-size-`chunk` chunks under a
+    chunked layout. When chunk does not divide n, the last chunk is an
+    EDGE chunk: stored full-size on disk (libhdf5 always allocates whole
+    chunks) with only the in-extent prefix meaningful."""
     # ---- layout plan (addresses are fixed by construction order) ----
     # 96 superblock | root OH | btree | heap hdr | heap data | SNOD |
     # dataset OH | chunk btree | chunk0 | chunk1
@@ -170,14 +173,15 @@ def forge_chunked(path):
     snod_addr = heap_data + len(hd)
     snod_bytes = snod([(offs["data"], 0)])
     ds_oh = snod_addr + len(snod_bytes)
+    nchunks = (n + chunk - 1) // chunk
+    cbytes = chunk * 4
     ds_oh_probe = object_header_v1([
-        msg(0x0001, dataspace_v1([10])), msg(0x0003, datatype_i32le()),
-        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, 0, [5], 4))])
+        msg(0x0001, dataspace_v1([n])), msg(0x0003, datatype_i32le()),
+        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, 0, [chunk], 4))])
     cbt_addr = ds_oh + len(ds_oh_probe)
-    cbt_probe = chunk_btree(1, [(20, [0], 0), (20, [5], 0)], [10])
-    chunk0 = cbt_addr + len(cbt_probe)
-    chunk1 = chunk0 + 20
-    eof = chunk1 + 20
+    cbt_probe = chunk_btree(1, [(cbytes, [i * chunk], 0) for i in range(nchunks)], [n])
+    chunk_addrs = [cbt_addr + len(cbt_probe) + i * cbytes for i in range(nchunks)]
+    eof = chunk_addrs[-1] + cbytes
 
     out = bytearray()
     out += superblock_v0(root_oh, eof, btree_addr, heap_hdr)
@@ -187,11 +191,14 @@ def forge_chunked(path):
     out += hh + hd
     out += snod([(offs["data"], ds_oh)])
     out += object_header_v1([
-        msg(0x0001, dataspace_v1([10])), msg(0x0003, datatype_i32le()),
-        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, cbt_addr, [5], 4))])
-    out += chunk_btree(1, [(20, [0], chunk0), (20, [5], chunk1)], [10])
-    out += b"".join(struct.pack("<i", v) for v in range(5))
-    out += b"".join(struct.pack("<i", v) for v in range(5, 10))
+        msg(0x0001, dataspace_v1([n])), msg(0x0003, datatype_i32le()),
+        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, cbt_addr, [chunk], 4))])
+    out += chunk_btree(1,
+        [(cbytes, [i * chunk], chunk_addrs[i]) for i in range(nchunks)], [n])
+    for i in range(nchunks):
+        # whole chunks on disk; past-extent elements are fill garbage
+        vals = [i * chunk + j if i * chunk + j < n else -1 for j in range(chunk)]
+        out += b"".join(struct.pack("<i", v) for v in vals)
     assert len(out) == eof, (len(out), eof)
     with open(path, "wb") as f:
         f.write(out)
@@ -264,8 +271,76 @@ def forge_v2header(path):
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources"
     forge_chunked(f"{outdir}/foreign_chunked.h5")
+    forge_chunked(f"{outdir}/foreign_chunked_edge.h5", n=7, chunk=5)
+    forge_chunked_edges(f"{outdir}/foreign_chunked_edges.h5")
     forge_v2header(f"{outdir}/foreign_v2header.h5")
-    print(f"forged foreign_chunked.h5 + foreign_v2header.h5 under {outdir}")
+    print(f"forged foreign_chunked[_edge].h5 + foreign_v2header.h5 under {outdir}")
+
+
+
+def datatype_i64le():
+    """Spec IV.A.2.d: class 0 fixed-point v1, LE, signed, 8 bytes."""
+    return struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 8, 0, 64)
+
+
+def group_block(base, members):
+    """Lay out one classic group (object header + full-size B-tree +
+    local heap + full-size SNOD) at byte offset `base`. `members` is an
+    ordered {name: oh_addr} map (name-sorted by caller, spec III.A.1).
+    Returns (bytes, btree_addr, heap_addr); sub-block sizes are fixed,
+    so callers can chain groups sequentially."""
+    oh_len = len(object_header_v1([msg(0x0011, symbol_table_msg(0, 0))]))
+    bt_addr = base + oh_len
+    heap_hdr = bt_addr + len(group_btree(0, 0))
+    heap_data = heap_hdr + 32
+    hh, hd, offs = local_heap(list(members), heap_data)
+    snod_addr = heap_data + len(hd)
+    names = list(members)
+    out = object_header_v1([msg(0x0011, symbol_table_msg(bt_addr, heap_hdr))])
+    out += group_btree(snod_addr, offs[names[-1]])
+    out += hh + hd
+    out += snod([(offs[n], members[n]) for n in names])
+    return out, bt_addr, heap_hdr
+
+
+def forge_chunked_edges(path, n=12, chunk=4):
+    """A miniature SONATA-shaped tree /edges/pop/source_node_id whose
+    single edge column (int64, n values 0..n-1) is CHUNKED — drives the
+    planned readers' by-name rejection of chunked columns through the
+    real /edges discovery path (Hdf5DataSource.layout /
+    SonataH5.readEdges), where the flat fixtures cannot reach it."""
+    # group size depends on member-name heap padding — probe each level
+    root_base = 96
+    edges_base = root_base + len(group_block(root_base, {"edges": 0})[0])
+    pop_base = edges_base + len(group_block(edges_base, {"pop": 0})[0])
+    ds_oh = pop_base + len(group_block(pop_base, {"source_node_id": 0})[0])
+    nchunks = (n + chunk - 1) // chunk
+    cbytes = chunk * 8
+    ds_probe = object_header_v1([
+        msg(0x0001, dataspace_v1([n])), msg(0x0003, datatype_i64le()),
+        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, 0, [chunk], 8))])
+    cbt_addr = ds_oh + len(ds_probe)
+    cbt = chunk_btree(1, [(cbytes, [i * chunk], 0) for i in range(nchunks)], [n])
+    chunk_addrs = [cbt_addr + len(cbt) + i * cbytes for i in range(nchunks)]
+    eof = chunk_addrs[-1] + cbytes
+
+    root, root_bt, root_heap = group_block(root_base, {"edges": edges_base})
+    edges, _, _ = group_block(edges_base, {"pop": pop_base})
+    pop, _, _ = group_block(pop_base, {"source_node_id": ds_oh})
+    out = bytearray()
+    out += superblock_v0(root_base, eof, root_bt, root_heap)
+    out += root + edges + pop
+    out += object_header_v1([
+        msg(0x0001, dataspace_v1([n])), msg(0x0003, datatype_i64le()),
+        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, cbt_addr, [chunk], 8))])
+    out += chunk_btree(1,
+        [(cbytes, [i * chunk], chunk_addrs[i]) for i in range(nchunks)], [n])
+    for i in range(nchunks):
+        vals = [i * chunk + j if i * chunk + j < n else -1 for j in range(chunk)]
+        out += b"".join(struct.pack("<q", v) for v in vals)
+    assert len(out) == eof, (len(out), eof)
+    with open(path, "wb") as f:
+        f.write(out)
 
 
 if __name__ == "__main__":
