@@ -84,7 +84,16 @@ object ProbeInventory {
           "pair-keyed equi-joins + an 11-band keyed aggregate on top of the same chain"),
       "unigram_vs_bpe_fertility" ->
         ("one extra lattice join round + a lang-keyed aggregate on top of the probed " +
-          "unigram_lm_train fit; the BPE side is the exempt tokenizer_fertility scan")
+          "unigram_lm_train fit; the BPE side is the exempt tokenizer_fertility scan"),
+      "unigram_prune_refit" ->
+        ("the probed unigram_lm_train fit + a 1-row mean-threshold broadcast + one more " +
+          "EM round of the identical shape"),
+      "unigram_multichar_coverage" ->
+        ("the fertility face's lattice join with a len-conditional sum instead of a " +
+          "length fold; rides unigram_lm_train's curve"),
+      "preference_rater_agreement" ->
+        ("pair-keyed aggregate into a 6-band decisiveness alphabet on the probed " +
+          "bradley_terry comparisons table; map-side combine collapses the exchange")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

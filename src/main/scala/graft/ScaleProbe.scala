@@ -433,7 +433,11 @@ object ScaleProbe {
       // chosen-item-keyed budget window) and the unigram-LM EM trainer
       // (word-type substring lattice + two (word,start)/piece-keyed
       // aggregate rounds — the exchange must ride the vocabulary)
-      "dpo_pair_construction", "unigram_lm_train")
+      "dpo_pair_construction", "unigram_lm_train",
+      // round-14 second wave: the majority-digraph cycle audit — the
+      // only new face with join fan-out beyond the probed BT chain
+      // (two equi-joins over the co-occurrence-bounded edge set)
+      "preference_transitivity_audit")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

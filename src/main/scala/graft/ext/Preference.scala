@@ -188,6 +188,50 @@ object Preference {
       col("l_orderkey").as("basket_id"), col("l_partkey").as("item_id"),
       round(col("l_quantity") * 100).cast("long").as("score"))
 
+  /** Rater-decisiveness distribution: per ppm band of the majority share
+    * max(wins)/n over aggregated pairs, the pair count, comparison mass,
+    * and exact mean decisiveness — how CONTESTED the preference data is
+    * (all-1e6 = every pair unanimous; mass near 5e5 = coin flips, where
+    * BT strengths mean little). Bands are stateless integer deciles of
+    * a ratio ≥ 1/2, so the alphabet is 6 rows; one pair-keyed aggregate
+    * feeds it.
+    */
+  def raterAgreement(scored: DataFrame): DataFrame =
+    comparisons(scored)
+      .select(col("n"),
+        expr(s"greatest(wins_a, wins_b) * ${S}L div n").as("dec_ppm"))
+      .select(expr("dec_ppm div 100000").as("band"), col("n"), col("dec_ppm"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n")).as("n_comp"),
+        expr("sum(dec_ppm) div count(1)").as("mean_dec_ppm"))
+
+  /** Transitivity audit of the majority digraph: edges a→b where a wins
+    * the strict majority of (a, b) comparisons; counts directed
+    * 3-cycles (a→b→c→a — the Condorcet-style inconsistencies that mean
+    * no total strength ordering can fit the data) against the total
+    * majority-edge count. Cycle enumeration is two equi-joins over the
+    * edge set with the canonical-minimum rotation (each cycle counted
+    * at its smallest vertex), the co-occurrence-bounded pair graph —
+    * never catalogue². One summary row.
+    */
+  def transitivityAudit(scored: DataFrame): DataFrame = {
+    val maj = comparisons(scored)
+      .select(
+        when(col("wins_a") * 2 > col("n"), col("pa"))
+          .when(col("wins_b") * 2 > col("n"), col("pb")).as("u"),
+        when(col("wins_a") * 2 > col("n"), col("pb"))
+          .when(col("wins_b") * 2 > col("n"), col("pa")).as("v"))
+      .where(col("u").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cycles = maj.select(col("u").as("a"), col("v").as("b"))
+      .join(maj.select(col("u").as("b"), col("v").as("c")), "b")
+      .join(maj.select(col("u").as("c"), col("v").as("a")), Seq("c", "a"))
+      .where(col("a") < col("b") && col("a") < col("c"))
+    maj.agg(count(lit(1)).as("n_majority_edges"))
+      .crossJoin(broadcast(cycles.agg(count(lit(1)).as("n_cycles"))))
+  }
+
   val queries: Map[String, Q] = Map(
     // parts as items, orders as baskets, quantity-cents as the decided
     // score — 3 MM rounds, top-100 strengths
@@ -199,7 +243,11 @@ object Preference {
     "preference_margin_distribution" -> ((s, dir) =>
       marginDistribution(scoredBaskets(s, dir))),
     "bt_strength_calibration" -> ((s, dir) =>
-      strengthCalibration(scoredBaskets(s, dir), iters = 3))
+      strengthCalibration(scoredBaskets(s, dir), iters = 3)),
+    "preference_rater_agreement" -> ((s, dir) =>
+      raterAgreement(scoredBaskets(s, dir))),
+    "preference_transitivity_audit" -> ((s, dir) =>
+      transitivityAudit(scoredBaskets(s, dir)))
   )
 
   // shared oracle fragments — the basket score table and the oriented
@@ -285,6 +333,48 @@ object Preference {
          |  CAST(abs(sum(wins_a) * 1000000 // sum(n)
          |         - sum(pred_ppm * n) // sum(n)) AS BIGINT) AS gap_ppm
          |FROM pred GROUP BY 1""".stripMargin,
+    "preference_rater_agreement" ->
+      s"""WITH $bqSql,
+         |rawp AS (
+         |  SELECT a.pk AS pa, b.pk AS pb,
+         |    CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS wa,
+         |    CASE WHEN b.q > a.q THEN 1 ELSE 0 END AS wb
+         |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.q <> b.q),
+         |agg AS (
+         |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(wa) AS BIGINT) AS wins_a, CAST(sum(wb) AS BIGINT) AS wins_b
+         |  FROM rawp GROUP BY 1, 2),
+         |dec AS (
+         |  SELECT n, greatest(wins_a, wins_b) * 1000000 // n AS dec_ppm FROM agg)
+         |SELECT CAST(dec_ppm // 100000 AS BIGINT) AS band,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(n) AS BIGINT) AS n_comp,
+         |  CAST(sum(dec_ppm) // count(*) AS BIGINT) AS mean_dec_ppm
+         |FROM dec GROUP BY 1""".stripMargin,
+    "preference_transitivity_audit" ->
+      s"""WITH $bqSql,
+         |rawp AS (
+         |  SELECT a.pk AS pa, b.pk AS pb,
+         |    CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS wa,
+         |    CASE WHEN b.q > a.q THEN 1 ELSE 0 END AS wb
+         |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.q <> b.q),
+         |agg AS (
+         |  SELECT pa, pb, count(*) AS n, sum(wa) AS wins_a, sum(wb) AS wins_b
+         |  FROM rawp GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT CASE WHEN wins_a * 2 > n THEN pa ELSE pb END AS u,
+         |         CASE WHEN wins_a * 2 > n THEN pb ELSE pa END AS v
+         |  FROM agg WHERE wins_a * 2 > n OR wins_b * 2 > n),
+         |cyc AS (
+         |  SELECT count(*) AS n_cycles
+         |  FROM maj e1 JOIN maj e2 ON e2.u = e1.v
+         |  JOIN maj e3 ON e3.u = e2.v AND e3.v = e1.u
+         |  WHERE e1.u < e1.v AND e1.u < e2.v)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM maj) AS n_majority_edges,
+         |  CAST(cyc.n_cycles AS BIGINT) AS n_cycles
+         |FROM cyc""".stripMargin,
     "bradley_terry_strength" ->
       s"""WITH $bqSql,
          |rawp AS (

@@ -133,11 +133,70 @@ object UnigramLm {
       .join(uni, "lang")
   }
 
+  /** The SentencePiece prune-and-refit step, relationally: after the EM
+    * fit, drop BELOW-MEAN pieces (the exact cross-multiplied integer
+    * threshold `w · n_pieces > Σw` — no division, no rank, one 1-row
+    * broadcast) while keeping every single character (the coverage
+    * floor), then run ONE more EM round over the pruned vocabulary and
+    * emit the re-estimated top-`k`. Mean-threshold pruning is the
+    * integer-exact stand-in for SentencePiece's likelihood-loss cut —
+    * both discard the long tail that carries negligible posterior mass.
+    */
+  def pruneRound(docs: DataFrame, rounds: Int, k: Int): DataFrame = {
+    val (cand, occC, weights) = fit(docs, rounds)
+    val tot = weights.agg(sum(col("w")).as("tw"), count(lit(1)).as("np"))
+    val kept = weights.crossJoin(broadcast(tot))
+      .where(col("w") * col("np") > col("tw") || length(col("piece")) === 1)
+      .select(col("piece"), col("w"))
+    val j = occC.join(kept, "piece")
+    val denom = j.groupBy(col("word"), col("start")).agg(sum(col("w")).as("dsum"))
+    val refit = j.join(denom, Seq("word", "start"))
+      .select(col("piece"), col("freq"),
+        expr("w * 1000000L div greatest(dsum, 1L)").as("resp_ppm"))
+      .groupBy(col("piece"))
+      .agg(expr("sum(freq * resp_ppm) div 1000L").as("w"))
+    cand.join(refit, "piece")
+      .select(col("piece"), col("n_occ"), col("w").as("weight"))
+      .orderBy(col("weight").desc, col("piece"))
+      .limit(k)
+  }
+
+  /** Per-language multi-character coverage: the share of E-step
+    * responsibility mass carried by pieces of length ≥ 2 — the readout
+    * that says whether the trained vocabulary actually compresses (a
+    * model whose mass sits on single characters tokenizes at fertility
+    * ≈ word length and buys nothing). Same lattice join as the
+    * fertility face; per-word ppm folded freq-weighted per language.
+    */
+  def multicharCoverage(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, occC, weights) = fit(docs, rounds)
+    val j = occC.join(weights, "piece")
+    val denom = j.groupBy(col("word"), col("start")).agg(sum(col("w")).as("dsum"))
+    val perWord = j.join(denom, Seq("word", "start"))
+      .select(col("word"), col("len"),
+        expr("w * 1000000L div greatest(dsum, 1L)").as("resp_ppm"))
+      .groupBy(col("word"))
+      .agg(sum(col("resp_ppm")).as("s_all"),
+        sum(when(col("len") >= 2, col("resp_ppm")).otherwise(lit(0L))).as("s_multi"))
+      .select(col("word"),
+        expr("s_multi * 1000000L div greatest(s_all, 1L)").as("cov_ppm"))
+    docs.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+      .join(perWord, "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_words"),
+        expr("sum(freq * cov_ppm) div sum(freq)").as("multichar_resp_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "unigram_lm_train" -> ((s, dir) =>
       train(Tables.documents(s, dir), rounds = 2, k = 200)),
     "unigram_vs_bpe_fertility" -> ((s, dir) =>
-      fertilityVsBpe(Tables.documents(s, dir), rounds = 2))
+      fertilityVsBpe(Tables.documents(s, dir), rounds = 2)),
+    "unigram_prune_refit" -> ((s, dir) =>
+      pruneRound(Tables.documents(s, dir), rounds = 2, k = 200)),
+    "unigram_multichar_coverage" -> ((s, dir) =>
+      multicharCoverage(Tables.documents(s, dir), rounds = 2))
   )
 
   // shared oracle chain: word types → bounded substring lattice →
@@ -185,6 +244,57 @@ object UnigramLm {
          |FROM cand c JOIN w2 ON w2.piece = c.piece
          |ORDER BY weight DESC, c.piece
          |LIMIT 200""".stripMargin,
+    "unigram_prune_refit" ->
+      s"""WITH $coreCtes,
+         |${emRound("w0", 1)},
+         |${emRound("w1", 2)},
+         |tot AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS np
+         |  FROM w2),
+         |kept AS (
+         |  SELECT w2.piece, w2.w FROM w2, tot
+         |  WHERE w2.w * tot.np > tot.tw OR length(w2.piece) = 1),
+         |d3 AS (
+         |  SELECT o.word, o.start, CAST(sum(k.w) AS BIGINT) AS dsum
+         |  FROM occ_c o JOIN kept k ON k.piece = o.piece
+         |  GROUP BY 1, 2),
+         |w3 AS (
+         |  SELECT o.piece,
+         |    CAST(sum(o.freq * (k.w * 1000000 // greatest(d.dsum, 1))) // 1000 AS BIGINT) AS w
+         |  FROM occ_c o JOIN kept k ON k.piece = o.piece
+         |  JOIN d3 d ON d.word = o.word AND d.start = o.start
+         |  GROUP BY 1)
+         |SELECT c.piece, c.n_occ, w3.w AS weight
+         |FROM cand c JOIN w3 ON w3.piece = c.piece
+         |ORDER BY weight DESC, c.piece
+         |LIMIT 200""".stripMargin,
+    "unigram_multichar_coverage" ->
+      s"""WITH $coreCtes,
+         |${emRound("w0", 1)},
+         |${emRound("w1", 2)},
+         |d3 AS (
+         |  SELECT o.word, o.start, CAST(sum(w.w) AS BIGINT) AS dsum
+         |  FROM occ_c o JOIN w2 w ON w.piece = o.piece
+         |  GROUP BY 1, 2),
+         |perword AS (
+         |  SELECT o.word,
+         |    CAST(sum(w.w * 1000000 // greatest(d.dsum, 1)) AS BIGINT) AS s_all,
+         |    CAST(sum(CASE WHEN o.len >= 2
+         |          THEN w.w * 1000000 // greatest(d.dsum, 1) ELSE 0 END) AS BIGINT) AS s_multi
+         |  FROM occ_c o JOIN w2 w ON w.piece = o.piece
+         |  JOIN d3 d ON d.word = o.word AND d.start = o.start
+         |  GROUP BY 1),
+         |cov AS (
+         |  SELECT word, s_multi * 1000000 // greatest(s_all, 1) AS cov_ppm FROM perword),
+         |lw AS (
+         |  SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |          x -> x != '')) AS w FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT lw.lang, CAST(sum(lw.freq) AS BIGINT) AS n_words,
+         |  CAST(sum(lw.freq * c.cov_ppm) // sum(lw.freq) AS BIGINT) AS multichar_resp_ppm
+         |FROM lw JOIN cov c ON c.word = lw.word
+         |GROUP BY 1""".stripMargin,
     "unigram_vs_bpe_fertility" ->
       s"""WITH $coreCtes,
          |${emRound("w0", 1)},

@@ -118,6 +118,43 @@ class PreferenceSpec extends AnyFunSuite {
     assert(m(0L) == (1L, 1L, 1L, 1L))
   }
 
+  test("raterAgreement: unanimous and split pairs land in their bands") {
+    // pair (1,2): 1 beats 2 twice → decisiveness 1e6, band 10
+    // pair (3,4): split 1-1 → wait, ties on TOTAL are dropped per
+    // basket; two baskets with opposite outcomes → dec 500000, band 5
+    val df = scored(Seq(
+      (1L, 1L, 5L), (1L, 2L, 3L),
+      (2L, 1L, 5L), (2L, 2L, 3L),
+      (3L, 3L, 9L), (3L, 4L, 1L),
+      (4L, 3L, 1L), (4L, 4L, 9L)))
+    val m = graft.ext.Preference.raterAgreement(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(10L) == (1L, 2L, 1000000L))
+    assert(m(5L) == (1L, 2L, 500000L))
+  }
+
+  test("transitivityAudit counts the rock-paper-scissors cycle once") {
+    // majority edges: 1→2, 2→3, 3→1 (a perfect Condorcet cycle) plus a
+    // transitive pair 1→4, 2→4 (no cycle)
+    val df = scored(Seq(
+      (1L, 1L, 9L), (1L, 2L, 1L),
+      (2L, 2L, 9L), (2L, 3L, 1L),
+      (3L, 3L, 9L), (3L, 1L, 1L),
+      (4L, 1L, 9L), (4L, 4L, 1L),
+      (5L, 2L, 9L), (5L, 4L, 1L)))
+    val r = graft.ext.Preference.transitivityAudit(df).collect().head
+    assert(r.getLong(0) == 5L, "majority edges")
+    assert(r.getLong(1) == 1L, "exactly one directed 3-cycle")
+  }
+
+  test("transitivityAudit: a consistent total order has zero cycles") {
+    val df = scored(Seq(
+      (1L, 1L, 9L), (1L, 2L, 5L), (1L, 3L, 1L),
+      (2L, 1L, 9L), (2L, 3L, 1L)))
+    val r = graft.ext.Preference.transitivityAudit(df).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L)
+  }
+
   test("strengthCalibration bands cover the pairs and gap is |obs - pred|") {
     val df = scored(Seq(
       (1L, 1L, 9L), (1L, 2L, 4L), (1L, 3L, 2L),

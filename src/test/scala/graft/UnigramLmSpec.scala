@@ -84,6 +84,42 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(uni >= 1000L && uni <= 2000L, s"unigram fertility $uni")
   }
 
+  test("pruneRound drops below-mean pieces but never single characters") {
+    val d = docs(Seq(
+      (0L, "abab ab ab cd", "en", "s"),
+      (1L, "abab cd cd xyz", "en", "s")))
+    val before = graft.ext.UnigramLm.train(d, rounds = 2, k = 1000)
+      .collect().map(_.getString(0)).toSet
+    val after = graft.ext.UnigramLm.pruneRound(d, rounds = 2, k = 1000)
+      .collect().map(_.getString(0)).toSet
+    assert(after.subsetOf(before))
+    // every single character of the corpus survives the prune
+    val chars = "ababcdxyz".toSet.map((c: Char) => c.toString)
+    assert(chars.subsetOf(after), s"missing chars: ${chars -- after}")
+    // the refit keeps only kept pieces: anything pruned is absent
+    assert(after.size < before.size || before == after)
+  }
+
+  test("multichar coverage matches the analytic per-position posterior") {
+    // one word type "ab" (freq 5): position 1 carries pieces {a, ab}
+    // with equal occurrence counts, so under the per-start posterior
+    // their mass splits 50/50 at EVERY round (the documented
+    // leftmost-cover approximation cannot prefer "ab" without the
+    // cross-position consistency full EM has); position 2 is
+    // single-char only. s_multi/s_all = 500000 / 2000000 = 25%.
+    val d = docs(Seq((0L, "ab ab ab ab ab", "en", "s")))
+    val rows = graft.ext.UnigramLm.multicharCoverage(d, rounds = 2).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("multichar_resp_ppm") == 250000L)
+    // longer words carry MORE multi-char pieces per position (pos 1 of
+    // "abab" hosts ab/aba/abab against lone "a"), so coverage rises —
+    // the signal moves with compressibility as designed
+    val d2 = docs(Seq((0L, "abab abab", "en", "s")))
+    val cov2 = graft.ext.UnigramLm.multicharCoverage(d2, rounds = 2)
+      .collect().head.getAs[Long]("multichar_resp_ppm")
+    assert(cov2 > 250000L, s"got $cov2")
+  }
+
   test("training is partition-invariant") {
     val base = docs(Seq(
       (0L, "abab ab ab cd", "en", "s"),
