@@ -241,7 +241,13 @@ object ProbeInventory {
       "10x+100x, lm_kn_continuation 10x+100x, memorization_ngrams, " +
       "quality_surprisal_by_source)")(
       "bm25_topk", "colloc_pmi_bigrams", "lm_bigram_novelty",
-      "quality_unigram_surprisal", "decontaminate_ngrams")
+      "quality_unigram_surprisal", "decontaminate_ngrams", "bm25_prf_expansion")
+    ++ fam("stateless per-row substring arithmetic (no exchange) + a source-keyed " +
+      "audit aggregate; the doc-sample face is doc_id<40-bounded like pii_redact_docs")(
+      "fim_transform_docs", "fim_split_audit")
+    ++ fam("the probed curriculum_phase_manifest chain + a <= phases-row bounded " +
+      "cumulative window")(
+      "curriculum_pacing_schedule")
     // ---- misc rides ----
     ++ fam("span-bounded grid face: scale densifies observations per cell, not rows; " +
       "probed via timeseries_interpolate / seasonal_decompose")(

@@ -36,6 +36,7 @@ object SparkEntry {
     (ext.TextAnalysis.queries, ext.TextAnalysis.oracleSql),
     (ext.BpeTrain.queries, ext.BpeTrain.oracleSql),
     (ext.UnigramLm.queries, ext.UnigramLm.oracleSql),
+    (ext.Fim.queries, ext.Fim.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),

@@ -61,6 +61,36 @@ object Bm25 {
       .select(col("rank"), col("doc_id"), col("score_fp"))
   }
 
+  /** RM3-style pseudo-relevance-feedback expansion: take the BM25
+    * top-`fbK` documents as the feedback set, weight every term in
+    * them by Σ_fb (tf·10⁶ div dl) · (score_fp div 10⁶) — the relevance-
+    * model estimate P(t|d)·P(d|q) in fixed point (the score factor is
+    * pre-truncated to milli-scale so the per-term sum holds to ~10¹⁵
+    * feedback postings) — drop the original query terms (anti-join on
+    * the ≤5-row broadcast), and emit the top-`nTerms` expansion
+    * candidates. 100 TB shape: the feedback set is a k-row broadcast,
+    * so the posting scan survives one equi-join against it; everything
+    * downstream is term-keyed with map-side combine + TakeOrdered.
+    */
+  def prfExpansion(docs: DataFrame, queryTerms: DataFrame,
+                   fbK: Int, nTerms: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val fb = bm25TopK(docs, queryTerms, fbK)
+      .select(col("doc_id"), col("score_fp"))
+    tf.join(broadcast(fb), "doc_id")
+      .join(dl, "doc_id")
+      .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"), "left_anti")
+      .select(col("term"), col("doc_id"),
+        expr("(1000000L * tf div dl) * (score_fp div 1000000L)").as("wpart"))
+      .groupBy(col("term"))
+      .agg(sum(col("wpart")).as("w_fp"),
+        countDistinct(col("doc_id")).as("n_fb_docs"))
+      .orderBy(col("w_fp").desc, col("term")).limit(nTerms)
+  }
+
   /** Deterministic query: the 5 rarest corpus terms by (df, term). */
   private def rarestTerms(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -72,6 +102,11 @@ object Bm25 {
     "bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       bm25TopK(docs, rarestTerms(docs, 5), k = 20)
+    }),
+    // top-10 feedback docs → top-15 expansion terms
+    "bm25_prf_expansion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      prfExpansion(docs, rarestTerms(docs, 5), fbK = 10, nTerms = 15)
     })
   )
 
@@ -96,6 +131,34 @@ object Bm25 {
         |  GROUP BY t.doc_id)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS INTEGER) AS rank,
         |  doc_id, score_fp
-        |FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+        |FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    "bm25_prf_expansion" ->
+      """WITH p AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT term FROM dfx ORDER BY df, term LIMIT 5),
+        |fb AS (
+        |  SELECT t.doc_id, CAST(sum(
+        |    (1000 * (2 * (g.n_docs - d.df) + 1) // (2 * d.df + 1)) *
+        |    (1000000 * 44 * t.tf * g.t_total //
+        |     (20 * t.tf * g.t_total + 6 * g.t_total + 18 * l.dl * g.n_docs))
+        |  ) AS BIGINT) AS score_fp
+        |  FROM tf t JOIN qt USING (term) JOIN dfx d USING (term)
+        |       JOIN dl l USING (doc_id) CROSS JOIN g
+        |  GROUP BY t.doc_id
+        |  ORDER BY score_fp DESC, t.doc_id LIMIT 10)
+        |SELECT t.term,
+        |  CAST(sum((1000000 * t.tf // l.dl) * (fb.score_fp // 1000000)) AS BIGINT) AS w_fp,
+        |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_fb_docs
+        |FROM tf t JOIN fb ON fb.doc_id = t.doc_id
+        |JOIN dl l ON l.doc_id = t.doc_id
+        |ANTI JOIN qt ON qt.term = t.term
+        |GROUP BY t.term
+        |ORDER BY w_fp DESC, t.term LIMIT 15""".stripMargin
   )
 }

@@ -115,14 +115,78 @@ object Curriculum {
           .as("inflation_x1e3"))
   }
 
+  /** Pacing schedule: the phase manifest turned into step ranges —
+    * given a per-step token budget, each phase trains for
+    * ⌈token_budget / step_tokens⌉ steps, scheduled consecutively in
+    * phase order (easy → hard). The cumulative fold is a window over
+    * ≤ `phases` rows (the manifest itself), the batch_length_buckets
+    * bounded-window convention — nothing data-sized appears after the
+    * manifest's aggregate.
+    */
+  def pacingSchedule(docs: DataFrame, phases: Int, stepTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("phase"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    phaseManifest(docs, phases)
+      .select(col("phase"), col("n_docs"), col("token_budget"),
+        expr(s"(token_budget + ${stepTokens - 1}L) div ${stepTokens}L").as("n_steps"))
+      .withColumn("start_step", coalesce(sum(col("n_steps")).over(w), lit(0L)))
+      .withColumn("end_step", col("start_step") + col("n_steps") - 1)
+  }
+
   val queries: Map[String, Q] = Map(
     "curriculum_phase_manifest" -> ((s, dir) =>
       phaseManifest(Tables.documents(s, dir), phases = 4)),
     "mixture_dedup_weights" -> ((s, dir) =>
-      dedupWeights(Tables.documents(s, dir)))
+      dedupWeights(Tables.documents(s, dir))),
+    // 4 phases, 10k tokens per optimizer step
+    "curriculum_pacing_schedule" -> ((s, dir) =>
+      pacingSchedule(Tables.documents(s, dir), phases = 4, stepTokens = 10000L))
   )
 
+  // shared manifest CTE chain (interpolated before the enclosing
+  // stripMargin — continuation lines must not start with `||`)
+  private val manifestSql =
+    """tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+      |    x -> x != '')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, count(*) AS n_w FROM tok GROUP BY w),
+      |perdoc AS (
+      |  SELECT tok.doc_id, count(*) AS n_tokens,
+      |    CAST(sum(1000000000 // cnt.n_w) AS BIGINT)
+      |      // greatest(count(*), 1) AS rarity
+      |  FROM tok JOIN cnt ON cnt.w = tok.w
+      |  GROUP BY tok.doc_id),
+      |scored AS (
+      |  SELECT d.source,
+      |    CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |    CAST(coalesce(p.rarity, 0) AS BIGINT) AS rarity
+      |  FROM documents d
+      |  LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+      |b AS (SELECT quantile_cont(rarity, [0.25, 0.5, 0.75]) AS bnds FROM scored),
+      |manifest AS (
+      |  SELECT CAST(len(list_filter(b.bnds, x -> CAST(s.rarity AS DOUBLE) > x)) AS INTEGER) AS phase,
+      |    count(*) AS n_docs,
+      |    CAST(sum(s.n_tokens) AS BIGINT) AS token_budget,
+      |    min(s.rarity) AS rarity_lo, max(s.rarity) AS rarity_hi,
+      |    CAST(count(DISTINCT s.source) AS BIGINT) AS n_sources
+      |  FROM scored s CROSS JOIN b
+      |  GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "curriculum_pacing_schedule" ->
+      s"""WITH $manifestSql,
+         |steps AS (
+         |  SELECT phase, n_docs, token_budget,
+         |    CAST((token_budget + 9999) // 10000 AS BIGINT) AS n_steps
+         |  FROM manifest)
+         |SELECT phase, n_docs, token_budget, n_steps,
+         |  CAST(coalesce(sum(n_steps) OVER (ORDER BY phase
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_step,
+         |  CAST(coalesce(sum(n_steps) OVER (ORDER BY phase
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_steps - 1 AS BIGINT)
+         |    AS end_step
+         |FROM steps""".stripMargin,
     "curriculum_phase_manifest" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
