@@ -224,6 +224,10 @@ object PlanSweepSpec {
           "rank windows run over those k-bounded lists"),
       "kmv_vocab_overlap" ->
         (J, "cross-compares two k-sized KMV sketch aggregates (k = 256 rows each)"),
+      "curriculum_pacing_schedule" ->
+        (X, "the cumulative step window runs over the phase MANIFEST — a keyed " +
+          "aggregate whose key is the <= 4-value phase fold (aggregate(bnds) over 3 " +
+          "thresholds), so the single-partition stage carries at most `phases` rows"),
       "theilsen_trend" ->
         (JX, "pairwise slope frame is the bounded per-day time grid squared; " +
           "median selection runs over that grid-bounded frame"),
