@@ -248,6 +248,10 @@ object ProbeInventory {
     ++ fam("the probed curriculum_phase_manifest chain + a <= phases-row bounded " +
       "cumulative window")(
       "curriculum_pacing_schedule")
+    ++ fam("value/key-alphabet keyed aggregates (the dq_skew_profile shape): the " +
+      "unpivot/histogram exchange rides each column's value alphabet with map-side " +
+      "combine, one summary row out")(
+      "encoding_entropy_audit", "join_cardinality_forecast")
     // ---- misc rides ----
     ++ fam("span-bounded grid face: scale densifies observations per cell, not rows; " +
       "probed via timeseries_interpolate / seasonal_decompose")(

@@ -37,6 +37,7 @@ object SparkEntry {
     (ext.BpeTrain.queries, ext.BpeTrain.oracleSql),
     (ext.UnigramLm.queries, ext.UnigramLm.oracleSql),
     (ext.Fim.queries, ext.Fim.oracleSql),
+    (ext.StoragePlan.queries, ext.StoragePlan.oracleSql),
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),

@@ -71,6 +71,31 @@ class FimPrfSpec extends AnyFunSuite {
     }
   }
 
+  test("encoding entropy: constant column scores 0, distinct column near log2(N)") {
+    import spark.implicits._
+    val df = (0L until 64L).map(i => (i, "const", i % 4)).toDF("id", "c", "m")
+    val rows = graft.ext.StoragePlan.encodingEntropyAudit(df, Seq("id", "c", "m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // constant: 1 distinct, 0 entropy, 0 index bits
+    assert(rows("c") == (1L, 0L, 0L))
+    // all-distinct: 64 values, surprisal = (log2 64 - log2 1)*1000 = 6000
+    assert(rows("id") == (64L, 6000L, 6L))
+    // 4-value uniform: log2 64 - log2 16 = 2 bits
+    assert(rows("m") == (4L, 2000L, 2L))
+  }
+
+  test("join cardinality forecast: exact self-join size and skew ratio") {
+    import spark.implicits._
+    // key 1 x3 rows, key 2 x1 → self-join = 9 + 1 = 10 rows,
+    // max contrib 9, mean 5 → skew 1.8
+    val df = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val r = graft.ext.StoragePlan.joinCardinalityForecast(df, df, "k", "k")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L && r.getLong(2) == 9L)
+    assert(r.getLong(3) == 1800L)
+  }
+
   test("PRF expansion excludes query terms and weights feedback mass") {
     // q = rarest terms; docs sharing the rare term also carry 'common'
     val d = docs(Seq(
