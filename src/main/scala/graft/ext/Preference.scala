@@ -254,7 +254,7 @@ object Preference {
   // decided-pair table (NOTE: interpolated before the enclosing
   // stripMargin, so continuation lines must not start with `||`)
   private val bqSql =
-    """bq AS (
+    """bq AS MATERIALIZED (
       |  SELECT l_orderkey AS ok, l_partkey AS pk,
       |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
@@ -269,7 +269,7 @@ object Preference {
       |  WHERE a.q <> b.q)""".stripMargin
 
   private def iterSql(prev: String, i: Int): String =
-    s"""d$i AS (
+    s"""d$i AS MATERIALIZED (
        |  SELECT pk, CAST(SUM(term) AS BIGINT) AS d FROM (
        |    SELECT pa AS pk, n * 1000000000000 // greatest(wa.w + wb.w, 1) AS term
        |    FROM agg JOIN $prev wa ON wa.pk = agg.pa JOIN $prev wb ON wb.pk = agg.pb
@@ -277,7 +277,7 @@ object Preference {
        |    SELECT pb AS pk, n * 1000000000000 // greatest(wa.w + wb.w, 1) AS term
        |    FROM agg JOIN $prev wa ON wa.pk = agg.pa JOIN $prev wb ON wb.pk = agg.pb)
        |  GROUP BY pk),
-       |w$i AS (
+       |w$i AS MATERIALIZED (
        |  SELECT items.pk, CAST(items.wins * 1000000000000 // greatest(d$i.d, 1) AS BIGINT) AS w
        |  FROM items JOIN d$i ON d$i.pk = items.pk)""".stripMargin
 
@@ -309,11 +309,11 @@ object Preference {
          |    CASE WHEN b.q > a.q THEN 1 ELSE 0 END AS wb
          |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
          |  WHERE a.q <> b.q),
-         |agg AS (
+         |agg AS MATERIALIZED (
          |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(wa) AS BIGINT) AS wins_a, CAST(sum(wb) AS BIGINT) AS wins_b
          |  FROM rawp GROUP BY 1, 2),
-         |items AS (
+         |items AS MATERIALIZED (
          |  SELECT pk, CAST(sum(w) AS BIGINT) AS wins, CAST(sum(n) AS BIGINT) AS n_comp
          |  FROM (SELECT pa AS pk, wins_a AS w, n FROM agg
          |        UNION ALL SELECT pb, wins_b, n FROM agg)
@@ -341,7 +341,7 @@ object Preference {
          |    CASE WHEN b.q > a.q THEN 1 ELSE 0 END AS wb
          |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
          |  WHERE a.q <> b.q),
-         |agg AS (
+         |agg AS MATERIALIZED (
          |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(wa) AS BIGINT) AS wins_a, CAST(sum(wb) AS BIGINT) AS wins_b
          |  FROM rawp GROUP BY 1, 2),
@@ -383,11 +383,11 @@ object Preference {
          |    CASE WHEN b.q > a.q THEN 1 ELSE 0 END AS wb
          |  FROM bq a JOIN bq b ON a.ok = b.ok AND a.pk < b.pk
          |  WHERE a.q <> b.q),
-         |agg AS (
+         |agg AS MATERIALIZED (
          |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(wa) AS BIGINT) AS wins_a, CAST(sum(wb) AS BIGINT) AS wins_b
          |  FROM rawp GROUP BY 1, 2),
-         |items AS (
+         |items AS MATERIALIZED (
          |  SELECT pk, CAST(sum(w) AS BIGINT) AS wins, CAST(sum(n) AS BIGINT) AS n_comp
          |  FROM (SELECT pa AS pk, wins_a AS w, n FROM agg
          |        UNION ALL SELECT pb, wins_b, n FROM agg)
