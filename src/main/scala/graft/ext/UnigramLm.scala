@@ -202,11 +202,11 @@ object UnigramLm {
   // shared oracle chain: word types → bounded substring lattice →
   // candidates → two unrolled EM rounds (w0 → w1 → w2)
   private def emRound(prev: String, r: Int): String =
-    s"""d$r AS (
+    s"""d$r AS MATERIALIZED (
        |  SELECT o.word, o.start, CAST(sum(w.w) AS BIGINT) AS dsum
        |  FROM occ_c o JOIN $prev w ON w.piece = o.piece
        |  GROUP BY 1, 2),
-       |w$r AS (
+       |w$r AS MATERIALIZED (
        |  SELECT o.piece,
        |    CAST(sum(o.freq * (w.w * 1000000 // greatest(d.dsum, 1))) // 1000 AS BIGINT) AS w
        |  FROM occ_c o JOIN $prev w ON w.piece = o.piece
@@ -214,23 +214,23 @@ object UnigramLm {
        |  GROUP BY 1)""".stripMargin
 
   private val coreCtes: String =
-    """types AS (
+    """types AS MATERIALIZED (
       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
       |          x -> x != '')) AS w FROM documents)
       |  GROUP BY 1),
-      |st AS (
+      |st AS MATERIALIZED (
       |  SELECT word, freq, s AS start
       |  FROM types, UNNEST(generate_series(1, length(word))) AS t(s)),
-      |occ AS (
+      |occ AS MATERIALIZED (
       |  SELECT word, freq, start, l AS len, substring(word, start, l) AS piece
       |  FROM st, UNNEST(generate_series(1,
       |    least(4, length(word) - start + 1))) AS t(l)),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occ
       |  FROM occ GROUP BY 1
       |  HAVING sum(freq) >= 2 OR length(piece) = 1),
-      |occ_c AS (
+      |occ_c AS MATERIALIZED (
       |  SELECT o.word, o.freq, o.start, o.len, o.piece
       |  FROM occ o JOIN cand c ON c.piece = o.piece),
       |w0 AS (SELECT piece, n_occ AS w FROM cand)""".stripMargin
@@ -248,13 +248,13 @@ object UnigramLm {
       s"""WITH $coreCtes,
          |${emRound("w0", 1)},
          |${emRound("w1", 2)},
-         |tot AS (
+         |tot AS MATERIALIZED (
          |  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS np
          |  FROM w2),
-         |kept AS (
+         |kept AS MATERIALIZED (
          |  SELECT w2.piece, w2.w FROM w2, tot
          |  WHERE w2.w * tot.np > tot.tw OR length(w2.piece) = 1),
-         |d3 AS (
+         |d3 AS MATERIALIZED (
          |  SELECT o.word, o.start, CAST(sum(k.w) AS BIGINT) AS dsum
          |  FROM occ_c o JOIN kept k ON k.piece = o.piece
          |  GROUP BY 1, 2),
@@ -272,11 +272,11 @@ object UnigramLm {
       s"""WITH $coreCtes,
          |${emRound("w0", 1)},
          |${emRound("w1", 2)},
-         |d3 AS (
+         |d3 AS MATERIALIZED (
          |  SELECT o.word, o.start, CAST(sum(w.w) AS BIGINT) AS dsum
          |  FROM occ_c o JOIN w2 w ON w.piece = o.piece
          |  GROUP BY 1, 2),
-         |perword AS (
+         |perword AS MATERIALIZED (
          |  SELECT o.word,
          |    CAST(sum(w.w * 1000000 // greatest(d.dsum, 1)) AS BIGINT) AS s_all,
          |    CAST(sum(CASE WHEN o.len >= 2
@@ -299,11 +299,11 @@ object UnigramLm {
       s"""WITH $coreCtes,
          |${emRound("w0", 1)},
          |${emRound("w1", 2)},
-         |d3 AS (
+         |d3 AS MATERIALIZED (
          |  SELECT o.word, o.start, CAST(sum(w.w) AS BIGINT) AS dsum
          |  FROM occ_c o JOIN w2 w ON w.piece = o.piece
          |  GROUP BY 1, 2),
-         |perword AS (
+         |perword AS MATERIALIZED (
          |  SELECT o.word,
          |    CAST(sum(w.w * 1000000 // greatest(d.dsum, 1)) AS BIGINT) AS s_resp,
          |    CAST(sum((w.w * 1000000 // greatest(d.dsum, 1)) * o.len) AS BIGINT) AS s_len
