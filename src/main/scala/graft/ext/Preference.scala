@@ -100,8 +100,15 @@ object Preference {
           struct(col("pb").as("pk"), col("term")))).as("t"))
         .groupBy(col("t.pk").as("pk"))
         .agg(sum(col("t.term")).as("d"))
+      // persist each round's ITEM-SIZED weight table: it is referenced
+      // twice by the next round (the wa/wb joins) and twice again by
+      // the calibration face, so an unpersisted lineage re-evaluates
+      // the previous rounds once per reference — 2^iters recomputation,
+      // the Spark-side twin of the DuckDB CTE re-inlining bug (isolated
+      // A/B: calibration 14.3 s -> the fit cost once persisted)
       weights = items.join(denom, "pk")
         .select(col("pk"), expr(s"wins * ${S2}L div greatest(d, 1L)").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     (pairs, items, weights)
   }

@@ -78,11 +78,16 @@ object UnigramLm {
     (0 until rounds).foreach { _ =>
       val j = occC.join(weights, "piece")
       val denom = j.groupBy(col("word"), col("start")).agg(sum(col("w")).as("dsum"))
+      // persist each round's PIECE-ALPHABET-SIZED weight table — every
+      // round references the previous one twice (normalizer join +
+      // responsibility join), so an unpersisted lineage re-evaluates
+      // the chain once per reference (the Preference.fit finding)
       weights = j.join(denom, Seq("word", "start"))
         .select(col("piece"), col("freq"),
           expr("w * 1000000L div greatest(dsum, 1L)").as("resp_ppm"))
         .groupBy(col("piece"))
         .agg(expr("sum(freq * resp_ppm) div 1000L").as("w"))
+        .persist(ser)
     }
     (cand, occC, weights)
   }
