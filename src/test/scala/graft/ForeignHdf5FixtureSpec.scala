@@ -70,6 +70,19 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
     assert(f.longs("/data").toSeq == (0L until 7L))
   }
 
+  test("level-1 chunk B-tree: the recursive descent reassembles across leaves") {
+    // 24 values in 8 chunks of 3, split 4+4 across two level-0 leaves
+    // under one level-1 internal node — the flat fixtures never leave
+    // level 0, so this is the only coverage of walkChunkBtree's
+    // recursion (spec III.A.1: internal node children are tree nodes)
+    val deep = "src/test/resources/foreign_chunked_deep.h5"
+    assert(sha256(deep) ==
+      "6b31ca9be3f54464ee445db9136409538f7859aaf52556cf572147244c78812c")
+    val f = Hdf5Mini.read(deep)
+    assert(f.datasets("/data").chunked && f.datasets("/data").dims == Seq(24L))
+    assert(f.longs("/data").toSeq == (0L until 24L))
+  }
+
   test("readMeta registers a chunked dataset but defers its data") {
     val f = Hdf5Mini.readMeta(chunked)
     assert(f.datasets("/data").chunked)

@@ -273,6 +273,7 @@ def main():
     forge_chunked(f"{outdir}/foreign_chunked.h5")
     forge_chunked(f"{outdir}/foreign_chunked_edge.h5", n=7, chunk=5)
     forge_chunked_edges(f"{outdir}/foreign_chunked_edges.h5")
+    forge_chunked_deep(f"{outdir}/foreign_chunked_deep.h5")
     forge_v2header(f"{outdir}/foreign_v2header.h5")
     print(f"forged foreign_chunked[_edge].h5 + foreign_v2header.h5 under {outdir}")
 
@@ -338,6 +339,92 @@ def forge_chunked_edges(path, n=12, chunk=4):
     for i in range(nchunks):
         vals = [i * chunk + j if i * chunk + j < n else -1 for j in range(chunk)]
         out += b"".join(struct.pack("<q", v) for v in vals)
+    assert len(out) == eof, (len(out), eof)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+
+
+def chunk_btree_l1(entries_per_leaf, entries, total_dims, base):
+    """Spec III.A.1, node type 1 at LEVEL 1: an internal node whose
+    children are level-0 leaf nodes. `entries` = (nbytes, offs, child)
+    leaf entries laid out starting after the internal node at `base`.
+    Returns (internal + leaves bytes, internal_addr)."""
+    import math
+    groups = [entries[i:i + entries_per_leaf]
+              for i in range(0, len(entries), entries_per_leaf)]
+
+    def key(nbytes, offs):
+        return struct.pack("<II", nbytes, 0) + b"".join(
+            struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+
+    def leaf(group, right_key_offs):
+        b = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(group), UNDEF, UNDEF)
+        for nbytes, offs, child in group:
+            b += key(nbytes, offs) + struct.pack("<Q", child)
+        b += key(0, right_key_offs)
+        return b
+
+    # probe leaf sizes to place them after the internal node
+    probes = [leaf(g, total_dims) for g in groups]
+    internal_probe = (b"TREE" + struct.pack("<BBHQQ", 1, 1, len(groups), UNDEF, UNDEF)
+                      + b"".join(key(g[0][0], g[0][1]) + struct.pack("<Q", 0)
+                                 for g in groups)
+                      + key(0, total_dims))
+    leaf_addrs = []
+    cur = base + len(internal_probe)
+    for pr in probes:
+        leaf_addrs.append(cur)
+        cur += len(pr)
+    internal = (b"TREE" + struct.pack("<BBHQQ", 1, 1, len(groups), UNDEF, UNDEF)
+                + b"".join(key(groups[i][0][0], groups[i][0][1])
+                           + struct.pack("<Q", leaf_addrs[i])
+                           for i in range(len(groups)))
+                + key(0, total_dims))
+    assert len(internal) == len(internal_probe)
+    out = internal
+    for i, g in enumerate(groups):
+        nxt = groups[i + 1][0][1] if i + 1 < len(groups) else total_dims
+        out += leaf(g, nxt)
+    return out, base
+
+
+def forge_chunked_deep(path, n=24, chunk=3, leaf_entries=4):
+    """Classic file whose 1-D int32 dataset 'data' (values 0..n-1) sits
+    under a LEVEL-1 chunk B-tree: 8 chunks split across two level-0
+    leaves below one internal node — exercises the reader's recursive
+    descent, which the flat fixtures (single level-0 node) never do."""
+    root_oh = 96
+    root, root_bt, root_heap = group_block(root_oh, {"data": 0})
+    gsize = len(root)
+    ds_oh = root_oh + gsize
+    nchunks = (n + chunk - 1) // chunk
+    cbytes = chunk * 4
+    ds_probe = object_header_v1([
+        msg(0x0001, dataspace_v1([n])), msg(0x0003, datatype_i32le()),
+        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, 0, [chunk], 4))])
+    cbt_addr = ds_oh + len(ds_probe)
+    # chunk data lands after the whole btree (internal + 2 leaves)
+    probe_entries = [(cbytes, [i * chunk], 0) for i in range(nchunks)]
+    tree_probe, _ = chunk_btree_l1(leaf_entries, probe_entries, [n], cbt_addr)
+    chunk_base = cbt_addr + len(tree_probe)
+    entries = [(cbytes, [i * chunk], chunk_base + i * cbytes) for i in range(nchunks)]
+    tree, _ = chunk_btree_l1(leaf_entries, entries, [n], cbt_addr)
+    assert len(tree) == len(tree_probe)
+    eof = chunk_base + nchunks * cbytes
+
+    root, _, _ = group_block(root_oh, {"data": ds_oh})
+    out = bytearray()
+    out += superblock_v0(root_oh, eof, root_bt, root_heap)
+    out += root
+    out += object_header_v1([
+        msg(0x0001, dataspace_v1([n])), msg(0x0003, datatype_i32le()),
+        msg(0x0005, fill_v2()), msg(0x0008, layout_v3_chunked(1, cbt_addr, [chunk], 4))])
+    out += tree
+    for i in range(nchunks):
+        vals = [i * chunk + j if i * chunk + j < n else -1 for j in range(chunk)]
+        out += b"".join(struct.pack("<i", v) for v in vals)
     assert len(out) == eof, (len(out), eof)
     with open(path, "wb") as f:
         f.write(out)
