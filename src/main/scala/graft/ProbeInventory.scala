@@ -31,7 +31,11 @@ object ProbeInventory {
     "dedup_boundary_continuation",  // r13: 10x = 1.20, hash-keyed boundary pairs
     "sonata_h5_v2_source",          // r13: 10x = 0.81, planned container scan
     "sonata_h5_v2_scan_agg",        // r14: the read-path checksum face, probed ad hoc
-    "sonata_h5_wide")               // r13: 10x = 1.10, 2048-member multi-SNOD groups
+    "sonata_h5_wide",               // r13: 10x = 1.10, 2048-member multi-SNOD groups
+    "quality_nb_confusion",         // r14: 10x = 0.25 (train+score chain, min of 2 passes)
+    "quality_filter_topk_pct",      // r14: 10x = 0.83 (two-phase exact-rank filter apply)
+    "dedup_bq_banded_pairs")        // r14: 10x = 2.40, quadratic-at-fixed-band-width by
+                                    //      design — see the ratio_note on the record
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`
@@ -93,7 +97,14 @@ object ProbeInventory {
           "length fold; rides unigram_lm_train's curve"),
       "preference_rater_agreement" ->
         ("pair-keyed aggregate into a 6-band decisiveness alphabet on the probed " +
-          "bradley_terry comparisons table; map-side combine collapses the exchange")
+          "bradley_terry comparisons table; map-side combine collapses the exchange"),
+      "quality_nb_model" ->
+        ("feature-alphabet-bounded keyed aggregate (≤ ~60 (feat,val) cells) over the " +
+          "stateless gopher-stat projection; the full chain carries the " +
+          "quality_nb_confusion probe (10x 0.25)"),
+      "quality_nb_source_rates" ->
+        ("the probed quality_nb_confusion score chain with a #sources-keyed finisher " +
+          "instead of the 1-row confusion fold")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----
@@ -187,6 +198,7 @@ object ProbeInventory {
       "scoring a probed approximate operator's recall — never the production path " +
       "(the dedup_simhash_recall adjudication, round 9)")(
       "dedup_simhash_recall", "dedup_minhash_recall", "dedup_minhash_incr_recall",
+      "dedup_bq_banded_recall",
       "ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall",
       "ann_matryoshka_recall", "ann_mrr_check", "ann_kendall_tau")
     // ---- ANN / embedding faces riding probed generators ----
@@ -216,7 +228,7 @@ object ProbeInventory {
       "streaming_drift_psi", "streaming_fertility", "streaming_freshness_monitor",
       "streaming_funnel", "streaming_hll_window", "streaming_join",
       "streaming_join_outer", "streaming_length_buckets", "streaming_ohlc",
-      "streaming_oov_monitor", "streaming_pii_monitor",
+      "streaming_nb_quality", "streaming_oov_monitor", "streaming_pii_monitor",
       "streaming_quality_monitor", "streaming_sessionize",
       "streaming_sliding_window", "streaming_static_antijoin",
       "streaming_surprisal_monitor", "streaming_topic_mix",

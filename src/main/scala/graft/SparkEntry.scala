@@ -70,6 +70,7 @@ object SparkEntry {
     (ext.Preference.queries, ext.Preference.oracleSql),
     (ext.Pii.queries, ext.Pii.oracleSql),
     (ext.Curriculum.queries, ext.Curriculum.oracleSql),
+    (ext.NbFilter.queries, ext.NbFilter.oracleSql),
     (ext.BinaryQuant.queries, ext.BinaryQuant.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.LinkPred.queries, ext.LinkPred.oracleSql),

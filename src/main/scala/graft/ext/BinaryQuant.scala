@@ -86,6 +86,71 @@ object BinaryQuant {
       .select(col("q_id"), col("rank"), col("c_id"), col("dot_q"))
   }
 
+  /** Byte-band table over the bit codes: 8 bands of 8 bits per vector
+    * (band_idx 0-3 slice c_lo, 4-7 slice c_hi). The banding discipline
+    * of [[Dedup]] applied to sign bits: two vectors within Hamming
+    * distance h agree on at least ⌈8·(1 − h/64)⌉ expected bands, so any
+    * shared band is the candidate trigger.
+    */
+  def withBandTable(codes: DataFrame): DataFrame = {
+    val bandCols = (0 until 8).map { i =>
+      val src = if (i < 4) "c_lo" else "c_hi"
+      expr(s"shiftright($src, ${(i % 4) * 8}) & 255L")
+    }
+    codes.select(col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** BQ-banded near-dup pair mining — the [[Dedup]] banded-LSH shape
+    * over bit codes: candidates are pairs sharing ANY (band_idx,
+    * band_val) bucket; candidates are verified by exact Hamming ≤ `tau`.
+    * The candidate path is NARROW (bare id pairs through the distinct
+    * exchange; codes re-fetched by two equi-joins — the
+    * Dedup.scala:329-388 discipline). Collision volume is bounded by the
+    * band alphabet: at 8-bit bands buckets saturate quadratically as the
+    * corpus outgrows 256·#bands cells, so the production knob is band
+    * WIDTH — widen to ⌈log2 n⌉+c bits as the corpus grows (the
+    * occupancy-adaptive rule the sign-LSH face uses); 8-bit bands here
+    * exercise the semantics at test scale where 16-bit bands are too
+    * selective to yield any candidate (measured: 10 candidates / 0 pairs
+    * at sf0.01).
+    */
+  def bqBandedPairs(e: DataFrame, tau: Int): DataFrame = {
+    val codes = withCodes(e).select(col("vec_id"), col("c_lo"), col("c_hi"))
+    val bands = withBandTable(codes)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(codes.select(col("vec_id").as("a_id"),
+        col("c_lo").as("a_lo"), col("c_hi").as("a_hi")), "a_id")
+      .join(codes.select(col("vec_id").as("b_id"),
+        col("c_lo").as("b_lo"), col("c_hi").as("b_hi")), "b_id")
+      .withColumn("hamming", hamming(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")))
+      .where(col("hamming") <= tau)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Recall of the banded miner against the full-pair Hamming truth —
+    * a gate-scale exact companion (the truth side is Θ(n²) BY DESIGN,
+    * the dedup_simhash_recall convention): banded pairs are a subset of
+    * the truth (same τ filter), so recall_ppm alone scores the banding.
+    */
+  def bqBandedRecall(e: DataFrame, tau: Int): DataFrame = {
+    val codes = withCodes(e).select(col("vec_id"), col("c_lo"), col("c_hi"))
+    val truth = codes.as("a").join(codes.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(hamming(col("a.c_lo"), col("a.c_hi"), col("b.c_lo"), col("b.c_hi")) <= tau)
+      .agg(count(lit(1)).as("n_truth"))
+    val found = bqBandedPairs(e, tau).agg(count(lit(1)).as("n_found"))
+    // 1-row × 1-row cross join — two scalars
+    truth.crossJoin(found)
+      .select(col("n_truth"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_truth, 1L)").as("recall_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     // full-corpus Hamming ranking over the packed sign bits — exact
     // oracle (deterministic and SQL-expressible end to end)
@@ -93,6 +158,15 @@ object BinaryQuant {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       bqTopK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
+    // banded near-dup pair mining over the bit codes (exact oracle:
+    // banding + Hamming verify are both deterministic integer chains)
+    "dedup_bq_banded_pairs" -> ((s, dir) =>
+      bqBandedPairs(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        tau = 18)),
+    // recall of the banded miner vs the full-pair truth at gate scale
+    "dedup_bq_banded_recall" -> ((s, dir) =>
+      bqBandedRecall(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        tau = 18)),
     // the production recipe: BQ shortlist (top-20 Hamming) → exact-dot
     // rerank to top-5, then recall@5 against the brute-force truth as
     // an EXACT ppm — the oracle recomputes the whole chain, so a
@@ -134,7 +208,44 @@ object BinaryQuant {
       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
       |         * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)""".stripMargin
 
+  private val bandSql =
+    """bands AS (
+      |  SELECT vec_id, b.i AS band_idx,
+      |    CASE WHEN b.i < 4 THEN (c_lo >> (CAST(b.i AS INTEGER) * 8)) & 255
+      |         ELSE (c_hi >> ((CAST(b.i AS INTEGER) - 4) * 8)) & 255 END AS band_val
+      |  FROM code, (SELECT unnest(generate_series(0, 7)) AS i) b),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.vec_id < b.vec_id),
+      |banded AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(bit_count(xor(ca.c_lo, cb.c_lo))
+      |       + bit_count(xor(ca.c_hi, cb.c_hi)) AS INTEGER) AS hamming
+      |  FROM cand c
+      |  JOIN code ca ON ca.vec_id = c.a_id
+      |  JOIN code cb ON cb.vec_id = c.b_id
+      |  WHERE bit_count(xor(ca.c_lo, cb.c_lo))
+      |      + bit_count(xor(ca.c_hi, cb.c_hi)) <= 18)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_bq_banded_pairs" ->
+      s"""WITH code AS ($codeSql),
+         |$bandSql
+         |SELECT a_id, b_id, hamming FROM banded""".stripMargin,
+    "dedup_bq_banded_recall" ->
+      s"""WITH code AS ($codeSql),
+         |$bandSql,
+         |truth AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM code a JOIN code b ON a.vec_id < b.vec_id
+         |  WHERE bit_count(xor(a.c_lo, b.c_lo))
+         |      + bit_count(xor(a.c_hi, b.c_hi)) <= 18),
+         |found AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM banded)
+         |SELECT t.n_truth, f.n_found,
+         |  CAST(f.n_found * 1000000 // greatest(t.n_truth, 1) AS BIGINT) AS recall_ppm
+         |FROM truth t, found f""".stripMargin,
     "ann_bq_topk" ->
       s"""WITH $hamSql
          |SELECT q_id,

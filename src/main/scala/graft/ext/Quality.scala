@@ -417,9 +417,10 @@ object Quality {
   )
 
   /** The per-doc Gopher flag CTE chain, shared by the per-doc dump and
-    * the by-source rollup (and by the streaming monitor's oracle) so
-    * the rule arithmetic exists exactly once on the oracle side. */
-  private lazy val gopherFlagCtes: String =
+    * the by-source rollup (and by the streaming monitor's oracle, and by
+    * [[NbFilter]]'s weak-label chain) so the rule arithmetic exists
+    * exactly once on the oracle side. */
+  private[ext] lazy val gopherFlagCtes: String =
     """t AS (
       |  SELECT doc_id, source,
       |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

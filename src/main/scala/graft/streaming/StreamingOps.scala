@@ -935,6 +935,40 @@ object StreamingOps {
     graft.ext.Quality.gopherFinish(spark.table(name))
   }
 
+  /** Streaming learned-quality monitor: the [[graft.ext.NbFilter]]
+    * classifier's per-source keep rates maintained live. The model
+    * (weights + consts) trains BATCH-side on the even split; the
+    * document stream's held-out half is scored by the STATELESS
+    * [[graft.ext.NbFilter.scoreFlags]] path (gopher-flag projection +
+    * four alphabet-sized stream-static broadcast equi-joins — zero
+    * per-doc state, which is exactly why scoreFlags avoids the per-doc
+    * aggregate), and the only streaming state is the #sources-keyed
+    * complete-mode rate aggregate. Shares quality_nb_source_rates'
+    * oracle bit-for-bit.
+    */
+  private def nbQualityToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"snbq_${System.nanoTime()}"
+    val (weights, consts) =
+      graft.ext.NbFilter.trainedWeights(graft.Tables.documents(spark, dir))
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scoredStream = graft.ext.NbFilter.scoreFlags(
+      graft.ext.Quality.gopherRules(stream).where(col("doc_id") % 2 === 1),
+      weights, consts)
+    val q = scoredStream
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_mbits") >= 0, 1L).otherwise(0L)).as("n_pred_pass"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_weak_pass"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("source"), col("n_docs"), col("n_pred_pass"), col("n_weak_pass"),
+        expr("n_pred_pass * 1000000L div n_docs").as("pred_pass_ppm"))
+  }
+
   /** Incremental reliability diagram: the streamed complete-mode
     * (bin, n, Σscore, n_pos) aggregate + the batch ≤10-row finisher,
     * BOTH lifted verbatim from ext.Calibration (scoreLabel/binned/
@@ -1007,6 +1041,7 @@ object StreamingOps {
     "streaming_pii_monitor" -> ((s, dir) => piiToCompletion(s, dir)),
     "streaming_length_buckets" -> ((s, dir) => lengthBucketsToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
+    "streaming_nb_quality" -> ((s, dir) => nbQualityToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
     "streaming_freshness_monitor" -> ((s, dir) => freshnessToCompletion(s, dir)),
     "streaming_surprisal_monitor" -> ((s, dir) => surprisalToCompletion(s, dir)),
@@ -1277,6 +1312,8 @@ object StreamingOps {
     "streaming_length_buckets" -> graft.ext.Sampling.oracleSql("batch_length_buckets"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
+    "streaming_nb_quality" ->
+      graft.ext.NbFilter.oracleSql("quality_nb_source_rates"),
     "streaming_ohlc" -> graft.ext.Timeseries.oracleSql("timeseries_ohlc"),
     "streaming_freshness_monitor" ->
       graft.ext.DataQuality.oracleSql("dq_freshness"),

@@ -107,6 +107,46 @@ class PiiBinaryQuantSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 10L, 1), (2, 11L, 2), (3, 12L, 2)))
   }
 
+  test("withBandTable slices each code into eight byte bands") {
+    val e = vecs(Seq((1L, v()), (2L, v(0, 33))))
+    val codes = graft.ext.BinaryQuant.withCodes(e)
+      .select(col("vec_id"), col("c_lo"), col("c_hi"))
+    val bands = graft.ext.BinaryQuant.withBandTable(codes).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(bands.size == 16)
+    (0 until 8).foreach(i => assert(bands((1L, i)) == 255L))
+    assert(bands((2L, 0)) == 254L)      // bit 0 cleared in lo byte 0
+    assert(bands((2L, 4)) == 253L)      // bit 1 cleared in hi byte 0
+    (Seq(1, 2, 3, 5, 6, 7)).foreach(i => assert(bands((2L, i)) == 255L))
+  }
+
+  test("bqBandedPairs finds pairs sharing a band, verified by exact Hamming") {
+    // 1 and 2 differ in 2 bits but share six byte-bands → candidate, kept
+    // at tau=18; 3 is all-negative: shares no band with 1/2 (bands 0 vs
+    // 255) and would fail tau anyway — never surfaced
+    val e = vecs(Seq((1L, v()), (2L, v(0, 33)),
+      (3L, (0 until 64).map(_ => -1.0f))))
+    val got = graft.ext.BinaryQuant.bqBandedPairs(e, tau = 18).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2)))
+  }
+
+  test("bqBandedPairs candidate set is band-gated: near pair with no shared band is missed") {
+    // craft two vectors at Hamming 8 with exactly one bit cleared per
+    // byte band → NO shared band, so the banded miner must miss them
+    // (that recall loss is what the recall face scores)
+    val e = vecs(Seq((1L, v()), (2L, v(0, 8, 16, 24, 32, 40, 48, 56))))
+    assert(graft.ext.BinaryQuant.bqBandedPairs(e, tau = 18).count() == 0)
+    val rec = graft.ext.BinaryQuant.bqBandedRecall(e, tau = 18).collect()(0)
+    assert((rec.getLong(0), rec.getLong(1), rec.getLong(2)) == (1L, 0L, 0L))
+  }
+
+  test("bqBandedRecall is 1e6 ppm when banding catches every true pair") {
+    val e = vecs(Seq((1L, v()), (2L, v(0)), (3L, v(1))))
+    val rec = graft.ext.BinaryQuant.bqBandedRecall(e, tau = 18).collect()(0)
+    assert((rec.getLong(0), rec.getLong(1), rec.getLong(2)) == (3L, 3L, 1000000L))
+  }
+
   test("property: codes and Hamming ranking match an independent Scala reference") {
     // fixed-seed pseudo-random sign vectors; reference packs bits and
     // ranks by (hamming, id) with plain Scala integer ops

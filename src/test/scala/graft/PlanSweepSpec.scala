@@ -214,6 +214,11 @@ object PlanSweepSpec {
       "ann_ndcg_check" -> (J, annProbePanel),
       "ann_pq_recall" -> (J, annProbePanel),
       "embedding_outlier_score" -> (J, annProbePanel),
+      "dedup_bq_banded_recall" ->
+        (J, "the TRUTH side is the full-pair Hamming sweep — Θ(n²) BY DESIGN, a " +
+          "gate-scale exact companion scoring the banded miner's recall (the " +
+          "dedup_simhash_recall convention); the production path is the banded " +
+          "equi-keyed miner it scores"),
       "knn_graph_mutual" ->
         (J, "both sides of the distance join are the 100-vector audit panel (vec_id < 100)"),
       "multimodal_image_embed_topk" ->

@@ -49,6 +49,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming NB quality monitor equals the batch source rates bit for bit") {
+    val streamed = SparkEntry.queries("streaming_nb_quality")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("quality_nb_source_rates")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming surprisal monitor equals the batch by-source face bit for bit") {
     val streamed = SparkEntry.queries("streaming_surprisal_monitor")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
