@@ -104,7 +104,13 @@ object ProbeInventory {
           "quality_nb_confusion probe (10x 0.25)"),
       "quality_nb_source_rates" ->
         ("the probed quality_nb_confusion score chain with a #sources-keyed finisher " +
-          "instead of the 1-row confusion fold")
+          "instead of the 1-row confusion fold"),
+      "grpo_group_advantage" ->
+        ("group-keyed aggregate + co-partitioned group-keyed equi-join back (the probed " +
+          "winsorize_by_group shape) feeding a sign x ~40-band alphabet aggregate"),
+      "reward_best_of_n_gain" ->
+        ("one group-keyed aggregate into a floor-log2 size-band alphabet; " +
+          "plan-trivially linear like batch_length_buckets")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

@@ -71,6 +71,7 @@ object SparkEntry {
     (ext.Pii.queries, ext.Pii.oracleSql),
     (ext.Curriculum.queries, ext.Curriculum.oracleSql),
     (ext.NbFilter.queries, ext.NbFilter.oracleSql),
+    (ext.RewardOps.queries, ext.RewardOps.oracleSql),
     (ext.BinaryQuant.queries, ext.BinaryQuant.oracleSql),
     (ext.Sessionize.queries, ext.Sessionize.oracleSql),
     (ext.LinkPred.queries, ext.LinkPred.oracleSql),
