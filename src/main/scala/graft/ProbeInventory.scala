@@ -34,8 +34,9 @@ object ProbeInventory {
     "sonata_h5_wide",               // r13: 10x = 1.10, 2048-member multi-SNOD groups
     "quality_nb_confusion",         // r14: 10x = 0.25 (train+score chain, min of 2 passes)
     "quality_filter_topk_pct",      // r14: 10x = 0.83 (two-phase exact-rank filter apply)
-    "dedup_bq_banded_pairs")        // r14: 10x = 2.40, quadratic-at-fixed-band-width by
+    "dedup_bq_banded_pairs",        // r14: 10x = 2.40, quadratic-at-fixed-band-width by
                                     //      design — see the ratio_note on the record
+    "dedup_bq_banded_adaptive")     // r14: 10x = 0.28, the occupancy-adaptive width knob
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`

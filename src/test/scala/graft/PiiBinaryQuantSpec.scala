@@ -141,6 +141,17 @@ class PiiBinaryQuantSpec extends AnyFunSuite {
     assert((rec.getLong(0), rec.getLong(1), rec.getLong(2)) == (1L, 0L, 0L))
   }
 
+  test("bqBandedAdaptive derives width from the corpus count and audits the frontier") {
+    // n = 3 -> w = min(16, floor(log2 3) + 2) = 3 bits; vectors 1/2
+    // share low bands (differ at bit 0 only in lane 0) -> candidate +
+    // verified pair; vector 3 (all-negative) shares no band value
+    val e = vecs(Seq((1L, v()), (2L, v(0)), (3L, (0 until 64).map(_ => -1.0f))))
+    val r = graft.ext.BinaryQuant.bqBandedAdaptive(e, tau = 18).collect()(0)
+    assert(r.getLong(0) == 3L)       // w_bits
+    assert(r.getLong(1) >= 1L)       // candidates include (1,2)
+    assert(r.getLong(2) == 1L)       // exactly the (1,2) pair verifies
+  }
+
   test("bqBandedRecall is 1e6 ppm when banding catches every true pair") {
     val e = vecs(Seq((1L, v()), (2L, v(0)), (3L, v(1))))
     val rec = graft.ext.BinaryQuant.bqBandedRecall(e, tau = 18).collect()(0)
