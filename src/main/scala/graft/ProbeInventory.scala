@@ -106,12 +106,19 @@ object ProbeInventory {
       "quality_nb_source_rates" ->
         ("the probed quality_nb_confusion score chain with a #sources-keyed finisher " +
           "instead of the 1-row confusion fold"),
+      "quality_nb_ablation" ->
+        ("the probed quality_nb_confusion score chain + a constant 5-way in-row " +
+          "explode into a variant-alphabet confusion aggregate"),
       "grpo_group_advantage" ->
         ("group-keyed aggregate + co-partitioned group-keyed equi-join back (the probed " +
           "winsorize_by_group shape) feeding a sign x ~40-band alphabet aggregate"),
       "reward_best_of_n_gain" ->
         ("one group-keyed aggregate into a floor-log2 size-band alphabet; " +
-          "plan-trivially linear like batch_length_buckets")
+          "plan-trivially linear like batch_length_buckets"),
+      "mixture_waterfill_budget" ->
+        ("one corpus token-count scan + source-alphabet rank windows (k rows; " +
+          "kind-scoped in the plan sweep) — the mixture_epochs_budget shape with a " +
+          "water-level fold")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

@@ -187,6 +187,56 @@ object NbFilter {
     scoreFlags(Quality.gopherRules(docs).where(scoreSplit), weights, consts)
   }
 
+  /** Per-feature ablation audit: the held-out confusion/accuracy of the
+    * full model beside four leave-one-feature-out variants — which
+    * feature the filter actually leans on (and whether any is dead
+    * weight). ONE scoring pass computes the four per-feature millibit
+    * contributions as columns; a 5-way in-row explode then fans each
+    * doc into (variant, score) pairs, and the finisher is one
+    * variant×confusion-cell bounded aggregate — the ablation sweep
+    * costs one extra explode, not five scoring passes.
+    */
+  def ablationAudit(docs: DataFrame): DataFrame = {
+    val (weights, consts) = trainedWeights(docs)
+    def wSide(feat: String) = broadcast(
+      weights.where(col("feat") === feat)
+        .select(col("val").as(s"_v_$feat"), col("w_mbits").as(s"w_$feat")))
+    val parts = Quality.gopherRules(docs).where(col("doc_id") % 2 === 1)
+      .withColumn("f_len", (length(bin(greatest(col("n_words"), lit(1L)))) - 1).cast("long"))
+      .withColumn("f_mwl", expr("mean_word_len_x100 div 100").cast("long"))
+      .withColumn("f_stop", least(col("n_stopwords"), lit(8L)).cast("long"))
+      .withColumn("f_alpha", expr("n_alpha_words * 10 div greatest(n_words, 1)").cast("long"))
+      .join(wSide("len"), col("f_len") === col("_v_len"), "left")
+      .join(wSide("mwl"), col("f_mwl") === col("_v_mwl"), "left")
+      .join(wSide("stop"), col("f_stop") === col("_v_stop"), "left")
+      .join(wSide("alpha"), col("f_alpha") === col("_v_alpha"), "left")
+      .select(col("pass"),
+        coalesce(col("w_len"), lit(consts.w0Len)).as("t_len"),
+        coalesce(col("w_mwl"), lit(consts.w0Mwl)).as("t_mwl"),
+        coalesce(col("w_stop"), lit(consts.w0Stop)).as("t_stop"),
+        coalesce(col("w_alpha"), lit(consts.w0Alpha)).as("t_alpha"))
+      .withColumn("total",
+        col("t_len") + col("t_mwl") + col("t_stop") + col("t_alpha")
+          + lit(consts.priorMbits))
+    parts
+      .select(col("pass"), explode(array(
+        struct(lit("full").as("variant"), col("total").as("s")),
+        struct(lit("no_len").as("variant"), (col("total") - col("t_len")).as("s")),
+        struct(lit("no_mwl").as("variant"), (col("total") - col("t_mwl")).as("s")),
+        struct(lit("no_stop").as("variant"), (col("total") - col("t_stop")).as("s")),
+        struct(lit("no_alpha").as("variant"), (col("total") - col("t_alpha")).as("s"))
+      )).as("v"))
+      .select(col("v.variant").as("variant"), (col("v.s") >= 0).as("pred"), col("pass"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") && col("pass"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("pass"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("pass"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("pass"), 1L).otherwise(0L)).as("tn"))
+      .select(col("variant"), col("n_test"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000L div n_test").as("accuracy_ppm"))
+  }
+
   /** Held-out confusion matrix (odd doc_id split) of the NB prediction
     * against the weak labels — ONE row: the go/no-go readout for
     * deploying the filter. Measured 86.8% accuracy / 95.8% precision at
@@ -239,6 +289,7 @@ object NbFilter {
   val queries: Map[String, Q] = Map(
     "quality_nb_model" -> ((s, dir) => modelWeights(Tables.documents(s, dir))),
     "quality_nb_confusion" -> ((s, dir) => confusion(Tables.documents(s, dir))),
+    "quality_nb_ablation" -> ((s, dir) => ablationAudit(Tables.documents(s, dir))),
     "quality_nb_source_rates" -> ((s, dir) => sourceRates(Tables.documents(s, dir))),
     "quality_filter_topk_pct" -> ((s, dir) =>
       filterTopPct(Tables.documents(s, dir), pct = 25))
@@ -308,6 +359,37 @@ object NbFilter {
          |      + sum(CASE WHEN NOT pred AND NOT pass THEN 1 ELSE 0 END))
          |    * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
          |FROM ev""".stripMargin,
+    "quality_nb_ablation" ->
+      s"""WITH $featModelCtes,
+         |w AS (
+         |  SELECT f.doc_id, f.pass, f.feat,
+         |    CAST(${mlog2DuckSql("coalesce(m.n_pass, 0) + 1")}
+         |      - ${mlog2DuckSql("coalesce(m.n_fail, 0) + 1")}
+         |      + ${mlog2DuckSql("ft.tn0 + ft.v")}
+         |      - ${mlog2DuckSql("ft.tn1 + ft.v")} AS BIGINT) AS wb
+         |  FROM feat f LEFT JOIN model m ON m.feat = f.feat AND m.val = f.val
+         |  JOIN ftot ft ON ft.feat = f.feat
+         |  WHERE f.doc_id % 2 = 1),
+         |tot AS (
+         |  SELECT w.doc_id, w.pass,
+         |    CAST(sum(wb) + max(${mlog2DuckSql("p.d1 + 1")}
+         |      - ${mlog2DuckSql("p.d0 + 1")}) AS BIGINT) AS total
+         |  FROM w, prior p GROUP BY w.doc_id, w.pass),
+         |variants AS (
+         |  SELECT pass, 'full' AS variant, total AS s FROM tot
+         |  UNION ALL
+         |  SELECT w.pass, 'no_' || w.feat AS variant, t.total - w.wb AS s
+         |  FROM w JOIN tot t ON t.doc_id = w.doc_id),
+         |ev AS (SELECT variant, s >= 0 AS pred, pass FROM variants)
+         |SELECT variant, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN pred AND pass THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN pred AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT pred AND pass THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN NOT pred AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST((sum(CASE WHEN pred AND pass THEN 1 ELSE 0 END)
+         |      + sum(CASE WHEN NOT pred AND NOT pass THEN 1 ELSE 0 END))
+         |    * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+         |FROM ev GROUP BY variant""".stripMargin,
     "quality_nb_source_rates" ->
       s"""WITH ${scoreCtes("f.doc_id % 2 = 1")}
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

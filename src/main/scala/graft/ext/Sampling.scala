@@ -184,6 +184,46 @@ object Sampling {
       expr(s"(n_docs + greatest(${batchTokens}L div max_len, 1L) - 1) " +
         s"div greatest(${batchTokens}L div max_len, 1L)").as("n_batches"))
 
+  /** Water-filling token-budget allocation (see the query comment at
+    * `mixture_waterfill_budget`): spend `n_total div 2` tokens across
+    * sources at a common water level — the FULL prefix (sorted by
+    * size) keeps everything; the CAPPED suffix splits the remainder
+    * evenly with the integer remainder handed one token to each of the
+    * first `remainder` capped sources in (size, name) order, so
+    * Σ alloc = budget EXACTLY with no floats. The rank windows run
+    * over the source alphabet (k rows).
+    */
+  def waterfillBudget(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = docs
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = bySource.agg(sum(col("n_tokens")).as("n_total"),
+      count(lit(1)).as("k_sources"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = bySource.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("budget", expr("n_total div 2"))
+      .withColumn("is_full",
+        (col("cum") - col("n_tokens"))
+          + col("n_tokens") * (col("k_sources") - col("idx") + 1) <= col("budget"))
+    val fullAgg = ranked.agg(
+      sum(when(col("is_full"), col("n_tokens")).otherwise(0L)).as("sum_full"),
+      sum(when(col("is_full"), 1L).otherwise(0L)).as("n_full"),
+      sum(when(!col("is_full"), 1L).otherwise(0L)).as("n_capped"))
+    ranked.crossJoin(broadcast(fullAgg))
+      .select(col("source"), col("n_tokens"),
+        when(col("is_full"), col("n_tokens"))
+          .otherwise(
+            expr("(budget - sum_full) div greatest(n_capped, 1L)")
+              + when(col("idx") - col("n_full")
+                  <= expr("(budget - sum_full) % greatest(n_capped, 1L)"), 1L)
+                .otherwise(0L))
+          .as("alloc_tokens"),
+        (!col("is_full")).as("capped"))
+  }
+
   val queries: Map[String, Q] = Map(
     // largest-remainder language-stratified sample: exactly 200 docs
     "sample_stratified_exact" -> ((s, dir) =>
@@ -315,6 +355,21 @@ object Sampling {
             .as("epochs_milli"))
         .withColumn("oversampled", col("epochs_milli") > 1000L)
     }),
+
+    // Water-filling token-budget allocation — the constrained form of
+    // the equal-share mixtures above: spend a budget B (here 50% of
+    // corpus tokens) across sources, capping every source at a common
+    // water level so small sources keep everything and the level
+    // spends exactly what remains. Classic result: sources sorted by
+    // size split into a FULL prefix (n_s fits under the level) and a
+    // CAPPED suffix at level = (B − Σ full) div n_capped, with the
+    // integer remainder handed one token to each of the first
+    // `remainder` capped sources in (size, name) order — Σ alloc = B
+    // exactly, no floats anywhere. The sort/rank windows run over the
+    // SOURCE ALPHABET (k rows, kind-scoped in the plan sweep); the
+    // only corpus-sized work is the token-count scan.
+    "mixture_waterfill_budget" -> ((s, dir) =>
+      waterfillBudget(Tables.documents(s, dir))),
 
     // Dynamic-batching plan — the padding-waste arithmetic behind
     // length-bucketed batching: docs bucket by floor-log2 token count,
@@ -537,6 +592,38 @@ object Sampling {
         |  count(*) AS n_after
         |FROM kept GROUP BY source, n_s, keep_ppm""".stripMargin,
 
+    "mixture_waterfill_budget" ->
+      """WITH bs AS (
+        |  SELECT source, CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x != ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS k_sources FROM bs),
+        |ranked AS (
+        |  SELECT bs.source, bs.n_tokens, t.k_sources,
+        |    t.n_total // 2 AS budget,
+        |    CAST(row_number() OVER (ORDER BY bs.n_tokens, bs.source) AS BIGINT) AS idx,
+        |    CAST(sum(bs.n_tokens) OVER (ORDER BY bs.n_tokens, bs.source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM bs, tot t),
+        |flags AS (
+        |  SELECT *, (cum - n_tokens) + n_tokens * (k_sources - idx + 1) <= budget AS is_full
+        |  FROM ranked),
+        |fa AS (
+        |  SELECT CAST(sum(CASE WHEN is_full THEN n_tokens ELSE 0 END) AS BIGINT) AS sum_full,
+        |    CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+        |    CAST(sum(CASE WHEN is_full THEN 0 ELSE 1 END) AS BIGINT) AS n_capped
+        |  FROM flags)
+        |SELECT f.source, f.n_tokens,
+        |  CAST(CASE WHEN f.is_full THEN f.n_tokens
+        |    ELSE (f.budget - fa.sum_full) // greatest(fa.n_capped, 1)
+        |       + CASE WHEN f.idx - fa.n_full
+        |                <= (f.budget - fa.sum_full) % greatest(fa.n_capped, 1)
+        |              THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS alloc_tokens,
+        |  NOT f.is_full AS capped
+        |FROM flags f, fa""".stripMargin,
     "mixture_epochs_budget" ->
       """WITH by_source AS (
         |  SELECT source,

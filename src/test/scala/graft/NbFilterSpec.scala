@@ -83,6 +83,53 @@ class NbFilterSpec extends AnyFunSuite {
     assert(topIds.forall(i => i % 4 < 2))
   }
 
+  test("ablation audit: five variants, full row equals the confusion face") {
+    val rows = ext.NbFilter.ablationAudit(corpus(40)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows.keySet == Set("full", "no_len", "no_mwl", "no_stop", "no_alpha"))
+    // every variant partitions the same held-out split
+    rows.values.foreach { case (n, tp, fp, fn, tn, _) => assert(tp + fp + fn + tn == n) }
+    // the full variant must reproduce the confusion face bit for bit
+    val c = ext.NbFilter.confusion(corpus(40)).collect()(0)
+    assert(rows("full") ==
+      ((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5))))
+  }
+
+  test("waterfill budget: full prefix keeps everything, capped suffix spends the rest exactly") {
+    import spark.implicits._
+    // sources with 1/2/8/16 tokens; total 27, budget 13: the 1- and
+    // 2-token sources fit under the water level, the 8/16 pair splits
+    // the remaining 10 as 5 each — Σ alloc == budget exactly
+    def doc(src: String, words: Int) =
+      (src.hashCode.toLong.abs, Seq.fill(words)("w").mkString(" "), "l", src, words.toLong)
+    val d = Seq(doc("a", 1), doc("b", 2), doc("c", 8), doc("d", 16))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = ext.Sampling.waterfillBudget(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("a") == (1L, 1L, false))
+    assert(got("b") == (2L, 2L, false))
+    assert(got("c") == (8L, 5L, true))
+    assert(got("d") == (16L, 5L, true))
+    assert(got.values.map(_._2).sum == 13L)
+  }
+
+  test("waterfill budget: remainder tokens go one each to the first capped sources") {
+    import spark.implicits._
+    // 3/9/9 tokens, budget 10: source a full (3), b and c split 7 as
+    // 4/3 — the +1 remainder lands on the smaller (name-ordered) capped
+    def doc(src: String, words: Int) =
+      (src.hashCode.toLong.abs, Seq.fill(words)("w").mkString(" "), "l", src, words.toLong)
+    val d = Seq(doc("a", 3), doc("b", 9), doc("c", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = ext.Sampling.waterfillBudget(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("a") == (3L, false))
+    assert(got("b") == (4L, true))
+    assert(got("c") == (3L, true))
+  }
+
   test("sourceRates partitions the held-out split by source") {
     val r = ext.NbFilter.sourceRates(corpus(40))
     assert(r.agg(sum("n_docs")).collect()(0).getLong(0) == 20L)

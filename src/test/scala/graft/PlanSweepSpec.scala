@@ -274,6 +274,9 @@ object PlanSweepSpec {
         (X, "running sum over the DAY alphabet (one row per day)"),
       "contribution_pareto" ->
         (X, "cumulative-share window runs over brand cardinality (25 rows)"),
+      "mixture_waterfill_budget" ->
+        (X, "water-level rank/cumulative windows run over the SOURCE alphabet " +
+          "(k rows — the per-source token-count aggregate), never the corpus"),
       "topk_others_rollup" ->
         (X, "rank window over brand cardinality; re-aggregate is 25 rows")
     )
