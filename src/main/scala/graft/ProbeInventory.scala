@@ -118,7 +118,11 @@ object ProbeInventory {
       "mixture_waterfill_budget" ->
         ("one corpus token-count scan + source-alphabet rank windows (k rows; " +
           "kind-scoped in the plan sweep) — the mixture_epochs_budget shape with a " +
-          "water-level fold")
+          "water-level fold"),
+      "curation_funnel_audit" ->
+        ("the probed pipeline_curate_corpus chain evaluated ONCE (stage id-frames " +
+          "persisted) + five id-keyed count joins — strict audit superset of the " +
+          "probed plan")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

@@ -405,6 +405,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((Some(10L), None, None, 1)))
   }
 
+  test("curation funnel is monotone and its last stage matches the curated corpus") {
+    val funnel = ext.Curate.curationFunnelAudit(Tables.documents(spark, sf),
+        ext.Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id")) < 6554)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._1).toSeq ==
+      Seq("corpus", "train_split", "dedup_canonical", "decontaminated", "quality_kept"))
+    // docs and chars both shrink (weakly) at every stage
+    funnel.sliding(2).foreach { case Array((_, d0, c0), (s1, d1, c1)) =>
+      assert(d1 <= d0 && c1 <= c0, s"stage $s1 grew")
+    }
+    val kept = ext.Curate.curateCorpus(Tables.documents(spark, sf),
+      ext.Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id")) < 6554).count()
+    assert(funnel.last._2 == kept)
+  }
+
   test("every registered query returns rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
