@@ -93,6 +93,10 @@ object ProbeInventory {
       "unigram_prune_refit" ->
         ("the probed unigram_lm_train fit + a 1-row mean-threshold broadcast + one more " +
           "EM round of the identical shape"),
+      "unigram_apply_segment" ->
+        ("the probed unigram_lm_train fit + a static lattice∩vocab step table + " +
+          "max-word-length fixed rounds of word-TYPE-sized equi-joins (the Heaps-" +
+          "sublinear type-table regime the trainer's 100x curve already pins)"),
       "unigram_multichar_coverage" ->
         ("the fertility face's lattice join with a len-conditional sum instead of a " +
           "length fold; rides unigram_lm_train's curve"),

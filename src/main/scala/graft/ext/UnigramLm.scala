@@ -103,6 +103,54 @@ object UnigramLm {
       .limit(k)
   }
 
+  /** Tokenizer APPLY: greedy leftmost-longest segmentation of every
+    * corpus word under the trained vocabulary (top-`k` EM pieces plus
+    * the single-character coverage floor) — the DECODE the fertility
+    * faces deliberately approximate with a model expectation; this
+    * face closes that documented gap with an actual segmentation. The
+    * greedy step table is STATIC (per (word, start) the longest vocab
+    * piece starting there — one lattice∩vocab aggregate), so the
+    * decode is pointer-chasing over word TYPES: `max word length`
+    * fixed rounds, each one a type-table × step-table equi-join with
+    * the per-round state persisted (the MM/EM lineage discipline).
+    * Greedy-longest is deterministic and engine-portable (the oracle
+    * replays it as a recursive CTE); it is SentencePiece's
+    * longest-match fallback, not Viterbi — documented, and the
+    * fertility deltas between the two are what
+    * `unigram_vs_bpe_fertility` reads through the model expectation.
+    * Emits the pieces-per-word histogram (n_pieces, n_word_types,
+    * n_word_occurrences) — word-length-bounded rows.
+    */
+  def applySegment(docs: DataFrame, rounds: Int, k: Int): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (cand, occC, weights) = fit(docs, rounds)
+    val top = cand.join(weights, "piece")
+      .orderBy(col("w").desc, col("piece")).limit(k).select(col("piece"))
+    val vocab = top
+      .unionByName(cand.where(length(col("piece")) === 1).select(col("piece")))
+      .distinct()
+    val step = occC.join(vocab, "piece")
+      .groupBy(col("word"), col("start")).agg(max(col("len")).as("step"))
+      .select(col("word").as("sw"), col("start").as("ss"), col("step"))
+      .persist(ser)
+    val types = wordTypes(docs).persist(ser)
+    // bounded collect: ONE int (the longest word) fixes the round count
+    val maxLen = types.agg(max(length(col("word"))).as("m")).collect()(0).getInt(0)
+    var state = types.select(col("word"), col("freq"),
+      lit(1).as("pos"), lit(0L).as("n"))
+    (0 until maxLen).foreach { _ =>
+      state = state
+        .join(step, col("word") === col("sw") && col("pos") === col("ss"), "left")
+        .select(col("word"), col("freq"),
+          when(col("step").isNotNull, col("pos") + col("step")).otherwise(col("pos")).as("pos"),
+          when(col("step").isNotNull, col("n") + 1L).otherwise(col("n")).as("n"))
+        .persist(ser)
+    }
+    state.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_word_types"), sum(col("freq")).as("n_word_occurrences"))
+      .select(col("n").as("n_pieces"), col("n_word_types"), col("n_word_occurrences"))
+  }
+
   /** BPE-vs-unigram fertility comparison (per language): the
     * [[LmStats.tokenizerFertility]] whitespace-vs-pretoken readout next
     * to the unigram model's EXPECTED fertility — expected pieces per
@@ -200,6 +248,8 @@ object UnigramLm {
       fertilityVsBpe(Tables.documents(s, dir), rounds = 2)),
     "unigram_prune_refit" -> ((s, dir) =>
       pruneRound(Tables.documents(s, dir), rounds = 2, k = 200)),
+    "unigram_apply_segment" -> ((s, dir) =>
+      applySegment(Tables.documents(s, dir), rounds = 2, k = 200)),
     "unigram_multichar_coverage" -> ((s, dir) =>
       multicharCoverage(Tables.documents(s, dir), rounds = 2))
   )
@@ -241,6 +291,31 @@ object UnigramLm {
       |w0 AS (SELECT piece, n_occ AS w FROM cand)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "unigram_apply_segment" ->
+      s"""WITH RECURSIVE $coreCtes,
+         |${emRound("w0", 1)},
+         |${emRound("w1", 2)},
+         |vtop AS (
+         |  SELECT c.piece FROM cand c JOIN w2 ON w2.piece = c.piece
+         |  ORDER BY w2.w DESC, c.piece LIMIT 200),
+         |vocab AS (
+         |  SELECT piece FROM vtop
+         |  UNION
+         |  SELECT piece FROM cand WHERE length(piece) = 1),
+         |stp AS MATERIALIZED (
+         |  SELECT o.word, o.start, CAST(max(o.len) AS INTEGER) AS step
+         |  FROM occ_c o JOIN vocab v ON v.piece = o.piece
+         |  GROUP BY 1, 2),
+         |seg AS (
+         |  SELECT word, freq, 1 AS pos, CAST(0 AS BIGINT) AS n FROM types
+         |  UNION ALL
+         |  SELECT s.word, s.freq, s.pos + st.step, s.n + 1
+         |  FROM seg s JOIN stp st ON st.word = s.word AND st.start = s.pos),
+         |fin AS (
+         |  SELECT word, freq, CAST(max(n) AS BIGINT) AS n FROM seg GROUP BY 1, 2)
+         |SELECT n AS n_pieces, CAST(count(*) AS BIGINT) AS n_word_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_word_occurrences
+         |FROM fin GROUP BY 1""".stripMargin,
     "unigram_lm_train" ->
       s"""WITH $coreCtes,
          |${emRound("w0", 1)},

@@ -16,6 +16,23 @@ class UnigramLmSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang", "source")
   }
 
+  test("applySegment: greedy leftmost-longest with the single-char floor") {
+    // "abcd" occurs >= 2 times as a substring -> candidate piece; the
+    // decode is abcd -> [abcd] (1 piece), abcde -> [abcd, e] (2 pieces)
+    val d = docs(Seq((0L, "abcd abcd abcde", "l", "s")))
+    val got = graft.ext.UnigramLm.applySegment(d, rounds = 2, k = 200).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1L, 2L)) // word type abcd, 2 occurrences, 1 piece
+    assert(got(2L) == (1L, 1L)) // word type abcde, 1 occurrence, 2 pieces
+    assert(got.size == 2)
+  }
+
+  test("applySegment conserves word occurrences against the type table") {
+    val d = docs(Seq((0L, "xy xy zq zq zq w", "l", "s")))
+    val hist = graft.ext.UnigramLm.applySegment(d, rounds = 2, k = 200).collect()
+    assert(hist.map(_.getLong(2)).sum == 6L) // 6 word occurrences total
+  }
+
   /** Independent reference: build the (word,freq) substring lattice,
     * apply minCount-or-single-char candidates, run `rounds` EM rounds
     * with BigInt truncating arithmetic.
