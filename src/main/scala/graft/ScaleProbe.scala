@@ -127,7 +127,17 @@ object ScaleProbe {
     // sonata_h5_v2_scan_agg face, whose full-width integer checksum
     // cannot push down; run v2_source first in the same session so
     // scan_agg's number excludes the build (the v2Containers cache)
-    "sonata_h5_v2_source", "sonata_h5_v2_scan_agg")
+    "sonata_h5_v2_source", "sonata_h5_v2_scan_agg",
+    // round-14 continuation: the learned-filter chain (documents ×100;
+    // the feature alphabet must stay the broadcastable constant), the
+    // exact top-p% filter apply (the globalPosition rank over 500k
+    // docs — the production claim), the occupancy-adaptive BQ band
+    // miner (500k vectors at the 16-bit width cap — the collision
+    // bound two decades up), and the greedy unigram decode (the
+    // word-TYPE regime under the ·rep tagging's worst-case linear
+    // vocabulary growth, like unigram_lm_train)
+    "quality_nb_confusion", "quality_filter_topk_pct",
+    "dedup_bq_banded_adaptive", "unigram_apply_segment")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
