@@ -109,44 +109,43 @@ object UnigramLm {
     * faces deliberately approximate with a model expectation; this
     * face closes that documented gap with an actual segmentation. The
     * greedy step table is STATIC (per (word, start) the longest vocab
-    * piece starting there — one lattice∩vocab aggregate), so the
-    * decode is pointer-chasing over word TYPES: `max word length`
-    * fixed rounds, each one a type-table × step-table equi-join with
-    * the per-round state persisted (the MM/EM lineage discipline).
-    * Greedy-longest is deterministic and engine-portable (the oracle
-    * replays it as a recursive CTE); it is SentencePiece's
-    * longest-match fallback, not Viterbi — documented, and the
-    * fertility deltas between the two are what
-    * `unigram_vs_bpe_fertility` reads through the model expectation.
-    * Emits the pieces-per-word histogram (n_pieces, n_word_types,
-    * n_word_occurrences) — word-length-bounded rows.
+    * piece starting there — one lattice∩vocab aggregate; the
+    * single-char floor guarantees an entry at EVERY position), so each
+    * word's decode is a pure-local pointer chase: the steps collect
+    * into a per-word array (one word-keyed aggregate — positions are
+    * word-length-bounded) and a codegen'd SQL HOF `aggregate` walks it
+    * in-row. ZERO driver-scheduled rounds — the first cut iterated
+    * max-word-length joined rounds and spent ~3 s of fixed per-round
+    * overhead on 31 word types (measured 25 s at sf0.1); this form is
+    * one exchange. Greedy-longest is deterministic and engine-portable
+    * (the oracle replays it as a recursive CTE — same RESULT, the only
+    * contract); it is SentencePiece's longest-match fallback, not
+    * Viterbi — documented, and the fertility deltas between the two
+    * are what `unigram_vs_bpe_fertility` reads through the model
+    * expectation. Emits the pieces-per-word histogram (n_pieces,
+    * n_word_types, n_word_occurrences) — word-length-bounded rows.
     */
   def applySegment(docs: DataFrame, rounds: Int, k: Int): DataFrame = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (cand, occC, weights) = fit(docs, rounds)
     val top = cand.join(weights, "piece")
       .orderBy(col("w").desc, col("piece")).limit(k).select(col("piece"))
     val vocab = top
       .unionByName(cand.where(length(col("piece")) === 1).select(col("piece")))
       .distinct()
-    val step = occC.join(vocab, "piece")
+    val stepArr = occC.join(vocab, "piece")
       .groupBy(col("word"), col("start")).agg(max(col("len")).as("step"))
-      .select(col("word").as("sw"), col("start").as("ss"), col("step"))
-      .persist(ser)
-    val types = wordTypes(docs).persist(ser)
-    // bounded collect: ONE int (the longest word) fixes the round count
-    val maxLen = types.agg(max(length(col("word"))).as("m")).collect()(0).getInt(0)
-    var state = types.select(col("word"), col("freq"),
-      lit(1).as("pos"), lit(0L).as("n"))
-    (0 until maxLen).foreach { _ =>
-      state = state
-        .join(step, col("word") === col("sw") && col("pos") === col("ss"), "left")
-        .select(col("word"), col("freq"),
-          when(col("step").isNotNull, col("pos") + col("step")).otherwise(col("pos")).as("pos"),
-          when(col("step").isNotNull, col("n") + 1L).otherwise(col("n")).as("n"))
-        .persist(ser)
-    }
-    state.groupBy(col("n"))
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(struct(col("start"), col("step")))).as("sa"))
+      .select(col("word"), expr("transform(sa, x -> x.step)").as("steps"))
+    wordTypes(docs).join(stepArr, "word")
+      .select(col("word"), col("freq"),
+        expr("""aggregate(sequence(1, length(word)),
+          named_struct('pos', 1, 'n', bigint(0)),
+          (acc, i) -> CASE WHEN i = acc.pos
+            THEN named_struct('pos', acc.pos + element_at(steps, i), 'n', acc.n + 1L)
+            ELSE acc END,
+          acc -> acc.n)""").as("n"))
+      .groupBy(col("n"))
       .agg(count(lit(1)).as("n_word_types"), sum(col("freq")).as("n_word_occurrences"))
       .select(col("n").as("n_pieces"), col("n_word_types"), col("n_word_occurrences"))
   }
