@@ -36,7 +36,10 @@ object ProbeInventory {
     "quality_filter_topk_pct",      // r14: 10x = 0.83 (two-phase exact-rank filter apply)
     "dedup_bq_banded_pairs",        // r14: 10x = 2.40, quadratic-at-fixed-band-width by
                                     //      design — see the ratio_note on the record
-    "dedup_bq_banded_adaptive")     // r14: 10x = 0.28, the occupancy-adaptive width knob
+    "dedup_bq_banded_adaptive",     // r14: 10x = 0.28, the occupancy-adaptive width knob
+    "unigram_apply_segment",        // r14 continuation: HOF decode, 10x 0.33 / 100x 7.36
+                                    //     on the record (was exemption-noted pre-rewrite)
+    "lm_backoff_doc_ppl")           // r14 continuation: the bigram-LM scoring chain
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`
@@ -93,10 +96,6 @@ object ProbeInventory {
       "unigram_prune_refit" ->
         ("the probed unigram_lm_train fit + a 1-row mean-threshold broadcast + one more " +
           "EM round of the identical shape"),
-      "unigram_apply_segment" ->
-        ("the probed unigram_lm_train fit + a static lattice∩vocab step table + " +
-          "max-word-length fixed rounds of word-TYPE-sized equi-joins (the Heaps-" +
-          "sublinear type-table regime the trainer's 100x curve already pins)"),
       "unigram_multichar_coverage" ->
         ("the fertility face's lattice join with a len-conditional sum instead of a " +
           "length fold; rides unigram_lm_train's curve"),
@@ -123,6 +122,13 @@ object ProbeInventory {
         ("one corpus token-count scan + source-alphabet rank windows (k rows; " +
           "kind-scoped in the plan sweep) — the mixture_epochs_budget shape with a " +
           "water-level fold"),
+      "lm_backoff_coverage" ->
+        ("the probed lm_backoff_doc_ppl scoring chain (pair explode + two token-keyed " +
+          "model joins) with a #sources-keyed finisher instead of the doc-keyed one"),
+      "lm_backoff_ppl_bands" ->
+        ("the probed lm_backoff_doc_ppl chain + a #langs-row exact-percentile broadcast " +
+          "and a (lang, band)-bounded aggregate — the curriculum_phase_manifest " +
+          "threshold discipline"),
       "curation_funnel_audit" ->
         ("the probed pipeline_curate_corpus chain evaluated ONCE (stage id-frames " +
           "persisted) + five id-keyed count joins — strict audit superset of the " +

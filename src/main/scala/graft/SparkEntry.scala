@@ -41,6 +41,7 @@ object SparkEntry {
     (ext.Dedup.queries, ext.Dedup.oracleSql),
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),
+    (ext.BackoffLm.queries, ext.BackoffLm.oracleSql),
     (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.NegMining.queries, ext.NegMining.oracleSql),

@@ -44,11 +44,11 @@ object NbFilter {
     * expression: 1000·msb + 1000·(x − 2^msb) div 2^msb. Spark SQL form;
     * [[mlog2DuckSql]] is the byte-identical DuckDB spelling.
     */
-  private def mlog2(x: String): Column = expr(
+  private[ext] def mlog2(x: String): Column = expr(
     s"((length(bin($x)) - 1) * 1000 + (($x) - shiftleft(1L, length(bin($x)) - 1)) * 1000 " +
       s"div shiftleft(1L, length(bin($x)) - 1))")
 
-  private def mlog2DuckSql(x: String): String =
+  private[ext] def mlog2DuckSql(x: String): String =
     s"((length(bin($x)) - 1) * 1000 + (($x) - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) " +
       s"* 1000 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
 
