@@ -39,7 +39,10 @@ object ProbeInventory {
     "dedup_bq_banded_adaptive",     // r14: 10x = 0.28, the occupancy-adaptive width knob
     "unigram_apply_segment",        // r14 continuation: HOF decode, 10x 0.33 / 100x 7.36
                                     //     on the record (was exemption-noted pre-rewrite)
-    "lm_backoff_doc_ppl")           // r14 continuation: the bigram-LM scoring chain
+    "lm_backoff_doc_ppl",           // r14 continuation: the bigram-LM scoring chain
+    "dedup_paragraph_checksum",     // r14 continuation: the UNPRUNABLE keep-first timing
+    "paragraph_dup_profile",        // r14 continuation: narrow-exchange winner profile
+    "paragraph_boilerplate_profile") // r14 continuation: hash-keyed df-count profile
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`
@@ -122,6 +125,11 @@ object ProbeInventory {
         ("one corpus token-count scan + source-alphabet rank windows (k rows; " +
           "kind-scoped in the plan sweep) — the mixture_epochs_budget shape with a " +
           "water-level fold"),
+      "dedup_paragraph_keepfirst" ->
+        ("a bare count() of this face join-eliminates the reconstruct (unique aggregate " +
+          "keys + left join), so its probe would time only the documents scan — the probed " +
+          "dedup_paragraph_checksum folds a fingerprint over every rebuilt byte of the " +
+          "IDENTICAL chain and carries its curve"),
       "lm_backoff_coverage" ->
         ("the probed lm_backoff_doc_ppl scoring chain (pair explode + two token-keyed " +
           "model joins) with a #sources-keyed finisher instead of the doc-keyed one"),

@@ -42,6 +42,7 @@ object SparkEntry {
     (ext.DedupCluster.queries, ext.DedupCluster.oracleSql),
     (ext.Quality.queries, ext.Quality.oracleSql),
     (ext.BackoffLm.queries, ext.BackoffLm.oracleSql),
+    (ext.ParagraphDedup.queries, ext.ParagraphDedup.oracleSql),
     (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.NegMining.queries, ext.NegMining.oracleSql),

@@ -1,0 +1,259 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Paragraph-level dedup — the CCNet move (Wenzek et al. 2020 drop
+  * duplicated PARAGRAPHS corpus-wide before any document-level pass;
+  * Dolma's pipeline keeps the same stage). The engine's document faces
+  * ([[Dedup]]) drop or canonicalize whole docs, and the span faces
+  * remove n-grams that repeat ANYWHERE ≥ 2×; this module is the
+  * in-between granularity a production web corpus actually cuts at:
+  * the unit is a paragraph, exactly ONE copy survives (the globally
+  * first occurrence), and documents are reconstructed byte-exactly
+  * from their surviving paragraphs.
+  *
+  * The testdata documents are single-line token soup, so "paragraph"
+  * is defined as the consecutive non-overlapping 16-token window (the
+  * [[TextAnalysis]] chunk discipline at stride = width); on real text
+  * the same operators run over newline splits — only the segmenter
+  * changes.
+  *
+  * Keying: md5 of the segment text (the [[Curriculum.dedupWeights]]
+  * portable-hash discipline — both engines compute the same digest, so
+  * the oracle reproduces winners exactly). Winner = lexicographic min
+  * (doc_id, idx): deterministic at any partitioning, no ties possible.
+  *
+  * 100 TB shape: segmentation is an in-row transform + explode
+  * (stateless); the winner table is one hash-keyed aggregate whose
+  * exchange carries only (h, doc_id, idx) — the [[Dedup]] narrow-
+  * candidate discipline; the mark join is the single exchange that
+  * carries segment text (the reconstruct face must re-emit it — the
+  * profile faces ride the narrow columns only); reconstruction is a
+  * doc-keyed aggregate. No windows, no self-joins, no driver state.
+  */
+object ParagraphDedup {
+
+  /** Paragraph width in tokens (stride = width: non-overlapping). */
+  val W = 16
+
+  /** (doc_id, source, idx, seg): consecutive non-overlapping W-token
+    * windows per document, in document order. Token-less docs emit no
+    * segments and are re-added by the finishers' LEFT joins.
+    */
+  def segments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          expr(s"sequence(0L, (size(t) - 1) div $W)"),
+          i => struct(i.as("idx"),
+            array_join(slice(col("t"), (i * W + 1).cast("int"), lit(W)), " ")
+              .as("seg")))).as("s"))
+      .select(col("doc_id"), col("source"),
+        col("s.idx").as("idx"), col("s.seg").as("seg"))
+
+  /** Segments marked with the keep-first verdict: keep = this
+    * occurrence is the global (doc_id, idx)-minimal one for its text.
+    */
+  def marked(docs: DataFrame): DataFrame = {
+    val segs = segments(docs)
+      .withColumn("h", md5(to_binary(col("seg"), lit("utf-8"))))
+    // narrow winner exchange: only (h, doc_id, idx) shuffles
+    val winners = segs.select(col("h"), col("doc_id"), col("idx"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    segs.join(winners, "h")
+      .withColumn("keep",
+        col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+      .drop("w")
+  }
+
+  /** Keep-first reconstruct: per doc, the paragraph counts and the
+    * text rebuilt from surviving paragraphs in document order
+    * (byte-exact; '' when every paragraph was a repeat or the doc had
+    * no tokens — the docs side is LEFT-joined for totality).
+    */
+  def keepFirst(docs: DataFrame): DataFrame = {
+    val perDoc = marked(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the when() leaves on dropped segs
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("new_text"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** Per-source duplication profile: total paragraphs, repeated
+    * occurrences (non-winners), the char mass those repeats carry, and
+    * the repeat rate in ppm — the data-card row that says how much of
+    * a source is copy-paste. Unlike [[keepFirst]] this face never
+    * needs the text back, so the occurrence side projects to
+    * (h, doc_id, idx, source, seg_len) BEFORE the winner join — no
+    * exchange carries segment text.
+    */
+  def dupProfile(docs: DataFrame): DataFrame = {
+    val occ = segments(docs).select(col("source"), col("doc_id"), col("idx"),
+      md5(to_binary(col("seg"), lit("utf-8"))).as("h"),
+      length(col("seg")).cast("long").as("seg_len"))
+    val winners = occ.select(col("h"), col("doc_id"), col("idx"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    occ.join(winners, "h")
+      .withColumn("keep",
+        col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup"),
+        sum(when(col("keep"), 0L).otherwise(col("seg_len"))).as("dup_chars"))
+      .select(col("source"), col("n_segs"), col("n_dup"), col("dup_chars"),
+        expr("n_dup * 1000000L div n_segs").as("dup_ppm"))
+  }
+
+  /** Boilerplate profile — the OTHER paragraph cut (CCNet/Dolma drop
+    * paragraphs that appear across many documents ENTIRELY, keep-first
+    * included: navigation chrome, subscribe banners). A paragraph
+    * family is boilerplate when its text occurs in ≥ `minDf` distinct
+    * documents; per source, the occurrence count and char mass such
+    * families contribute. One extra hash-keyed distinct-count — the
+    * exchange still carries only (h, doc_id).
+    */
+  def boilerplateProfile(docs: DataFrame, minDf: Int = 4): DataFrame = {
+    val occ = segments(docs).select(col("source"), col("doc_id"),
+      md5(to_binary(col("seg"), lit("utf-8"))).as("h"),
+      length(col("seg")).cast("long").as("seg_len"))
+    val fams = occ.select(col("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    occ.join(fams, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("df") >= minDf, col("seg_len")).otherwise(0L))
+          .as("boiler_chars"))
+      .select(col("source"), col("n_segs"), col("n_boiler"), col("boiler_chars"),
+        expr("n_boiler * 1000000L div n_segs").as("boiler_ppm"))
+  }
+
+  /** One-row checksum over the reconstructed corpus — the face that
+    * TIMES the real keep-first path: a bare count() of [[keepFirst]]
+    * lets Catalyst eliminate the reconstruct join entirely (unique
+    * aggregate keys + left join + no referenced columns — the same
+    * blind spot the HDF5 source's metadata-only count hit, fixed the
+    * same way: an aggregate over the payload that cannot prune).
+    * fp_sum folds the position-weighted fingerprint of every rebuilt
+    * text, so every byte of new_text is produced and read.
+    */
+  def checksum(docs: DataFrame): DataFrame =
+    keepFirst(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_kept")).as("n_kept_segs"),
+      sum(length(col("new_text"))).as("kept_chars"),
+      sum(graft.functions.PosWeightChecksum.posweightChecksum(col("new_text")))
+        .as("fp_sum"))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_paragraph_keepfirst" -> ((s, dir) =>
+      keepFirst(Tables.documents(s, dir))),
+    "dedup_paragraph_checksum" -> ((s, dir) =>
+      checksum(Tables.documents(s, dir))),
+    "paragraph_dup_profile" -> ((s, dir) =>
+      dupProfile(Tables.documents(s, dir))),
+    "paragraph_boilerplate_profile" -> ((s, dir) =>
+      boilerplateProfile(Tables.documents(s, dir)))
+  )
+
+  // ---- oracle side. `segs` is referenced twice per query →
+  // AS MATERIALIZED per the round-14 CTE convention. The winner is
+  // selected by a window on the oracle side (the oracle may sort
+  // freely); the engine never sorts — the min-struct aggregate is the
+  // same total order.
+  private val segCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |segs AS MATERIALIZED (
+       |  SELECT doc_id, source, CAST(i AS BIGINT) AS idx,
+       |    array_to_string(t[i*$W+1 : i*$W+$W], ' ') AS seg
+       |  FROM toks, UNNEST(generate_series(0, (len(t)-1)//$W)) AS u(i)
+       |  WHERE len(t) >= 1),
+       |mk AS MATERIALIZED (
+       |  SELECT doc_id, source, idx, seg,
+       |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1 AS keep
+       |  FROM segs)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph_keepfirst" ->
+      s"""WITH $segCtes,
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY idx), '')
+         |      AS new_text
+         |  FROM mk GROUP BY doc_id)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(p.n_segs, 0) AS n_segs,
+         |  coalesce(p.n_kept, 0) AS n_kept,
+         |  coalesce(p.new_text, '') AS new_text
+         |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""".stripMargin,
+    "dedup_paragraph_checksum" ->
+      s"""WITH $segCtes,
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY idx), '')
+         |      AS new_text
+         |  FROM mk GROUP BY doc_id),
+         |rebuilt AS (
+         |  SELECT coalesce(p.n_kept, 0) AS n_kept,
+         |    coalesce(p.new_text, '') AS new_text
+         |  FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_kept) AS BIGINT) AS n_kept_segs,
+         |  CAST(sum(length(new_text)) AS BIGINT) AS kept_chars,
+         |  CAST(sum(CAST(COALESCE(list_sum(list_transform(
+         |    generate_series(1, length(new_text)),
+         |    i -> CAST(ascii(new_text[i]) * i AS BIGINT))), 0) % 1000000007 AS BIGINT))
+         |    AS BIGINT) AS fp_sum
+         |FROM rebuilt""".stripMargin,
+    "paragraph_dup_profile" ->
+      s"""WITH $segCtes
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE length(seg) END) AS BIGINT) AS dup_chars,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1000000
+         |    // count(*) AS BIGINT) AS dup_ppm
+         |FROM mk GROUP BY source""".stripMargin,
+    "paragraph_boilerplate_profile" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+         |  FROM documents),
+         |segs AS MATERIALIZED (
+         |  SELECT doc_id, source, CAST(i AS BIGINT) AS idx,
+         |    array_to_string(t[i*$W+1 : i*$W+$W], ' ') AS seg
+         |  FROM toks, UNNEST(generate_series(0, (len(t)-1)//$W)) AS u(i)
+         |  WHERE len(t) >= 1),
+         |fams AS (
+         |  SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM segs GROUP BY seg)
+         |SELECT s.source, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST(sum(CASE WHEN f.df >= 4 THEN length(s.seg) ELSE 0 END) AS BIGINT)
+         |    AS boiler_chars,
+         |  CAST(sum(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS boiler_ppm
+         |FROM segs s JOIN fams f ON f.seg = s.seg
+         |GROUP BY s.source""".stripMargin
+  )
+}
