@@ -42,7 +42,8 @@ object ProbeInventory {
     "lm_backoff_doc_ppl",           // r14 continuation: the bigram-LM scoring chain
     "dedup_paragraph_checksum",     // r14 continuation: the UNPRUNABLE keep-first timing
     "paragraph_dup_profile",        // r14 continuation: narrow-exchange winner profile
-    "paragraph_boilerplate_profile") // r14 continuation: hash-keyed df-count profile
+    "paragraph_boilerplate_profile", // r14 continuation: hash-keyed df-count profile
+    "quality_ensemble_matrix")      // r14 continuation: the 3-signal vote-frame chain
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`
@@ -130,6 +131,12 @@ object ProbeInventory {
           "keys + left join), so its probe would time only the documents scan — the probed " +
           "dedup_paragraph_checksum folds a fingerprint over every rebuilt byte of the " +
           "IDENTICAL chain and carries its curve"),
+      "quality_ensemble_keep" ->
+        ("the probed quality_ensemble_matrix vote frame (gopher + NB + backoff-LM " +
+          "chains, each probed on its own) with a #sources-keyed finisher"),
+      "quality_filter_kappa" ->
+        ("the probed quality_ensemble_matrix vote frame folded into ONE row of pair " +
+          "marginals, fanned to 3 rows in-row — no data-sized work past the fold"),
       "lm_backoff_coverage" ->
         ("the probed lm_backoff_doc_ppl scoring chain (pair explode + two token-keyed " +
           "model joins) with a #sources-keyed finisher instead of the doc-keyed one"),

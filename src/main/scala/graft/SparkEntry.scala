@@ -43,6 +43,7 @@ object SparkEntry {
     (ext.Quality.queries, ext.Quality.oracleSql),
     (ext.BackoffLm.queries, ext.BackoffLm.oracleSql),
     (ext.ParagraphDedup.queries, ext.ParagraphDedup.oracleSql),
+    (ext.FilterEnsemble.queries, ext.FilterEnsemble.oracleSql),
     (ext.Curate.queries, ext.Curate.oracleSql),
     (ext.SimSearch.queries, ext.SimSearch.oracleSql),
     (ext.NegMining.queries, ext.NegMining.oracleSql),

@@ -231,7 +231,7 @@ object BackoffLm {
        |  LEFT JOIN uni un ON un.v = p.v
        |  CROSS JOIN nn)""".stripMargin
 
-  private def perDocCtes: String =
+  private[ext] def perDocCtes: String =
     s"""$costCtes,
        |perdoc AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,

@@ -322,7 +322,7 @@ object NbFilter {
        |    CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS d0
        |  FROM flags WHERE doc_id % 2 = 0)""".stripMargin
 
-  private def scoreCtes(splitPred: String): String =
+  private[ext] def scoreCtes(splitPred: String): String =
     s"""$featModelCtes,
        |w AS (
        |  SELECT f.doc_id, f.source, f.pass,
