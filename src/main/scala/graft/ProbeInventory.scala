@@ -271,6 +271,7 @@ object ProbeInventory {
       "streaming_drift_psi", "streaming_fertility", "streaming_freshness_monitor",
       "streaming_funnel", "streaming_hll_window", "streaming_join",
       "streaming_join_outer", "streaming_length_buckets", "streaming_ohlc",
+      "streaming_backoff_monitor",
       "streaming_nb_quality", "streaming_oov_monitor", "streaming_pii_monitor",
       "streaming_quality_monitor", "streaming_sessionize",
       "streaming_sliding_window", "streaming_static_antijoin",

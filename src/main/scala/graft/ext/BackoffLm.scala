@@ -91,15 +91,16 @@ object BackoffLm {
     (bgm, uni, n)
   }
 
-  /** Per-token millibit costs over ALL docs under the even-split model:
-    * (doc_id, source, kind, mbits) with kind ∈ {hit, backoff, oov}.
+  /** STATELESS scoring path over a (doc_id, source, u, v) pair stream:
+    * two model equi-joins + a per-row CASE — no per-doc state, so the
+    * identical code scores a Structured Streaming pair stream
+    * (stream-static joins; streaming_backoff_monitor) and the batch
+    * faces alike.
     */
-  def tokenCosts(docs: DataFrame): DataFrame = {
-    val (bgm, uni, n) = train(docs)
+  def costsOf(p: DataFrame, bgm: DataFrame, uni: DataFrame, n: Long): DataFrame = {
     require(n >= 1, "backoff LM needs at least one training token")
-    pairs(docs)
-      .join(bgm.withColumnRenamed("u", "_bu").withColumnRenamed("v", "_bv"),
-        col("u") === col("_bu") && col("v") === col("_bv"), "left")
+    p.join(bgm.withColumnRenamed("u", "_bu").withColumnRenamed("v", "_bv"),
+      col("u") === col("_bu") && col("v") === col("_bv"), "left")
       .join(uni.withColumnRenamed("v", "_uv"), col("v") === col("_uv"), "left")
       .select(col("doc_id"), col("source"),
         when(col("n_uv").isNotNull, lit("hit"))
@@ -108,6 +109,14 @@ object BackoffLm {
         when(col("n_uv").isNotNull, mlog2("n_ctx") - mlog2("n_uv"))
           .when(col("n_v").isNotNull, lit(1000L) + lit(mlog2Long(n)) - mlog2("n_v"))
           .otherwise(lit(2000L) + lit(mlog2Long(n))).cast("long").as("mbits"))
+  }
+
+  /** Per-token millibit costs over ALL docs under the even-split model:
+    * (doc_id, source, kind, mbits) with kind ∈ {hit, backoff, oov}.
+    */
+  def tokenCosts(docs: DataFrame): DataFrame = {
+    val (bgm, uni, n) = train(docs)
+    costsOf(pairs(docs), bgm, uni, n)
   }
 
   /** Scala-side mlog2 for the driver-collected scalar N. */

@@ -946,6 +946,42 @@ object StreamingOps {
     * complete-mode rate aggregate. Shares quality_nb_source_rates'
     * oracle bit-for-bit.
     */
+  /** Streaming intake face of the backoff-LM coverage monitor: the
+    * model (bigram + unigram tables, both persisted batch frames, and
+    * the scalar N) is trained batch-side on the standing corpus' even
+    * split; arriving documents run the STATELESS
+    * [[graft.ext.BackoffLm.costsOf]] path (in-row pair explode + two
+    * stream-static equi-joins) into a complete-mode source-keyed
+    * aggregate — state is #sources rows of five longs. Shares
+    * lm_backoff_coverage's oracle bit-for-bit: the alarm that says a
+    * source's OOV rate or mean perplexity is drifting away from the
+    * trusted model, without a batch replay.
+    */
+  private def backoffToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sbkf_${System.nanoTime()}"
+    val (bgm, uni, n) =
+      graft.ext.BackoffLm.train(graft.Tables.documents(spark, dir))
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.ext.BackoffLm
+      .costsOf(graft.ext.BackoffLm.pairs(stream), bgm, uni, n)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("kind") === "hit", 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("kind") === "backoff", 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("kind") === "oov", 1L).otherwise(0L)).as("n_oov"),
+        sum(col("mbits")).as("total_mbits"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("source"), col("n_tok"), col("n_hit"), col("n_backoff"),
+        col("n_oov"),
+        expr("n_oov * 1000000L div n_tok").as("oov_ppm"),
+        expr("total_mbits div n_tok").as("mbits_per_tok"))
+  }
+
   private def nbQualityToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"snbq_${System.nanoTime()}"
     val (weights, consts) =
@@ -1042,6 +1078,7 @@ object StreamingOps {
     "streaming_length_buckets" -> ((s, dir) => lengthBucketsToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_nb_quality" -> ((s, dir) => nbQualityToCompletion(s, dir)),
+    "streaming_backoff_monitor" -> ((s, dir) => backoffToCompletion(s, dir)),
     "streaming_ohlc" -> ((s, dir) => ohlcToCompletion(s, dir)),
     "streaming_freshness_monitor" -> ((s, dir) => freshnessToCompletion(s, dir)),
     "streaming_surprisal_monitor" -> ((s, dir) => surprisalToCompletion(s, dir)),
@@ -1314,6 +1351,8 @@ object StreamingOps {
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),
     "streaming_nb_quality" ->
       graft.ext.NbFilter.oracleSql("quality_nb_source_rates"),
+    "streaming_backoff_monitor" ->
+      graft.ext.BackoffLm.oracleSql("lm_backoff_coverage"),
     "streaming_ohlc" -> graft.ext.Timeseries.oracleSql("timeseries_ohlc"),
     "streaming_freshness_monitor" ->
       graft.ext.DataQuality.oracleSql("dq_freshness"),

@@ -57,6 +57,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming backoff-LM monitor equals the batch coverage face bit for bit") {
+    val streamed = SparkEntry.queries("streaming_backoff_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("lm_backoff_coverage")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming surprisal monitor equals the batch by-source face bit for bit") {
     val streamed = SparkEntry.queries("streaming_surprisal_monitor")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
