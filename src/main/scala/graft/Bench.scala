@@ -191,7 +191,7 @@ object Bench {
       val runs =
         try (0 to reps).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
+          ForceEval.run(SparkEntry.queries(name)(spark, sfDir))
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           dt
@@ -243,7 +243,7 @@ object Bench {
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        try { ForceEval.run(SparkEntry.queries(name)(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false

@@ -137,7 +137,18 @@ object ScaleProbe {
     // word-TYPE regime under the ·rep tagging's worst-case linear
     // vocabulary growth, like unigram_lm_train)
     "quality_nb_confusion", "quality_filter_topk_pct",
-    "dedup_bq_banded_adaptive", "unigram_apply_segment")
+    "dedup_bq_banded_adaptive", "unigram_apply_segment",
+    // r14 continuation session 2 (documents ×100 — all three are the
+    // corpus-scaled regimes their 10× probes cannot fully stress):
+    // the bigram-LM scoring chain (the model table grows with BIGRAM
+    // types — Heaps-superlinear vs unigrams; the scoring joins must
+    // ride the stats-driven BHJ→SMJ switch like unigram_lm_train),
+    // the paragraph keep-first reconstruct via its unprunable
+    // checksum face (the winner table rides distinct paragraphs), and
+    // the 3-signal ensemble vote frame (three chains joined doc-keyed
+    // at 500k docs)
+    "lm_backoff_doc_ppl", "dedup_paragraph_checksum",
+    "quality_ensemble_matrix")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
@@ -492,13 +503,18 @@ object ScaleProbe {
       // table_checksum / kappa
 
     def timeOne(name: String, dir: String): (Double, String, Long) = {
-      // t0 wraps CONSTRUCTION + count: several queries do their real
-      // work eagerly while building the frame (the CC loop's
-      // checkpointed rounds, edges_to_sonata's stamped write)
+      // t0 wraps CONSTRUCTION + the forced noop-sink evaluation:
+      // several queries do their real work eagerly while building the
+      // frame (the CC loop's checkpointed rounds, edges_to_sonata's
+      // stamped write), and the sink is ForceEval — NOT count(), which
+      // prunes global-aggregate faces and unique-key left joins to
+      // near-empty plans (see ForceEval's scaladoc; entries measured
+      // before this fix carry carried_from/note provenance)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
-      val n = df.count()
+      ForceEval.run(df)
       val dt = (System.nanoTime() - t0) / 1e9
+      val n = df.count() // untimed, for the record's row column
       val sk = skeleton(df)
       spark.catalog.clearCache()
       (dt, sk, n)
