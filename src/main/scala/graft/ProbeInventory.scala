@@ -32,7 +32,9 @@ object ProbeInventory {
     "sonata_h5_v2_source",          // r13: 10x = 0.81, planned container scan
     "sonata_h5_v2_scan_agg",        // r14: the read-path checksum face, probed ad hoc
     "sonata_h5_wide",               // r13: 10x = 1.10, 2048-member multi-SNOD groups
-    "quality_nb_confusion",         // r14: 10x = 0.25 (train+score chain, min of 2 passes)
+    "quality_nb_confusion",         // r14: re-measured honest under the noop sink
+                                    //     (10x 0.55, 100x 9.97; the old 0.25 timed only
+                                    //     the eager train side - count() pruned the fold)
     "quality_filter_topk_pct",      // r14: 10x = 0.83 (two-phase exact-rank filter apply)
     "dedup_bq_banded_pairs",        // r14: 10x = 2.40, quadratic-at-fixed-band-width by
                                     //      design — see the ratio_note on the record
@@ -43,7 +45,11 @@ object ProbeInventory {
     "dedup_paragraph_checksum",     // r14 continuation: the UNPRUNABLE keep-first timing
     "paragraph_dup_profile",        // r14 continuation: narrow-exchange winner profile
     "paragraph_boilerplate_profile", // r14 continuation: hash-keyed df-count profile
-    "quality_ensemble_matrix")      // r14 continuation: the 3-signal vote-frame chain
+    "dedup_paragraph_keepfirst",    // r14 continuation: honestly timed once the noop
+                                    //     sink landed (count() join-eliminated it)
+    "quality_ensemble_matrix",      // r14 continuation: the 3-signal vote-frame chain
+    "dedup_paragraph_incremental",  // r14 continuation: standing-corpus anti-join ingest
+    "mixture_quality_tiers")        // r14 continuation: vote frame + 4-row fill window
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`
@@ -126,11 +132,6 @@ object ProbeInventory {
         ("one corpus token-count scan + source-alphabet rank windows (k rows; " +
           "kind-scoped in the plan sweep) — the mixture_epochs_budget shape with a " +
           "water-level fold"),
-      "dedup_paragraph_keepfirst" ->
-        ("a bare count() of this face join-eliminates the reconstruct (unique aggregate " +
-          "keys + left join), so its probe would time only the documents scan — the probed " +
-          "dedup_paragraph_checksum folds a fingerprint over every rebuilt byte of the " +
-          "IDENTICAL chain and carries its curve"),
       "quality_ensemble_keep" ->
         ("the probed quality_ensemble_matrix vote frame (gopher + NB + backoff-LM " +
           "chains, each probed on its own) with a #sources-keyed finisher"),

@@ -41,7 +41,8 @@ object FilterEnsemble {
     */
   def votes(docs: DataFrame): DataFrame = {
     val g = Quality.gopherRules(docs)
-      .select(col("doc_id"), col("source"), col("pass").as("gopher"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("pass").as("gopher"))
     val nb = NbFilter.scored(docs, lit(true))
       .select(col("doc_id"), (col("score_mbits") >= 0).as("nb"))
     val ppl = BackoffLm.docPpl(docs)
@@ -53,8 +54,36 @@ object FilterEnsemble {
     g.join(nb, "doc_id")
       .join(pplVote, "doc_id")
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-      .select(col("doc_id"), col("source"), col("n_chars"),
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_words"),
         col("gopher"), col("nb"), col("ppl_ok"))
+  }
+
+  /** Quality-tier token-budget allocation: documents tiered by their
+    * ensemble VOTE COUNT (3 = unanimous keep … 0 = unanimous drop),
+    * and a token budget of `pct`% of the corpus filled greedily from
+    * the best tier down — the recipe planner that spends a compute
+    * budget on the text the filter stack trusts most. Σ alloc = budget
+    * EXACTLY (greedy min() over a budget ≤ total). The cumulative fill
+    * is a window over ≤ 4 tier rows (the curriculum_pacing_schedule
+    * kind-scoped shape); everything data-sized is the vote frame.
+    */
+  def tierBudget(docs: DataFrame, pct: Int = 50): DataFrame = {
+    val tiers = votes(docs)
+      .select(col("n_words"),
+        (when(col("gopher"), 1).otherwise(0) + when(col("nb"), 1).otherwise(0)
+          + when(col("ppl_ok"), 1).otherwise(0)).as("tier"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tier_tokens"))
+    val tot = tiers.agg(sum(col("tier_tokens")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tier").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tiers.crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum(col("tier_tokens")).over(w), lit(0L)))
+      .select(col("tier"), col("n_docs"), col("tier_tokens"),
+        greatest(lit(0L), least(col("tier_tokens"),
+          expr(s"total_tokens * $pct div 100") - col("cum_before")))
+          .as("alloc_tokens"))
   }
 
   /** The 2×2×2 ensemble matrix: doc count and char mass per vote cell
@@ -124,7 +153,9 @@ object FilterEnsemble {
     "quality_ensemble_keep" -> ((s, dir) =>
       majorityKeep(Tables.documents(s, dir))),
     "quality_filter_kappa" -> ((s, dir) =>
-      filterKappa(Tables.documents(s, dir)))
+      filterKappa(Tables.documents(s, dir))),
+    "mixture_quality_tiers" -> ((s, dir) =>
+      tierBudget(Tables.documents(s, dir)))
   )
 
   // ---- oracle side: the three signal chains composed in one WITH —
@@ -135,12 +166,13 @@ object FilterEnsemble {
        |${BackoffLm.perDocCtes},
        |med AS (SELECT quantile_cont(mbits_per_tok, 0.5) AS med FROM docppl),
        |votes AS MATERIALIZED (
-       |  SELECT s.doc_id, s.source, d.n_chars,
+       |  SELECT s.doc_id, s.source, d.n_chars, fl.n_words,
        |    s.pass AS gopher, s.score_mbits >= 0 AS nb,
        |    CAST(dp.mbits_per_tok AS DOUBLE) <= m.med AS ppl_ok
        |  FROM score s
        |  JOIN docppl dp ON dp.doc_id = s.doc_id
        |  JOIN documents d ON d.doc_id = s.doc_id
+       |  JOIN flags fl ON fl.doc_id = s.doc_id
        |  CROSS JOIN med m)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -163,6 +195,22 @@ object FilterEnsemble {
          |  CAST(sum(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) * 1000000
          |    // count(*) AS BIGINT) AS keep_ppm
          |FROM nv GROUP BY source""".stripMargin,
+    "mixture_quality_tiers" ->
+      s"""WITH $voteCtes,
+         |tiers AS (
+         |  SELECT (CASE WHEN gopher THEN 1 ELSE 0 END + CASE WHEN nb THEN 1 ELSE 0 END
+         |      + CASE WHEN ppl_ok THEN 1 ELSE 0 END) AS tier,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_words) AS BIGINT) AS tier_tokens
+         |  FROM votes GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tier_tokens) AS BIGINT) AS total_tokens FROM tiers)
+         |SELECT tier, n_docs, tier_tokens,
+         |  greatest(CAST(0 AS BIGINT), least(tier_tokens,
+         |    total_tokens * 50 // 100
+         |      - CAST(coalesce(sum(tier_tokens) OVER (ORDER BY tier DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)))
+         |    AS alloc_tokens
+         |FROM tiers, tot""".stripMargin,
     "quality_filter_kappa" ->
       s"""WITH $voteCtes,
          |cells AS (

@@ -144,14 +144,15 @@ object ParagraphDedup {
         expr("n_boiler * 1000000L div n_segs").as("boiler_ppm"))
   }
 
-  /** One-row checksum over the reconstructed corpus — the face that
-    * TIMES the real keep-first path: a bare count() of [[keepFirst]]
-    * lets Catalyst eliminate the reconstruct join entirely (unique
-    * aggregate keys + left join + no referenced columns — the same
-    * blind spot the HDF5 source's metadata-only count hit, fixed the
-    * same way: an aggregate over the payload that cannot prune).
-    * fp_sum folds the position-weighted fingerprint of every rebuilt
-    * text, so every byte of new_text is produced and read.
+  /** One-row checksum over the reconstructed corpus: fp_sum folds the
+    * position-weighted fingerprint of every rebuilt text, so every
+    * byte of new_text is produced and read. Historically this face
+    * also existed to TIME the keep-first path — a bare count() of
+    * [[keepFirst]] let Catalyst eliminate the reconstruct join
+    * entirely (unique aggregate keys + left join + no referenced
+    * columns), the blind spot that led to the harness-wide
+    * [[graft.ForceEval]] noop-sink fix; it remains the corpus-level
+    * integrity pin a rewrite of the reconstruct must reproduce.
     */
   def checksum(docs: DataFrame): DataFrame =
     keepFirst(docs).agg(
@@ -161,9 +162,46 @@ object ParagraphDedup {
       sum(graft.functions.PosWeightChecksum.posweightChecksum(col("new_text")))
         .as("fp_sum"))
 
+  /** Incremental ingest face — the shape a production pipeline runs
+    * per arriving batch: a paragraph in a NEW document is dropped when
+    * the STANDING corpus (the other ~90% of the md5-bucket split)
+    * already contains its text; surviving paragraphs rebuild the doc.
+    * Within-batch repeats are deliberately NOT collapsed here — that
+    * is the batch's own [[keepFirst]] pass, and keeping the contracts
+    * orthogonal keeps both oracles one idea each. The corpus side is
+    * a DISTINCT hash table (the persisted artifact at 100 TB — the
+    * [[Dedup]] incremental-minhash discipline: the standing state is
+    * hashes, never text), the batch side anti-joins on it; the only
+    * exchange data-sized in the BATCH rides (h, doc_id, idx, seg).
+    */
+  def incremental(docs: DataFrame): DataFrame = {
+    val isBatch = Sampling.hashBucket(col("doc_id")) < 6554
+    val segs = segments(docs)
+    val corpusH = segs.where(!isBatch)
+      .select(md5(to_binary(col("seg"), lit("utf-8"))).as("h")).distinct()
+    val batch = segs.where(isBatch)
+      .withColumn("h", md5(to_binary(col("seg"), lit("utf-8"))))
+    val kept = batch.join(corpusH, Seq("h"), "left_anti")
+    val perDoc = batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("new_text"))
+    docs.where(isBatch).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_paragraph_keepfirst" -> ((s, dir) =>
       keepFirst(Tables.documents(s, dir))),
+    "dedup_paragraph_incremental" -> ((s, dir) =>
+      incremental(Tables.documents(s, dir))),
     "dedup_paragraph_checksum" -> ((s, dir) =>
       checksum(Tables.documents(s, dir))),
     "paragraph_dup_profile" -> ((s, dir) =>
@@ -206,6 +244,38 @@ object ParagraphDedup {
          |  coalesce(p.n_kept, 0) AS n_kept,
          |  coalesce(p.new_text, '') AS new_text
          |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""".stripMargin,
+    "dedup_paragraph_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+         |  FROM documents),
+         |segs AS MATERIALIZED (
+         |  SELECT doc_id, source, CAST(i AS BIGINT) AS idx,
+         |    array_to_string(t[i*$W+1 : i*$W+$W], ' ') AS seg
+         |  FROM toks, UNNEST(generate_series(0, (len(t)-1)//$W)) AS u(i)
+         |  WHERE len(t) >= 1),
+         |corpus AS (
+         |  SELECT DISTINCT seg FROM segs
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) >= 6554),
+         |batch AS MATERIALIZED (
+         |  SELECT * FROM segs
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554),
+         |kept AS (
+         |  SELECT b.doc_id, b.idx, b.seg FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.seg = b.seg)),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM batch GROUP BY doc_id),
+         |rebuilt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY idx) AS new_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(p.n_segs, 0) AS n_segs,
+         |  coalesce(r.n_kept, 0) AS n_kept,
+         |  coalesce(r.new_text, '') AS new_text
+         |FROM documents d
+         |LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+         |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554""".stripMargin,
     "dedup_paragraph_checksum" ->
       s"""WITH $segCtes,
          |perdoc AS (

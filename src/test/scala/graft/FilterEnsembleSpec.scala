@@ -18,7 +18,7 @@ class FilterEnsembleSpec extends AnyFunSuite {
     val v = ext.FilterEnsemble.votes(docs)
     assert(v.count() == docs.count())
     assert(v.columns.toSeq ==
-      Seq("doc_id", "source", "n_chars", "gopher", "nb", "ppl_ok"))
+      Seq("doc_id", "source", "n_chars", "n_words", "gopher", "nb", "ppl_ok"))
     // the <= median cut keeps at least half the docs
     val n = v.count(); val ok = v.where(col("ppl_ok")).count()
     assert(ok * 2 >= n && ok < n)
@@ -70,6 +70,29 @@ class FilterEnsembleSpec extends AnyFunSuite {
     val got = ext.FilterEnsemble.filterKappa(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(got == expect)
+  }
+
+  test("tier budget: greedy fill from the best tier, sum equals the budget exactly") {
+    val rows = ext.FilterEnsemble.tierBudget(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).sortBy(-_._1)
+    val total = rows.map(_._2).sum
+    val budget = total * 50 / 100
+    assert(rows.map(_._3).sum == budget)
+    // greedy: a tier is partially/un-filled only if every better tier is full
+    rows.foreach { case (_, tok, alloc) => assert(alloc >= 0 && alloc <= tok) }
+    val firstPartial = rows.indexWhere { case (_, tok, alloc) => alloc < tok }
+    if (firstPartial >= 0) {
+      assert(rows.take(firstPartial).forall { case (_, tok, alloc) => alloc == tok })
+      assert(rows.drop(firstPartial + 1).forall(_._3 == 0L))
+    }
+    // tiers must match the vote frame's tier masses
+    val v = ext.FilterEnsemble.votes(docs).collect().map { r =>
+      val t = (if (r.getBoolean(4)) 1 else 0) + (if (r.getBoolean(5)) 1 else 0) +
+        (if (r.getBoolean(6)) 1 else 0)
+      t -> r.getLong(3)
+    }
+    val masses = v.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == masses)
   }
 
   test("kappa degenerate case: two constant filters define kappa 0") {

@@ -88,6 +88,27 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(cs.getLong(3) == kf.map(r => fp(r.getString(4))).sum)
   }
 
+  test("incremental: corpus paragraphs are dropped from the batch, fresh ones kept") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    // find ids on each side of the md5-bucket split with spark itself
+    val spark2 = spark
+    import spark2.implicits._
+    val buckets = (0L until 200L).toDF("id")
+      .select(col("id"), conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+        .cast("long").as("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchId = buckets.collectFirst { case (i, b) if b < 6554 => i }.get
+    val corpusIds = buckets.collect { case (i, b) if b >= 6554 => i }.take(2).toSeq
+    val a = para('a'); val b = para('b'); val c = para('c')
+    val d = df(
+      (corpusIds(0), s"$a $b", "s0"),  // standing corpus holds a and b
+      (corpusIds(1), c, "s0"),         // and c
+      (batchId, s"$a $c ${para('z')}", "s1")) // batch: a, c known; z fresh
+    val got = ext.ParagraphDedup.incremental(d).collect()
+    assert(got.length == 1 && got(0).getLong(0) == batchId)
+    assert((got(0).getLong(2), got(0).getLong(3), got(0).getString(4)) ==
+      ((3L, 1L, para('z'))))
+  }
+
   test("registry faces run on testdata; reconstruction conserves text on a dup-free doc") {
     val dir = "/root/testdata/sf0.001"
     val kf = SparkEntry.queries("dedup_paragraph_keepfirst")(spark, dir)

@@ -274,6 +274,11 @@ object PlanSweepSpec {
         (X, "running sum over the DAY alphabet (one row per day)"),
       "contribution_pareto" ->
         (X, "cumulative-share window runs over brand cardinality (25 rows)"),
+      "mixture_quality_tiers" ->
+        (X, "greedy-fill window runs over the TIER aggregate — the vote-count " +
+          "alphabet is 0..3, so the single-partition stage carries <= 4 rows " +
+          "(the curriculum_pacing_schedule shape; the BNLJ side is the 1-row " +
+          "corpus-total aggregate, maxRows-bounded)"),
       "mixture_waterfill_budget" ->
         (X, "water-level rank/cumulative windows run over the SOURCE alphabet " +
           "(k rows — the per-source token-count aggregate), never the corpus"),
