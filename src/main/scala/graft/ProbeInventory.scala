@@ -148,7 +148,27 @@ object ProbeInventory {
       "curation_funnel_audit" ->
         ("the probed pipeline_curate_corpus chain evaluated ONCE (stage id-frames " +
           "persisted) + five id-keyed count joins — strict audit superset of the " +
-          "probed plan")
+          "probed plan"),
+      "dsir_bucket_weights" ->
+        ("strict prefix of the probed dsir_doc_scores chain (the model build alone); " +
+          "output is Buckets-bounded (1024 rows) by construction"),
+      "dsir_source_scores" ->
+        ("the probed dsir_doc_scores chain with a #sources-keyed finisher instead of " +
+          "the doc-keyed one (the lm_backoff_coverage convention); also the " +
+          "streaming_dsir_monitor oracle donor"),
+      "wordpiece_symbol_vocab" ->
+        ("strict suffix of the probed wordpiece_train_merges chain: the same 5-round " +
+          "trainCore plus one vocabulary-keyed aggregate (type-bounded output)"),
+      "wordpiece_vs_bpe_overlap" ->
+        ("composition of two probed trainers (wordpiece_train_merges + the " +
+          "bpe_train_merges 10x/100x record) intersected on a 5-row merge list"),
+      "pack_fill_sorted" ->
+        ("the corpus_pack_shards plan (two-phase weighted prefix scan, probed via " +
+          "pipeline_tokenize_pack 10x/100x) with sort key (n_tokens desc, doc_id) " +
+          "and a shard-keyed rollup — no new exchange shape"),
+      "vocab_heaps_exponent" ->
+        ("strict suffix of the vocab_growth_heaps chain (itself exempt: log2-bounded " +
+          "prefix panel) + a 1-row integer least-squares fold over <= log2(D) buckets")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----
@@ -167,7 +187,7 @@ object ProbeInventory {
       "cms_token_counts", "hll_distinct_check", "hll_rollup_check",
       "kmv_vocab_overlap", "frequent_tokens_check", "frequent_tokens_sketch",
       "dq_constraints", "dq_profile", "dq_freshness", "dq_benford",
-      "dq_skew_profile", "dq_k_anonymity", "dq_l_diversity",
+      "dq_skew_profile", "dq_k_anonymity", "dq_l_diversity", "dq_t_closeness",
       "drift_js_bins", "drift_ks_binned", "drift_psi_bins",
       "gini_impurity_by_user", "dau_wau_stickiness", "cumulative_distinct_users",
       "seasonality_profile", "timeseries_autocorr", "timeseries_twap",
@@ -277,7 +297,8 @@ object ProbeInventory {
       "streaming_quality_monitor", "streaming_sessionize",
       "streaming_sliding_window", "streaming_static_antijoin",
       "streaming_surprisal_monitor", "streaming_topic_mix",
-      "streaming_topk_window", "streaming_vocab_drift", "streaming_window_agg")
+      "streaming_topk_window", "streaming_vocab_drift", "streaming_window_agg",
+      "streaming_dsir_monitor")
     // ---- multimodal codec faces ----
     ++ fam("pure-JVM codec face in mapPartitions over class-bounded blob sets; per-row " +
       "decode, no exchange; the pair/pack exchanges carry probes " +

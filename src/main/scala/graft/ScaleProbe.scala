@@ -455,6 +455,15 @@ object ScaleProbe {
       // (word-type substring lattice + two (word,start)/piece-keyed
       // aggregate rounds — the exchange must ride the vocabulary)
       "dpo_pair_construction", "unigram_lm_train",
+      // round-14 continuation-2 wave: the DSIR importance chain
+      // (in-row bigram hashing + Buckets-bounded broadcast model +
+      // doc-keyed aggregate), its two-phase exact-quota apply, the
+      // WordPiece likelihood-gain trainer (per-round symbol-count
+      // join riding the alphabet²-bounded PAIR table), and the DoReMi
+      // multiplicative-weights mixture (one probed backoff-LM scoring
+      // pass + #sources-alphabet rounds)
+      "dsir_doc_scores", "dsir_select_quota", "wordpiece_train_merges",
+      "mixture_doremi_weights",
       // round-14 second wave: the majority-digraph cycle audit — the
       // only new face with join fan-out beyond the probed BT chain
       // (two equi-joins over the co-occurrence-bounded edge set)

@@ -73,6 +73,9 @@ object SparkEntry {
     (ext.Preference.queries, ext.Preference.oracleSql),
     (ext.Pii.queries, ext.Pii.oracleSql),
     (ext.Curriculum.queries, ext.Curriculum.oracleSql),
+    (ext.Dsir.queries, ext.Dsir.oracleSql),
+    (ext.WordPiece.queries, ext.WordPiece.oracleSql),
+    (ext.Doremi.queries, ext.Doremi.oracleSql),
     (ext.NbFilter.queries, ext.NbFilter.oracleSql),
     (ext.RewardOps.queries, ext.RewardOps.oracleSql),
     (ext.BinaryQuant.queries, ext.BinaryQuant.oracleSql),

@@ -264,6 +264,12 @@ object BpeTrain {
        |  WHERE coalesce(prev_m, 0) = 0)""".stripMargin
   }
 
+  /** The unrolled core chain without the leading WITH, so composing
+    * oracles ([[WordPiece.vsBpeOverlap]]) can splice it beside their
+    * own CTEs. Names (words, t0, pre1..t5) are unique to this chain.
+    */
+  private[ext] def oracleCoreCtesBody: String = coreCtes.stripPrefix("WITH ")
+
   private val coreCtes: String =
     """WITH words AS (
       |  SELECT doc_id, wi AS word_id, ws[wi] AS word

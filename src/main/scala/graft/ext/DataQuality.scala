@@ -200,8 +200,59 @@ object DataQuality {
     // map-side-combining per-type aggregate + a 1-row watermark
     // broadcast; stale pins lag > 7 days.
     "dq_freshness" -> ((s, dir) =>
-      freshnessFinish(freshnessCounts(Tables.events(s, dir))))
+      freshnessFinish(freshnessCounts(Tables.events(s, dir)))),
+
+    // t-closeness (Li et al., ICDE 2007) — the l-diversity upgrade: a
+    // group with many DISTINCT sensitive values still leaks if its
+    // DISTRIBUTION skews far from the table's. Distance = the ordered
+    // Earth Mover's Distance over the same balance bands as
+    // dq_l_diversity, computed on ppm-QUANTIZED CDFs (each cumulative
+    // share truncates to ppm BEFORE the difference — deterministic in
+    // both engines; headroom cum·10⁶ holds to ~9.2·10¹² rows). At risk
+    // when EMD > 0.2 (200000 ppm).
+    "dq_t_closeness" -> ((s, dir) =>
+      tCloseness(Tables.customer(s, dir)))
   )
+
+  /** Ordered-EMD t-closeness over (nation, mktsegment) groups and the
+    * balance-band sensitive attribute. 100 TB shape: one group-keyed
+    * and one band-keyed aggregate off a single scan; the band alphabet
+    * and the global distribution are broadcast (bands are a handful of
+    * values by construction); the CDF fold is a per-group window over
+    * ≤ #bands rows (the batch_length_buckets bounded-window kind).
+    */
+  def tCloseness(customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = customer.select(col("c_nationkey"), col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_band"))
+    val groups = banded.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_n"))
+    val glob = banded.groupBy(col("bal_band")).agg(count(lit(1)).as("n_b"))
+    val scal = glob.agg(sum(col("n_b")).as("n_all"), count(lit(1)).as("m_bands"))
+    val gb = banded.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n_gb"))
+    val wCdf = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("bal_band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.crossJoin(broadcast(glob.select(col("bal_band"), col("n_b"))))
+      .join(gb, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("bal_band"), col("n_b"), coalesce(col("n_gb"), lit(0L)).as("n_gb"))
+      .withColumn("cum_g", sum(col("n_gb")).over(wCdf))
+      .withColumn("cum_b", sum(col("n_b")).over(wCdf))
+      .crossJoin(broadcast(scal))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("m_bands"),
+        abs(expr("cum_g * 1000000L div group_n") -
+          expr("cum_b * 1000000L div n_all")).as("d_ppm"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("m_bands"))
+      .agg(sum(col("d_ppm")).as("sum_d"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("m_bands"),
+        expr("sum_d div greatest(m_bands - 1L, 1L)").as("emd_ppm"))
+      .withColumn("at_risk", (col("emd_ppm") > 200000L).cast("int"))
+  }
 
   /** Per-stream (n_events, last_day) — a plain keyed aggregate, so it
     * runs unchanged as a complete-mode STREAMING aggregation (the
@@ -272,6 +323,40 @@ object DataQuality {
         |  CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
         |  CAST(CASE WHEN count(DISTINCT bal_band) < 3 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
         |FROM b GROUP BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "dq_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+        |  FROM customer),
+        |grp AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+        |        FROM b GROUP BY 1, 2),
+        |gl AS (SELECT bal_band, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+        |sc AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_all,
+        |              CAST(count(*) AS BIGINT) AS m_bands FROM gl),
+        |gb AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |              CAST(count(*) AS BIGINT) AS n_gb
+        |       FROM b GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.group_n, gl.bal_band, gl.n_b,
+        |    coalesce(gb.n_gb, 0) AS n_gb
+        |  FROM grp g CROSS JOIN gl
+        |  LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+        |    AND gb.c_mktsegment = g.c_mktsegment AND gb.bal_band = gl.bal_band),
+        |cdf AS (
+        |  SELECT c_nationkey, c_mktsegment, group_n,
+        |    abs(sum(n_gb) OVER w * 1000000 // group_n
+        |      - sum(n_b) OVER w * 1000000 // (SELECT n_all FROM sc)) AS d_ppm
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT c_nationkey, c_mktsegment, group_n,
+        |  (SELECT m_bands FROM sc) AS m_bands,
+        |  CAST(sum(d_ppm) // greatest((SELECT m_bands FROM sc) - 1, 1) AS BIGINT)
+        |    AS emd_ppm,
+        |  CAST(CASE WHEN sum(d_ppm) // greatest((SELECT m_bands FROM sc) - 1, 1)
+        |    > 200000 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        |FROM cdf GROUP BY 1, 2, 3""".stripMargin,
 
     "dq_skew_profile" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt

@@ -117,6 +117,30 @@ object LmStats {
         sum(col("new_types")).over(Window.orderBy(col("bucket"))).as("vocab_size"))
   }
 
+  /** Heaps-law exponent fit over the [[vocabGrowthHeaps]] curve: ONE
+    * row (n_points, slope_mb_per_doubling, intercept_mb) from an
+    * integer least-squares fit of mlog2(vocab_size) against the
+    * doubling bucket — the measured β (×1000: slope 500 ⇒ V ∝ N^0.5)
+    * behind every "the tokenizer exchange rides a Heaps-sublinear
+    * vocabulary" claim in this codebase. All sums are exact integers;
+    * slope then intercept each take one truncating division (both
+    * engines truncate toward zero), so the oracle replays the fit bit
+    * for bit. The fold runs over ≤ log2(D) bucket rows — nothing
+    * data-sized past the probed growth chain.
+    */
+  def heapsExponent(docs: DataFrame): DataFrame =
+    vocabGrowthHeaps(docs)
+      .select(col("bucket").as("x"),
+        NbFilter.mlog2("vocab_size").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("(n * sxy - sx * sy) div greatest(n * sxx - sx * sx, 1L)")
+          .as("slope_mb"))
+      .select(col("n").as("n_points"),
+        col("slope_mb").as("slope_mb_per_doubling"),
+        expr("(sy - slope_mb * sx) div n").as("intercept_mb"))
+
   /** Per-language tokenizer fertility: whitespace words vs BPE-ish
     * pre-tokens (the `text_bpe_tokens` regex), fertility in ppm
     * (subword tokens per word ×10⁶) — the "how many pieces does the
@@ -253,7 +277,9 @@ object LmStats {
     "lm_oov_coverage" -> ((s, dir) =>
       oovCoverage(Tables.documents(s, dir), v = 30)),
     "vocab_growth_heaps" -> ((s, dir) =>
-      vocabGrowthHeaps(Tables.documents(s, dir)))
+      vocabGrowthHeaps(Tables.documents(s, dir))),
+    "vocab_heaps_exponent" -> ((s, dir) =>
+      heapsExponent(Tables.documents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -271,6 +297,37 @@ object LmStats {
         |SELECT bucket, new_types,
         |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
         |FROM b""".stripMargin,
+    "vocab_heaps_exponent" ->
+      s"""WITH f AS (
+         |  SELECT w, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |b AS (
+         |  SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS new_types
+         |  FROM f GROUP BY 1),
+         |g AS (
+         |  SELECT bucket,
+         |    CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+         |  FROM b),
+         |p AS (
+         |  SELECT bucket AS x,
+         |    CAST(${NbFilter.mlog2DuckSql("vocab_size")} AS BIGINT) AS y
+         |  FROM g),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM p),
+         |sl AS (
+         |  SELECT n, sx, sy,
+         |    (n * sxy - sx * sy) // greatest(n * sxx - sx * sx, 1) AS slope
+         |  FROM s)
+         |SELECT n AS n_points, CAST(slope AS BIGINT) AS slope_mb_per_doubling,
+         |  CAST((sy - slope * sx) // n AS BIGINT) AS intercept_mb
+         |FROM sl""".stripMargin,
     "vocab_drift_js" ->
       """WITH tk AS (
         |  SELECT doc_id % 2 = 0 AS is_a,

@@ -443,6 +443,27 @@ object Sampling {
         .withColumn("shard_id", expr("cum_tokens div 2000"))
     }),
 
+    // Length-SORTED shelf packing (longest docs first) with the same
+    // per-shard fill audit as pack_fill_audit: sorting by descending
+    // token count before the prefix scan concentrates the straddle
+    // waste in the few long-doc shards and packs the tail nearly
+    // exactly — the offline half of best-fit-decreasing that stays a
+    // pure prefix scan (true BFD's bin search is inherently
+    // sequential; documented trade). Same two-phase
+    // globalWeightedPrefix discipline, order = (n_tokens desc, doc_id).
+    "pack_fill_sorted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Offsets.globalWeightedPrefix(docs,
+          Seq(col("n_tokens").desc, col("doc_id")),
+          "n_tokens", "cum_tokens")
+        .withColumn("shard_id", expr("cum_tokens div 2000"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .select(col("shard_id"), col("n_docs"), col("tokens"),
+          expr("tokens * 1000000 div 2000").as("fill_ppm"))
+    }),
+
     // Shard manifest with ORDER-INSENSITIVE membership checksums — the
     // reproducibility record a dataset card publishes per shard: doc
     // count, token total, and a 48-bit-per-doc md5 id sum (insensitive
@@ -677,6 +698,21 @@ object Sampling {
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+    "pack_fill_sorted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT cum_tokens // 2000 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) * 1000000 // 2000 AS fill_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+
     // cum computed once in a subquery: two textually identical windows
     // would re-evaluate and invite the threaded-window tie hazard
     "corpus_pack_shards" ->

@@ -842,6 +842,27 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming DSIR intake monitor: per-source importance mass of the
+    * arriving documents against the STATIC bucket-weight model (trained
+    * batch-side on the standing corpus — the stream-static join every
+    * production DSIR gate runs), maintained in complete mode and
+    * sharing `dsir_source_scores`' oracle bit-for-bit. The projection
+    * is stateless per document (in-row bigrams → md5 buckets); state is
+    * one row per source.
+    */
+  private def dsirToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"sdsir_${System.nanoTime()}"
+    val weights = graft.ext.Dsir.bucketWeights(graft.Tables.documents(spark, dir))
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.ext.Dsir.sourceScoresAgainst(stream, weights)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   private def fertilityToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"sfert_${System.nanoTime()}"
     val stream = spark.readStream.schema(documentsSchema)
@@ -1075,6 +1096,7 @@ object StreamingOps {
     "streaming_topic_mix" -> ((s, dir) => topicMixToCompletion(s, dir)),
     "streaming_fertility" -> ((s, dir) => fertilityToCompletion(s, dir)),
     "streaming_pii_monitor" -> ((s, dir) => piiToCompletion(s, dir)),
+    "streaming_dsir_monitor" -> ((s, dir) => dsirToCompletion(s, dir)),
     "streaming_length_buckets" -> ((s, dir) => lengthBucketsToCompletion(s, dir)),
     "streaming_quality_monitor" -> ((s, dir) => gopherToCompletion(s, dir)),
     "streaming_nb_quality" -> ((s, dir) => nbQualityToCompletion(s, dir)),
@@ -1346,6 +1368,7 @@ object StreamingOps {
     "streaming_topic_mix" -> graft.ext.KMeans.oracleSql("topic_mix_by_source"),
     "streaming_fertility" -> graft.ext.LmStats.oracleSql("tokenizer_fertility"),
     "streaming_pii_monitor" -> graft.ext.Pii.oracleSql("pii_detect_counts"),
+    "streaming_dsir_monitor" -> graft.ext.Dsir.oracleSql("dsir_source_scores"),
     "streaming_length_buckets" -> graft.ext.Sampling.oracleSql("batch_length_buckets"),
     "streaming_quality_monitor" ->
       graft.ext.Quality.oracleSql("quality_gopher_by_source"),

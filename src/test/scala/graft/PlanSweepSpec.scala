@@ -243,6 +243,10 @@ object PlanSweepSpec {
         (X, "final rank window runs over the <= floor(log2(V)) bit-log-sampled rows"),
       "vocab_growth_heaps" ->
         (X, "cumulative window runs over the <= floor(log2(D)) first-doc buckets"),
+      "vocab_heaps_exponent" ->
+        (X, "the vocab_growth_heaps cumulative window (<= floor(log2(D)) bucket " +
+          "rows) feeding a 1-row least-squares fold — same bounded stage, one more " +
+          "keyless aggregate"),
       "abtest_cuped" ->
         (X, "moment window folds the 2-row per-variant aggregate (variant-count-bounded)"),
       "kruskal_wallis_h" ->
@@ -283,7 +287,12 @@ object PlanSweepSpec {
         (X, "water-level rank/cumulative windows run over the SOURCE alphabet " +
           "(k rows — the per-source token-count aggregate), never the corpus"),
       "topk_others_rollup" ->
-        (X, "rank window over brand cardinality; re-aggregate is 25 rows")
+        (X, "rank window over brand cardinality; re-aggregate is 25 rows"),
+      "dq_t_closeness" ->
+        (J, "the grid cross join's broadcast side is the balance-BAND value " +
+          "alphabet (truncating div by 1000 currency units => ~a dozen bands " +
+          "over the schema's acctbal range); the CDF window partitions by the " +
+          "quasi-identifier group, carrying <= #bands rows per group")
     )
   }
 }
