@@ -237,11 +237,11 @@ object BpeTrain {
   /** One unrolled CTE round of the identical program. */
   private def roundSql(r: Int): String = {
     val p = r - 1
-    s"""pre$r AS (
+    s"""pre$r AS MATERIALIZED (
        |  SELECT doc_id, word_id, pos, tok,
        |    lead(tok) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS nxt
        |  FROM t$p),
-       |b$r AS (
+       |b$r AS MATERIALIZED (
        |  SELECT tok AS lft, nxt AS rgt, count(*) AS n
        |  FROM pre$r WHERE nxt IS NOT NULL
        |  GROUP BY 1, 2 ORDER BY n DESC, lft, rgt LIMIT 1),
@@ -255,13 +255,21 @@ object BpeTrain {
        |      a.pos - ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.word_id,
        |        CASE WHEN a.tok = b.lft AND a.nxt = b.rgt THEN 1 ELSE 0 END ORDER BY a.pos) AS grp
        |    FROM pre$r a CROSS JOIN b$r b)),
-       |t$r AS (
+       |t$r AS MATERIALIZED (
        |  SELECT doc_id, word_id,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS pos,
        |    CASE WHEN do_merge = 1 THEN tok || nxt ELSE tok END AS tok
        |  FROM (SELECT *, lag(do_merge) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS prev_m
        |        FROM m$r)
-       |  WHERE coalesce(prev_m, 0) = 0)""".stripMargin
+       |  WHERE coalesce(prev_m, 0) = 0
+       |  -- pair supply exhausted: b$r is empty, the branch above yields
+       |  -- zero rows, and the stream must pass through unchanged (the
+       |  -- Spark trainer's early stop) — without this, a t5-reading face
+       |  -- (bpe_apply_merges) would collapse to empty on a corpus that
+       |  -- exhausts before round 5
+       |  UNION ALL
+       |  SELECT doc_id, word_id, pos, tok FROM t$p
+       |  WHERE NOT EXISTS (SELECT 1 FROM b$r))""".stripMargin
   }
 
   /** The unrolled core chain without the leading WITH, so composing

@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   * bigram bucket is observed on the raw side and the scoring join is
   * complete by construction.
   *
-  * 100 TB shape: the model is ONE bucket-keyed aggregate pair over the
-  * bigram stream (in-row transform + explode, the [[BackoffLm]] pair
-  * discipline — no window, no self-join; map-side combine collapses
-  * each exchange to partitions × `Buckets` rows), and the model table
+  * 100 TB shape: the model is ONE bucket-keyed aggregate over a single
+  * evaluation of the bigram stream — the raw count and the target
+  * count fold together as a conditional sum, since the lang evidence
+  * rides the row (in-row transform + explode, the [[BackoffLm]] pair
+  * discipline — no window, no self-join, no stream-sized doc_id join;
+  * map-side combine collapses the exchange to partitions ×
+  * `Buckets` rows), and the model table
   * is `Buckets`-bounded — broadcast to the scorer, so scoring is a
   * stateless projection + one doc-keyed aggregate. Selection runs the
   * exact global rank through the two-phase
@@ -53,39 +56,40 @@ object Dsir {
   /** Selection quota: keep the top `QuotaPct`% of the pool by weight. */
   private val QuotaPct = 25
 
-  /** (doc_id, source, b) — one row per bigram occurrence, bucket in the
-    * row. In-row transform over the token array (the [[BackoffLm]]
-    * guard: docs with < 2 tokens are filtered before `sequence`, which
-    * would otherwise count DOWN, and re-added by the finishers' LEFT
-    * joins).
+  /** (doc_id, source, lang, b) — one row per bigram occurrence, bucket
+    * (and the target-membership evidence) in the row. In-row transform
+    * over the token array (the [[BackoffLm]] guard: docs with < 2
+    * tokens are filtered before `sequence`, which would otherwise
+    * count DOWN, and re-added by the finishers' LEFT joins).
     */
   private def bigramBuckets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"), col("lang"),
         TextAnalysis.tokens(col("text")).as("ts"))
       .where(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         explode(expr(
           "transform(sequence(1, size(ts) - 1), " +
             "i -> concat(ts[i - 1], ' ', ts[i]))")).as("bg"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         (conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long")
           % lit(Buckets)).as("b"))
 
   /** The trained model: per observed bucket, target / raw occurrence
     * counts and the smoothed log importance weight in millibits.
     * `Buckets`-bounded (≤ 1024 rows) — the broadcast side of scoring.
+    * Both counts fold in ONE bucket-keyed aggregate over a single
+    * evaluation of the bigram stream (the target count is a
+    * conditional sum — the lang evidence rides the row, so no second
+    * stream pass and no stream-sized doc_id join exist anywhere).
     */
   def bucketWeights(docs: DataFrame): DataFrame = {
-    val bg = bigramBuckets(docs)
-    val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("n_raw"))
-    val tgt = bg.join(docs.where(col("lang") === "en").select("doc_id"), "doc_id")
-      .groupBy(col("b")).agg(count(lit(1)).as("n_target"))
-    val totals = raw.agg(sum(col("n_raw")).as("nr_tot"))
-      .crossJoin(tgt.agg(sum(col("n_target")).as("nt_tot")))
-    raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), coalesce(col("n_target"), lit(0L)).as("n_target"),
-        col("n_raw"))
-      .crossJoin(broadcast(totals))
+    val counts = bigramBuckets(docs)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_target"))
+    val totals = counts.agg(sum(col("n_raw")).as("nr_tot"),
+      sum(col("n_target")).as("nt_tot"))
+    counts.crossJoin(broadcast(totals))
       .select(col("b"), col("n_target"), col("n_raw"),
         (NbFilter.mlog2("n_target + 1") -
           NbFilter.mlog2(s"nt_tot + $Buckets") -

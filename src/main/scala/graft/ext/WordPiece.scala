@@ -156,7 +156,7 @@ object WordPiece {
        |    lead(tok) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS nxt
        |  FROM wt$p),
        |wsym$r AS (SELECT tok, CAST(count(*) AS BIGINT) AS m FROM wpre$r GROUP BY tok),
-       |wb$r AS (
+       |wb$r AS MATERIALIZED (
        |  SELECT lft, rgt, n, n * 1000000000 // (nl * nr) AS score
        |  FROM (
        |    SELECT p.tok AS lft, p.nxt AS rgt, CAST(count(*) AS BIGINT) AS n,
@@ -177,13 +177,19 @@ object WordPiece {
        |      a.pos - ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.word_id,
        |        CASE WHEN a.tok = b.lft AND a.nxt = b.rgt THEN 1 ELSE 0 END ORDER BY a.pos) AS grp
        |    FROM wpre$r a CROSS JOIN wb$r b)),
-       |wt$r AS (
+       |wt$r AS MATERIALIZED (
        |  SELECT doc_id, word_id,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS pos,
        |    CASE WHEN do_merge = 1 THEN tok || nxt ELSE tok END AS tok
        |  FROM (SELECT *, lag(do_merge) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS prev_m
        |        FROM wm$r)
-       |  WHERE coalesce(prev_m, 0) = 0)""".stripMargin
+       |  WHERE coalesce(prev_m, 0) = 0
+       |  -- pair supply exhausted: wb$r is empty, the branch above yields
+       |  -- zero rows, and the stream must pass through unchanged (the
+       |  -- Spark trainer's early stop)
+       |  UNION ALL
+       |  SELECT doc_id, word_id, pos, tok FROM wt$p
+       |  WHERE NOT EXISTS (SELECT 1 FROM wb$r))""".stripMargin
   }
 
   private val coreCtes: String =
