@@ -168,7 +168,15 @@ object ProbeInventory {
           "and a shard-keyed rollup — no new exchange shape"),
       "vocab_heaps_exponent" ->
         ("strict suffix of the vocab_growth_heaps chain (itself exempt: log2-bounded " +
-          "prefix panel) + a 1-row integer least-squares fold over <= log2(D) buckets")
+          "prefix panel) + a 1-row integer least-squares fold over <= log2(D) buckets"),
+      "sonata_h5_chunked_v2" ->
+        ("FIXTURE-bounded foreign-container read (600 rows, committed bytes — no " +
+          "scale axis); the split/scan machinery is the probed sonata_h5_v2_source " +
+          "path, chunked columns reading identical byte counts (byte-meter-asserted " +
+          "in ForeignHdf5FixtureSpec)"),
+      "sonata_h5_chunked_pruned" ->
+        ("strict planned-subset of sonata_h5_chunked_v2 (same fixture, fewer " +
+          "column regions + edge_id range); pruning exactness is byte-meter-asserted")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

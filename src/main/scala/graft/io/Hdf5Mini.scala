@@ -465,16 +465,52 @@ object Hdf5Mini {
 
   // -------------------------------------------------------------- reader
 
+  /** Chunk placement index for a 1-D chunked dataset: the element span
+    * of each chunk and the (elemOffset → file address) map the planned
+    * readers slice through. Parsed from the chunk B-tree at metadata
+    * time (the nodes are metadata-sized — one entry per chunk), so a
+    * positional reader can fetch EXACTLY the in-chunk byte range a row
+    * span needs: chunked reads cost the same bytes as contiguous ones,
+    * and the byte-meter invariant (bytes read = rows × width) holds
+    * unchanged. Unfiltered chunks only (filter mask 0 is asserted at
+    * walk time); every chunk is stored full-size per the spec, so the
+    * address arithmetic needs no per-chunk length.
+    */
+  final case class ChunkIndex(chunkElems: Long, addrs: Map[Long, Long]) {
+    /** File address of the chunk covering element `elem` — fail loud on
+      * a hole (an unwritten chunk cannot appear in a dataset our subset
+      * accepts: no fill-value reads, never a guess).
+      */
+    def addrOf(elem: Long, path: String): Long = {
+      val base = (elem / chunkElems) * chunkElems
+      addrs.getOrElse(base, sys.error(
+        s"hdf5: $path has no chunk at element offset $base (hole?)"))
+    }
+
+    /** The index restricted to chunks covering [fromElem, fromElem +
+      * count) — what a planned split ships to its executor, so split
+      * metadata stays split-sized instead of dataset-sized.
+      */
+    def slice(fromElem: Long, count: Long): ChunkIndex = {
+      val lo = (fromElem / chunkElems) * chunkElems
+      val hi = fromElem + count
+      ChunkIndex(chunkElems, addrs.filter { case (off, _) => off >= lo && off < hi })
+    }
+  }
+
   /** `chunked = true` marks a dataset stored under a chunk B-tree rather
     * than one contiguous region: `dataAddress` is the spec's undefined
-    * address and the reassembled bytes live in [[ReadFile.chunkedData]]
-    * (full [[read]] only — [[readMeta]] registers the dataset but defers
-    * the data, and the planned V2 source rejects it by name).
+    * address. Full [[read]] reassembles the bytes into
+    * [[ReadFile.chunkedData]]; [[readMeta]] defers the data but carries
+    * the [[ChunkIndex]], which is what lets the planned V2 source and
+    * the distributed slice readers read chunked columns positionally
+    * ([[readChunkedSlice]]).
     */
   final case class ReadDataset(path: String, dtype: H5Type, dims: Seq[Long],
                                dataAddress: Long, byteSize: Long,
                                attrs: Map[String, String],
-                               chunked: Boolean = false)
+                               chunked: Boolean = false,
+                               chunkIndex: Option[ChunkIndex] = None)
   final case class ReadFile(datasets: Map[String, ReadDataset],
                             groupAttrs: Map[String, Map[String, String]],
                             bytes: Array[Byte],
@@ -602,6 +638,44 @@ object Hdf5Mini {
       while (bb.hasRemaining && ch.read(bb, base + bb.position()) >= 0) {}
       require(!bb.hasRemaining,
         s"hdf5: EOF reading $count x $elemSize bytes at $base from $path")
+      bytesByPath.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(count.toLong * elemSize)
+      bb.flip()
+      bb
+    } finally ch.close()
+  }
+
+  /** Positional read of `count` elements starting at `elemOffset` from
+    * a CHUNKED dataset — the chunked twin of [[readSlice]]: the span is
+    * split at chunk boundaries and each segment reads exactly its
+    * in-chunk byte range (chunks are stored full-size and unfiltered,
+    * so element address = chunk address + within-chunk offset × size).
+    * Bytes metered identically — a chunked pruned scan reads exactly
+    * planned_rows × width, same as contiguous.
+    */
+  def readChunkedSlice(path: String, index: ChunkIndex, elemSize: Int,
+                       elemOffset: Long, count: Int): ByteBuffer = {
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val bb = ByteBuffer.allocate(count * elemSize).order(ByteOrder.LITTLE_ENDIAN)
+      val c = index.chunkElems
+      var off = elemOffset
+      val end = elemOffset + count
+      while (off < end) {
+        val within = off % c
+        val take = math.min(end - off, c - within).toInt
+        val base = index.addrOf(off, path) + within * elemSize
+        val lim = bb.position() + take * elemSize
+        val saved = bb.limit()
+        bb.limit(lim)
+        val segStart = bb.position()
+        while (bb.hasRemaining && ch.read(bb, base + (bb.position() - segStart)) >= 0) {}
+        require(!bb.hasRemaining,
+          s"hdf5: EOF reading $take x $elemSize bytes at $base from $path")
+        bb.limit(saved)
+        off += take
+      }
       bytesByPath.computeIfAbsent(path,
         _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(count.toLong * elemSize)
       bb.flip()
@@ -776,16 +850,28 @@ object Hdf5Mini {
               require(esize == t.size,
                 s"hdf5: chunk element size $esize != datatype size ${t.size} at $path")
               val total = d.head * t.size
-              datasets(path) =
-                ReadDataset(path, t, d, Undef, total, attrs.toMap, chunked = true)
-              if (materializeChunked && total > 0) {
-                val out = new Array[Byte](total.toInt)
+              // ONE B-tree walk serves both paths: the chunk index (for
+              // planned positional reads) and, under full read, the
+              // reassembled bytes. Filter rejection happens here so the
+              // metadata parse already refuses compressed chunks loud.
+              val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+              if (total > 0)
                 walkChunkBtree(btreeAddr, dim = 2) { (elemOff, nbytes, mask, chunkAddr) =>
                   require(mask == 0,
                     s"hdf5: filtered chunk at $path (filters unsupported)")
                   val byteOff = elemOff * t.size
                   require(byteOff >= 0 && byteOff < total,
                     s"hdf5: chunk offset $elemOff outside dataset $path")
+                  entries += ((elemOff, nbytes, chunkAddr))
+                }
+              val index = ChunkIndex(cdims.head,
+                entries.map(e => e._1 -> e._3).toMap)
+              datasets(path) = ReadDataset(path, t, d, Undef, total, attrs.toMap,
+                chunked = true, chunkIndex = Some(index))
+              if (materializeChunked && total > 0) {
+                val out = new Array[Byte](total.toInt)
+                entries.foreach { case (elemOff, nbytes, chunkAddr) =>
+                  val byteOff = elemOff * t.size
                   // edge chunks are stored full-size; copy only the part
                   // inside the dataspace extent
                   val copyLen = math.min(nbytes.toLong, total - byteOff)

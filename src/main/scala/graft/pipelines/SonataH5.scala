@@ -307,24 +307,26 @@ object SonataH5 {
       .filter(p => p.startsWith(s"$base/0/") && !p.startsWith(s"$base/0/@library/"))
     val colPaths = (topPaths ++ propPaths).distinct.sorted
     val n = f.datasets(colPaths.head).dims.head
-    // everything the executors need, in plain serializable form
-    val cols: Seq[(String, Hdf5Mini.H5Type, Long)] = colPaths.map { p =>
-      val ds = f.datasets(p)
-      require(ds.dims == Seq(n), s"sonata-h5: ragged edge column $p (${ds.dims} vs $n)")
-      require(!ds.chunked, s"sonata-h5: chunked dataset $p unsupported by the " +
-        "distributed slice reader (contiguous subset; use Hdf5Mini.read)")
-      (p.split('/').last, ds.dtype, ds.dataAddress)
-    }
+    // everything the executors need, in plain serializable form; a
+    // chunked column (round 14) carries its chunk placement index and
+    // reads per-chunk segments — same bytes as contiguous
+    val cols: Seq[(String, Hdf5Mini.H5Type, Long, Option[Hdf5Mini.ChunkIndex])] =
+      colPaths.map { p =>
+        val ds = f.datasets(p)
+        require(ds.dims == Seq(n), s"sonata-h5: ragged edge column $p (${ds.dims} vs $n)")
+        (p.split('/').last, ds.dtype, ds.dataAddress,
+          if (ds.chunked) ds.chunkIndex else None)
+      }
     val schema = StructType(StructField("edge_id", LongType, nullable = false) +:
       cols.map {
-        case (name, Hdf5Mini.I32, _) => StructField(name, IntegerType, nullable = false)
-        case (name, Hdf5Mini.I16, _) => StructField(name, ShortType, nullable = false)
-        case (name, Hdf5Mini.I8, _)  => StructField(name, ByteType, nullable = false)
-        case (name, Hdf5Mini.F32, _) => StructField(name, FloatType, nullable = false)
-        case (name, Hdf5Mini.F64, _) => StructField(name, DoubleType, nullable = false)
+        case (name, Hdf5Mini.I32, _, _) => StructField(name, IntegerType, nullable = false)
+        case (name, Hdf5Mini.I16, _, _) => StructField(name, ShortType, nullable = false)
+        case (name, Hdf5Mini.I8, _, _)  => StructField(name, ByteType, nullable = false)
+        case (name, Hdf5Mini.F32, _, _) => StructField(name, FloatType, nullable = false)
+        case (name, Hdf5Mini.F64, _, _) => StructField(name, DoubleType, nullable = false)
         // all unsigned widths (the SONATA spec's common dtypes) widen to
         // LongType with zero-extension — see the read loop below
-        case (name, _, _)            => StructField(name, LongType, nullable = false)
+        case (name, _, _, _)            => StructField(name, LongType, nullable = false)
       })
     val rowRdd = spark.range(0, n, 1, partitions).rdd.mapPartitions { ids =>
       val idArr = ids.toArray
@@ -333,8 +335,11 @@ object SonataH5 {
         // spark.range partitions are contiguous id runs
         val lo = idArr.head
         val count = idArr.length
-        val buffers = cols.map { case (_, t, addr) =>
-          (t, Hdf5Mini.readSlice(file, addr, t.size, lo, count))
+        val buffers = cols.map {
+          case (_, t, _, Some(ix)) =>
+            (t, Hdf5Mini.readChunkedSlice(file, ix, t.size, lo, count))
+          case (_, t, addr, None) =>
+            (t, Hdf5Mini.readSlice(file, addr, t.size, lo, count))
         }
         (0 until count).iterator.map { i =>
           // explicit Seq[Any] blocks numeric-branch harmonization, which
@@ -499,6 +504,28 @@ object SonataH5 {
         .where(col("edge_id") >= 1000L && col("edge_id") < 5000L)
         .select(col("source_node_id"), col("my_attribute"), col("edge_id"))),
 
+    // Foreign CHUNKED container through the planned source (round 14
+    // continuation-2): every column of the committed
+    // foreign_chunked_multi.h5 fixture is chunked with a DIFFERENT
+    // chunk size (128/100/250, two edge chunks) and mixed dtypes —
+    // planned splits ship per-split chunk-index slices and executors
+    // read exact in-chunk byte ranges. Values are closed forms of the
+    // row index (h5forge.py), so the DuckDB oracle reproduces the
+    // decode from range() without reading HDF5 — a fully ORACLED
+    // foreign-container read. Tiny maxBytesPerPartition forces
+    // multiple splits so the sliced-index path IS the gated path.
+    "sonata_h5_chunked_v2" -> ((s, _) =>
+      s.read.format("sonatah5").option("maxBytesPerPartition", "2048")
+        .load("/root/repo/src/test/resources/foreign_chunked_multi.h5")),
+
+    // pruning + edge_id pushdown over the chunked fixture: the planned
+    // range lands mid-chunk on both ends of all three chunk grids
+    "sonata_h5_chunked_pruned" -> ((s, _) =>
+      s.read.format("sonatah5").option("maxBytesPerPartition", "2048")
+        .load("/root/repo/src/test/resources/foreign_chunked_multi.h5")
+        .where(col("edge_id").between(123L, 456L))
+        .select(col("edge_id"), col("delay_ms"))),
+
     // The READ-PATH measurement face (round 14): a full-width integer
     // checksum aggregate through the planned source. The full-table and
     // pruned faces end in the harness's count(), which the connector
@@ -629,6 +656,19 @@ object SonataH5 {
         |  FROM lineitem)
         |SELECT source_node_id, my_attribute, edge_id
         |FROM e WHERE edge_id >= 1000 AND edge_id < 5000""".stripMargin,
+
+    // the fixture's closed-form content — the oracle never opens HDF5
+    "sonata_h5_chunked_v2" ->
+      """SELECT CAST(i AS BIGINT) AS edge_id,
+        |  CAST((11 * i) % 1000 AS INTEGER) AS delay_ms,
+        |  CAST((7 * i) % 50 AS BIGINT) AS source_node_id,
+        |  CAST((3 * i) % 40 AS BIGINT) AS target_node_id
+        |FROM range(0, 600) t(i)""".stripMargin,
+
+    "sonata_h5_chunked_pruned" ->
+      """SELECT CAST(i AS BIGINT) AS edge_id,
+        |  CAST((11 * i) % 1000 AS INTEGER) AS delay_ms
+        |FROM range(0, 600) t(i) WHERE i BETWEEN 123 AND 456""".stripMargin,
 
     "sonata_h5_v2_scan_agg" ->
       """WITH e AS (

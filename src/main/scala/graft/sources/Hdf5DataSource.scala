@@ -76,8 +76,13 @@ class Hdf5DataSource extends TableProvider with DataSourceRegister {
 
 object Hdf5DataSource {
 
-  /** One edge column: name, on-disk type, data address. */
-  final case class ColMeta(name: String, dtype: Hdf5Mini.H5Type, address: Long)
+  /** One edge column: name, on-disk type, data address (contiguous) or
+    * the chunk placement index (chunked layout — round 14: chunked
+    * columns are planned first-class; each split ships only the index
+    * slice covering its rows).
+    */
+  final case class ColMeta(name: String, dtype: Hdf5Mini.H5Type, address: Long,
+                           chunk: Option[Hdf5Mini.ChunkIndex] = None)
 
   final case class Layout(population: String, nRows: Long, cols: Seq[ColMeta]) {
     def schema: StructType =
@@ -124,13 +129,14 @@ object Hdf5DataSource {
     val cols = colPaths.map { p =>
       val ds = f.datasets(p)
       require(ds.dims == Seq(n), s"sonatah5: ragged edge column $p (${ds.dims} vs $n)")
-      // the planned scan positional-reads ONE contiguous region per
-      // column; chunked columns are readable via Hdf5Mini.read but have
-      // no single region to slice — fail by name, never misread
-      require(!ds.chunked,
-        s"sonatah5: chunked dataset $p unsupported by the planned source " +
-          "(contiguous subset; use Hdf5Mini.read)")
-      ColMeta(p.split('/').last, ds.dtype, ds.dataAddress)
+      // contiguous columns positional-read one region; chunked columns
+      // carry their chunk placement index from the metadata parse and
+      // read per-chunk segments — same bytes, same meter invariant
+      if (ds.chunked)
+        require(ds.chunkIndex.exists(_.addrs.nonEmpty) || ds.dims.head == 0,
+          s"sonatah5: chunked dataset $p has no chunk index (metadata parse hole)")
+      ColMeta(p.split('/').last, ds.dtype, ds.dataAddress,
+        if (ds.chunked) ds.chunkIndex else None)
     }
     Layout(pop, n, cols)
   }
@@ -300,8 +306,11 @@ private[sources] class Hdf5Scan(path: String, layout: Hdf5DataSource.Layout,
     val edgeIdFirst = wantEdgeId && required.fieldNames.headOption.contains("edge_id")
     val splits = prunedRanges.flatMap { case (lo, hi) =>
       (lo until hi by perSplit).map { start =>
-        Hdf5Split(path, start, math.min(perSplit, hi - start), cols,
-          wantEdgeId, edgeIdFirst)
+        val n = math.min(perSplit, hi - start)
+        // each split ships only the chunk-index slice covering its rows
+        val splitCols = cols.map(c =>
+          c.copy(chunk = c.chunk.map(_.slice(start, n))))
+        Hdf5Split(path, start, n, splitCols, wantEdgeId, edgeIdFirst)
       }
     }
     limit match {
@@ -343,8 +352,12 @@ private[sources] class Hdf5ReaderFactory extends PartitionReaderFactory {
           chunkStart = split.startRow + emitted
           chunkRows = math.min(rowsPerChunk, split.numRows - emitted).toInt
           buffers = split.cols.map { c =>
-            (c.dtype, Hdf5Mini.readSlice(split.path, c.address, c.dtype.size,
-              chunkStart, chunkRows))
+            (c.dtype, c.chunk match {
+              case Some(ix) => Hdf5Mini.readChunkedSlice(split.path, ix,
+                c.dtype.size, chunkStart, chunkRows)
+              case None => Hdf5Mini.readSlice(split.path, c.address,
+                c.dtype.size, chunkStart, chunkRows)
+            })
           }
           chunkIdx = 0
         }

@@ -20,11 +20,18 @@ import org.scalatest.funsuite.AnyFunSuite
   *    datasets stored CHUNKED (layout message v3 class 2 + node-type-1
   *    chunk B-tree + whole-size raw chunks; the edge variant's last
   *    chunk overhangs the dataspace extent, as libhdf5 always allocates
-  *    full chunks). Round 14 WIDENED the reader subset: Hdf5Mini.read
-  *    walks the chunk B-tree and reassembles — but the PLANNED paths
-  *    (the sonatah5 V2 source, the distributed slice readers), whose
-  *    positional model needs one contiguous region per column, still
-  *    reject chunked columns BY NAME.
+  *    full chunks). Round 14 WIDENED the reader subset twice: first
+  *    Hdf5Mini.read walks the chunk B-tree and reassembles; then the
+  *    PLANNED paths (the sonatah5 V2 source, the distributed slice
+  *    readers) went chunked-first-class — the metadata parse carries a
+  *    chunk placement index, splits ship their index slice, and
+  *    executors read exact in-chunk byte ranges (same bytes as
+  *    contiguous; the byte-meter invariant holds unchanged).
+  *  - `foreign_chunked_multi.h5`: the planned-path driver — a
+  *    /edges/pop tree whose THREE columns are chunked with different
+  *    chunk sizes (128/100/250) and mixed dtypes (i64/i64/i32), values
+  *    closed forms of the row index so the sonata_h5_chunked_v2 face's
+  *    DuckDB oracle reproduces the decode without reading HDF5.
   *  - `foreign_v2header.h5`: a root group in the VERSION 2 object
   *    header format ("OHDR" + lookup3 gateway checksum, spec IV.A.2) —
   *    what libhdf5 emits under H5F_LIBVER_LATEST; rejected loudly.
@@ -36,6 +43,7 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
   private val chunked = "src/test/resources/foreign_chunked.h5"
   private val chunkedEdge = "src/test/resources/foreign_chunked_edge.h5"
   private val chunkedEdges = "src/test/resources/foreign_chunked_edges.h5"
+  private val chunkedMulti = "src/test/resources/foreign_chunked_multi.h5"
   private val v2header = "src/test/resources/foreign_v2header.h5"
 
   private def sha256(path: String): String = {
@@ -53,6 +61,8 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
       "f9256052c6ef860930215ec8377bad474e86167782a6cbad52c9ebfc9611c3dc")
     assert(sha256(v2header) ==
       "1b47d14760c8dd3eebe4d2f4a6aff44ea3ef57c546e1c36931f25a59998a87f9")
+    assert(sha256(chunkedMulti) ==
+      "38ff017febae0bd4efd12e53b3dedd7919880a11681875c7abfe0858dc47489f")
   }
 
   test("1-D chunked dataset reads through the chunk B-tree") {
@@ -90,25 +100,56 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not materialized"), e.getMessage)
   }
 
-  test("the planned V2 source rejects a chunked edge column by name") {
-    // the nested fixture carries a real /edges/pop/source_node_id tree,
-    // so this exercises the ACTUAL discovery-path guard, not a re-stated
-    // require: planning must name the column and the contiguous subset
-    val e = intercept[Exception] {
-      spark.read.format("sonatah5").load(chunkedEdges).count()
-    }
-    assert(e.getMessage.contains("chunked dataset") &&
-      e.getMessage.contains("source_node_id"), e.getMessage)
-    // ...while the in-memory reader handles the same column fine
-    assert(Hdf5Mini.read(chunkedEdges)
-      .longs("/edges/pop/source_node_id").toSeq == (0L until 12L))
+  test("the planned V2 source reads a chunked edge column positionally") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("sonatah5").load(chunkedEdges)
+    // metadata-only count: the dataspace dims answer it, zero data bytes
+    val before = Hdf5Mini.dataBytesRead(chunkedEdges)
+    assert(df.count() == 12L)
+    assert(Hdf5Mini.dataBytesRead(chunkedEdges) == before)
+    // full decode matches the in-memory reader
+    assert(df.orderBy("edge_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 12L).map(i => (i, i)))
+    // edge_id range pushdown reads EXACTLY the planned rows' bytes,
+    // chunk boundaries notwithstanding (rows 5..9 span chunks 1 and 2)
+    val b1 = Hdf5Mini.dataBytesRead(chunkedEdges)
+    val got = df.where(col("edge_id").between(5, 9))
+      .select("source_node_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (5L to 9L))
+    assert(Hdf5Mini.dataBytesRead(chunkedEdges) - b1 == 5L * 8,
+      "chunked pruned scan must read exactly planned_rows x width")
   }
 
-  test("the RDD edge reader rejects chunked datasets by name") {
-    val e = intercept[Exception] {
-      graft.pipelines.SonataH5.readEdges(spark, chunkedEdges, "pop").count()
+  test("the RDD edge reader reads chunked datasets through the chunk index") {
+    val rows = graft.pipelines.SonataH5.readEdges(spark, chunkedEdges, "pop")
+      .orderBy("edge_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 12L).map(i => (i, i)))
+  }
+
+  test("multi-column chunked container: mixed chunk sizes, exact values, no fill leak") {
+    import org.apache.spark.sql.functions._
+    // tiny partitions force several splits, so per-split index slicing
+    // and cross-chunk segment reads are both on the executed path
+    val df = spark.read.format("sonatah5")
+      .option("maxBytesPerPartition", "2048").load(chunkedMulti)
+    assert(df.rdd.getNumPartitions > 1, "fixture must plan multiple splits")
+    val rows = df.orderBy("edge_id").collect()
+    assert(rows.length == 600)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getLong(r.fieldIndex("source_node_id")) == (7 * i) % 50)
+      assert(r.getLong(r.fieldIndex("target_node_id")) == (3 * i) % 40)
+      assert(r.getInt(r.fieldIndex("delay_ms")) == ((11 * i) % 1000).toInt)
     }
-    assert(e.getMessage.contains("chunked dataset"), e.getMessage)
+    // pruned scan over a chunked column: bytes = rows x width exactly
+    // (the edge chunks' -1 filler is never read or surfaced)
+    val b0 = Hdf5Mini.dataBytesRead(chunkedMulti)
+    val s = df.where(col("edge_id") >= 590).select("delay_ms")
+      .collect().map(_.getInt(0)).toSeq
+    assert(s.sorted == (590L until 600L).map(i => ((11 * i) % 1000).toInt).sorted)
+    assert(Hdf5Mini.dataBytesRead(chunkedMulti) - b0 == 10L * 4)
   }
 
   test("version-2 object header is rejected loudly at the header version") {

@@ -274,6 +274,7 @@ def main():
     forge_chunked(f"{outdir}/foreign_chunked_edge.h5", n=7, chunk=5)
     forge_chunked_edges(f"{outdir}/foreign_chunked_edges.h5")
     forge_chunked_deep(f"{outdir}/foreign_chunked_deep.h5")
+    forge_chunked_multi(f"{outdir}/foreign_chunked_multi.h5")
     forge_v2header(f"{outdir}/foreign_v2header.h5")
     print(f"forged foreign_chunked[_edge].h5 + foreign_v2header.h5 under {outdir}")
 
@@ -344,6 +345,80 @@ def forge_chunked_edges(path, n=12, chunk=4):
         f.write(out)
 
 
+
+
+def forge_chunked_multi(path, n=600):
+    """A SONATA-shaped tree /edges/pop/{source_node_id, target_node_id,
+    0/delay_ms} where EVERY edge column is CHUNKED, each with a
+    different chunk size (128 / 100 / 250 elements — two edge chunks,
+    one exact fit) and mixed dtypes (i64/i64/i32). Values are closed
+    forms of the row index, so a DuckDB oracle reproduces the planned
+    V2 source's decode bit-for-bit without reading HDF5:
+        source_node_id = (7*i) % 50
+        target_node_id = (3*i) % 40
+        delay_ms       = (11*i) % 1000   (int32)
+    Drives the round-14 chunked PLANNED read path: multi-split scans
+    slice per-split chunk indexes; edge chunks are stored full-size
+    with -1 filler past the extent (must never leak)."""
+    cols = [  # (group-relative name, pack fmt, esize, chunk, value fn)
+        ("source_node_id", "<q", 8, 128, lambda i: (7 * i) % 50),
+        ("target_node_id", "<q", 8, 100, lambda i: (3 * i) % 40),
+        ("delay_ms", "<i", 4, 250, lambda i: (11 * i) % 1000),
+    ]
+
+    def dtype_msg(esize):
+        return datatype_i64le() if esize == 8 else datatype_i32le()
+
+    def ds_oh(esize, chunk, cbt_addr):
+        return object_header_v1([
+            msg(0x0001, dataspace_v1([n])), msg(0x0003, dtype_msg(esize)),
+            msg(0x0005, fill_v2()),
+            msg(0x0008, layout_v3_chunked(1, cbt_addr, [chunk], esize))])
+
+    # ---- address plan (probe lengths, then rebuild with real addrs) ----
+    root_base = 96
+    edges_base = root_base + len(group_block(root_base, {"edges": 0})[0])
+    pop_base = edges_base + len(group_block(edges_base, {"pop": 0})[0])
+    # pop members name-sorted: "0" < "source_node_id" < "target_node_id"
+    pop_len = len(group_block(pop_base,
+        {"0": 0, "source_node_id": 0, "target_node_id": 0})[0])
+    zero_base = pop_base + pop_len
+    zero_len = len(group_block(zero_base, {"delay_ms": 0})[0])
+    cursor = zero_base + zero_len
+    oh_addrs, cbt_addrs, chunk_addrs = [], [], []
+    for name, fmt, esize, chunk, fn in cols:
+        oh_addrs.append(cursor)
+        cursor += len(ds_oh(esize, chunk, 0))
+        nchunks = (n + chunk - 1) // chunk
+        cbt_addrs.append(cursor)
+        cursor += len(chunk_btree(1,
+            [(chunk * esize, [i * chunk], 0) for i in range(nchunks)], [n]))
+        addrs = [cursor + i * chunk * esize for i in range(nchunks)]
+        chunk_addrs.append(addrs)
+        cursor = addrs[-1] + chunk * esize
+    eof = cursor
+
+    out = bytearray()
+    root, root_bt, root_heap = group_block(root_base, {"edges": edges_base})
+    out += superblock_v0(root_base, eof, root_bt, root_heap)
+    out += root
+    out += group_block(edges_base, {"pop": pop_base})[0]
+    out += group_block(pop_base, {"0": zero_base,
+        "source_node_id": oh_addrs[0], "target_node_id": oh_addrs[1]})[0]
+    out += group_block(zero_base, {"delay_ms": oh_addrs[2]})[0]
+    for (name, fmt, esize, chunk, fn), cbt_addr, addrs in \
+            zip(cols, cbt_addrs, chunk_addrs):
+        nchunks = (n + chunk - 1) // chunk
+        out += ds_oh(esize, chunk, cbt_addr)
+        out += chunk_btree(1,
+            [(chunk * esize, [i * chunk], addrs[i]) for i in range(nchunks)], [n])
+        for c in range(nchunks):
+            vals = [fn(c * chunk + j) if c * chunk + j < n else -1
+                    for j in range(chunk)]
+            out += b"".join(struct.pack(fmt, v) for v in vals)
+    assert len(out) == eof, (len(out), eof)
+    with open(path, "wb") as f:
+        f.write(out)
 
 
 def chunk_btree_l1(entries_per_leaf, entries, total_dims, base):
