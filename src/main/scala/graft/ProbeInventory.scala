@@ -176,7 +176,12 @@ object ProbeInventory {
           "in ForeignHdf5FixtureSpec)"),
       "sonata_h5_chunked_pruned" ->
         ("strict planned-subset of sonata_h5_chunked_v2 (same fixture, fewer " +
-          "column regions + edge_id range); pruning exactness is byte-meter-asserted")
+          "column regions + edge_id range); pruning exactness is byte-meter-asserted"),
+      "sonata_h5_v2sb_source" ->
+        ("FIXTURE-bounded new-style-container read (20 rows, committed bytes); " +
+          "the planned scan machinery is the probed sonata_h5_v2_source path — " +
+          "only the metadata walk (superblock v2 / OHDR v2 / compact links) differs, " +
+          "and metadata is header-sized at any container scale")
     )
     // ---- bounded-alphabet keyed aggregates (map-side combine; the
     // exchange carries partitions x alphabet rows, never the data) ----

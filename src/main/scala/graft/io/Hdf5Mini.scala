@@ -683,13 +683,72 @@ object Hdf5Mini {
     } finally ch.close()
   }
 
+  /** Jenkins lookup3 (hashlittle, public domain) over
+    * `bytes[off, off+len)` with init 0 — the checksum the HDF5 "new
+    * style" metadata carries (superblock v2/v3, OHDR v2 gateway). The
+    * strict-reader contract VERIFIES it: corrupt new-style metadata
+    * fails loud instead of being walked.
+    */
+  private[graft] def lookup3(bytes: Array[Byte], off: Int, len: Int): Int = {
+    def rot(x: Int, k: Int): Int = Integer.rotateLeft(x, k)
+    def word(i: Int, n: Int): Int = {
+      var v = 0
+      var j = n - 1
+      while (j >= 0) {
+        val idx = off + i + j
+        v = (v << 8) | (if (idx < off + len) bytes(idx) & 0xFF else 0)
+        j -= 1
+      }
+      v
+    }
+    var a = 0xDEADBEEF + len
+    var b = a
+    var c = a
+    var i = 0
+    while (len - i > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12
+    }
+    if (len - i > 0) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
   private def parse(bytes: Array[Byte], materializeChunked: Boolean): ReadFile = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
     require((0 until 8).forall(i => bytes(i) == sig(i)), "hdf5: bad signature")
-    require(bytes(8) == 0, s"hdf5: superblock version ${bytes(8)} (only 0)")
-    require(bytes(13) == 8 && bytes(14) == 8, "hdf5: offsets/lengths must be 8 bytes")
-    val rootOh = bb.getLong(64)   // root STE: name offset at 56, OH address at 64
+    // superblock v0 (the classic form this codec writes) or v2/v3 (what
+    // libhdf5 emits under H5F_LIBVER_LATEST — spec II.A.2: a fixed
+    // 48-byte block ending in a lookup3 checksum, root OH address
+    // direct instead of a cached symbol-table entry)
+    val rootOh = (bytes(8): Int) match {
+      case 0 =>
+        require(bytes(13) == 8 && bytes(14) == 8, "hdf5: offsets/lengths must be 8 bytes")
+        bb.getLong(64)   // root STE: name offset at 56, OH address at 64
+      case 2 | 3 =>
+        require(bytes(9) == 8 && bytes(10) == 8, "hdf5: offsets/lengths must be 8 bytes")
+        val stored = bb.getInt(44)
+        val computed = lookup3(bytes, 0, 44)
+        require(stored == computed,
+          f"hdf5: superblock v${bytes(8)} checksum mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+        bb.getLong(36)
+      case v => sys.error(s"hdf5: superblock version $v (only 0, 2, 3)")
+    }
 
     val datasets = scala.collection.mutable.LinkedHashMap.empty[String, ReadDataset]
     val groupAttrs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
@@ -745,10 +804,6 @@ object Hdf5Mini {
     def readObject(ohAddr: Long, path: String): Unit = {
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
       b.position(ohAddr.toInt)
-      require(b.get() == 1, s"hdf5: object header at $ohAddr is not version 1")
-      b.get()
-      val nMsgs = b.getShort() & 0xFFFF
-      b.getInt(); b.getInt(); b.getInt()          // refcount, size, pad
       var stab: Option[(Long, Long)] = None
       var dims: Option[Seq[Long]] = None
       var dtype: Option[H5Type] = None
@@ -756,40 +811,121 @@ object Hdf5Mini {
       // chunk dims in elements, element size)
       var layout: Option[Either[(Long, Long), (Long, Seq[Long], Long)]] = None
       val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      (0 until nMsgs).foreach { _ =>
-        val t = b.getShort() & 0xFFFF
-        val size = b.getShort() & 0xFFFF
-        b.get(); b.get(); b.get(); b.get()
-        val bodyStart = b.position()
-        t match {
-          case 0x0011 => stab = Some((b.getLong(), b.getLong()))
-          case 0x0001 =>
-            require(b.get() == 1, "hdf5: only v1 dataspace messages")
-            val rank = b.get() & 0xFF
-            b.get(); b.get(); b.getInt()
-            dims = Some((0 until rank).map(_ => b.getLong()))
-          case 0x0003 => dtype = Some(parseDatatype(b))
-          case 0x0008 =>
-            require(b.get() == 3, "hdf5: only v3 layout messages")
-            (b.get(): Int) match {
-              case 1 => layout = Some(Left((b.getLong(), b.getLong())))
-              case 2 =>
-                // spec IV.A.2.l chunked: dimensionality = rank + 1, chunk
-                // btree address, 4-byte chunk dims, element size last
-                val d = b.get() & 0xFF
-                val btreeAddr = b.getLong()
-                val cdims = (0 until d - 1).map(_ => (b.getInt() & 0xFFFFFFFFL))
-                val esize = b.getInt() & 0xFFFFFFFFL
-                layout = Some(Right((btreeAddr, cdims, esize)))
-              case other =>
-                sys.error(s"hdf5: unsupported layout class $other at $path " +
-                  "(contiguous and 1-D chunked only)")
-            }
-          case 0x000C => attrs += readAttr(b)
-          case 0x0005 | 0x0000 | 0x0012 => // fill value / NIL / mtime: skip
-          case other => sys.error(f"hdf5: unsupported message type 0x$other%04X at $path")
+      // "new style" (v2-header) group state: compact hard links + the
+      // link-info marker (an empty v2 group carries link-info, no links)
+      val links = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var linkInfoSeen = false
+
+      // one message-body interpreter for both header versions — the
+      // bodies are version-independent; only the framing differs
+      def handleMessage(t: Int): Unit = t match {
+        case 0x0011 => stab = Some((b.getLong(), b.getLong()))
+        case 0x0001 =>
+          require(b.get() == 1, "hdf5: only v1 dataspace messages")
+          val rank = b.get() & 0xFF
+          b.get(); b.get(); b.getInt()
+          dims = Some((0 until rank).map(_ => b.getLong()))
+        case 0x0003 => dtype = Some(parseDatatype(b))
+        case 0x0008 =>
+          require(b.get() == 3, "hdf5: only v3 layout messages")
+          (b.get(): Int) match {
+            case 1 => layout = Some(Left((b.getLong(), b.getLong())))
+            case 2 =>
+              // spec IV.A.2.l chunked: dimensionality = rank + 1, chunk
+              // btree address, 4-byte chunk dims, element size last
+              val d = b.get() & 0xFF
+              val btreeAddr = b.getLong()
+              val cdims = (0 until d - 1).map(_ => (b.getInt() & 0xFFFFFFFFL))
+              val esize = b.getInt() & 0xFFFFFFFFL
+              layout = Some(Right((btreeAddr, cdims, esize)))
+            case other =>
+              sys.error(s"hdf5: unsupported layout class $other at $path " +
+                "(contiguous and 1-D chunked only)")
+          }
+        case 0x000C => attrs += readAttr(b)
+        case 0x0002 =>
+          // link info (spec IV.A.2.c): compact links live as 0x06
+          // messages in THIS header; a defined fractal-heap address
+          // means dense storage, which stays outside the subset
+          require(b.get() == 0, "hdf5: only v0 link-info messages")
+          val f = b.get() & 0xFF
+          if ((f & 1) != 0) b.getLong()          // max creation order
+          val fheap = b.getLong()
+          b.getLong()                            // name-index B-tree addr
+          if ((f & 2) != 0) b.getLong()          // creation-order index
+          require(fheap == Undef,
+            s"hdf5: dense link storage at $path unsupported (compact links only)")
+          linkInfoSeen = true
+        case 0x000A => ()                        // group info: sizing hints
+        case 0x0006 =>
+          // link message (spec IV.A.2.g), HARD links only — soft and
+          // external links name targets this reader will not chase
+          require(b.get() == 1, "hdf5: only v1 link messages")
+          val lf = b.get() & 0xFF
+          val ltype = if ((lf & 0x08) != 0) b.get() & 0xFF else 0
+          require(ltype == 0,
+            s"hdf5: non-hard link (type $ltype) at $path unsupported")
+          if ((lf & 0x04) != 0) b.getLong()      // creation order
+          if ((lf & 0x10) != 0) b.get()          // charset
+          val nlen = (lf & 0x3) match {
+            case 0 => (b.get() & 0xFF).toLong
+            case 1 => (b.getShort() & 0xFFFF).toLong
+            case 2 => b.getInt() & 0xFFFFFFFFL
+            case _ => b.getLong()
+          }
+          val nb = new Array[Byte](nlen.toInt); b.get(nb)
+          links += new String(nb, StandardCharsets.US_ASCII) -> b.getLong()
+        case 0x0010 =>
+          sys.error(s"hdf5: object header continuation at $path unsupported " +
+            "(single-chunk headers only)")
+        case 0x0005 | 0x0000 | 0x0012 => // fill value / NIL / mtime: skip
+        case other => sys.error(f"hdf5: unsupported message type 0x$other%04X at $path")
+      }
+
+      val isV2 = bytes(ohAddr.toInt) == 'O' && bytes(ohAddr.toInt + 1) == 'H' &&
+        bytes(ohAddr.toInt + 2) == 'D' && bytes(ohAddr.toInt + 3) == 'R'
+      if (isV2) {
+        // spec IV.A.2 version-2 header: OHDR, version, flags, optional
+        // times/sizing, variable-width chunk-0 size, unaligned messages,
+        // lookup3 gateway checksum — VERIFIED (fail loud on corruption)
+        b.position(ohAddr.toInt + 4)
+        require(b.get() == 2, s"hdf5: OHDR at $ohAddr is not version 2")
+        val f = b.get() & 0xFF
+        if ((f & 0x20) != 0) { b.getInt(); b.getInt(); b.getInt(); b.getInt() }
+        if ((f & 0x10) != 0) { b.getShort(); b.getShort() }
+        val chunk0 = (f & 0x3) match {
+          case 0 => (b.get() & 0xFF).toLong
+          case 1 => (b.getShort() & 0xFFFF).toLong
+          case 2 => b.getInt() & 0xFFFFFFFFL
+          case _ => b.getLong()
         }
-        b.position(bodyStart + size)
+        val bodyEnd = b.position() + chunk0.toInt
+        val stored = bb.getInt(bodyEnd)
+        val computed = lookup3(bytes, ohAddr.toInt, bodyEnd - ohAddr.toInt)
+        require(stored == computed,
+          f"hdf5: OHDR checksum mismatch at $path (stored 0x$stored%08x, computed 0x$computed%08x)")
+        while (b.position() < bodyEnd) {
+          val t = b.get() & 0xFF
+          val size = b.getShort() & 0xFFFF
+          b.get()                                 // message flags
+          if ((f & 0x04) != 0) b.getShort()       // creation order
+          val mStart = b.position()
+          handleMessage(t)
+          b.position(mStart + size)
+        }
+      } else {
+        require(b.get() == 1, s"hdf5: object header at $ohAddr is not version 1")
+        b.get()
+        val nMsgs = b.getShort() & 0xFFFF
+        b.getInt(); b.getInt(); b.getInt()        // refcount, size, pad
+        (0 until nMsgs).foreach { _ =>
+          val t = b.getShort() & 0xFFFF
+          val size = b.getShort() & 0xFFFF
+          b.get(); b.get(); b.get(); b.get()
+          val bodyStart = b.position()
+          handleMessage(t)
+          b.position(bodyStart + size)
+        }
       }
       stab match {
         case Some((btreeAddr, heapAddr)) =>
@@ -838,6 +974,14 @@ object Hdf5Mini {
             }
           }
           walkBtree(btreeAddr)
+        case None if linkInfoSeen || links.nonEmpty =>
+          // "new style" group: children are the compact hard links,
+          // walked name-sorted (link order in the header is
+          // writer-chosen; the sort pins discovery determinism)
+          groupAttrs(if (path.isEmpty) "/" else path) = attrs.toMap
+          links.toSeq.sortBy(_._1).foreach { case (nm, addr) =>
+            readObject(addr, s"$path/$nm")
+          }
         case None =>
           val d = dims.getOrElse(sys.error(s"hdf5: dataset $path missing dataspace"))
           val t = dtype.getOrElse(sys.error(s"hdf5: dataset $path missing datatype"))

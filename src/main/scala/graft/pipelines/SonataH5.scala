@@ -526,6 +526,16 @@ object SonataH5 {
         .where(col("edge_id").between(123L, 456L))
         .select(col("edge_id"), col("delay_ms"))),
 
+    // "New style" container through the planned source (round 14
+    // continuation-2): foreign_v2tree.h5 carries a superblock v2 and
+    // VERSION-2 object headers with compact hard links — the format
+    // libhdf5 emits under H5F_LIBVER_LATEST — with every checksum
+    // verified on the walk. Values are a closed form of the row index,
+    // so this is the second fully ORACLED foreign-container read.
+    "sonata_h5_v2sb_source" -> ((s, _) =>
+      s.read.format("sonatah5")
+        .load("/root/repo/src/test/resources/foreign_v2tree.h5")),
+
     // The READ-PATH measurement face (round 14): a full-width integer
     // checksum aggregate through the planned source. The full-table and
     // pruned faces end in the harness's count(), which the connector
@@ -669,6 +679,11 @@ object SonataH5 {
       """SELECT CAST(i AS BIGINT) AS edge_id,
         |  CAST((11 * i) % 1000 AS INTEGER) AS delay_ms
         |FROM range(0, 600) t(i) WHERE i BETWEEN 123 AND 456""".stripMargin,
+
+    "sonata_h5_v2sb_source" ->
+      """SELECT CAST(i AS BIGINT) AS edge_id,
+        |  CAST((5 * i + 1) % 97 AS BIGINT) AS source_node_id
+        |FROM range(0, 20) t(i)""".stripMargin,
 
     "sonata_h5_v2_scan_agg" ->
       """WITH e AS (

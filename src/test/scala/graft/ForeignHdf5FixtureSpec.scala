@@ -32,9 +32,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *    chunk sizes (128/100/250) and mixed dtypes (i64/i64/i32), values
   *    closed forms of the row index so the sonata_h5_chunked_v2 face's
   *    DuckDB oracle reproduces the decode without reading HDF5.
-  *  - `foreign_v2header.h5`: a root group in the VERSION 2 object
-  *    header format ("OHDR" + lookup3 gateway checksum, spec IV.A.2) —
-  *    what libhdf5 emits under H5F_LIBVER_LATEST; rejected loudly.
+  *  - `foreign_v2header.h5` / `foreign_v2tree.h5`: the VERSION 2
+  *    object-header format ("OHDR" + lookup3 gateway checksum, spec
+  *    IV.A.2) — what libhdf5 emits under H5F_LIBVER_LATEST. Round-14
+  *    continuation-2 made the COMPACT subset readable: superblock
+  *    v2/v3 (checksummed), OHDR v2 with compact hard-link messages,
+  *    checksums VERIFIED with corruption tests proving it; dense link
+  *    storage (fractal heaps), soft/external links, and header
+  *    continuations stay rejected by name.
   */
 class ForeignHdf5FixtureSpec extends AnyFunSuite {
 
@@ -45,6 +50,7 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
   private val chunkedEdges = "src/test/resources/foreign_chunked_edges.h5"
   private val chunkedMulti = "src/test/resources/foreign_chunked_multi.h5"
   private val v2header = "src/test/resources/foreign_v2header.h5"
+  private val v2tree = "src/test/resources/foreign_v2tree.h5"
 
   private def sha256(path: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -63,6 +69,8 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
       "1b47d14760c8dd3eebe4d2f4a6aff44ea3ef57c546e1c36931f25a59998a87f9")
     assert(sha256(chunkedMulti) ==
       "38ff017febae0bd4efd12e53b3dedd7919880a11681875c7abfe0858dc47489f")
+    assert(sha256(v2tree) ==
+      "9dc6f8f9bc828c49d776e160a658bbb7872cd31fc68b2226428f751d3085d5d4")
   }
 
   test("1-D chunked dataset reads through the chunk B-tree") {
@@ -152,15 +160,86 @@ class ForeignHdf5FixtureSpec extends AnyFunSuite {
     assert(Hdf5Mini.dataBytesRead(chunkedMulti) - b0 == 10L * 4)
   }
 
-  test("version-2 object header is rejected loudly at the header version") {
-    val e = intercept[IllegalArgumentException] { Hdf5Mini.read(v2header) }
-    assert(e.getMessage.contains("not version 1"), e.getMessage)
-  }
-
-  test("the sonatah5 V2 source surfaces the v2-header rejection at planning") {
+  test("an empty version-2 root group parses as a group with no members") {
+    // round-14 continuation-2 widened the subset again: OHDR v2 with
+    // compact links is READ (checksum-verified), so the empty new-style
+    // root is simply an empty tree — and the planned source reports the
+    // SEMANTIC absence (no /edges), not a format rejection
+    val f = Hdf5Mini.read(v2header)
+    assert(f.datasets.isEmpty && f.groupAttrs.keySet == Set("/"))
     val ev = intercept[Exception] {
       spark.read.format("sonatah5").load(v2header).count()
     }
-    assert(ev.getMessage.contains("not version 1"), ev.getMessage)
+    assert(ev.getMessage.contains("no /edges"), ev.getMessage)
+  }
+
+  test("superblock v2 + OHDR v2 compact-link tree reads end-to-end") {
+    val f = Hdf5Mini.read(v2tree)
+    assert(f.groupAttrs.keySet == Set("/", "/edges", "/edges/pop"))
+    assert(f.longs("/edges/pop/source_node_id").toSeq ==
+      (0 until 20).map(i => (5L * i + 1) % 97))
+  }
+
+  test("the planned V2 source reads the new-style tree") {
+    val rows = spark.read.format("sonatah5").load(v2tree)
+      .orderBy("edge_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0 until 20).map(i => (i.toLong, (5L * i + 1) % 97)))
+  }
+
+  test("a corrupted OHDR gateway checksum fails loud, never a silent walk") {
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(v2tree))
+    val bad = orig.clone()
+    // flip one bit inside the ROOT group's first link name ("edges" —
+    // past the superblock, before its checksum)
+    val idx = 48 + 20
+    bad(idx) = (bad(idx) ^ 0x01).toByte
+    val tmp = java.nio.file.Files.createTempFile("v2corrupt", ".h5")
+    java.nio.file.Files.write(tmp, bad)
+    try {
+      val e = intercept[IllegalArgumentException] { Hdf5Mini.read(tmp.toString) }
+      assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("a corrupted v2 superblock checksum fails loud") {
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(v2tree))
+    val bad = orig.clone()
+    bad(30) = (bad(30) ^ 0x40).toByte   // inside the EOF field
+    val tmp = java.nio.file.Files.createTempFile("v2sbcorrupt", ".h5")
+    java.nio.file.Files.write(tmp, bad)
+    try {
+      val e = intercept[IllegalArgumentException] { Hdf5Mini.read(tmp.toString) }
+      assert(e.getMessage.contains("superblock") &&
+        e.getMessage.contains("checksum mismatch"), e.getMessage)
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("dense link storage is rejected by name (compact subset only)") {
+    // hand-corrupt the root link-info: set the fractal-heap address to
+    // a defined value — the reader must refuse rather than walk heaps
+    // it does not implement. The link-info body sits right after the
+    // OHDR prefix (4 sig + 1 ver + 1 flags + 1 size) + message header
+    // (4) + version/flags (2) → heap addr at +13... located by scan:
+    // the first 8-byte UNDEF run inside the root header.
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(v2tree))
+    val bad = orig.clone()
+    val rootStart = 48
+    var i = rootStart
+    while (!(0 until 8).forall(j => bad(i + j) == -1)) i += 1
+    java.util.Arrays.fill(bad, i, i + 8, 0x10.toByte)  // defined address
+    // recompute the gateway checksum so ONLY the dense-storage rejection
+    // can fire (a stale checksum would mask it)
+    val chunk0 = bad(rootStart + 6) & 0xFF
+    val bodyEnd = rootStart + 7 + chunk0
+    val ck = Hdf5Mini.lookup3(bad, rootStart, bodyEnd - rootStart)
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(bodyEnd, ck)
+    val tmp = java.nio.file.Files.createTempFile("v2dense", ".h5")
+    java.nio.file.Files.write(tmp, bad)
+    try {
+      val e = intercept[IllegalArgumentException] { Hdf5Mini.read(tmp.toString) }
+      assert(e.getMessage.contains("dense link storage"), e.getMessage)
+    } finally java.nio.file.Files.delete(tmp)
   }
 }

@@ -276,6 +276,7 @@ def main():
     forge_chunked_deep(f"{outdir}/foreign_chunked_deep.h5")
     forge_chunked_multi(f"{outdir}/foreign_chunked_multi.h5")
     forge_v2header(f"{outdir}/foreign_v2header.h5")
+    forge_v2tree(f"{outdir}/foreign_v2tree.h5")
     print(f"forged foreign_chunked[_edge].h5 + foreign_v2header.h5 under {outdir}")
 
 
@@ -345,6 +346,70 @@ def forge_chunked_edges(path, n=12, chunk=4):
         f.write(out)
 
 
+
+
+def superblock_v23(root_oh, eof, version=2):
+    """Spec II.A.2: the 48-byte v2/v3 superblock — sig, version,
+    offset/length sizes, flags, base, extension addr, EOF, ROOT OBJECT
+    HEADER ADDRESS (no symbol-table entry), lookup3 checksum."""
+    b = b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", version, 8, 8, 0)
+    b += struct.pack("<QQQQ", 0, UNDEF, eof, root_oh)
+    b += struct.pack("<I", lookup3(b))
+    assert len(b) == 48
+    return b
+
+
+def link_msg(name, oh_addr):
+    """Spec IV.A.2.g v1 link message, flags 0: 1-byte name length, hard
+    link, no creation order / charset fields."""
+    nb = name.encode()
+    assert len(nb) < 256
+    return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", oh_addr)
+
+
+def layout_v3_contig(addr, size):
+    """Spec IV.A.2.l v3 layout, class 1 (contiguous): address + size."""
+    return struct.pack("<BBQQ", 3, 1, addr, size)
+
+
+def v2group(members):
+    """A 'new style' group header: link-info (fractal heap UNDEF — the
+    compact regime), one hard link message per member, group-info."""
+    link_info = struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)
+    msgs = [(0x02, link_info)]
+    msgs += [(0x06, link_msg(n, a)) for n, a in members.items()]
+    msgs += [(0x0A, struct.pack("<BB", 0, 0))]
+    return object_header_v2(msgs)
+
+
+def forge_v2tree(path, n=20):
+    """The round-14 'new style' READ fixture: superblock v2 + version-2
+    object headers with COMPACT hard links all the way down —
+    /edges/pop/source_node_id, i64 contiguous, value (5*i+1) % 97.
+    This is the group format libhdf5 emits under H5F_LIBVER_LATEST for
+    small groups (links below max_compact live as header messages);
+    values are a closed form so the planned-source face's DuckDB oracle
+    reproduces the decode from range()."""
+    root_base = 48
+    def ds_oh(addr):
+        return object_header_v2([
+            (0x01, dataspace_v1([n])), (0x03, datatype_i64le()),
+            (0x08, layout_v3_contig(addr, n * 8))])
+    edges_base = root_base + len(v2group({"edges": 0}))
+    pop_base = edges_base + len(v2group({"pop": 0}))
+    ds_base = pop_base + len(v2group({"source_node_id": 0}))
+    data_addr = ds_base + len(ds_oh(0))
+    eof = data_addr + n * 8
+    out = bytearray()
+    out += superblock_v23(root_base, eof)
+    out += v2group({"edges": edges_base})
+    out += v2group({"pop": pop_base})
+    out += v2group({"source_node_id": ds_base})
+    out += ds_oh(data_addr)
+    out += b"".join(struct.pack("<q", (5 * i + 1) % 97) for i in range(n))
+    assert len(out) == eof, (len(out), eof)
+    with open(path, "wb") as f:
+        f.write(out)
 
 
 def forge_chunked_multi(path, n=600):
