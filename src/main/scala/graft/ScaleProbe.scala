@@ -148,7 +148,15 @@ object ScaleProbe {
     // the 3-signal ensemble vote frame (three chains joined doc-keyed
     // at 500k docs)
     "lm_backoff_doc_ppl", "dedup_paragraph_checksum",
-    "quality_ensemble_matrix")
+    "quality_ensemble_matrix",
+    // r14 continuation session 2, wave 2 (documents ×100): the
+    // WordPiece trainer rides the same word-TYPE regime as the BPE
+    // 100x point but adds the per-round symbol-count join — the pair
+    // table must stay alphabet²-bounded two decades up; and the DSIR
+    // scoring chain's claim is the inverse shape — a CONSTANT
+    // 1024-bucket model under a corpus-linear scan, so its 100x curve
+    // must stay flat-per-row where the type-riding trainers grow
+    "wordpiece_train_merges", "dsir_doc_scores")
 
   /** Per-replica word tagging: suffix every word with `·<rep>` — a
     * bijection on each replica's shingle space (internal similarity
