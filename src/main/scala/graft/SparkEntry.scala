@@ -76,6 +76,7 @@ object SparkEntry {
     (ext.Dsir.queries, ext.Dsir.oracleSql),
     (ext.WordPiece.queries, ext.WordPiece.oracleSql),
     (ext.Doremi.queries, ext.Doremi.oracleSql),
+    (ext.DataValue.queries, ext.DataValue.oracleSql),
     (ext.NbFilter.queries, ext.NbFilter.oracleSql),
     (ext.RewardOps.queries, ext.RewardOps.oracleSql),
     (ext.BinaryQuant.queries, ext.BinaryQuant.oracleSql),
