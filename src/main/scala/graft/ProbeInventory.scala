@@ -49,8 +49,8 @@ object ProbeInventory {
                                     //     sink landed (count() join-eliminated it)
     "quality_ensemble_matrix",      // r14 continuation: the 3-signal vote-frame chain
     "dedup_paragraph_incremental",  // r14 continuation: standing-corpus anti-join ingest
-    "mixture_quality_tiers",
-    "lm_loo_source_value")          // r14 continuation-2: 10x = 1.37 warm-over-warm        // r14 continuation: vote frame + 4-row fill window
+    "mixture_quality_tiers",        // r14 continuation: vote frame + 4-row fill window
+    "lm_loo_source_value")          // r14 continuation-2: 10x = 1.37 warm-over-warm
 
   /** 100×-listed queries whose 10× evidence lives on CARRIED probe-record
     * entries (measured in the round they landed, flagged `carried_from`

@@ -1,54 +1,94 @@
 #!/usr/bin/env python3
-"""Assemble a board record (bench_full_r{N}.json / BENCH_LATEST.json)
-from N full board passes: per-query MIN over passes (each pass is
-itself a min-of-reps; contention only adds time), total = sum of mins.
+"""Assemble a board record (bench_full_r{N}.json / BENCH_LATEST.json):
 
-Output stays in the machine-written FLAT compact format
-(`"queries":{name:sec,...}`) that Bench.boardQueries requires, with an
-`estimator` field naming the construction and a `passes` count per the
-round-12 brief. Queries present in only some passes (a registry that
-grew between passes) carry the min over the passes that have them; the
-per-query pass count is recorded in `"pass_counts"` ONLY for queries
-seen in fewer than all passes, so the record stays honest about its
-thinner entries without bloating the common case.
+    python3 tools/assemble_board.py OUT full1.json [full2.json ...] \
+        [--targeted t1.json [t2.json ...]]
 
-Usage: python3 tools/assemble_board.py OUT pass1.json [pass2.json ...]
+FULL passes cover the whole registry; per-query value = MIN over the
+full passes that ran the query (each pass is itself a min-of-reps;
+contention only adds time). Queries present in only SOME full passes
+(a registry that grew between passes) are listed in
+`late_registry_passes`. TARGETED passes (SPARK_GRAFT_ONLY runs over
+faces registered AFTER the full passes) are min-merged separately and
+OVERLAID: a query appearing only in targeted passes gets that min and
+is listed in `targeted_min2`. The estimator string is generated from
+the actual inputs, so the record and its provenance cannot drift.
+
+Output is the machine-written FLAT compact format
+(`"queries":{name:sec,...}`) that Bench.boardQueries requires —
+json.dump with compact separators keeps the queries object flat and
+escapes everything.
 """
 import sys, json
 
-out, passes = sys.argv[1], sys.argv[2:]
-recs = [json.load(open(p)) for p in passes]
-names = []
-for r in recs:
-    for k in r["queries"]:
-        if k not in names:
-            names.append(k)
-queries, counts = {}, {}
-for k in names:
-    vals = [r["queries"][k] for r in recs if k in r["queries"]]
-    vals = [v for v in vals if v >= 0]  # -1 = failed rep, never the min
-    queries[k] = min(vals) if vals else -1.0
-    n = sum(1 for r in recs if k in r["queries"])
-    if n < len(recs):
-        counts[k] = n
-total = sum(v for v in queries.values() if v >= 0)
-sink = recs[0].get("sink", "noop")
-qs = ",".join('"%s":%s' % (k, repr(queries[k])) for k in names)
-extra = ""
-if counts:
-    extra = ',"pass_counts":{%s}' % ",".join(
-        '"%s":%d' % (k, v) for k, v in sorted(counts.items()))
-rec = ('{"metric":"total","value":%s,"unit":"sec",'
-       '"estimator":"per-query min over %d full board passes (each itself '
-       'a min-of-reps), sink=%s; pass totals %s s",'
-       '"passes":%d%s,"queries":{%s},"sf":"%s"}'
-       % (repr(total), len(passes), sink,
-          " / ".join("%.1f" % r["value"] for r in recs),
-          len(passes), extra, qs, recs[0]["sf"]))
-with open(out, "w") as f:
-    f.write(rec)
-print("assembled %d queries, total %.1f s from passes: %s"
-      % (len(names), total, ", ".join("%.1f" % r["value"] for r in recs)))
-if counts:
-    print("thin entries (fewer passes):",
-          ", ".join("%s=%d" % kv for kv in sorted(counts.items())))
+
+def load(p):
+    return json.load(open(p))
+
+
+def min_ok(vals):
+    ok = [v for v in vals if v >= 0]     # -1 = failed rep, never the min
+    return min(ok) if ok else -1.0
+
+
+def main():
+    out = sys.argv[1]
+    rest = sys.argv[2:]
+    if "--targeted" in rest:
+        cut = rest.index("--targeted")
+        full_paths, targ_paths = rest[:cut], rest[cut + 1:]
+    else:
+        full_paths, targ_paths = rest, []
+    fulls = [load(p) for p in full_paths]
+    targs = [load(p) for p in targ_paths]
+
+    names, queries, late = [], {}, []
+    for r in fulls:
+        for k in r["queries"]:
+            if k not in names:
+                names.append(k)
+    for k in names:
+        queries[k] = min_ok([r["queries"][k] for r in fulls if k in r["queries"]])
+        if sum(1 for r in fulls if k in r["queries"]) < len(fulls):
+            late.append(k)
+
+    targeted = []
+    for r in targs:
+        for k, v in r["queries"].items():
+            if k in names and k not in targeted:
+                continue                 # full passes already cover it
+            if k not in queries:
+                names.append(k)
+                queries[k] = v
+                targeted.append(k)
+            else:
+                queries[k] = min(queries[k], v)
+
+    total = sum(v for v in queries.values() if v >= 0)
+    estimator = (
+        "per-query min over %d full board passes (each itself a min-of-reps), "
+        "sink=noop; full-pass totals %s s" % (
+            len(fulls), " / ".join("%.1f" % r["value"] for r in fulls)))
+    if targeted:
+        estimator += (
+            "; the %d faces registered after the full passes carry a "
+            "targeted min over %d SPARK_GRAFT_ONLY passes measured on "
+            "the same idle machine" % (len(targeted), len(targs)))
+    rec = {
+        "metric": "total", "value": total, "unit": "sec",
+        "estimator": estimator,
+        "targeted_min2": sorted(targeted),
+        "late_registry_passes": sorted(late),
+        "queries": {k: queries[k] for k in names},
+        "sf": fulls[0]["sf"],
+    }
+    with open(out, "w") as f:
+        json.dump(rec, f, separators=(",", ":"))
+    print("assembled %d queries, total %.1f s (%d full + %d targeted passes); "
+          "targeted=%d late=%s"
+          % (len(queries), total, len(fulls), len(targs),
+             len(targeted), sorted(late)))
+
+
+if __name__ == "__main__":
+    main()
