@@ -160,6 +160,10 @@ object ProbeInventory {
       "wordpiece_symbol_vocab" ->
         ("strict suffix of the probed wordpiece_train_merges chain: the same 5-round " +
           "trainCore plus one vocabulary-keyed aggregate (type-bounded output)"),
+      "wordpiece_apply_merges" ->
+        ("the probed wordpiece_train_merges chain (10x 1.13, 100x 1.55) + ONE " +
+          "word-keyed equi-join fanning the type stream to instances — the " +
+          "bpe_apply_merges recover step on the wordpiece stream"),
       "wordpiece_vs_bpe_overlap" ->
         ("composition of two probed trainers (wordpiece_train_merges + the " +
           "bpe_train_merges 10x/100x record) intersected on a 5-row merge list"),

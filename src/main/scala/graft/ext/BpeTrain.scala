@@ -106,6 +106,11 @@ object BpeTrain {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         posexplode(filter(split(col("word"), ""), c => c =!= "")).as(Seq("pos", "tok")))
+      // 1-based from the start (the WordPiece.trainCore note): merge
+      // rounds re-densify pos, but an exhausts-before-round-1 corpus
+      // (single-char words only) would emit the 0-based posexplode
+      // index where the oracle's t0 is 1-based
+      .withColumn("pos", col("pos") + lit(1))
       .persist(ser)
     val wRunning = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

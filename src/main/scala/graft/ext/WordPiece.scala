@@ -52,6 +52,21 @@ object WordPiece {
     trainCore(docs, rounds)._2
       .groupBy(col("tok")).agg(sum(col("freq")).as("n_occurrences"))
 
+  /** The per-instance token stream AFTER the learned merges — the
+    * [[BpeTrain.bpeApplyStream]] contract under the WordPiece argmax
+    * (training maintains the applied tokenization; apply = fan the
+    * final word-TYPE stream back to instances by ONE equi-join on the
+    * word string): (doc_id, word_id, pos, tok).
+    */
+  def applyStream(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val instances = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .as(Seq("word_id", "word")))
+    instances.join(trainCore(docs, rounds)._2, "word")
+      .select(col("doc_id"), col("word_id"), col("pos"), col("tok"))
+  }
+
   /** How many of the first `rounds` merges WordPiece and BPE share on
     * this corpus — ONE row (n_rounds, n_common). The likelihood-gain
     * argmax diverges from the frequency argmax exactly where a
@@ -78,6 +93,11 @@ object WordPiece {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         posexplode(filter(split(col("word"), ""), c => c =!= "")).as(Seq("pos", "tok")))
+      // 1-based from the start: every merge round re-densifies pos via
+      // row_number anyway, but a corpus whose pair supply exhausts
+      // BEFORE round 1 (single-char words only) would otherwise emit
+      // the 0-based posexplode index where the oracle's t0 is 1-based
+      .withColumn("pos", col("pos") + lit(1))
       .persist(ser)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var toFree: List[DataFrame] = Nil
@@ -141,7 +161,9 @@ object WordPiece {
     "wordpiece_symbol_vocab" -> ((s, dir) =>
       symbolVocab(Tables.documents(s, dir), rounds = 5)),
     "wordpiece_vs_bpe_overlap" -> ((s, dir) =>
-      vsBpeOverlap(Tables.documents(s, dir), rounds = 5))
+      vsBpeOverlap(Tables.documents(s, dir), rounds = 5)),
+    "wordpiece_apply_merges" -> ((s, dir) =>
+      applyStream(Tables.documents(s, dir), rounds = 5))
   )
 
   /** One unrolled oracle round. The word-INSTANCE formulation (count(*)
@@ -216,6 +238,13 @@ object WordPiece {
 
     "wordpiece_symbol_vocab" -> (coreCtes +
       "\nSELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences FROM wt5 GROUP BY tok"),
+
+    // the final instance stream; the oracle's 1-based word_id aligns to
+    // Spark's 0-based posexplode index by the -1 (the bpe_apply_merges
+    // convention)
+    "wordpiece_apply_merges" -> (coreCtes +
+      "\nSELECT doc_id, CAST(word_id - 1 AS INTEGER) AS word_id, " +
+      "CAST(pos AS INTEGER) AS pos, tok FROM wt5"),
 
     // both unrolled chains in one WITH (the BPE chain's CTE names don't
     // collide with the w-prefixed ones), intersected on the merge pair
