@@ -160,6 +160,10 @@ object ProbeInventory {
       "wordpiece_symbol_vocab" ->
         ("strict suffix of the probed wordpiece_train_merges chain: the same 5-round " +
           "trainCore plus one vocabulary-keyed aggregate (type-bounded output)"),
+      "dsir_vs_nb_agreement" ->
+        ("composition of two probed chains (the dsir_select_quota exact rank + the " +
+          "quality_nb_confusion scoring chain) joined doc-keyed into a 1-row " +
+          "kappa fold — no new exchange shape"),
       "wordpiece_apply_merges" ->
         ("the probed wordpiece_train_merges chain (10x 1.13, 100x 1.55) + ONE " +
           "word-keyed equi-join fanning the type stream to instances — the " +

@@ -161,6 +161,52 @@ object Dsir {
       .withColumn("kept_ppm", expr("n_kept * 1000000L div n_docs"))
   }
 
+  /** Per-doc DSIR keep decision at the quota — (doc_id, dsir_keep),
+    * the flag form of [[selectQuota]]'s cut for agreement audits.
+    */
+  def keepFlags(docs: DataFrame): DataFrame = {
+    val sc = docScores(docs)
+    val nAll = sc.agg(count(lit(1)).as("n_all"))
+    graft.ops.Offsets.globalPosition(
+        sc, Seq(col("logw_mb").desc, col("doc_id")), "pos")
+      .crossJoin(broadcast(nAll))
+      .select(col("doc_id"),
+        (col("pos") < expr(s"n_all * $QuotaPct div 100")).as("dsir_keep"))
+  }
+
+  /** Do the two selection philosophies agree? DSIR's distributional
+    * "looks like the target" cut vs the [[NbFilter]] learned quality
+    * cut, as ONE row: the 2×2 cell counts and Cohen's kappa in
+    * truncating ppm (the [[FilterEnsemble.filterKappa]] discipline —
+    * kappa ≡ 0 at the pe = 1 degenerate case; headroom n ≤ ~3M scored
+    * docs before n² meets the ×10⁶). The two keep sets measure
+    * DIFFERENT things by design — low kappa here is the argument for
+    * running both stages, not a defect in either.
+    */
+  def vsNbAgreement(docs: DataFrame): DataFrame = {
+    val d = keepFlags(docs)
+    val nb = NbFilter.scored(docs, lit(true))
+      .select(col("doc_id"), (col("score_mbits") >= 0L).as("nb_keep"))
+    d.join(nb, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dsir_keep") && col("nb_keep"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("dsir_keep") && !col("nb_keep"), 1L).otherwise(0L)).as("n_dsir_only"),
+        sum(when(!col("dsir_keep") && col("nb_keep"), 1L).otherwise(0L)).as("n_nb_only"),
+        sum(when(!col("dsir_keep") && !col("nb_keep"), 1L).otherwise(0L)).as("n_neither"))
+      .select(col("n_docs"), col("n_both"), col("n_dsir_only"),
+        col("n_nb_only"), col("n_neither"),
+        expr("n_both + n_dsir_only").as("a1"),
+        expr("n_both + n_nb_only").as("a2"),
+        expr("n_both + n_neither").as("agree"))
+      .select(col("n_docs"), col("n_both"), col("n_dsir_only"),
+        col("n_nb_only"), col("n_neither"),
+        expr("CASE WHEN n_docs * n_docs = a1 * a2 + (n_docs - a1) * (n_docs - a2) " +
+          "THEN CAST(0 AS BIGINT) " +
+          "ELSE (agree * n_docs - (a1 * a2 + (n_docs - a1) * (n_docs - a2))) " +
+          "* 1000000L div (n_docs * n_docs - (a1 * a2 + (n_docs - a1) * (n_docs - a2))) END")
+          .as("kappa_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dsir_bucket_weights" -> ((s, dir) =>
       bucketWeights(Tables.documents(s, dir))),
@@ -169,7 +215,9 @@ object Dsir {
     "dsir_select_quota" -> ((s, dir) =>
       selectQuota(Tables.documents(s, dir))),
     "dsir_source_scores" -> ((s, dir) =>
-      sourceScores(Tables.documents(s, dir)))
+      sourceScores(Tables.documents(s, dir))),
+    "dsir_vs_nb_agreement" -> ((s, dir) =>
+      vsNbAgreement(Tables.documents(s, dir)))
   )
 
   // ---- oracle side: the identical integer program in DuckDB ----
@@ -229,6 +277,70 @@ object Dsir {
          |  CAST(sum(wts.weight_mb) // count(*) AS BIGINT) AS mb_per_feat
          |FROM bg JOIN wts ON wts.b = bg.b
          |GROUP BY bg.source""".stripMargin,
+    // the DSIR chain re-stated with d-prefixed CTE names so it composes
+    // beside NbFilter.scoreCtes (whose flags/feat/.../score names it
+    // must not shadow); kappa per the FilterEnsemble discipline
+    "dsir_vs_nb_agreement" ->
+      s"""WITH dtoks AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+         |  FROM documents),
+         |dbg AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 6)) AS BIGINT)
+         |      % $Buckets AS b
+         |  FROM dtoks, LATERAL unnest(range(1, len(ts))) AS r(i)
+         |  WHERE len(ts) >= 2),
+         |draw AS (SELECT b, CAST(count(*) AS BIGINT) AS n_raw FROM dbg GROUP BY b),
+         |dtgt AS (
+         |  SELECT dbg.b, CAST(count(*) AS BIGINT) AS n_target
+         |  FROM dbg JOIN documents d ON d.doc_id = dbg.doc_id
+         |  WHERE d.lang = 'en' GROUP BY dbg.b),
+         |dtot AS (
+         |  SELECT (SELECT sum(n_raw) FROM draw) AS nr_tot,
+         |         (SELECT sum(n_target) FROM dtgt) AS nt_tot),
+         |dwts AS (
+         |  SELECT draw.b,
+         |    CAST(${mlog2Duck("coalesce(dtgt.n_target, 0) + 1")}
+         |       - ${mlog2Duck(s"dtot.nt_tot + $Buckets")}
+         |       - ${mlog2Duck("draw.n_raw + 1")}
+         |       + ${mlog2Duck(s"dtot.nr_tot + $Buckets")} AS BIGINT) AS weight_mb
+         |  FROM draw LEFT JOIN dtgt ON dtgt.b = draw.b CROSS JOIN dtot),
+         |dsc AS (
+         |  SELECT dbg.doc_id, CAST(sum(dwts.weight_mb) AS BIGINT) AS logw_mb
+         |  FROM dbg JOIN dwts ON dwts.b = dbg.b GROUP BY dbg.doc_id),
+         |dscore AS (
+         |  SELECT d.doc_id, CAST(coalesce(dsc.logw_mb, 0) AS BIGINT) AS logw_mb
+         |  FROM documents d LEFT JOIN dsc ON dsc.doc_id = d.doc_id),
+         |dn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dscore),
+         |dkeep AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY logw_mb DESC, doc_id)
+         |      <= (SELECT n_all * $QuotaPct // 100 FROM dn) AS dsir_keep
+         |  FROM dscore),
+         |${NbFilter.scoreCtes("TRUE")},
+         |cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN k.dsir_keep AND s.score_mbits >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(sum(CASE WHEN k.dsir_keep AND s.score_mbits < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir_only,
+         |    CAST(sum(CASE WHEN NOT k.dsir_keep AND s.score_mbits >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_only,
+         |    CAST(sum(CASE WHEN NOT k.dsir_keep AND s.score_mbits < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |  FROM dkeep k JOIN score s ON s.doc_id = k.doc_id)
+         |SELECT n_docs, n_both, n_dsir_only, n_nb_only, n_neither,
+         |  CAST(CASE WHEN n_docs * n_docs =
+         |      (n_both + n_dsir_only) * (n_both + n_nb_only)
+         |        + (n_docs - n_both - n_dsir_only) * (n_docs - n_both - n_nb_only)
+         |    THEN 0
+         |    ELSE ((n_both + n_neither) * n_docs
+         |        - ((n_both + n_dsir_only) * (n_both + n_nb_only)
+         |           + (n_docs - n_both - n_dsir_only) * (n_docs - n_both - n_nb_only)))
+         |      * 1000000
+         |      // (n_docs * n_docs
+         |        - ((n_both + n_dsir_only) * (n_both + n_nb_only)
+         |           + (n_docs - n_both - n_dsir_only) * (n_docs - n_both - n_nb_only)))
+         |  END AS BIGINT) AS kappa_ppm
+         |FROM cells""".stripMargin,
+
     "dsir_select_quota" ->
       s"""WITH $scoreCtes,
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM score),

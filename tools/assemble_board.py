@@ -52,15 +52,19 @@ def main():
         if sum(1 for r in fulls if k in r["queries"]) < len(fulls):
             late.append(k)
 
+    # targeted values always min-merge (a targeted rep is as valid a
+    # lower bound as a full-pass rep); `targeted` lists only the faces
+    # with NO full-pass coverage — the record's thin-entry marker
     targeted = []
     for r in targs:
         for k, v in r["queries"].items():
-            if k in names and k not in targeted:
-                continue                 # full passes already cover it
-            if k not in queries:
-                names.append(k)
+            if v < 0:
+                continue
+            if k not in queries or queries[k] < 0:
+                if k not in names:
+                    names.append(k)
+                    targeted.append(k)
                 queries[k] = v
-                targeted.append(k)
             else:
                 queries[k] = min(queries[k], v)
 
@@ -69,11 +73,13 @@ def main():
         "per-query min over %d full board passes (each itself a min-of-reps), "
         "sink=noop; full-pass totals %s s" % (
             len(fulls), " / ".join("%.1f" % r["value"] for r in fulls)))
-    if targeted:
+    if targs:
         estimator += (
-            "; the %d faces registered after the full passes carry a "
-            "targeted min over %d SPARK_GRAFT_ONLY passes measured on "
-            "the same idle machine" % (len(targeted), len(targs)))
+            "; %d targeted SPARK_GRAFT_ONLY passes (idle machine) min-merge "
+            "into their faces' entries" % len(targs))
+        if targeted:
+            estimator += (
+                " — %d faces carry ONLY targeted coverage" % len(targeted))
     rec = {
         "metric": "total", "value": total, "unit": "sec",
         "estimator": estimator,
