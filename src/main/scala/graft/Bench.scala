@@ -71,6 +71,19 @@ object Bench {
       // delta"). Cap the description; the computation is untouched.
       .config("spark.sql.maxPlanStringLength",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "1024"))
+      // Deliberate join-strategy baseline (optimization guide §3.1/§9):
+      // let the planner pick shuffled-hash join when its size conditions
+      // hold and let AQE rewrite sort-merge → shuffled-hash when every
+      // post-shuffle partition is under the local-map threshold —
+      // measured −9% on a 25-query mixed subset at sf0.1 with zero
+      // regressions (r14 optimization round). Scale note: SHJ's risk is
+      // a build-side partition that outgrows memory; the 64m AQE
+      // threshold bounds exactly that per-partition build size, and both
+      // knobs are env-overridable for cluster tuning.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark

@@ -31,7 +31,8 @@ object PlanDump {
       df.collect() // finalize AQE
       println(s"== PLAN $name ==")
       println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("simple")))
+        org.apache.spark.sql.execution.ExplainMode.fromString(
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_MODE", "simple"))))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -492,6 +492,12 @@ object ScaleProbe {
       // an identical prefix and blind the same-plan check
       .config("spark.sql.maxPlanStringLength",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "262144"))
+      // same join-strategy baseline as Bench.newSession (guide §3.1/§9)
+      // so probe ratios ride the plans the board times
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

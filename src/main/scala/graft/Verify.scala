@@ -15,6 +15,13 @@ object Verify {
       // cap per-action plan-description generation (see Bench.newSession)
       .config("spark.sql.maxPlanStringLength",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "1024"))
+      // same join-strategy baseline as Bench.newSession so the oracle
+      // gate exercises the exact plans the bench times (see the Bench
+      // comment; join strategy never changes results)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the plan-string cap fires a WARN per truncated stringify —

@@ -80,14 +80,25 @@ object BackoffLm {
     */
   def train(docs: DataFrame): (DataFrame, DataFrame, Long) = {
     val tp = pairs(docs).where(col("doc_id") % 2 === 0)
+    // ONE corpus-sized pass: the (u, v) pair counts. Every other model
+    // quantity is EXACTLY derivable from bg because the pair stream has
+    // one row per token: n_ctx(u) = Σ_v n_uv, n_v = Σ_u n_uv, N = Σ n_uv
+    // — so ctx/uni/N ride the VOCABULARY-sized bg table instead of
+    // re-evaluating the tokenize+explode chain (the old form ran the
+    // corpus pass FOUR times: the bg/ctx/uni aggregates plus the N
+    // collect; guide §2.3 aggregate-early + the §5 recompute
+    // discipline). Identical counts, bit for bit.
     val bg = tp.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_uv"))
-    val ctx = tp.groupBy(col("u")).agg(count(lit(1)).as("n_ctx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bg.groupBy(col("u")).agg(sum(col("n_uv")).as("n_ctx"))
     val bgm = bg.join(ctx, "u")
       .select(col("u"), col("v"), col("n_uv"), col("n_ctx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uni = tp.groupBy(col("v")).agg(count(lit(1)).as("n_v"))
+    val uni = bg.groupBy(col("v")).agg(sum(col("n_uv")).as("n_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = tp.agg(count(lit(1))).collect()(0).getLong(0)
+    // the collect doubles as bg's materializer; coalesce keeps the old
+    // count()-over-empty semantics (0, not null) for degenerate corpora
+    val n = bg.agg(coalesce(sum(col("n_uv")), lit(0L))).collect()(0).getLong(0)
     (bgm, uni, n)
   }
 

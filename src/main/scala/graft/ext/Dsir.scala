@@ -87,6 +87,10 @@ object Dsir {
       .groupBy(col("b"))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_target"))
+      // ≤1024 rows, referenced TWICE (the totals aggregate + the weight
+      // projection) — unpersisted, each reference re-ran the whole
+      // bigram tokenize/md5/explode corpus pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(sum(col("n_raw")).as("nr_tot"),
       sum(col("n_target")).as("nt_tot"))
     counts.crossJoin(broadcast(totals))
@@ -144,7 +148,10 @@ object Dsir {
     * the pool count is broadcast as ONE row.
     */
   def selectQuota(docs: DataFrame): DataFrame = {
+    // doc-sized, 4 narrow columns; read three times (the pool count,
+    // the range-partitioner's sampling pass, and the position join)
     val sc = docScores(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = sc.agg(count(lit(1)).as("n_all"))
     val kept = graft.ops.Offsets.globalPosition(
         sc, Seq(col("logw_mb").desc, col("doc_id")), "pos")
@@ -165,7 +172,9 @@ object Dsir {
     * the flag form of [[selectQuota]]'s cut for agreement audits.
     */
   def keepFlags(docs: DataFrame): DataFrame = {
+    // persisted for the same three-reader reason as [[selectQuota]]
     val sc = docScores(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = sc.agg(count(lit(1)).as("n_all"))
     graft.ops.Offsets.globalPosition(
         sc, Seq(col("logw_mb").desc, col("doc_id")), "pos")

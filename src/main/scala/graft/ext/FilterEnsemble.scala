@@ -47,6 +47,11 @@ object FilterEnsemble {
       .select(col("doc_id"), (col("score_mbits") >= 0).as("nb"))
     val ppl = BackoffLm.docPpl(docs)
       .select(col("doc_id"), col("mbits_per_tok"))
+      // read TWICE (the median aggregate + the vote projection) — an
+      // unpersisted lineage evaluated the whole backoff-LM chain twice
+      // per ensemble face; released by the harness's per-query
+      // clearCache (the registry contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = ppl.agg(percentile(col("mbits_per_tok"), lit(0.5)).as("med"))
     val pplVote = ppl.crossJoin(broadcast(med))
       .select(col("doc_id"),

@@ -128,9 +128,15 @@ object NbFilter {
       .select(col("feat"), col("val"),
         (mlog2("n_pass + 1") - mlog2("n_fail + 1")
           + mlog2("tn0 + v") - mlog2("tn1 + v")).as("w_mbits"))
-    val prior = Quality.gopherRules(modelDocs).where(col("doc_id") % 2 === 0)
-      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("d1"),
-        sum(when(col("pass"), 0L).otherwise(1L)).as("d0"))
+    // the class prior is EXACTLY readable off the alphabet-sized ftot:
+    // every train doc contributes one (feat, val) row per feature, so
+    // any single feature's (tn1, tn0) are the per-class train doc counts
+    // — the old form re-ran the whole gopherRules corpus pass just for
+    // these two scalars (the aggregate keeps the old 1-row/null-on-empty
+    // semantics)
+    val prior = ftot
+      .agg(max(when(col("feat") === "len", col("tn1"))).as("d1"),
+        max(when(col("feat") === "len", col("tn0"))).as("d0"))
     val w0 = mlog2("tn0 + v") - mlog2("tn1 + v") // the pure-smoothing fallback
     val c = ftot
       .agg(max(when(col("feat") === "len", w0)).as("w0_len"),
@@ -275,7 +281,11 @@ object NbFilter {
     * aggregate with the char mass fetched by a doc-keyed equi-join.
     */
   def filterTopPct(docs: DataFrame, pct: Int): DataFrame = {
+    // doc-sized, narrow; read three times (the pool count, the range
+    // partitioner's sampling pass, the position join) — unpersisted,
+    // each reader re-ran the whole scoring chain
     val sc = scored(docs, lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = sc.agg(count(lit(1)).as("n_all"))
     val ranked = graft.ops.Offsets.globalPosition(
       sc, Seq(col("score_mbits").desc, col("doc_id")), "pos")

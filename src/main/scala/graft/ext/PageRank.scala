@@ -56,7 +56,10 @@ object PageRank {
       .unionByName(e.select(col("dst").as("node_id")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probed once per round — persisted so the degree aggregate runs
+    // once, not `rounds` times
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N and the per-round teleport base are SCALARS — computed once,
     // cross-joined (1 row) rather than collected to the driver
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -79,7 +82,7 @@ object PageRank {
       if ((i + 1) % 5 == 0 && i + 1 < iterations)
         ranks = ranks.localCheckpoint(eager = false)
     }
-    (ranks, () => { e.unpersist(); nodes.unpersist(); () })
+    (ranks, () => { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); () })
   }
 
   private val coalesceContrib = "coalesce(contrib, 0L)"
@@ -113,11 +116,14 @@ object PageRank {
       .unionByName(e.select(col("dst").as("node_id")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read twice per round (contrib join + the dangling anti-join) —
+    // persisted so the degree aggregate runs once, not 2·rounds times
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(n)
       .select(col("node_id"), expr(s"$scale div n_nodes").as("rank"))
-    for (i <- 0 until iterations) {
+    for (_ <- 0 until iterations) {
       val contrib = e.join(outDeg, "src")
         .join(ranks.withColumnRenamed("node_id", "src"), "src")
         .select(col("dst").as("node_id"), expr("rank div deg").as("c"))
@@ -131,13 +137,15 @@ object PageRank {
         .select(col("node_id"),
           (expr(s"(15 * $scale div 100) div n_nodes") +
             expr(s"85 * ($coalesceContrib + dangling div n_nodes) div 100")).as("rank"))
-      // tighter cadence than pageRankInt: each round reads `ranks`
-      // TWICE (contrib + dangling), so the un-truncated plan doubles
-      // per round instead of growing linearly
-      if ((i + 1) % 3 == 0 && i + 1 < iterations)
-        ranks = ranks.localCheckpoint(eager = false)
+        // each round reads `ranks` TWICE (contrib + dangling), so an
+        // unpersisted chain re-evaluates round r-1 twice — 2^rounds
+        // recompute of the whole fit (the old 3-round checkpoint cadence
+        // never fired at iterations=3, measured as the dangling variant
+        // costing ~2× the plain one). Node-sized persist per round, the
+        // Preference-fit discipline.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    (ranks, () => { e.unpersist(); nodes.unpersist(); () })
+    (ranks, () => { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); () })
   }
 
   /** PERSONALIZED PageRank (random walk with restart to a source SET —
@@ -167,6 +175,7 @@ object PageRank {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcSet = sources.select(col("node_id")).distinct()
       .withColumn("is_src", lit(true))
     val ns = srcSet.agg(count(lit(1)).as("n_src"))
@@ -191,7 +200,7 @@ object PageRank {
       if ((i + 1) % 5 == 0 && i + 1 < iterations)
         ranks = ranks.localCheckpoint(eager = false)
     }
-    (ranks, () => { e.unpersist(); nodes.unpersist(); () })
+    (ranks, () => { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); () })
   }
 
   val queries: Map[String, Q] = Map(

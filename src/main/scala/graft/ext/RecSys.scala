@@ -134,8 +134,12 @@ object RecSys {
   def intraListDiversity(baskets: DataFrame, k: Int,
                          scale: Long = 1000000L): DataFrame = {
     val pairs = pairScores(baskets, scale).persist()
+    // k·|items|-bounded; referenced twice by its own self-join below —
+    // unpersisted, the whole top-k chain (symmetrize + partial/final
+    // heap) re-ran per side
     val lists = topKFromPairs(pairs, k)
       .select(col("item_id"), col("other_id"))
+      .persist()
     val listPairs = lists.as("x").join(lists.as("y"),
         col("x.item_id") === col("y.item_id") &&
           col("x.other_id") < col("y.other_id"))

@@ -145,6 +145,10 @@ object Timeseries {
     val dense = grid.join(obs, Seq(key, "minute"), "left")
       .select(col(key), col("minute"), coalesce(col("v"), lit(0L)).as("v"),
         (col("minute") % period).as("slot"))
+      // referenced THREE times (global mean, slot means, the trend
+      // window) — unpersisted, each reference re-ran the grid build +
+      // densify join; released by the harness's per-query clearCache
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wTrend = Window.partitionBy(col(key)).orderBy(col("minute"))
       .rowsBetween(-half, half)
     val glob = dense.groupBy(col(key))
@@ -185,9 +189,16 @@ object Timeseries {
         .where(col("_rn") === expr("(_n + 1) div 2"))
         .select(col(key), col(valueCol).as(out))
     }
-    val med = lowerMedian(decomposed, "residual", "med")
-    val dev = decomposed.join(med, key)
+    // decomposed feeds both the median chain and the deviation join,
+    // and dev feeds both the MAD chain and the final filter — without
+    // the pins the whole decomposition re-evaluates once per reference
+    // (2×2 multiplicative), the Preference-fit lineage lesson
+    val dec = decomposed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = lowerMedian(dec, "residual", "med")
+    val dev = dec.join(med, key)
       .withColumn("adev", abs(col("residual") - col("med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = lowerMedian(dev, "adev", "mad")
     dev.join(mad, key)
       .where(col("adev") > lit(nMads.toLong) * greatest(col("mad"), lit(1L)))
