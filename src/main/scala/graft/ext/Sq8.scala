@@ -100,6 +100,10 @@ object Sq8 {
     for (_ <- 1 to rounds) {
       val w = m.join(broadcast(v.select(col("dim").as("j"), col("v"))), "j")
         .groupBy(col("i")).agg(sum(col("c") * col("v")).as("w"))
+        // d rows, read twice (the L1 total + the normalize) — an
+        // unpersisted chain re-ran the matvec 2^rounds times (each
+        // re-run a separate broadcast-build job)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val l1 = w.agg(sum(abs(col("w"))).as("l1"))
       v = w.crossJoin(broadcast(l1))
         .select(col("i").as("dim"),
