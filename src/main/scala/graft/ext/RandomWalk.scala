@@ -35,7 +35,13 @@ object RandomWalk {
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+    // sym is probed once per hop, and each hop's state is read TWICE
+    // (the next hop's join + the output union) — unpersisted, the state
+    // chain re-evaluated 2^steps times (the PageRank-dangling lineage
+    // class). Walk-count/edge-sized persists, released by the harness's
+    // per-query clearCache.
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = sources.select(col("node_id").as("walk_id"),
       col("node_id").as("cur"))
     var out = state.select(col("walk_id"), lit(0L).as("step"),
@@ -47,6 +53,7 @@ object RandomWalk {
         .groupBy(col("walk_id"))
         .agg(min(struct(col("sc"), col("v"))).as("top"))
         .select(col("walk_id"), col("top.v").as("cur"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out = out.unionByName(state.select(col("walk_id"),
         lit(step.toLong).as("step"), col("cur").as("node_id")))
     }
