@@ -23,7 +23,9 @@ def main():
         spec = importlib.util.spec_from_file_location(
             "check", os.path.join(os.path.dirname(__file__), "check.py"))
         mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)  # check.py runs main() on import guard
+        spec.loader.exec_module(mod)  # __name__ is "check", so check.py's
+        # __main__ guard does NOT fire during exec_module; the explicit
+        # mod.main() below is the sole invocation
         mod.main()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
